@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session configuration so Verify, Bench and the
+  * test suites agree on semantics:
+  *
+  *  - UTC session timezone (oracle parity with DuckDB's naive timestamps).
+  *  - `inferTimestampNTZ=false`: the driver's parquet stamps are written
+  *    without UTC adjustment; reading them as LTZ under a UTC session gives
+  *    the same instants DuckDB sees, and keeps unix_millis()/window() usable.
+  *  - `nanosAsLong=true`: events.ts is parquet TIMESTAMP(NANOS), which Spark
+  *    has no native type for; read as ns-since-epoch long and convert with
+  *    integer division in [[Tables.events]] (µs truncation — exactly what
+  *    DuckDB does when it narrows ns → its µs TIMESTAMP).
+  *  - shuffle partitions sized to local cores, AQE on (coalescing +
+  *    skew-join handling — the same settings that would hold on a cluster,
+  *    scaled).
+  */
+object GraftSession {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def build(appName: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

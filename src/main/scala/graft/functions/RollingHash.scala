@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash (Karp–Rabin style) over a string's UTF-8 bytes.
+  *
+  * Document-fingerprinting primitive for the [EXT] text-analysis surface
+  * (SURVEY.md §2.9): `h = Σ b_i · B^(n-1-i)` over 64-bit wraparound
+  * arithmetic with base B = 1000003. Deterministic across JVMs/partitions,
+  * implemented as a native Catalyst expression with whole-stage codegen so
+  * it stays inside the generated loop (no UDF serialization boundary).
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires STRING input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * RollingHash.Base + (bytes(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $b = $c.getBytes();
+         |long ${ev.value}Acc = 0L;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  ${ev.value}Acc = ${ev.value}Acc * ${RollingHash.Base}L + ($b[$i] & 0xffL);
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  val Base: Long = 1000003L
+
+  /** Column-API surface: `rolling_hash(c)`. */
+  def rolling_hash(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      RollingHash(org.apache.spark.sql.graft.Bridge.expression(c)))
+
+  /** Register as a SQL function so it can be used inside higher-order
+    * functions, e.g. `transform(grams, g -> rolling_hash(g))`.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+}

@@ -1,0 +1,325 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator surface from SURVEY.md §2, re-expressed as
+  * declarative Spark plans over the driver's synthetic tables.
+  *
+  * Each query cites the SURVEY operator ids it exercises and the reference
+  * behavior it models (file:line into /root/reference). Every aggregate /
+  * computed column is aliased identically to the DuckDB oracle SQL in
+  * [[graft.SparkEntry.oracleSql]], and every query ends in a deterministic
+  * ORDER BY (unique key) so row order matches the oracle.
+  *
+  * Scale notes (100 TB thinking):
+  *  - groupBy aggregations are all partial-agg friendly (sum/min/max/count)
+  *    → map-side combine before the shuffle.
+  *  - dimension-side joins (nation) are explicitly broadcast.
+  *  - filters and column pruning sit directly over the parquet scan so
+  *    Catalyst pushes them into the reader (verified via .explain).
+  */
+object CoreQueries {
+
+  /** A3/A4 analog (pricing summary, TPC-H Q1 shape): conditional aggregation
+    * with partial map-side aggregation; models the detections max-confidence /
+    * count semantics of `dags/processing/processing.py:236-282`.
+    */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** S7/A2: bag metadata scan — per-topic message counts and time range
+    * (`rosbag info`, service/app/engine.py:84-94) as a groupBy over events.
+    */
+  def q02TopicSummary(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        unix_millis(min("ts")).as("min_ts_ms"),
+        unix_millis(max("ts")).as("max_ts_ms"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** A3: max-confidence per (frame, label) — the DynamoDB conditional-update
+    * running max (dags/processing/processing.py:257-270) is a plain `max`
+    * because the update condition is monotone.
+    */
+  def q03RunningMax(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy("user_id", "event_type")
+      .agg(max("value").as("max_value"), count(lit(1)).as("n_events"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** A4: categorical instance counts (Ped/Bike/Motorbike counters,
+    * dags/processing/processing.py:236-255) as conditional aggregation.
+    */
+  def q04CategoryCounts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy("l_linestatus")
+      .agg(
+        round(sum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(0.0)), 4).as("r_qty"),
+        round(sum(when(col("l_returnflag") === "A", col("l_quantity")).otherwise(0.0)), 4).as("a_qty"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("n_rows"),
+        count(lit(1)).as("total_rows"))
+      .orderBy("l_linestatus")
+  }
+
+  /** J1/S2: the sensor's unprocessed-file anti-join
+    * (plugins/sensors/s3_metadata_sensor.py:66-90): keys with no terminal /
+    * in-flight state. Broadcast-able state side at real scale.
+    */
+  def q05UnprocessedAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** J2: topic-whitelist semi-join (service/app/bag_to_csv.py:92-94). */
+  def q06WhitelistSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.part
+      .join(t.lineitem, col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .orderBy("p_partkey")
+  }
+
+  /** J3 + broadcast: derived-key 1:1 join (JSON↔PNG key derivation,
+    * dags/processing/processing.py:361-364) — join key computed by string
+    * expression on both sides, then a broadcast dimension join + aggregate.
+    */
+  def q07DerivedKeyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val o = t.orders.withColumn("cust_ref", concat(lit("C"), col("o_custkey")))
+    val c = t.customer.withColumn("cust_ref", concat(lit("C"), col("c_custkey")))
+    o.join(c, "cust_ref")
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum("o_totalprice"), 2).as("total_revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  /** U1/J4: set difference (check_pngs.py:1994-2002 frame-diff). */
+  def q08ExceptDiff(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.select(col("c_custkey").as("key"))
+      .except(t.orders.select(col("o_custkey").as("key")))
+      .orderBy("key")
+  }
+
+  /** W1: frame sequence numbering (image_saver %04i filename index,
+    * service/app/export.launch:2-9) — dense per-partition row_number with a
+    * pinned (ts, event_id) sort for determinism.
+    */
+  def q09FrameNumbering(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t.events
+      .select(col("event_id"), col("user_id"),
+        (row_number().over(w) - 1).cast("bigint").as("frame_index"))
+      .withColumn("frame_name", format_string("u%03d_%04d", col("user_id"), col("frame_index")))
+      .orderBy("event_id")
+  }
+
+  /** W2: gap detection in a per-key sequence (check_pngs.py:1976-1981
+    * "missed {idx}") via lag(). */
+  def q10GapDetect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t.events
+      .select(col("user_id"), col("event_id"), lag("event_id", 1).over(w).as("prev_id"))
+      .filter(col("prev_id").isNotNull && (col("event_id") - col("prev_id")) > lit(1))
+      .select(col("user_id"), col("event_id"), col("prev_id"),
+        (col("event_id") - col("prev_id")).as("gap"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** S3/W4: deterministic first-match LIMIT 1
+    * (plugins/sensors/s3_metadata_sensor.py:69-74; ordering pinned where the
+    * reference depends on listing order).
+    */
+  def q11FirstMatch(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .orderBy("o_orderkey")
+      .limit(1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        unix_millis(col("o_orderdate")).as("o_orderdate_ms"))
+  }
+
+  /** A1/U3: distinct topics (service/app/bag_to_csv.py:90-95). */
+  def q12DistinctTopics(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.select("event_type").distinct().orderBy("event_type")
+  }
+
+  /** F1-F4/F11: scalar string function surface — split / element_at / regexp
+    * extract / replace / case / format (bag_to_csv.py:116-123,
+    * processing.py:194-212, export.launch %04i).
+    */
+  def q13StringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.select(
+      col("o_orderkey"),
+      element_at(split(col("o_orderpriority"), "-"), 1).cast("int").as("prio_num"),
+      element_at(split(col("o_orderpriority"), "-"), 2).as("prio_name"),
+      regexp_extract(col("o_orderpriority"), "^([0-9]+)", 1).cast("bigint").as("prio_digit"),
+      lower(col("o_orderstatus")).as("status_lower"),
+      format_string("ord%09d", col("o_orderkey")).as("padded"),
+      length(col("o_orderpriority")).cast("bigint").as("prio_len"),
+      regexp_replace(col("o_orderpriority"), "-", "/").as("prio_path"))
+      .orderBy("o_orderkey")
+  }
+
+  /** F5/F6: timestamp derivation — base ts + frame_index × 67 ms
+    * (dags/processing/processing.py:210-224) plus calendar part extraction.
+    */
+  def q14TimestampDerive(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.select(
+      col("event_id"),
+      unix_millis(col("ts")).as("ts_ms"),
+      unix_millis(expr("timestampadd(MILLISECOND, CAST((event_id % 240) * 67 AS INT), ts)"))
+        .as("frame_ts_ms"),
+      year(col("ts")).cast("bigint").as("y"),
+      month(col("ts")).cast("bigint").as("m"),
+      dayofmonth(col("ts")).cast("bigint").as("d"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("iso_sec"))
+      .orderBy("event_id")
+  }
+
+  /** F8: JSON decode of the props payload (json.loads/dumps,
+    * dags/processing/processing.py:198, 359) + aggregate over the extracted
+    * field.
+    */
+  def q15JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** A6: per-camera frame tally (check_pngs.py:1970-1997) as per-lang doc
+    * stats. */
+  def q16GroupTally(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  /** S1-S3/J1/St3 composed: the full sensor semantics — glob-scan "bag files"
+    * anti-joined against the processed-state table, deterministic first
+    * match. State side is broadcast (it is small relative to the listing at
+    * any scale).
+    */
+  def q17SensorNextFile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val files = t.orders.select(
+      format_string("bags/bag_%09d.bag", col("o_orderkey")).as("path"),
+      col("o_orderkey"))
+    val state = t.orders
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_orderkey").as("done_key"))
+    files
+      .join(broadcast(state), col("o_orderkey") === col("done_key"), "left_anti")
+      .select(col("path"))
+      .orderBy("path")
+      .limit(1)
+  }
+
+  /** A3+A4 full detections pipeline analog with a deterministic arithmetic
+    * stub detector (X3): LCG seed per frame → label / confidence / instance
+    * count, then max-confidence per (camera, label) and categorical counts —
+    * exactly the DynamoDB semantics of dags/processing/processing.py:224-282.
+    */
+  def q18DetectionsTall(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    detectionsInput(t)
+      .groupBy("camera", "label")
+      .agg(
+        round(max("confidence"), 2).as("max_conf"),
+        sum("n_instances").as("sum_instances"),
+        count(lit(1)).as("n_frames"))
+      .orderBy("camera", "label")
+  }
+
+  /** A3 wide view: pivot detections to one column per label + categorical
+    * counters (the DynamoDB wide item, processing.py:224-233, 272-282).
+    * Pivot values are pinned → single pass, deterministic schema.
+    */
+  def q19DetectionsPivot(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val labels = Seq("Person", "Bicycle", "Motorcycle", "Car", "Dog")
+    detectionsInput(t)
+      .groupBy("camera")
+      .pivot("label", labels)
+      .agg(round(max("confidence"), 2))
+      .join(
+        detectionsInput(t).groupBy("camera").agg(
+          sum(when(col("label") === "Person", col("n_instances")).otherwise(0L)).as("ped_count"),
+          sum(when(col("label") === "Bicycle", col("n_instances")).otherwise(0L)).as("bike_count"),
+          sum(when(col("label") === "Motorcycle", col("n_instances")).otherwise(0L)).as("motorbike_count")),
+        Seq("camera"))
+      .orderBy("camera")
+  }
+
+  /** Shared deterministic stub-detector input: camera from user bucket, LCG
+    * seed per event → (label, confidence, n_instances). Pure integer
+    * arithmetic so the DuckDB oracle reproduces it exactly.
+    */
+  private def detectionsInput(t: Tables): DataFrame = {
+    t.events.select(
+      format_string("cam%d", col("user_id") % 4).as("camera"),
+      ((col("event_id") * 1103515245L + 12345L) % 2147483648L).as("seed"))
+      .select(
+        col("camera"),
+        element_at(
+          array(lit("Person"), lit("Bicycle"), lit("Motorcycle"), lit("Car"), lit("Dog")),
+          (col("seed") % 5).cast("int") + 1).as("label"),
+        (lit(50.0) + (col("seed") % 5000).cast("double") / 100.0).as("confidence"),
+        (col("seed") % 4).as("n_instances"))
+  }
+
+  /** St1-analog batch form of the tumbling-window aggregation: 1-hour event
+    * windows via window() — streaming form lives in
+    * [[graft.streaming.EventStreaming]].
+    */
+  def q20TumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start_ms", "event_type")
+  }
+}

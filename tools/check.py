@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+ - expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have run already
+ - registers each parquet table from sfDir in DuckDB, runs every oracle SQL
+   from outDir/oracle_sql.json, and compares values (column-name-sorted,
+   like the driver) against the Spark-written result parquet.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(rows):
+    out = []
+    for r in rows:
+        out.append(tuple(round(v, 9) if isinstance(v, float) else v for v in r))
+    return out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            odf = con.execute(sql).fetchdf()
+            rdf = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            ocols, rcols = sorted(odf.columns), sorted(rdf.columns)
+            if ocols != rcols:
+                print(f"FAIL {name}: cols oracle={ocols} result={rcols}")
+                n_bad += 1
+                continue
+            o = norm(odf[ocols].itertuples(index=False, name=None))
+            r = norm(rdf[ocols].itertuples(index=False, name=None))
+            if len(o) != len(r):
+                print(f"FAIL {name}: rows oracle={len(o)} result={len(r)}")
+                n_bad += 1
+            elif o != r:
+                diffs = [(i, a, b) for i, (a, b) in enumerate(zip(o, r)) if a != b]
+                print(f"FAIL {name}: {len(diffs)} differing rows; first: {diffs[0]}")
+                n_bad += 1
+            else:
+                print(f"ok   {name} ({len(o)} rows)")
+                n_ok += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name}: {str(e)[:200]}")
+            n_bad += 1
+    print(f"== {n_ok} ok, {n_bad} bad")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
