@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.{DedupOps, SimilarityOps, TextOps}
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, PipelineQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -55,6 +55,8 @@ object SparkEntry {
     "q31_ann_lsh" -> (SimilarityOps.qLshBuckets _),
     "q32_ann_ivf" -> (SimilarityOps.qIvfTopK _),
     "q33_embed_neardup" -> (SimilarityOps.qEmbeddingNearDup _),
+    "q34_bag_roundtrip" -> (PipelineQueries.qBagRoundtrip _),
+    "q35_frame_pipeline" -> (PipelineQueries.qFramePipeline _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The detections analytics table (SURVEY.md §1.1 "Detections table",
+  * §2.4 A3/A4): the reference maintains it as a DynamoDB item per frame
+  * with a conditional-max per label (`dags/processing/processing.py:224-282`,
+  * key schema `infrastructure/ecs_stack.py:308-318`).
+  *
+  * Re-expressed relationally: a tall canonical table + aggregations. The
+  * DynamoDB conditional update `attribute_not_exists OR < :conf` is a
+  * monotone running max → plain `max` under groupBy (commutes with any
+  * arrival order, so it parallelizes with map-side partial aggregation —
+  * two shuffles replace O(images × labels) RPCs).
+  */
+object Detections {
+
+  /** Tall canonical form: one row per (frame, label) with the frame's
+    * per-label max confidence; label names sanitized like the DynamoDB
+    * attribute names (P8: spaces → '_', processing.py:241).
+    */
+  def tall(labeled: DataFrame): DataFrame =
+    labeled
+      .select(col("frame_ts"), col("camera"), explode(col("labels")).as("l"))
+      .select(
+        col("frame_ts"), col("camera"),
+        regexp_replace(col("l.Name"), " ", "_").as("label"),
+        col("l.Confidence").as("confidence"),
+        coalesce(size(col("l.Instances")), lit(0)).as("n_instances"))
+      .groupBy("frame_ts", "camera", "label")
+      .agg(max("confidence").as("confidence"), sum("n_instances").as("n_instances"))
+
+  /** A4: categorical instance counters per frame — `Ped_Count, Bike_Count,
+    * Motorbike_Count` (processing.py:236-255, 272-282). Labels without
+    * instances don't count (P9 guard, processing.py:243-246).
+    */
+  def counters(tall: DataFrame): DataFrame =
+    tall.groupBy("frame_ts", "camera").agg(
+      sum(when(col("label") === "Person", col("n_instances")).otherwise(0L)).as("Ped_Count"),
+      sum(when(col("label") === "Bicycle", col("n_instances")).otherwise(0L)).as("Bike_Count"),
+      sum(when(col("label") === "Motorcycle", col("n_instances")).otherwise(0L)).as("Motorbike_Count"))
+
+  /** Wide view: one column per label (the sparse DynamoDB item), via pivot
+    * with pinned values (single pass, stable schema) + the counters.
+    */
+  def wide(tall: DataFrame, labels: Seq[String] = Detector.Vocab): DataFrame =
+    tall
+      .groupBy("frame_ts", "camera")
+      .pivot("label", labels)
+      .agg(max("confidence"))
+      .join(counters(tall), Seq("frame_ts", "camera"))
+}

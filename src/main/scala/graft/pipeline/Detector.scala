@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Label schema of the detection output — the exact Rekognition response
+  * shape persisted by the reference (`outputs/right0033.json:1`,
+  * written at `dags/processing/processing.py:197-202`).
+  */
+case class BoundingBox(Width: Double, Height: Double, Left: Double, Top: Double)
+case class Instance(BoundingBox: BoundingBox, Confidence: Double)
+case class Parent(Name: String)
+case class Label(Name: String, Confidence: Double, Instances: Seq[Instance],
+    Parents: Seq[Parent])
+
+/** X3: the object-detection stage (`dags/processing/processing.py:321-327`
+  * calls Rekognition per image, serially). Re-expressed as a deterministic,
+  * hash-seeded stub detector so the downstream query semantics (A3 max, A4
+  * counts, X4 drawing) are testable offline — per SURVEY.md §2.9 X3.
+  *
+  * Batched through one narrow transformation (no RPC-per-row N+1 pattern):
+  * at scale this is where a real model UDF (mapInPandas / ONNX) would slot
+  * in with identical plumbing.
+  */
+object Detector {
+  val Vocab: Seq[String] = Seq("Person", "Bicycle", "Motorcycle", "Car", "Dog")
+  private val ParentOf: Map[String, Seq[String]] = Map(
+    "Person" -> Nil, "Bicycle" -> Seq("Vehicle"), "Motorcycle" -> Seq("Vehicle"),
+    "Car" -> Seq("Vehicle"), "Dog" -> Seq("Animal"))
+
+  /** Deterministic labels for one frame, seeded by its content hash. */
+  def stubDetect(content: Array[Byte]): Seq[Label] = {
+    var seed = scala.util.hashing.MurmurHash3.bytesHash(content, 42).toLong & 0x7fffffffL
+    def next(): Long = { seed = (seed * 1103515245L + 12345L) % 2147483648L; seed }
+    val nLabels = (next() % 3 + 1).toInt
+    (0 until nLabels).map { i =>
+      val name = Vocab(((next() % Vocab.size)).toInt)
+      val conf = 50.0 + (next() % 5000) / 100.0
+      val nInst = (next() % 3).toInt
+      val instances = (0 until nInst).map { _ =>
+        val left = (next() % 800) / 1000.0
+        val top = (next() % 800) / 1000.0
+        BoundingBox((next() % 200) / 1000.0 + 0.01, (next() % 200) / 1000.0 + 0.01,
+          left, top)
+      }.map(b => Instance(b, 50.0 + (next() % 5000) / 100.0))
+      Label(name, conf, instances, ParentOf(name).map(Parent))
+    }
+  }
+
+  val detectUdf = udf((content: Array[Byte]) => stubDetect(content))
+
+  /** Attach a `labels` column (ARRAY<STRUCT<Name, Confidence, Instances,
+    * Parents>>) to a frame DataFrame with a BINARY `content` column.
+    */
+  def withLabels(frames: DataFrame, content: String = "content"): DataFrame =
+    frames.withColumn("labels", detectUdf(col(content)))
+
+  /** F8/S16: label sidecar JSON exactly as the reference writes it
+    * (`json.dumps(file_labels)` — processing.py:198).
+    */
+  def labelsJson(labels: Column): Column = to_json(labels)
+}

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Frame-sequence operators from the image-extraction half of the reference
+  * (SURVEY.md §2.5): numbering (W1), timestamp derivation (F5), gap
+  * detection (W2), completeness diff (U1/J4).
+  */
+object FrameOps {
+
+  /** W1: dense per-camera frame numbering in arrival order — the
+    * `image_saver` `%04i` index (`service/app/export.launch:2-9`), with the
+    * ordering pinned to (ts, tiebreaker) because Spark has no arrival order.
+    * Single-partition-per-camera window: fine at per-bag scale (cameras ≪
+    * cores share one bag's frames); for global 100 TB numbering you'd
+    * zipWithIndex per sorted range instead.
+    */
+  def numberFrames(frames: DataFrame, camera: String = "camera",
+      ts: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(col(camera)).orderBy(col(ts))
+    frames
+      .withColumn("frame_index", row_number().over(w) - 1)
+      .withColumn("frame_name",
+        format_string("%s%04d.png", col(camera), col("frame_index")))
+  }
+
+  /** F5: frame timestamp = base time from the `YYYY-MM-DD-HH-MM-SS_*`
+    * prefix + frame_index × 67 ms (`dags/processing/processing.py:210-221`).
+    */
+  def deriveFrameTs(frames: DataFrame, prefixCol: String = "prefix",
+      frameDurationMs: Int = 67): DataFrame =
+    frames
+      .withColumn("base_ts",
+        to_timestamp(
+          regexp_extract(col(prefixCol), "(\\d{4}-\\d{2}-\\d{2}-\\d{2}-\\d{2}-\\d{2})", 1),
+          "yyyy-MM-dd-HH-mm-ss"))
+      .withColumn("frame_ts",
+        timestamp_millis(unix_millis(col("base_ts")) +
+          col("frame_index").cast("long") * frameDurationMs))
+
+  /** Parse `(camera, frame_index)` out of a `left0193.png`-style filename
+    * (`dags/processing/processing.py:206-207`).
+    */
+  def parseFrameName(name: Column): (Column, Column) = (
+    regexp_extract(name, "^([A-Za-z]+)", 1),
+    regexp_extract(name, "([0-9]{4})", 1).cast("int"))
+
+  /** W2: sequence-gap report — frames whose index does not follow its
+    * predecessor (`service/check_pngs.py:1976-1981` "missed {idx}").
+    */
+  def gapReport(frames: DataFrame, camera: String = "camera",
+      idx: String = "frame_index"): DataFrame = {
+    val w = Window.partitionBy(col(camera)).orderBy(col(idx))
+    frames
+      .withColumn("prev_idx", lag(col(idx), 1).over(w))
+      .filter(col("prev_idx").isNotNull && col(idx) - col("prev_idx") =!= 1)
+      .select(col(camera), col(idx), col("prev_idx"),
+        (col(idx) - col("prev_idx") - 1).as("missed"))
+  }
+
+  /** U1/J4: completeness diff of two extraction runs
+    * (`service/check_pngs.py:1994-2002`) — frames in A missing from B.
+    */
+  def completenessDiff(runA: DataFrame, runB: DataFrame,
+      key: String = "frame_name"): DataFrame =
+    runA.select(key).except(runB.select(key))
+}

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import java.awt.{BasicStroke, Color}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** X2 (image decode/encode) + X4 (bounding-box drawing) — SURVEY.md §2.9.
+  *
+  * The reference draws per instance with PIL and re-saves/re-uploads the
+  * image INSIDE the per-instance loop (`dags/processing/processing.py:
+  * 377-390` — O(boxes) uploads, last write wins). Here: decode once, draw
+  * ALL boxes, encode once — a pure Array[Byte] → Array[Byte] function
+  * wrapped in a UDF, so it rides a narrow map stage with no side effects
+  * (idempotent under task retry, unlike the reference's in-place writes).
+  *
+  * Color/stroke parity: #00d400, width 2 (processing.py:377-385).
+  */
+object Imaging {
+  val BoxColor = new Color(0x00, 0xd4, 0x00)
+
+  def decodePng(bytes: Array[Byte]): BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(bytes))
+
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic frame (test stand-in for ROS image messages —
+    * the real camera decode is environment-dependent and out of scope; the
+    * Spark-side plumbing is the deliverable).
+    */
+  def syntheticFrame(width: Int, height: Int, seed: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var s = seed
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        s = s * 1103515245 + 12345
+        img.setRGB(x, y, (s >>> 8) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Draw all normalized-coordinate boxes (scaling per
+    * processing.py:366-375), then encode once.
+    */
+  def drawBoxes(png: Array[Byte],
+      boxes: Seq[(Double, Double, Double, Double)]): Array[Byte] = {
+    val img = decodePng(png)
+    val g = img.createGraphics()
+    g.setColor(BoxColor)
+    g.setStroke(new BasicStroke(2f))
+    boxes.foreach { case (w, h, left, top) =>
+      val px = (left * img.getWidth).toInt
+      val py = (top * img.getHeight).toInt
+      val pw = (w * img.getWidth).toInt
+      val ph = (h * img.getHeight).toInt
+      g.drawRect(px, py, pw, ph)
+    }
+    g.dispose()
+    encodePng(img)
+  }
+
+  private val drawUdf = udf((png: Array[Byte],
+      boxes: Seq[org.apache.spark.sql.Row]) =>
+    drawBoxes(png, boxes.map(r => (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3)))))
+
+  /** J3 + X4: join of label boxes onto frames is assumed done (one equi-join
+    * on the derived frame key, processing.py:361-364); this annotates the
+    * frame content with every instance box of every label.
+    */
+  def annotate(labeled: DataFrame, content: String = "content"): DataFrame =
+    labeled.withColumn("annotated",
+      drawUdf(col(content),
+        expr("transform(flatten(transform(labels, l -> l.Instances)), " +
+          "i -> struct(i.BoundingBox.Width, i.BoundingBox.Height, " +
+          "i.BoundingBox.Left, i.BoundingBox.Top))")))
+}

@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** St3: the tag state machine — `processing.status ∈ {in progress,
+  * complete, failure}` S3 object tags (`dags/processing/processing.py:4-27`)
+  * — as an explicit job_state table, plus the sensor's anti-join (J1/S2/S3:
+  * `plugins/sensors/s3_metadata_sensor.py:49-90`).
+  *
+  * Kept as a tiny overwritten parquet table (it is per-FILE state — even at
+  * 100 TB of bags it is millions of rows, broadcast-able); "reprocess by
+  * deleting the tag" (README.md:90-100) = delete the row, which a
+  * checkpoint alone cannot express.
+  */
+object JobState {
+  val InProgress = "in progress"
+  val Complete = "complete"
+  val Failure = "failure"
+  val Terminal: Seq[String] = Seq(InProgress, Complete, Failure)
+
+  def empty(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("path", StringType), StructField("status", StringType),
+        StructField("updated_at", TimestampType))))
+  }
+
+  /** Tag transition: upsert (path → status). Last write wins, like
+    * put_object_tagging.
+    */
+  def transition(state: DataFrame, path: String, status: String): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    val update = Seq((path, status)).toDF("path", "status")
+      .withColumn("updated_at", current_timestamp())
+    state.join(update.select("path"), Seq("path"), "left_anti")
+      .unionByName(update)
+  }
+
+  /** J1+S3+W4: next unprocessed file — glob-matched listing anti-joined
+    * against any tagged state, deterministic first match. State side
+    * broadcast: it is always small relative to the listing.
+    */
+  def nextUnprocessed(files: DataFrame, state: DataFrame,
+      statuses: Seq[String] = Terminal): DataFrame =
+    files
+      .join(broadcast(state.filter(col("status").isin(statuses: _*))),
+        Seq("path"), "left_anti")
+      .orderBy("path")
+      .limit(1)
+}

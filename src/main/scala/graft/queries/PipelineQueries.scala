@@ -1,0 +1,67 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.Tables
+import graft.pipeline.{Detections, Detector, FrameOps, Imaging}
+import graft.sources.{BagFormat, BagRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-runnable end-to-end slices of the reference pipeline (SURVEY.md
+  * §3), derived deterministically from the synthetic tables so they run at
+  * any SF. Rows-only checks (no oracle): the flows involve the binary bag
+  * container, PNG bytes and the hash-seeded stub detector, none of which is
+  * SQL-expressible — value-level assertions live in BagFormatSpec /
+  * PipelineSpec.
+  */
+object PipelineQueries {
+
+  /** X1+S1+S7 end-to-end: encode events as GBAG bag files (one per user
+    * bucket), scan them back with the data-parallel binaryFile decode, and
+    * run the `rosbag info` metadata query.
+    */
+  def qBagRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val recs = t.events
+      .select(
+        format_string("/topic%d", col("user_id") % 4).as("topic"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => BagRecord(r.getString(0), r.getLong(1) * 1000L,
+        Map("event_id" -> r.getLong(2).toString, "value" -> r.getDouble(3).toString)))
+    val tmp = Files.createTempDirectory("gbag-q34")
+    recs.groupBy(_.topic).foreach { case (topic, rs) =>
+      Files.write(tmp.resolve(s"bag_${topic.stripPrefix("/")}.bag"),
+        BagFormat.encode(rs.sortBy(_.rosbagTimestamp).toSeq))
+    }
+    BagFormat.bagInfo(BagFormat.readBags(spark, tmp.toString))
+  }
+
+  /** §3 entry points 1-3 composed on synthetic frames: number (W1) →
+    * derive frame_ts (F5) → stub-detect (X3) → detections wide (A3/A4
+    * pivot) → annotate (X4, exercised for a sample).
+    */
+  def qFramePipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = (0 until 4).flatMap { cam =>
+      (0 until 16).map { i =>
+        (s"cam$cam", 1700000000000L + i * 67L,
+          Imaging.syntheticFrame(48, 32, cam * 1000 + i))
+      }
+    }.toDF("camera", "ts_ms", "content")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val numbered = FrameOps.numberFrames(frames)
+      .withColumn("prefix", lit("2020-06-29-13-15-12_run"))
+    val withTs = FrameOps.deriveFrameTs(numbered)
+    val labeled = Detector.withLabels(withTs)
+    val annotatedCount = Imaging.annotate(labeled.limit(4)).count()
+    require(annotatedCount == 4)
+    Detections.wide(Detections.tall(labeled))
+      .withColumn("frame_ts_ms", unix_millis(col("frame_ts")))
+      .drop("frame_ts")
+      .orderBy("frame_ts_ms", "camera")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming restatement of the reference's cron+poll+tag
+  * micro-batching (SURVEY.md §2.8 St1-St6):
+  *
+  *  - St1/St2: the 30-min DAG schedule + 10 s sensor poke become a file
+  *    source with a processing-time trigger; `maxFilesPerTrigger=1`
+  *    reproduces the one-bag-per-run behavior.
+  *  - St3: exactly-once via checkpointed source offsets + commit log (the
+  *    tag state machine's intent), with [[graft.pipeline.JobState]] as the
+  *    explicit escape hatch for "delete tag to reprocess".
+  *  - St6: the reference drops frames silently (that's why check_pngs.py
+  *    exists); here late/duplicate handling is a watermark +
+  *    dropDuplicates.
+  */
+object EventStreaming {
+
+  /** File-source stream over a directory of event parquet (schema must be
+    * supplied for streaming reads).
+    */
+  def readEventStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** St1-analog: tumbling 1-hour windowed counts with a watermark (batch
+    * twin: CoreQueries.q20TumblingWindow — equality is asserted in
+    * StreamingSpec).
+    */
+  def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** St6: watermarked dedup on the natural key. */
+  def dedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  /** Session windows (30-min gap) per user — the engine capability beyond
+    * reference parity called out in SURVEY §2.8.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("session_start_ms"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Drive a streaming DataFrame to completion against a memory sink and
+    * return the materialized result (synchronous batch-driven streaming for
+    * tests / verification).
+    */
+  def runToMemory(df: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

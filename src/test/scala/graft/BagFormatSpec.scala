@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.{BagFormat, BagRecord}
+import org.apache.spark.sql.functions._
+
+class BagFormatSpec extends SparkSpec {
+
+  private def sampleRecords(n: Int): Seq[BagRecord] = {
+    val topics = Seq("/imu", "/gps", "/tf", "/velocity_raw")
+    (0 until n).map { i =>
+      BagRecord(topics(i % topics.size), 1700000000000000000L + i * 67000000L,
+        Map("x" -> s"${i * 0.1}", "y" -> s"${i * 0.2}", "seq" -> i.toString))
+    }
+  }
+
+  test("encode/decode round-trips") {
+    val recs = sampleRecords(100)
+    assert(BagFormat.decode(BagFormat.encode(recs)).toSeq == recs)
+  }
+
+  test("decode rejects non-bag bytes") {
+    intercept[IllegalArgumentException] {
+      BagFormat.decode("not a bag at all".getBytes).toSeq
+    }
+  }
+
+  test("readBags scans a directory of *.bag files data-parallel") {
+    val dir = Files.createTempDirectory("gbag").toString
+    val recs = sampleRecords(240)
+    Files.write(Paths.get(dir, "a.bag"), BagFormat.encode(recs.take(120)))
+    Files.write(Paths.get(dir, "b.bag"), BagFormat.encode(recs.drop(120)))
+    Files.write(Paths.get(dir, "ignored.txt"), "junk".getBytes) // glob filter
+    val ds = BagFormat.readBags(spark, dir)
+    assert(ds.count() == 240)
+    assert(ds.collect().toSet == recs.toSet)
+  }
+
+  test("topic tables: partitioned write + pruned read + whitelist semi-join") {
+    val dir = Files.createTempDirectory("gbag2").toString
+    Files.write(Paths.get(dir, "a.bag"), BagFormat.encode(sampleRecords(200)))
+    val out = Files.createTempDirectory("topics").toString
+    BagFormat.writeTopicTables(BagFormat.readBags(spark, dir),
+      whitelist = Seq("/imu", "/gps"), out = out)
+    val back = spark.read.parquet(out)
+    assert(back.select("topic").distinct().collect().map(_.getString(0)).toSet ==
+      Set("imu", "gps"))
+    // partition pruning: filtering one topic should only read its directory
+    val plan = back.filter(col("topic") === "imu").queryExecution.executedPlan.toString
+    assert(back.filter(col("topic") === "imu").count() == 50)
+    assert(!plan.contains("topic=gps"))
+  }
+
+  test("bagInfo = per-topic counts and time range") {
+    val dir = Files.createTempDirectory("gbag3").toString
+    Files.write(Paths.get(dir, "a.bag"), BagFormat.encode(sampleRecords(40)))
+    val info = BagFormat.bagInfo(BagFormat.readBags(spark, dir)).collect()
+    assert(info.length == 4)
+    assert(info.map(_.getLong(1)).sum == 40)
+  }
+}

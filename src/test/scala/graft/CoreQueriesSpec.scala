@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every SparkEntry query runs, returns its expected shape, and —
+  * for the hash-seeded ones without a DuckDB oracle — is deterministic
+  * across plans/runs. Value-level correctness of oracle-backed queries is
+  * enforced by the driver gate (and locally by tools/check.py).
+  */
+class CoreQueriesSpec extends SparkSpec {
+
+  // queries that may legitimately return zero rows on some SFs
+  private val mayBeEmpty = Set("q05_anti_join", "q08_except_diff", "q10_gap_detect")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001") {
+      val df = fn(spark, SF)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+      assert(df.columns.nonEmpty)
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle without query: $extra")
+  }
+
+  test("q05 anti-join equals set difference computed independently") {
+    val custKeys = Tables(spark, SF).customer.select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val orderCust = Tables(spark, SF).orders.select("o_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val expected = custKeys -- orderCust
+    val got = SparkEntry.queries("q05_anti_join")(spark, SF)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  test("q09 frame numbering is dense per user") {
+    val df = SparkEntry.queries("q09_frame_numbering")(spark, SF)
+    val bad = df.groupBy("user_id")
+      .agg(max("frame_index").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n") - 1)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("hash-seeded queries are deterministic across two runs") {
+    Seq("q27_minhash_dedup", "q28_simhash", "q31_ann_lsh", "q32_ann_ivf").foreach { q =>
+      val a = SparkEntry.queries(q)(spark, SF).collect().toSeq
+      val b = SparkEntry.queries(q)(spark, SF).collect().toSeq
+      assert(a == b, s"$q not deterministic")
+    }
+  }
+
+  test("q19 pivot has the pinned label columns") {
+    val cols = SparkEntry.queries("q19_detections_pivot")(spark, SF).columns.toSet
+    assert(Set("Person", "Bicycle", "Motorcycle", "Car", "Dog",
+      "ped_count", "bike_count", "motorbike_count").subsetOf(cols))
+  }
+}

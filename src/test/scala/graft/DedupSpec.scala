@@ -1,0 +1,63 @@
+package graft
+
+import graft.ext.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Proves the dedup machinery on corpora with PLANTED duplicates (the
+  * driver's synthetic documents are all-distinct, so near-dup detection is
+  * vacuous there — these fixtures are not).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    val base = Tables(spark, SF).documents.limit(50)
+      .select(col("doc_id"), col("text"))
+    // plant: 1000+i = exact copy of i (i<5); 2000 = near-copy of 0
+    val near = Tables(spark, SF).documents.filter(col("doc_id") === 0)
+      .select(lit(2000L).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    val exact = Tables(spark, SF).documents.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    base.unionByName(exact).unionByName(near)
+  }
+
+  test("exactDedup finds planted exact copies") {
+    val d = DedupOps.exactDedup(corpus).filter(col("n_copies") > 1).collect()
+    assert(d.length == 5)
+    assert(d.forall(_.getLong(1) < 5)) // keep_id = the original
+  }
+
+  test("minhash LSH assigns planted dups to the original's cluster") {
+    val assign = DedupOps.minHashDedupAssign(corpus)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach(i => assert(assign(1000L + i) == i.toLong,
+      s"exact copy $i not clustered"))
+    assert(assign(2000L) == 0L, "near copy not clustered with original")
+    // non-dups keep their own id
+    assert(assign(17L) == 17L)
+  }
+
+  test("jaccardVerify is exact on a hand-computed pair") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val j = DedupOps.jaccardVerify(docs, cand, shingleSize = 1)
+      .head().getDouble(2)
+    // sets {a,b,c,d} vs {a,b,c,e}: |∩|=3, |∪|=5
+    assert(math.abs(j - 0.6) < 1e-12)
+  }
+
+  test("simhash: identical texts identical hash; hamming sane") {
+    val docs = Seq((1L, "spark scale shuffle join"), (2L, "spark scale shuffle join"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val m = DedupOps.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 0)
+  }
+
+  test("shingles: short docs fall back to whole text") {
+    val one = Seq((1L, "single")).toDF("doc_id", "text")
+      .select(DedupOps.shingles("text", 3).as("s")).head().getSeq[String](0)
+    assert(one == Seq("single"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+/** End-to-end of the reference's three entry points (SURVEY.md §3) on
+  * synthetic frames: extract → number → stub-detect → aggregate → draw.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frames = {
+    val rows = for {
+      cam <- Seq("left", "right")
+      i <- 0 until 6
+    } yield (cam, 1700000000000L + i * 67L, Imaging.syntheticFrame(64, 48, cam.hashCode + i))
+    rows.toDF("camera", "ts_ms", "content")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+  }
+
+  test("W1 numbering: dense %04d names per camera in ts order") {
+    val n = FrameOps.numberFrames(frames).collect()
+    val left = n.filter(_.getString(0) == "left").map(_.getAs[String]("frame_name")).sorted
+    assert(left.toSeq == (0 until 6).map(i => f"left$i%04d.png"))
+  }
+
+  test("F5 timestamp derivation from prefix + 67ms steps") {
+    val df = FrameOps.numberFrames(frames)
+      .withColumn("prefix", lit("2020-06-29-13-15-12_bag0"))
+    val ts = FrameOps.deriveFrameTs(df).select("frame_index", "frame_ts")
+      .filter(col("frame_index") === 3).head().getTimestamp(1)
+    assert(ts.toInstant.toString == "2020-06-29T13:15:12.201Z")
+  }
+
+  test("W2 gap detection reports exactly the planted gap") {
+    val withGap = FrameOps.numberFrames(frames)
+      .filter(!(col("camera") === "left" && col("frame_index") === 3))
+      .withColumn("frame_index", col("frame_index")) // renumber NOT applied: indexes keep the hole
+    val gaps = FrameOps.gapReport(withGap).collect()
+    assert(gaps.length == 1)
+    assert(gaps.head.getString(0) == "left" && gaps.head.getInt(1) == 4)
+  }
+
+  test("U1 completeness diff finds missing frames") {
+    val a = FrameOps.numberFrames(frames).select("frame_name")
+    val b = a.filter(col("frame_name") =!= "right0002.png")
+    val diff = FrameOps.completenessDiff(a, b).collect()
+    assert(diff.map(_.getString(0)).toSeq == Seq("right0002.png"))
+  }
+
+  test("X3 stub detector is deterministic and schema-complete") {
+    val l1 = Detector.withLabels(frames).select("labels").collect()
+    val l2 = Detector.withLabels(frames).select("labels").collect()
+    assert(l1.map(_.toString).toSeq == l2.map(_.toString).toSeq)
+    val first = Detector.stubDetect(Imaging.syntheticFrame(64, 48, 7))
+    assert(first.nonEmpty && first.forall(l => l.Confidence >= 50 && l.Confidence < 100))
+  }
+
+  test("A3/A4: tall detections max-conf + counters + wide pivot") {
+    val labeled = Detector.withLabels(frames)
+      .withColumnRenamed("ts", "frame_ts")
+    val tall = Detections.tall(labeled)
+    // max per (frame,camera,label) — no duplicate keys
+    assert(tall.groupBy("frame_ts", "camera", "label").count()
+      .filter(col("count") > 1).count() == 0)
+    val wide = Detections.wide(tall)
+    assert(wide.columns.toSet ==
+      Set("frame_ts", "camera", "Person", "Bicycle", "Motorcycle", "Car", "Dog",
+        "Ped_Count", "Bike_Count", "Motorbike_Count"))
+    assert(wide.count() == 12)
+  }
+
+  test("F8: labels JSON round-trips through from_json") {
+    val labeled = Detector.withLabels(frames)
+    val schema = labeled.schema("labels").dataType
+    val back = labeled
+      .withColumn("js", Detector.labelsJson(col("labels")))
+      .withColumn("parsed", from_json(col("js"), schema))
+      .filter(to_json(col("parsed")) =!= col("js"))
+    assert(back.count() == 0)
+  }
+
+  test("X4 drawing changes pixels, output decodable, green present") {
+    val png = Imaging.syntheticFrame(64, 48, 99)
+    val drawn = Imaging.drawBoxes(png, Seq((0.3, 0.3, 0.2, 0.2)))
+    assert(!java.util.Arrays.equals(png, drawn))
+    val img = Imaging.decodePng(drawn)
+    val colors = for (x <- 0 until 64; y <- 0 until 48) yield img.getRGB(x, y) & 0xffffff
+    assert(colors.contains(0x00d400))
+  }
+
+  test("X4 via DataFrame: annotate draws all instance boxes in one pass") {
+    val labeled = Detector.withLabels(frames)
+    val out = Imaging.annotate(labeled).select("annotated").collect()
+    assert(out.length == 12)
+    out.foreach(r => assert(Imaging.decodePng(r.getAs[Array[Byte]](0)) != null))
+  }
+
+  test("St3 job-state transitions + sensor next-unprocessed") {
+    val files = Seq("bags/a.bag", "bags/b.bag", "bags/c.bag").toDF("path")
+    var state = JobState.empty(spark)
+    state = JobState.transition(state, "bags/a.bag", JobState.Complete)
+    state = JobState.transition(state, "bags/b.bag", JobState.InProgress)
+    val next = JobState.nextUnprocessed(files, state).collect()
+    assert(next.map(_.getString(0)).toSeq == Seq("bags/c.bag"))
+    // reprocess by deleting the tag (README.md:90-100 semantics)
+    val reopened = state.filter(col("path") =!= "bags/a.bag")
+    val next2 = JobState.nextUnprocessed(files, reopened).collect()
+    assert(next2.map(_.getString(0)).toSeq == Seq("bags/a.bag"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.RollingHash
+import org.apache.spark.sql.functions._
+
+class RollingHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refHash(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * RollingHash.Base + (b & 0xffL))
+
+  test("matches reference implementation (codegen path)") {
+    val rows = Seq("", "a", "abc", "hello world", "ünïcödé 世界").toDF("s")
+      .select(RollingHash.rolling_hash(col("s")).as("h"), col("s"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == refHash(r.getString(1))))
+  }
+
+  test("property: matches reference on 200 seeded random strings") {
+    val rnd = new scala.util.Random(42)
+    val samples = Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(64)).mkString +
+      (if (rnd.nextBoolean()) " \t\nü" else ""))
+    val got = samples.toDF("s")
+      .select(col("s"), RollingHash.rolling_hash(col("s")).as("h"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == refHash(r.getString(0))))
+  }
+
+  test("null input yields null") {
+    val r = Seq[Option[String]](None).toDF("s")
+      .select(RollingHash.rolling_hash(col("s"))).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("registered SQL function works inside higher-order functions") {
+    RollingHash.register(spark)
+    val r = Seq("x y z").toDF("s")
+      .select(expr("transform(split(s, ' '), t -> rolling_hash(t))").as("hs"))
+      .head().getSeq[Long](0)
+    assert(r == Seq(refHash("x"), refHash("y"), refHash("z")))
+  }
+
+  test("non-string input is rejected at analysis time") {
+    intercept[Exception] {
+      Seq(1).toDF("i").select(RollingHash.rolling_hash(col("i"))).collect()
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.ext.SimilarityOps
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine matches hand computation") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.6f, 0.8f))).toDF("a", "b")
+    val c = df.select(SimilarityOps.cosine(
+      SimilarityOps.toDouble(col("a")), SimilarityOps.toDouble(col("b")))).head().getDouble(0)
+    assert(math.abs(c - 0.6) < 1e-6) // float32 inputs → ~1e-8 representation error
+  }
+
+  test("brute force top-k: self excluded, k rows per query, ranks ordered") {
+    val tk = SimilarityOps.qBruteForceTopK(spark, SF).collect()
+    assert(tk.length == 8 * 5)
+    val byQ = tk.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 5L))
+      assert(!rows.map(_.getLong(2)).contains(qid))
+      // descending cosine in rank order
+      val cs = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF top-k recall@5 vs exact baseline is reasonable") {
+    val exact = SimilarityOps.qBruteForceTopK(spark, SF).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val approx = SimilarityOps.qIvfTopK(spark, SF).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recalls = exact.keys.map(q =>
+      (exact(q) intersect approx.getOrElse(q, Set.empty)).size.toDouble / exact(q).size)
+    val mean = recalls.sum / recalls.size
+    // nprobe=4 of 16 centroids on unclustered data: expect well above random
+    assert(mean >= 0.2, s"mean recall $mean")
+  }
+
+  test("LSH signature is deterministic and bucket query covers all vectors") {
+    val r1 = SimilarityOps.qLshBuckets(spark, SF).collect()
+    assert(r1.length == 500)
+    assert(r1.map(_.getLong(0)).toSet == (0L until 500L).toSet)
+  }
+}

@@ -1,0 +1,12 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM-wide session via getOrCreate —
+  * configured by GraftSession so test semantics match Verify/Bench).
+  */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.build("graft-test")
+  val SF: String = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.streaming.EventStreaming
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  /** Streaming file source requires a directory; stage the single events
+    * parquet into one.
+    */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SF/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming windowed counts equal the batch tumbling-window query") {
+    val stream = EventStreaming.readEventStream(spark, eventsDir,
+      maxFilesPerTrigger = 1)
+    // complete mode: append would withhold windows newer than the final
+    // watermark (max ts - 2h) — exactly the late-data safety we want in
+    // production, but here we compare against the full batch result.
+    val got = EventStreaming.runToMemory(
+      EventStreaming.windowedCounts(stream), "win_counts", outputMode = "complete")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = graft.queries.CoreQueries.q20TumblingWindow(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("streaming dedup drops replayed duplicates") {
+    val stream = EventStreaming.readEventStream(spark, eventsDir)
+    val doubled = stream.union(stream)
+    val got = EventStreaming.runToMemory(EventStreaming.dedup(doubled), "dedup_ev")
+    assert(got.count() == 1000)
+    assert(got.select("event_id").distinct().count() == 1000)
+  }
+
+  test("sessionization: sessions are disjoint and cover all events") {
+    val stream = EventStreaming.readEventStream(spark, eventsDir)
+    val sessions = EventStreaming.runToMemory(
+      EventStreaming.sessionize(stream), "sessions", outputMode = "complete")
+    val totalEvents = sessions.agg(sum("n_events")).head().getLong(0)
+    assert(totalEvents == 1000)
+    assert(sessions.count() > 0)
+  }
+}
