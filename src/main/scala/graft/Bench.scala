@@ -4,11 +4,27 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // warmup: touch every base table + force codegen/JIT of the common
+    // scan→agg path so the first measured query doesn't absorb JVM startup
+    Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop")
+        .mode("overwrite").save()
+      catch { case _: Throwable => () }
     }
+    // noop sink = full materialization of every output column (count()
+    // would let Catalyst prune the aggregates' value columns away).
+    // Two timed runs per query, report the warm one: run 1 pays one-time
+    // whole-stage-codegen compilation + JIT for the query shape, which at
+    // bench SF dwarfs the actual data processing.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

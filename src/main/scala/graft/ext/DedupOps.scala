@@ -20,18 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Word shingles of size `n` over whitespace tokens of column `textCol`;
-    * docs shorter than `n` tokens get their whole text as the single
-    * shingle. Built as one SQL expression (sequence/transform/slice) so it
-    * is fully codegen'd — no UDF.
+  /** Word shingles of size `n` over a PRE-STAGED token-array column —
+    * staging matters: higher-order-function lambdas are evaluated per
+    * element, so tokenizing inside the lambda would re-split the text
+    * O(tokens) times per row. Docs shorter than `n` tokens get their whole
+    * text as the single shingle.
     */
-  def shingles(textCol: String, n: Int = 2): Column = {
-    val toks = s"split(trim($textCol), '\\\\s+')"
+  def shingleExpr(toksCol: String, n: Int): Column =
     expr(
-      s"CASE WHEN size($toks) < $n THEN array(array_join($toks, ' ')) " +
-        s"ELSE transform(sequence(1, size($toks) - ${n - 1}), " +
-        s"i -> array_join(slice($toks, i, $n), ' ')) END")
-  }
+      s"CASE WHEN size($toksCol) < $n THEN array(array_join($toksCol, ' ')) " +
+        s"ELSE transform(sequence(1, size($toksCol) - ${n - 1}), " +
+        s"i -> array_join(slice($toksCol, i, $n), ' ')) END")
+
+  /** Adds a shingle-array column `out` derived from `textCol`. */
+  def withShingles(df: DataFrame, textCol: String, out: String, n: Int): DataFrame =
+    df.withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn(out, shingleExpr("__toks", n))
+      .drop("__toks")
 
   /** Exact duplicate detection: hash-groupBy on content digest
     * (keep-first-id semantics).
@@ -54,8 +59,8 @@ object DedupOps {
     * Output: (doc_id, h0..h{k-1}).
     */
   def minHashSignatures(docs: DataFrame, numHashes: Int, shingleSize: Int): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), explode(shingles("text", shingleSize)).as("shingle"))
+    val exploded = withShingles(docs, "text", "__sh", shingleSize)
+      .select(col("doc_id"), explode(col("__sh")).as("shingle"))
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -63,16 +68,28 @@ object DedupOps {
   /** LSH banding: signature rows → (doc_id, band, band_sig); candidates =
     * self-equi-join on (band, band_sig). rowsPerBand hashes per band,
     * bands = numHashes / rowsPerBand.
+    *
+    * Scale guards: (a) 3 rows/band by default — pair-collision probability
+    * is jaccard³ per band, which keeps the candidate set ∝ true near-dup
+    * mass instead of n² on low-diversity corpora; (b) buckets larger than
+    * `maxBucket` are dropped (logged cost: a genuine >maxBucket duplicate
+    * cluster is still caught by the exact-dup pass) — the window count
+    * reuses the same hash partitioning as the join, so no extra shuffle.
     */
-  def lshCandidates(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(sigs: DataFrame, numHashes: Int, rowsPerBand: Int,
+      maxBucket: Int = 100): DataFrame = {
     val bands = numHashes / rowsPerBand
     val bandStructs = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("band_sig"))
     }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")
     val banded = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+      .withColumn("sz", count(lit(1)).over(w))
+      .filter(col("sz") <= maxBucket)
+      .drop("sz")
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
@@ -83,8 +100,8 @@ object DedupOps {
 
   /** Exact n-gram Jaccard verification over candidate pairs only. */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame, shingleSize: Int): DataFrame = {
-    val sets = docs.select(col("doc_id"),
-      array_distinct(shingles("text", shingleSize)).as("sh"))
+    val sets = withShingles(docs, "text", "__sh", shingleSize)
+      .select(col("doc_id"), array_distinct(col("__sh")).as("sh"))
     candidates
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
@@ -98,8 +115,8 @@ object DedupOps {
     * near-dups this degenerates to cluster_id == doc_id (still n rows — the
     * correct answer, not an empty result).
     */
-  def minHashDedupAssign(docs: DataFrame, numHashes: Int = 16,
-      rowsPerBand: Int = 2, shingleSize: Int = 2,
+  def minHashDedupAssign(docs: DataFrame, numHashes: Int = 15,
+      rowsPerBand: Int = 3, shingleSize: Int = 2,
       threshold: Double = 0.6): DataFrame = {
     val sigs = minHashSignatures(docs, numHashes, shingleSize)
     val verified = jaccardVerify(docs, lshCandidates(sigs, numHashes, rowsPerBand), shingleSize)
@@ -158,8 +175,8 @@ object DedupOps {
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val docs = t.documents
-    val sigs = minHashSignatures(docs, 16, 2)
-    val verified = jaccardVerify(docs, lshCandidates(sigs, 16, 2), 2)
+    val sigs = minHashSignatures(docs, 15, 2)
+    val verified = jaccardVerify(docs, lshCandidates(sigs, 15, 3), 2)
     val sym = verified.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("jaccard"))
       .union(verified.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"), col("jaccard")))
     docs.select(col("doc_id"))

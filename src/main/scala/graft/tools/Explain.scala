@@ -1,0 +1,22 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Print the formatted physical plan of selected queries (all if no args
+  * beyond sfDir) — used to audit pushdown / broadcast / codegen coverage.
+  *
+  * Usage: runMain graft.tools.Explain <sfDir> [queryName ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val spark = GraftSession.build("graft-explain")
+    names.foreach { n =>
+      println(s"\n================ $n ================")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,18 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Time one query N times: runMain graft.tools.TimeQuery <sfDir> <name> [n] */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, name) = args.take(2)
+    val n = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = GraftSession.build("graft-time")
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[time] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -56,8 +56,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("shingles: short docs fall back to whole text") {
-    val one = Seq((1L, "single")).toDF("doc_id", "text")
-      .select(DedupOps.shingles("text", 3).as("s")).head().getSeq[String](0)
-    assert(one == Seq("single"))
+    val one = DedupOps.withShingles(
+      Seq((1L, "single word")).toDF("doc_id", "text"), "text", "s", 3)
+      .select("s").head().getSeq[String](0)
+    assert(one == Seq("single word"))
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.ext.TextOps
+import graft.functions.WinnowFingerprints
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native winnow expression equals the HOF pipeline on real docs") {
+    val docs = Tables(spark, SF).documents.limit(100)
+    val hof = TextOps.withWinnow(spark, docs, "text", "fp")
+      .select(col("doc_id"), col("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val native = docs
+      .select(col("doc_id"), WinnowFingerprints.winnow_fingerprints(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(native.keySet == hof.keySet)
+    native.foreach { case (id, fps) =>
+      assert(fps == hof(id), s"doc $id fingerprints differ")
+    }
+  }
+
+  test("winnow edge cases: short strings, exact-k strings") {
+    val rows = Seq("", "ab", "exactly8", "exactly8c", "           ")
+      .toDF("text")
+      .select(col("text"), WinnowFingerprints.winnow_fingerprints(col("text")).as("fp"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](1).nonEmpty, s"'${r.getString(0)}' empty"))
+  }
+
+  test("identical texts share fingerprints; shifted text overlaps") {
+    val fps = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "PREFIX the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("id", "text")
+      .select(col("id"), WinnowFingerprints.winnow_fingerprints(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(2L))
+    val overlap = (fps(1L) intersect fps(3L)).size.toDouble / fps(1L).size
+    assert(overlap > 0.5, s"winnowing should be position-robust, overlap=$overlap")
+  }
+
+  test("langId picks the language whose markers dominate") {
+    val got = Seq(
+      ("the cat and the dog sat on the mat", "en"),
+      ("der hund und die katze ist nicht da", "de"),
+      ("le chat et le chien est dans les rues", "fr"),
+      ("xyzzy qwerty plugh", "und"))
+      .toDF("text", "want")
+      .select(TextOps.langId(col("text")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"want ${r.getString(1)} got ${r.getString(0)}"))
+  }
+
+  test("token stats invariants: unique <= total, subword >= whitespace tokens") {
+    val bad = TextOps.qTokenStats(spark, SF)
+      .filter(col("n_unique_tokens") > col("n_tokens") ||
+        col("n_subword_tokens") < col("n_tokens"))
+      .count()
+    assert(bad == 0)
+  }
+}
