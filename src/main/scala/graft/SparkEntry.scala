@@ -57,6 +57,8 @@ object SparkEntry {
     "q33_embed_neardup" -> (SimilarityOps.qEmbeddingNearDup _),
     "q34_bag_roundtrip" -> (PipelineQueries.qBagRoundtrip _),
     "q35_frame_pipeline" -> (PipelineQueries.qFramePipeline _),
+    "q36_asof_join" -> (CoreQueries.q36AsofJoin _),
+    "q37_zip_join" -> (CoreQueries.q37ZipJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -232,5 +234,16 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM s)
         |SELECT qid, rn AS rank, vec_id, round(cos, 4) AS cos
         |FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
+    "q36_asof_join" ->
+      """SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS click_ts_ms,
+        | coalesce(v.view_event_id, -1) AS view_event_id,
+        | coalesce(epoch_ms(v.ts), -1) AS view_ts_ms
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT event_id AS view_event_id, user_id, ts
+        |                FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q37_zip_join" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id",
   )
 }

@@ -1,0 +1,106 @@
+package graft.ext
+
+import graft.pipeline.Imaging
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Multimodal columns: image/audio/video as opaque `binary` columns
+  * with typed metadata structs, plus decode / feature-extract / resize /
+  * frame-sample as batched narrow transformations.
+  *
+  * Design (the part that must be real even where codecs are stubbed):
+  *  - metadata lives in a sibling STRUCT column, extracted by parsing the
+  *    container header — image metadata here is REAL (PNG IHDR parse and
+  *    JDK ImageIO resize); audio decode is a deterministic stub behind the
+  *    same batch-shaped API, marked STUB.
+  *  - heavy per-blob work goes through `mapPartitions` so a real codec /
+  *    model would amortize setup per batch, not per row — the exact shape
+  *    a Pandas-UDF/ONNX slot-in needs.
+  *  - everything is a narrow transformation: no shuffle, scales linearly
+  *    with blob count.
+  */
+object MultimodalOps {
+
+  case class ImageMeta(mime: String, width: Int, height: Int, bitDepth: Int)
+
+  /** REAL PNG metadata: big-endian IHDR width/height/bit-depth at fixed
+    * offsets (PNG spec: 8-byte signature, IHDR length+type, then W, H).
+    */
+  def pngMeta(bytes: Array[Byte]): ImageMeta = {
+    require(bytes.length > 26 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P',
+      "not a PNG")
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    ImageMeta("image/png", be32(16), be32(20), bytes(24) & 0xff)
+  }
+
+  private val pngMetaUdf = udf((b: Array[Byte]) => pngMeta(b))
+
+  /** Attach a typed metadata struct parsed from the binary content. */
+  def withImageMeta(df: DataFrame, content: String = "content"): DataFrame =
+    df.withColumn("image_meta", pngMetaUdf(col(content)))
+
+  case class ImageRow(id: Long, content: Array[Byte])
+
+  /** REAL resize via JDK Graphics2D, batched per partition (setup — the
+    * rendering hints / target raster — amortized across the batch).
+    */
+  def resizeImages(df: DataFrame, width: Int, height: Int,
+      id: String = "id", content: String = "content"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(id).cast("long").as("id"), col(content).as("content"))
+      .as[ImageRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val src = Imaging.decodePng(r.content)
+          val dst = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          g.drawImage(src, 0, 0, width, height, null)
+          g.dispose()
+          ImageRow(r.id, Imaging.encodePng(dst))
+        }
+      }(Encoders.product[ImageRow])
+      .toDF("id", "content")
+  }
+
+  /** Video frame-sampling: keep every `n`-th frame of each stream —
+    * a pure filter on the frame index (video = ordered frame table, the
+    * representation the bag pipeline already produces).
+    */
+  def sampleFrames(frames: DataFrame, n: Int,
+      idx: String = "frame_index"): DataFrame =
+    frames.filter(col(idx) % n === 0)
+
+  case class AudioFeatures(durationMs: Long, rms: Double, zeroCrossings: Long)
+
+  /** STUB audio decode (no codec libs in this environment): deterministic
+    * features from the raw bytes treated as 16-bit PCM — the batch shape,
+    * schema and partitioning are the real deliverable; swap the body for a
+    * real decoder without touching callers.
+    */
+  def audioFeatures(bytes: Array[Byte], sampleRateHz: Int = 16000): AudioFeatures = {
+    val n = bytes.length / 2
+    var sumSq = 0.0
+    var zc = 0L
+    var prevSign = 0
+    var i = 0
+    while (i + 1 < bytes.length) {
+      val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toInt
+      sumSq += s.toDouble * s
+      val sign = Integer.signum(s)
+      if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+      if (sign != 0) prevSign = sign
+      i += 2
+    }
+    AudioFeatures(n * 1000L / sampleRateHz,
+      if (n == 0) 0.0 else math.sqrt(sumSq / n), zc)
+  }
+
+  private val audioUdf = udf((b: Array[Byte]) => audioFeatures(b))
+
+  def withAudioFeatures(df: DataFrame, content: String = "content"): DataFrame =
+    df.withColumn("audio_features", audioUdf(col(content)))
+}

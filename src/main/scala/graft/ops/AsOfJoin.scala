@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-timestamp-before) join — the natural alignment operator
+  * for multiplexed sensor topics (SURVEY.md §2.3 "not present" row: aligning
+  * /gps, /imu, /pose at each other's timestamps). Spark has no built-in
+  * as-of join; rather than a custom SparkStrategy, this is the
+  * union + running-`last(ignoreNulls)` window formulation:
+  *
+  *   1. union left and right rows into one stream tagged by side
+  *      (right sorts before left at equal ts → inclusive `right.ts <= left.ts`);
+  *   2. one window per key ordered by (ts, side) carries the most recent
+  *      right payload forward;
+  *   3. keep left rows; optionally null out matches older than `tolerance`.
+  *
+  * Cost: exactly ONE shuffle (the window partitioning by key) — no join
+  * explosion, no range-bucketing duplication; skew bounded by rows-per-key,
+  * which for sensor topics is bounded per recording. This plan survives
+  * 100×: it is a sort within key partitions either way.
+  */
+object AsOfJoin {
+
+  /** Left as-of join: every left row + the latest right row with
+    * `right.ts <= left.ts` on the same key (or nulls). Right columns are
+    * emitted under the `rightPrefix`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightPrefix: String = "right_", toleranceMs: Option[Long] = None): DataFrame = {
+    val lStruct = struct(left.columns.map(col).toSeq: _*)
+    val rStruct = struct(right.columns.map(col).toSeq: _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+
+    val l = left.select(col(key).as("__k"), col(ts).cast("timestamp").as("__ts"),
+      lit(1).as("__side"), lStruct.as("__l"), lit(null).cast(rType).as("__r"))
+    val r = right.select(col(key).as("__k"), col(ts).cast("timestamp").as("__ts"),
+      lit(0).as("__side"), lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val matched = l.unionByName(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val withTol = toleranceMs match {
+      case Some(tol) =>
+        matched.withColumn("__m",
+          when(col("__m").isNotNull &&
+            unix_millis(col("__ts")) - unix_millis(col(s"__m.$ts").cast("timestamp")) <= tol,
+            col("__m")))
+      case None => matched
+    }
+
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
+    val rightCols = right.columns.map(c => col(s"__m.$c").as(s"$rightPrefix$c"))
+    withTol.select((leftCols ++ rightCols).toSeq: _*)
+  }
+}

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** J5: positional column-wise concat — the reference's
+  * `pd.concat(dfs, axis=1)` over per-field frames of one topic
+  * (`service/app/test.py:27-36`).
+  *
+  * Spark rows have no position, so alignment must be constructed: each
+  * side gets a stable row index via `zipWithIndex` (two narrow passes:
+  * per-partition counts, then offset addition — NO shuffle and no
+  * single-partition window; this is the 100 TB-safe way to number rows),
+  * then one equi-join on the index. Caller guarantees both sides have the
+  * same deterministic ordering (sort first if not).
+  */
+object ZipJoin {
+
+  /** Attach a 0-based `idxCol` preserving the DataFrame's current order. */
+  def withRowIndex(df: DataFrame, idxCol: String = "__row_idx"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(idxCol, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Positional zip of two equally-ordered DataFrames. */
+  def zipJoin(a: DataFrame, b: DataFrame): DataFrame = {
+    val ia = withRowIndex(a)
+    val ib = withRowIndex(b)
+    ia.join(ib, "__row_idx").drop("__row_idx")
+  }
+}

@@ -308,6 +308,39 @@ object CoreQueries {
         (col("seed") % 4).as("n_instances"))
   }
 
+  /** As-of join (SURVEY §2.3 extension row): align each click to the most
+    * recent prior view of the same user — one shuffle via
+    * [[graft.ops.AsOfJoin]]; oracle = DuckDB's native ASOF LEFT JOIN.
+    */
+  def q36AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val clicks = t.events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = t.events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_event_id"), col("user_id"), col("ts"))
+    // unmatched lefts → -1 sentinels: nullable int columns round-trip as
+    // float NaN through some parquet→frame paths, breaking value compares
+    graft.ops.AsOfJoin.asofJoin(clicks, views, "user_id", "ts", rightPrefix = "v_")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("click_ts_ms"),
+        coalesce(col("v_view_event_id"), lit(-1L)).as("view_event_id"),
+        coalesce(unix_millis(col("v_ts")), lit(-1L)).as("view_ts_ms"))
+      .orderBy("event_id")
+  }
+
+  /** J5: positional zip-join (pd.concat axis=1, service/app/test.py:27-36) —
+    * two equally-sorted projections of events re-zipped; oracle = the
+    * original rows, proving index alignment across frames.
+    */
+  def q37ZipJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sorted = t.events.orderBy("event_id")
+    graft.ops.ZipJoin.zipJoin(
+      sorted.select("event_id", "event_type"),
+      sorted.select("value"))
+      .orderBy("event_id")
+  }
+
   /** St1-analog batch form of the tumbling-window aggregation: 1-hour event
     * windows via window() — streaming form lives in
     * [[graft.streaming.EventStreaming]].

@@ -79,6 +79,45 @@ object BagFormat {
     }
   }
 
+  /** S5: archive expansion — the reference downloads `*.bag.tar.gz`,
+    * untars, and asserts exactly one inner `.bag`
+    * (`service/app/engine.py:35-51`). Pure-JVM gzip + minimal ustar parse,
+    * applied per file inside the scan (a narrow flatMap — each archive is
+    * one task, no driver-side staging).
+    */
+  def expandTarGz(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val in = new DataInputStream(new java.util.zip.GZIPInputStream(
+      new ByteArrayInputStream(bytes)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    val header = new Array[Byte](512)
+    var done = false
+    while (!done) {
+      val read = in.read(header, 0, 512)
+      if (read < 512 || header.forall(_ == 0)) done = true
+      else {
+        val name = new String(header, 0, 100, "UTF-8").takeWhile(_ != 0)
+        val size = java.lang.Long.parseLong(
+          new String(header, 124, 12, "UTF-8").trim.takeWhile(c => c >= '0' && c <= '7'), 8)
+        val typeflag = header(156)
+        val data = new Array[Byte](size.toInt)
+        in.readFully(data)
+        val pad = (512 - size % 512) % 512
+        in.skipBytes(pad.toInt)
+        if (typeflag == '0' || typeflag == 0) out += name -> data
+      }
+    }
+    out.toSeq
+  }
+
+  /** S5 + X1: decode one archive → its single inner bag's records
+    * (asserting exactly one `.bag` inside, like engine.py:47-51).
+    */
+  def decodeArchived(tarGz: Array[Byte]): Iterator[BagRecord] = {
+    val bags = expandTarGz(tarGz).filter(_._1.endsWith(".bag"))
+    require(bags.size == 1, s"expected exactly one .bag in archive, found ${bags.size}")
+    decode(bags.head._2)
+  }
+
   /** S1 + X1: scan a directory of `*.bag` files (glob pushdown in the
     * binaryFile source — the S3 wildcard scan of
     * `plugins/sensors/s3_metadata_sensor.py:63-67`) and decode each file's

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ext.MultimodalOps
+import graft.pipeline.Imaging
+import graft.sources.{BagFormat, BagRecord}
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def images = (0L until 8L)
+    .map(i => (i, Imaging.syntheticFrame(40, 30, i.toInt)))
+    .toDF("id", "content")
+
+  test("PNG metadata parse is real (IHDR width/height/bit depth)") {
+    val m = MultimodalOps.withImageMeta(images)
+      .select("image_meta.*").distinct().collect()
+    assert(m.length == 1)
+    assert(m.head.getString(0) == "image/png")
+    assert(m.head.getInt(1) == 40 && m.head.getInt(2) == 30)
+  }
+
+  test("resize produces decodable PNGs of the target size") {
+    val resized = MultimodalOps.resizeImages(images, 20, 10)
+    val metas = MultimodalOps.withImageMeta(resized)
+      .select("image_meta.width", "image_meta.height").distinct().collect()
+    assert(metas.length == 1)
+    assert(metas.head.getInt(0) == 20 && metas.head.getInt(1) == 10)
+  }
+
+  test("frame sampling keeps every nth frame") {
+    val frames = (0 until 30).map(i => ("cam", i)).toDF("camera", "frame_index")
+    val sampled = MultimodalOps.sampleFrames(frames, 5)
+      .select("frame_index").collect().map(_.getInt(0)).sorted
+    assert(sampled.toSeq == Seq(0, 5, 10, 15, 20, 25))
+  }
+
+  test("audio features are deterministic and sane on synthetic PCM") {
+    val tone = Array.tabulate(3200)(i =>
+      (math.sin(i / 5.0) * 10000).toInt).flatMap(s =>
+      Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val f = MultimodalOps.audioFeatures(tone)
+    assert(f.durationMs == 3200 * 1000 / 16000)
+    assert(f.rms > 5000 && f.rms < 10000)
+    assert(f.zeroCrossings > 50)
+    assert(f == MultimodalOps.audioFeatures(tone))
+  }
+
+  test("tar.gz archive expansion decodes the single inner bag (S5)") {
+    val recs = (0 until 50).map(i =>
+      BagRecord("/imu", 1700000000000000000L + i, Map("i" -> i.toString)))
+    val dir = java.nio.file.Files.createTempDirectory("targz")
+    java.nio.file.Files.write(dir.resolve("data.bag"), BagFormat.encode(recs))
+    import scala.sys.process._
+    assert(Seq("tar", "czf", s"$dir/data.bag.tar.gz", "-C", dir.toString, "data.bag").! == 0)
+    val tarGz = java.nio.file.Files.readAllBytes(dir.resolve("data.bag.tar.gz"))
+    assert(BagFormat.decodeArchived(tarGz).toSeq == recs)
+    // multiple inner bags → rejected like engine.py:47-51
+    java.nio.file.Files.write(dir.resolve("two.bag"), BagFormat.encode(recs.take(2)))
+    assert(Seq("tar", "czf", s"$dir/both.tar.gz", "-C", dir.toString,
+      "data.bag", "two.bag").! == 0)
+    intercept[IllegalArgumentException] {
+      BagFormat.decodeArchived(
+        java.nio.file.Files.readAllBytes(dir.resolve("both.tar.gz"))).toSeq
+    }
+  }
+}

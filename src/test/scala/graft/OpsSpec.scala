@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.{AsOfJoin, ZipJoin}
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof join picks latest right <= left, inclusive at equality") {
+    val left = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:05")),
+      (2L, "k1", ts("2024-01-01 10:00:10")),
+      (3L, "k2", ts("2024-01-01 10:00:01"))) // no right row for k2 yet
+      .toDF("id", "key", "ts")
+    val right = Seq(
+      (100L, "k1", ts("2024-01-01 10:00:00")),
+      (101L, "k1", ts("2024-01-01 10:00:05")), // equal ts → inclusive match
+      (102L, "k1", ts("2024-01-01 10:00:11")),
+      (103L, "k2", ts("2024-01-01 10:00:02")))
+      .toDF("rid", "key", "ts")
+    val got = AsOfJoin.asofJoin(left, right, "key", "ts")
+      .select("id", "right_rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> 101L, 2L -> 101L, 3L -> -1L))
+  }
+
+  test("asof join tolerance nulls out stale matches") {
+    val left = Seq((1L, "k", ts("2024-01-01 10:30:00"))).toDF("id", "key", "ts")
+    val right = Seq((9L, "k", ts("2024-01-01 10:00:00"))).toDF("rid", "key", "ts")
+    val loose = AsOfJoin.asofJoin(left, right, "key", "ts",
+      toleranceMs = Some(3600 * 1000L)).select("right_rid").head()
+    val tight = AsOfJoin.asofJoin(left, right, "key", "ts",
+      toleranceMs = Some(60 * 1000L)).select("right_rid").head()
+    assert(loose.getLong(0) == 9L)
+    assert(tight.isNullAt(0))
+  }
+
+  test("asof join emits exactly one row per left row") {
+    val t = Tables(spark, SF)
+    val clicks = t.events.filter(col("event_type") === "click")
+    val n = clicks.count()
+    val joined = queries.CoreQueries.q36AsofJoin(spark, SF)
+    assert(joined.count() == n)
+    assert(joined.select("event_id").distinct().count() == n)
+  }
+
+  test("zip join aligns positionally across partitions") {
+    val a = spark.range(0, 10000).toDF("n")
+    val b = spark.range(0, 10000).select((col("id") * 2).as("dbl"))
+    val bad = ZipJoin.zipJoin(a, b).filter(col("dbl") =!= col("n") * 2).count()
+    assert(bad == 0)
+  }
+}

@@ -17,9 +17,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(rows):
+    import math
     out = []
     for r in rows:
-        out.append(tuple(round(v, 9) if isinstance(v, float) else v for v in r))
+        out.append(tuple(
+            None if isinstance(v, float) and math.isnan(v)
+            else round(v, 9) if isinstance(v, float) else v for v in r))
     return out
 
 
