@@ -30,6 +30,8 @@ object GraftSession {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -37,7 +37,13 @@ object PipelineQueries {
       Files.write(tmp.resolve(s"bag_${topic.stripPrefix("/")}.bag"),
         BagFormat.encode(rs.sortBy(_.rosbagTimestamp).toSeq))
     }
-    BagFormat.bagInfo(BagFormat.readBags(spark, tmp.toString))
+    // read back through the DataSource V2 reader (file-parallel partitions,
+    // pruning pushed to the byte decoder); bagInfo only needs topic+ts, so
+    // the field maps are never decoded.
+    import spark.implicits._
+    BagFormat.bagInfo(
+      spark.read.format("gbag").load(tmp.toString)
+        .as[graft.sources.BagRecord])
   }
 
   /** §3 entry points 1-3 composed on synthetic frames: number (W1) →

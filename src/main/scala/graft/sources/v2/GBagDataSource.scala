@@ -1,0 +1,162 @@
+package graft.sources.v2
+
+import java.io.{ByteArrayInputStream, DataInputStream}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import graft.sources.BagFormat
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for GBAG bag files — the v1 upgrade over the
+  * binaryFile+flatMap path (SURVEY.md §7 build step 6, §2.9 X1 "preferred"):
+  *
+  *  - one InputPartition PER FILE → decode parallelism scales with the
+  *    bag count (each 100 TB recording batch is thousands of bags);
+  *  - `SupportsPushDownRequiredColumns`: column pruning reaches the BYTE
+  *    DECODER — `select topic, count(*)` never materializes field maps,
+  *    never even decodes key/value strings (it skips their byte ranges),
+  *    mirroring what a columnar reader does for parquet;
+  *  - whole files stream through one sequential read (no random IO).
+  *
+  * Usage: `spark.read.format("gbag").load(dir)` (registered shortName).
+  */
+class GBagDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "gbag"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GBagTable.fullSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GBagTable(properties.get("path"))
+}
+
+object GBagTable {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("rosbagTimestamp", LongType, nullable = false),
+    StructField("fields", MapType(StringType, StringType, valueContainsNull = false))))
+}
+
+class GBagTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"gbag($path)"
+  override def schema(): StructType = GBagTable.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GBagScanBuilder(path)
+}
+
+class GBagScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = GBagTable.fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GBagScan(path, required)
+}
+
+case class GBagInputPartition(file: String) extends InputPartition
+
+class GBagScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GBagScan path=$path, ReadSchema: ${required.catalogString}"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq.map(_.getPath)
+      else Seq(p)
+    files.filter(_.getName.endsWith(".bag")).sortBy(_.toString)
+      .map(f => GBagInputPartition(f.toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GBagReaderFactory(required)
+}
+
+class GBagReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GBagPartitionReader(partition.asInstanceOf[GBagInputPartition].file, required)
+}
+
+/** Streams one bag file; decodes ONLY the projected columns. */
+class GBagPartitionReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val needTopic = required.fieldNames.contains("topic")
+  private val needTs = required.fieldNames.contains("rosbagTimestamp")
+  private val needFields = required.fieldNames.contains("fields")
+  private val ordinals = required.fieldNames.zipWithIndex.toMap
+
+  private val in: DataInputStream = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    val len = fs.getFileStatus(p).getLen
+    val bytes = new Array[Byte](len.toInt)
+    val s = fs.open(p)
+    try s.readFully(0, bytes) finally s.close()
+    val d = new DataInputStream(new ByteArrayInputStream(bytes))
+    val magic = new Array[Byte](BagFormat.Magic.length)
+    d.readFully(magic)
+    require(util.Arrays.equals(magic, BagFormat.Magic), s"not a GBAG file: $file")
+    d
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (in.available() == 0) { current = null; false }
+    else {
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+      // topic
+      val topicLen = in.readUnsignedShort()
+      if (needTopic) {
+        val b = new Array[Byte](topicLen); in.readFully(b)
+        row.update(ordinals("topic"), UTF8String.fromBytes(b))
+      } else in.skipBytes(topicLen)
+      // timestamp
+      if (needTs) row.update(ordinals("rosbagTimestamp"), in.readLong())
+      else in.skipBytes(8)
+      // fields: decode or SKIP byte ranges entirely
+      val n = in.readUnsignedShort()
+      if (needFields) {
+        val keys = new Array[UTF8String](n)
+        val vals = new Array[UTF8String](n)
+        var i = 0
+        while (i < n) {
+          keys(i) = readUtf8(); vals(i) = readUtf8(); i += 1
+        }
+        row.update(ordinals("fields"), ArrayBasedMapData(keys, vals))
+      } else {
+        var i = 0
+        while (i < 2 * n) { in.skipBytes(in.readUnsignedShort()); i += 1 }
+      }
+      current = row
+      true
+    }
+  }
+
+  private def readUtf8(): UTF8String = {
+    val len = in.readUnsignedShort()
+    val b = new Array[Byte](len)
+    in.readFully(b)
+    UTF8String.fromBytes(b)
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

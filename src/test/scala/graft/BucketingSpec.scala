@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Co-located joins via bucketing — the shuffle-elimination strategy for
+  * repeated large-×-large joins at 100 TB (SURVEY.md "Partitioning &
+  * shuffle"): bucket both sides on the join key once at write time; every
+  * subsequent join reuses the layout with NO Exchange.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed join on the bucket key plans without a shuffle") {
+    val t = Tables(spark, SF) // warehouse dir set statically in GraftSession
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    t.lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    t.orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_bucketed")
+
+    // disable broadcast so the join strategy is the large-×-large path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the JOIN itself must not shuffle: the only allowed exchange is the
+      // one feeding the final single-key aggregation
+      val joinPart = plan.split("HashAggregate").last
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey"),
+        s"join shuffled the bucketed side:\n$plan")
+      assert(!joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+        s"join shuffled the bucketed side:\n$plan")
+      // and the result is right
+      val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == want)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.{BagFormat, BagRecord}
+import org.apache.spark.sql.functions._
+
+class GBagV2Spec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("gbagv2").toString
+    val topics = Seq("/imu", "/gps", "/tf")
+    (0 until 3).foreach { f =>
+      val recs = (0 until 100).map(i =>
+        BagRecord(topics((f + i) % 3), 1700000000000000000L + f * 1000000L + i,
+          Map("x" -> s"$i.5", "seq" -> i.toString)))
+      Files.write(Paths.get(dir0(d, f)), BagFormat.encode(recs))
+    }
+    Files.write(Paths.get(d, "notabag.txt"), "junk".getBytes)
+    d
+  }
+  private def dir0(d: String, f: Int) = s"$d/part$f.bag"
+
+  test("gbag v2 source reads all records across file partitions") {
+    val df = spark.read.format("gbag").load(dir)
+    assert(df.count() == 300)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("topic", "rosbagTimestamp", "fields"))
+    assert(df.rdd.getNumPartitions == 3) // one partition per bag file
+  }
+
+  test("v2 source agrees with the v0 binaryFile+flatMap path") {
+    val v2 = spark.read.format("gbag").load(dir)
+      .selectExpr("topic", "rosbagTimestamp", "fields['seq'] as seq")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val v0 = BagFormat.readBags(spark, dir)
+      .selectExpr("topic", "rosbagTimestamp", "fields['seq'] as seq")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(v2 == v0)
+  }
+
+  test("column pruning reaches the scan (fields map never decoded)") {
+    val pruned = spark.read.format("gbag").load(dir)
+      .select("topic")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("ReadSchema: struct<topic:string>"),
+      s"pruned schema not pushed to scan:\n$scanDesc")
+    val agg = spark.read.format("gbag").load(dir)
+      .groupBy("topic").count().collect()
+    assert(agg.map(_.getLong(1)).sum == 300)
+  }
+
+  test("aggregate over v2 source matches bagInfo") {
+    val v2info = spark.read.format("gbag").load(dir)
+      .groupBy("topic").agg(count(lit(1)).as("n_messages"),
+        min("rosbagTimestamp").as("min_ts"), max("rosbagTimestamp").as("max_ts"))
+      .orderBy("topic").collect()
+    val v0info = BagFormat.bagInfo(BagFormat.readBags(spark, dir)).collect()
+    assert(v2info.map(_.toString).toSeq == v0info.map(_.toString).toSeq)
+  }
+}
