@@ -30,8 +30,9 @@ object GraftSession {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
+      .config("spark.sql.warehouse.dir", // unique per JVM: the in-memory
+        // catalog forgets tables between runs but their files would remain
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
