@@ -59,6 +59,7 @@ object SparkEntry {
     "q35_frame_pipeline" -> (PipelineQueries.qFramePipeline _),
     "q36_asof_join" -> (CoreQueries.q36AsofJoin _),
     "q37_zip_join" -> (CoreQueries.q37ZipJoin _),
+    "q38_sketches" -> (CoreQueries.q38Sketches _),
   )
 
   def oracleSql: Map[String, String] = Map(

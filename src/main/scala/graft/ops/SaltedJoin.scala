@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigated equi-join by key salting (SURVEY.md "Partitioning &
+  * shuffle": salting for skew). AQE's skew-join split handles most cases at
+  * runtime; explicit salting is the deterministic fallback when one hot key
+  * dominates a shuffle (e.g. one camera producing most frames — SURVEY §7.4
+  * risk 2).
+  *
+  * Mechanics: the skewed (large) side gets a random-but-deterministic salt
+  * in [0, buckets); the small side is replicated `buckets` times; the join
+  * key becomes (key, salt) — the hot key's rows now spread over `buckets`
+  * reducers. Replication cost: |small| × buckets rows, so keep the
+  * replicated side the smaller one.
+  */
+object SaltedJoin {
+
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      buckets: Int = 8): DataFrame = {
+    // deterministic salt (hash of the whole row, not rand(): keeps retries
+    // and re-runs identical)
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(struct(large.columns.map(col).toSeq: _*)), lit(buckets)))
+    val replicated = small
+      .withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}

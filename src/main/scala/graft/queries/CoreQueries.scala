@@ -291,6 +291,25 @@ object CoreQueries {
       .orderBy("camera")
   }
 
+  /** Sketch aggregates (SURVEY §2.4 "not present" row — engine capability):
+    * HLL++ distinct counts and quantile sketches per group. At 100 TB these
+    * replace exact distinct/percentile where a bounded error buys an
+    * orders-of-magnitude smaller shuffle (fixed-size sketch per partition
+    * vs all distinct values). Rows-only check (sketch internals differ
+    * across engines); error bounds asserted in CoreQueriesSpec.
+    */
+  def q38Sketches(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Shared deterministic stub-detector input: camera from user bucket, LCG
     * seed per event → (label, confidence, n_instances). Pure integer
     * arithmetic so the DuckDB oracle reproduces it exactly.

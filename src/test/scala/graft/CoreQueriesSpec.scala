@@ -58,6 +58,17 @@ class CoreQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q38 sketches: HLL within 5% of exact, quantiles ordered") {
+    val rows = SparkEntry.queries("q38_sketches")(spark, SF).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"HLL error too large: $approx vs $exact")
+      assert(r.getDouble(3) <= r.getDouble(4), "p50 > p99")
+    }
+  }
+
   test("q19 pivot has the pinned label columns") {
     val cols = SparkEntry.queries("q19_detections_pivot")(spark, SF).columns.toSet
     assert(Set("Person", "Bicycle", "Motorcycle", "Car", "Dog",

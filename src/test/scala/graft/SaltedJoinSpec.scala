@@ -1,0 +1,30 @@
+package graft
+
+import graft.ops.SaltedJoin
+import org.apache.spark.sql.functions._
+
+class SaltedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on a 90%-skewed key") {
+    // 90k rows on key 1, trickle on others — the shape that melts one reducer
+    val large = ((1 to 90000).map(i => (1L, i)) ++
+      (1 to 1000).map(i => ((i % 50 + 2).toLong, i))).toDF("k", "payload")
+    val small = (1L to 60L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = large.join(small, "k")
+    val salted = SaltedJoin.saltedJoin(large, small, "k")
+    assert(salted.count() == plain.count())
+    val a = salted.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("salt spreads the hot key across buckets") {
+    val large = (1 to 10000).map(i => (1L, i)).toDF("k", "payload")
+    val spread = large.withColumn("__salt",
+      pmod(xxhash64(struct(col("k"), col("payload"))), lit(8)))
+      .groupBy("__salt").count().collect()
+    assert(spread.length == 8)
+    assert(spread.map(_.getLong(1)).max < 10000 * 0.25) // no bucket hogs it
+  }
+}

@@ -30,6 +30,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("St2 sensor parity: bag files discovered one per trigger") {
+    import graft.sources.{BagFormat, BagRecord}
+    val bagDir = java.nio.file.Files.createTempDirectory("bag-stream")
+    (0 until 3).foreach { f =>
+      val recs = (0 until 20).map(i =>
+        BagRecord(s"/t$f", 1700000000000000000L + i, Map("i" -> i.toString)))
+      java.nio.file.Files.write(bagDir.resolve(s"run$f.bag"), BagFormat.encode(recs))
+    }
+    // new-file discovery IS the sensor (SURVEY §2.8 St2); one bag per
+    // micro-batch reproduces the reference's one-bag-per-DAG-run behavior
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val stream = spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.bag")
+      .option("maxFilesPerTrigger", 1)
+      .load(bagDir.toString)
+      .select("path", "length")
+    val q = stream.writeStream.format("memory").queryName("bag_sensor")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val seen = spark.table("bag_sensor").collect()
+    assert(seen.length == 3)
+    assert(seen.map(_.getString(0)).forall(_.endsWith(".bag")))
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected one bag per micro-batch")
+  }
+
   test("streaming dedup drops replayed duplicates") {
     val stream = EventStreaming.readEventStream(spark, eventsDir)
     val doubled = stream.union(stream)
