@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   *    scaled).
   */
 object GraftSession {
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   def build(appName: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -60,6 +60,8 @@ object SparkEntry {
     "q36_asof_join" -> (CoreQueries.q36AsofJoin _),
     "q37_zip_join" -> (CoreQueries.q37ZipJoin _),
     "q38_sketches" -> (CoreQueries.q38Sketches _),
+    "q39_rollup" -> (CoreQueries.q39Rollup _),
+    "q40_intersect" -> (CoreQueries.q40Intersect _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -246,5 +248,15 @@ object SparkEntry {
         |ORDER BY c.event_id""".stripMargin,
     "q37_zip_join" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+    "q39_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q40_intersect" ->
+      """SELECT o_custkey AS key FROM orders
+        |INTERSECT SELECT c_custkey AS key FROM customer
+        |ORDER BY key""".stripMargin,
   )
 }

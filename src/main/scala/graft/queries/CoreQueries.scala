@@ -291,6 +291,31 @@ object CoreQueries {
       .orderBy("camera")
   }
 
+  /** Rollup (grouping-sets family — SURVEY §2.4 "not present" row, exposed
+    * as engine capability): per-(flag,status) + per-flag subtotals + grand
+    * total in ONE pass (partial-agg per grouping set, no N scans). Null
+    * subtotal markers coalesced to 'ALL' for stable comparison.
+    */
+  def q39Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+      .orderBy("flag", "status")
+  }
+
+  /** U-family completion: intersect (distinct keys present on both sides). */
+  def q40Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.select(col("o_custkey").as("key"))
+      .intersect(t.customer.select(col("c_custkey").as("key")))
+      .orderBy("key")
+  }
+
   /** Sketch aggregates (SURVEY §2.4 "not present" row — engine capability):
     * HLL++ distinct counts and quantile sketches per group. At 100 TB these
     * replace exact distinct/percentile where a bounded error buys an

@@ -1,9 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
 
 /** Structured-Streaming restatement of the reference's cron+poll+tag
   * micro-batching (SURVEY.md §2.8 St1-St6):
@@ -64,6 +63,38 @@ object EventStreaming {
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
       .select(unix_millis(col("w.start")).as("session_start_ms"),
         col("user_id"), col("n_events"), col("sum_value"))
+
+  case class UserState(nEvents: Long, lastTsMs: Long, maxGapMs: Long)
+  case class UserSummary(user_id: Long, n_events: Long, max_gap_ms: Long)
+
+  /** Custom keyed state via mapGroupsWithState (SURVEY §2.8 / the
+    * `KeyValueGroupedDataset` surface): per-user running event count and
+    * max inter-event gap, carried across micro-batches. State is O(1) per
+    * key — the 100 TB-safe shape for arbitrary stateful logic that
+    * windows/aggregations can't express.
+    */
+  def statefulUserSummary(events: DataFrame): Dataset[UserSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserSummary](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val sorted = rows.map(_._2).toArray.sorted
+          val prev = state.getOption.getOrElse(UserState(0L, -1L, 0L))
+          var last = prev.lastTsMs
+          var maxGap = prev.maxGapMs
+          var n = prev.nEvents
+          sorted.foreach { t =>
+            if (last >= 0) maxGap = math.max(maxGap, t - last)
+            last = t
+            n += 1
+          }
+          state.update(UserState(n, last, maxGap))
+          UserSummary(uid, n, maxGap)
+      }
+  }
 
   /** Drive a streaming DataFrame to completion against a memory sink and
     * return the materialized result (synchronous batch-driven streaming for

@@ -70,6 +70,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == 1000)
   }
 
+  test("mapGroupsWithState carries per-user state across micro-batches") {
+    // two copies of the events file → two micro-batches over the same data;
+    // correct cross-batch state ⇒ exactly 2× the per-user batch counts
+    val dir = java.nio.file.Files.createTempDirectory("events-2x")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$SF/events.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$SF/events.parquet"),
+      dir.resolve("b.parquet"))
+    val stream = EventStreaming.readEventStream(spark, dir.toString,
+      maxFilesPerTrigger = 1)
+    val got = EventStreaming.runToMemory(
+      EventStreaming.statefulUserSummary(stream).toDF(), "user_state",
+      outputMode = "update")
+    // memory sink in update mode appends each batch's updates; the LAST
+    // row per user is the final state
+    val finalRows = got.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchCounts = Tables(spark, SF).events.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalRows == batchCounts.view.mapValues(_ * 2).toMap)
+  }
+
   test("sessionization: sessions are disjoint and cover all events") {
     val stream = EventStreaming.readEventStream(spark, eventsDir)
     val sessions = EventStreaming.runToMemory(
