@@ -325,13 +325,22 @@ object CoreQueries {
     */
   def q38Sketches(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.lineitem
+    // countDistinct kept in its OWN aggregation: a distinct aggregate
+    // (Expand) combined with TypedImperative sketch buffers (HLL,
+    // QuantileSummaries) forces a SortAggregate fallback — measured 8×
+    // slower than these two hash aggregations + a 3-row join
+    val sketches = t.lineitem
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+    val exact = t.lineitem
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    sketches.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("approx_orders"), col("exact_orders"),
+        col("p50_price"), col("p99_price"))
       .orderBy("l_returnflag")
   }
 

@@ -1,0 +1,44 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc perf scratchpad. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("scratch")
+    val t = Tables(spark, "/root/testdata/sf0.1")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val li = t.lineitem
+    li.write.format("noop").mode("overwrite").save() // warm scan
+    time("hll only") {
+      li.groupBy("l_returnflag").agg(approx_count_distinct(col("l_orderkey"), 0.02))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("countDistinct only") {
+      li.groupBy("l_returnflag").agg(countDistinct(col("l_orderkey")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("percentile only") {
+      li.groupBy("l_returnflag").agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("hll + countDistinct") {
+      li.groupBy("l_returnflag").agg(approx_count_distinct(col("l_orderkey"), 0.02),
+        countDistinct(col("l_orderkey")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("all four") {
+      li.groupBy("l_returnflag").agg(approx_count_distinct(col("l_orderkey"), 0.02),
+        countDistinct(col("l_orderkey")),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
