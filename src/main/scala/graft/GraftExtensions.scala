@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.{BagExplode, RollingHash, WinnowFingerprints}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * Catalyst expressions for the SQL surface —
+  *
+  *  - `rolling_hash(str)`                     → BIGINT (codegen'd)
+  *  - `winnow_fingerprints(str[, k, w])`      → ARRAY<BIGINT>
+  *  - `bag_explode(binary)`                   → generator (LATERAL VIEW)
+  *
+  * Wire-up: `SparkSession.builder().withExtensions(new GraftExtensions)`
+  * (GraftSession does this) or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => WinnowFingerprints(c, 8, 4)
+        case Seq(c, k, w) =>
+          WinnowFingerprints(c, intArg(k, "k"), intArg(w, "w"))
+        case _ => throw new IllegalArgumentException(
+          "winnow_fingerprints(text[, k, w])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bag_explode"),
+      new ExpressionInfo(classOf[BagExplode].getName, "bag_explode"),
+      (exprs: Seq[Expression]) => BagExplode(exprs.head)))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.sources.BagFormat
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL surface for the bag decode (SURVEY.md §2.9 X1, §7.3 "optional
+  * `bag_explode` Generator"): one binary bag blob → many (topic, ts,
+  * fields) rows, usable as
+  *
+  * {{{ SELECT b.* FROM bags LATERAL VIEW bag_explode(content) b }}}
+  *
+  * The Generate operator streams rows out of the iterator — the whole bag
+  * is never materialized as an array, so memory is O(record), same as the
+  * DataSource V2 reader.
+  */
+case class BagExplode(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bag_explode requires BINARY input, got ${child.dataType.catalogString}")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("rosbagTimestamp", LongType, nullable = false),
+    StructField("fields", MapType(StringType, StringType, valueContainsNull = false))))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val bytes = child.eval(input).asInstanceOf[Array[Byte]]
+    if (bytes == null) Iterator.empty
+    else BagFormat.decode(bytes).map { r =>
+      InternalRow(
+        UTF8String.fromString(r.topic),
+        r.rosbagTimestamp,
+        ArrayBasedMapData(
+          r.fields.keysIterator.map(UTF8String.fromString).toArray[Any],
+          r.fields.valuesIterator.map(UTF8String.fromString).toArray[Any]))
+    }
+  }
+
+  override def prettyName: String = "bag_explode"
+  override protected def withNewChildInternal(newChild: Expression): BagExplode =
+    copy(child = newChild)
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.{RollingHash, WinnowFingerprints}
+import graft.sources.{BagFormat, BagRecord}
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property-based coverage of the pure (non-Spark) primitives. */
+object BagFormatProps extends Properties("graft") {
+
+  private val genField: Gen[(String, String)] = for {
+    k <- Gen.alphaNumStr.map(_.take(20))
+    v <- Gen.asciiPrintableStr.map(_.take(50))
+  } yield (k, v)
+
+  private val genRecord: Gen[BagRecord] = for {
+    topic <- Gen.oneOf("/imu", "/gps", "/tf", "/pose_raw", "/velocity_raw")
+    ts <- Gen.chooseNum(0L, Long.MaxValue / 2)
+    nf <- Gen.chooseNum(0, 8)
+    fields <- Gen.listOfN(nf, genField)
+  } yield BagRecord(topic, ts, fields.toMap)
+
+  property("bag encode/decode round-trips any record sequence") =
+    Prop.forAll(Gen.listOfN(20, genRecord)) { recs =>
+      BagFormat.decode(BagFormat.encode(recs)).toSeq == recs
+    }
+
+  property("bag encoding is deterministic (sorted fields)") =
+    Prop.forAll(Gen.listOfN(5, genRecord)) { recs =>
+      BagFormat.encode(recs).toSeq == BagFormat.encode(recs).toSeq
+    }
+
+  private def refHash(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * RollingHash.Base + (b & 0xffL))
+
+  property("rolling hash eval matches the byte-fold definition") =
+    Prop.forAll { (s: String) =>
+      RollingHash(org.apache.spark.sql.catalyst.expressions.Literal(s))
+        .eval(null) == refHash(s)
+    }
+
+  property("winnow: nonempty, subset of all k-gram hashes, shift-stable tail") =
+    Prop.forAll(Gen.asciiPrintableStr.suchThat(_.length > 12)) { s =>
+      val fp = WinnowFingerprints(
+        org.apache.spark.sql.catalyst.expressions.Literal(s), 4, 3)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSet
+      val t = s.trim
+      val all = (0 to math.max(t.length - 4, 0))
+        .map(i => refHash(t.substring(i, math.min(i + 4, t.length)))).toSet
+      fp.nonEmpty && (t.isEmpty || fp.subsetOf(all + refHash(t)))
+    }
+}

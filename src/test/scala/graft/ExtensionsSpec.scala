@@ -1,0 +1,43 @@
+package graft
+
+import graft.sources.{BagFormat, BagRecord}
+
+/** The SQL surface registered through SparkSessionExtensions. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling_hash is callable from SQL") {
+    val h = spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0)
+    val want = "abc".getBytes("UTF-8")
+      .foldLeft(0L)((a, b) => a * graft.functions.RollingHash.Base + (b & 0xffL))
+    assert(h == want)
+  }
+
+  test("winnow_fingerprints from SQL with and without k/w") {
+    val r = spark.sql(
+      "SELECT size(winnow_fingerprints('the quick brown fox jumps')) AS a, " +
+        "size(winnow_fingerprints('the quick brown fox jumps', 4, 2)) AS b").head()
+    assert(r.getInt(0) > 0 && r.getInt(1) > 0)
+    assert(r.getInt(1) >= r.getInt(0)) // smaller k/w → more fingerprints
+  }
+
+  test("bag_explode LATERAL VIEW streams bag records in SQL") {
+    val recs = (0 until 30).map(i =>
+      BagRecord(s"/t${i % 3}", 1700000000000000000L + i, Map("i" -> i.toString)))
+    Seq((1L, BagFormat.encode(recs))).toDF("bag_id", "content")
+      .createOrReplaceTempView("bags")
+    val rows = spark.sql(
+      """SELECT bag_id, b.topic, b.rosbagTimestamp, b.fields['i'] AS i
+        |FROM bags LATERAL VIEW bag_explode(content) b
+        |ORDER BY b.rosbagTimestamp""".stripMargin).collect()
+    assert(rows.length == 30)
+    assert(rows.map(_.getString(1)).distinct.sorted.toSeq == Seq("/t0", "/t1", "/t2"))
+    assert(rows.head.getString(3) == "0" && rows.last.getString(3) == "29")
+    // per-topic aggregation straight from SQL over the generator
+    val agg = spark.sql(
+      """SELECT b.topic, count(*) AS n FROM bags
+        |LATERAL VIEW bag_explode(content) b GROUP BY b.topic""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg == Map("/t0" -> 10L, "/t1" -> 10L, "/t2" -> 10L))
+  }
+}
