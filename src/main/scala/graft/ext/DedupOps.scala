@@ -59,8 +59,10 @@ object DedupOps {
     * Output: (doc_id, h0..h{k-1}).
     */
   def minHashSignatures(docs: DataFrame, numHashes: Int, shingleSize: Int): DataFrame = {
+    // distinct before explode: MinHash is set-semantics (min unaffected by
+    // multiplicity) and it cuts the exploded row count
     val exploded = withShingles(docs, "text", "__sh", shingleSize)
-      .select(col("doc_id"), explode(col("__sh")).as("shingle"))
+      .select(col("doc_id"), explode(array_distinct(col("__sh"))).as("shingle"))
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
