@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,19 +58,46 @@ class GBagTable(path: String) extends Table with SupportsRead {
 }
 
 class GBagScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = GBagTable.fullSchema
+  private var pushed: Array[sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GBagScan(path, required)
+
+  /** Accept topic equality/membership and rosbagTimestamp range filters —
+    * evaluated inside the decoder, BEFORE field-map decode/allocation, so a
+    * one-topic query over a multiplexed bag skips the bytes of every other
+    * topic's payload. Filters stay in `pushedFilters` only (not re-reported
+    * as post-scan residuals Spark must re-apply — we evaluate them exactly).
+    */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val (supported, rest) = filters.partition {
+      case sources.EqualTo("topic", _: String) => true
+      case sources.In("topic", vs) => vs.forall(_.isInstanceOf[String])
+      case sources.GreaterThan("rosbagTimestamp", _: java.lang.Long) => true
+      case sources.GreaterThanOrEqual("rosbagTimestamp", _: java.lang.Long) => true
+      case sources.LessThan("rosbagTimestamp", _: java.lang.Long) => true
+      case sources.LessThanOrEqual("rosbagTimestamp", _: java.lang.Long) => true
+      case _ => false
+    }
+    pushed = supported
+    rest
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = new GBagScan(path, required, pushed)
 }
 
 case class GBagInputPartition(file: String) extends InputPartition
 
-class GBagScan(path: String, required: StructType) extends Scan with Batch {
+class GBagScan(path: String, required: StructType,
+    pushed: Array[sources.Filter] = Array.empty) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"GBagScan path=$path, ReadSchema: ${required.catalogString}"
+    s"GBagScan path=$path, ReadSchema: ${required.catalogString}, " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -84,22 +112,50 @@ class GBagScan(path: String, required: StructType) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GBagReaderFactory(required)
+    new GBagReaderFactory(required, pushed)
 }
 
-class GBagReaderFactory(required: StructType) extends PartitionReaderFactory {
+class GBagReaderFactory(required: StructType,
+    pushed: Array[sources.Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GBagPartitionReader(partition.asInstanceOf[GBagInputPartition].file, required)
+    new GBagPartitionReader(partition.asInstanceOf[GBagInputPartition].file,
+      required, pushed)
 }
 
-/** Streams one bag file; decodes ONLY the projected columns. */
-class GBagPartitionReader(file: String, required: StructType)
+/** Streams one bag file; decodes ONLY the projected columns and skips
+  * records (cheap byte skips, no allocation) that fail pushed filters.
+  */
+class GBagPartitionReader(file: String, required: StructType,
+    pushed: Array[sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val needTopic = required.fieldNames.contains("topic")
   private val needTs = required.fieldNames.contains("rosbagTimestamp")
   private val needFields = required.fieldNames.contains("fields")
   private val ordinals = required.fieldNames.zipWithIndex.toMap
+
+  // compiled pushed predicates
+  private val topicKeep: String => Boolean = {
+    val eqs = pushed.collect { case sources.EqualTo("topic", v: String) => v }
+    val ins = pushed.collect { case sources.In("topic", vs) =>
+      vs.collect { case s: String => s }.toSet }
+    if (eqs.isEmpty && ins.isEmpty) _ => true
+    else t => eqs.forall(_ == t) && ins.forall(_.contains(t))
+  }
+  private val tsKeep: Long => Boolean = {
+    val preds = pushed.collect {
+      case sources.GreaterThan("rosbagTimestamp", v: java.lang.Long) =>
+        (t: Long) => t > v
+      case sources.GreaterThanOrEqual("rosbagTimestamp", v: java.lang.Long) =>
+        (t: Long) => t >= v
+      case sources.LessThan("rosbagTimestamp", v: java.lang.Long) =>
+        (t: Long) => t < v
+      case sources.LessThanOrEqual("rosbagTimestamp", v: java.lang.Long) =>
+        (t: Long) => t <= v
+    }
+    if (preds.isEmpty) _ => true else t => preds.forall(_(t))
+  }
+  private val hasFilters = pushed.nonEmpty
 
   private val in: DataInputStream = {
     val p = new Path(file)
@@ -119,35 +175,40 @@ class GBagPartitionReader(file: String, required: StructType)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    if (in.available() == 0) { current = null; false }
-    else {
-      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
-      // topic
+    current = null
+    while (current == null && in.available() > 0) {
+      // topic: decode when projected OR filtered on; else skip bytes
       val topicLen = in.readUnsignedShort()
-      if (needTopic) {
+      var topicU: UTF8String = null
+      if (needTopic || hasFilters) {
         val b = new Array[Byte](topicLen); in.readFully(b)
-        row.update(ordinals("topic"), UTF8String.fromBytes(b))
+        topicU = UTF8String.fromBytes(b)
       } else in.skipBytes(topicLen)
-      // timestamp
-      if (needTs) row.update(ordinals("rosbagTimestamp"), in.readLong())
-      else in.skipBytes(8)
-      // fields: decode or SKIP byte ranges entirely
+      val ts = in.readLong()
+      val keep = !hasFilters || (topicKeep(if (topicU == null) "" else topicU.toString) && tsKeep(ts))
       val n = in.readUnsignedShort()
-      if (needFields) {
-        val keys = new Array[UTF8String](n)
-        val vals = new Array[UTF8String](n)
-        var i = 0
-        while (i < n) {
-          keys(i) = readUtf8(); vals(i) = readUtf8(); i += 1
+      if (keep) {
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
+        if (needTopic) row.update(ordinals("topic"), topicU)
+        if (needTs) row.update(ordinals("rosbagTimestamp"), ts)
+        if (needFields) {
+          val keys = new Array[UTF8String](n)
+          val vals = new Array[UTF8String](n)
+          var i = 0
+          while (i < n) { keys(i) = readUtf8(); vals(i) = readUtf8(); i += 1 }
+          row.update(ordinals("fields"), ArrayBasedMapData(keys, vals))
+        } else {
+          var i = 0
+          while (i < 2 * n) { in.skipBytes(in.readUnsignedShort()); i += 1 }
         }
-        row.update(ordinals("fields"), ArrayBasedMapData(keys, vals))
+        current = row
       } else {
+        // rejected: skip the field bytes without decoding/allocating
         var i = 0
         while (i < 2 * n) { in.skipBytes(in.readUnsignedShort()); i += 1 }
       }
-      current = row
-      true
     }
+    current != null
   }
 
   private def readUtf8(): UTF8String = {

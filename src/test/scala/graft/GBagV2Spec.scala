@@ -50,6 +50,27 @@ class GBagV2Spec extends SparkSpec {
     assert(agg.map(_.getLong(1)).sum == 300)
   }
 
+  test("topic/ts filters push into the decoder and results stay correct") {
+    val df = spark.read.format("gbag").load(dir)
+    val filtered = df.filter(col("topic") === "/imu" &&
+      col("rosbagTimestamp") >= 1700000000000000000L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [EqualTo(topic,/imu)"),
+      s"topic filter not pushed:\n$plan")
+    // correctness vs the v0 path with a post-filter
+    val want = BagFormat.readBags(spark, dir)
+      .filter(col("topic") === "/imu").count()
+    assert(filtered.count() == want)
+    // IN filter
+    val in2 = df.filter(col("topic").isin("/imu", "/gps"))
+    assert(in2.queryExecution.executedPlan.toString.contains("In(topic"))
+    assert(in2.count() ==
+      BagFormat.readBags(spark, dir).filter(col("topic").isin("/imu", "/gps")).count())
+    // unsupported filter (on fields) still evaluated post-scan
+    val f = df.filter(col("fields")("seq") === "3")
+    assert(f.count() == 3) // one record per file with seq=3
+  }
+
   test("aggregate over v2 source matches bagInfo") {
     val v2info = spark.read.format("gbag").load(dir)
       .groupBy("topic").agg(count(lit(1)).as("n_messages"),
