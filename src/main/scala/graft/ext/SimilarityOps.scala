@@ -112,8 +112,25 @@ object SimilarityOps {
       nCentroids: Int, nProbe: Int): DataFrame = {
     val base = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cents = base.filter(col("vec_id") < nCentroids)
+    // one Lloyd refinement over the seed centroids (first nCentroids
+    // vectors): assign all vectors to their best seed, average each
+    // cluster. Deterministic, one extra pass; tightens the quantizer so
+    // probing nProbe/nCentroids of the data loses less recall.
+    val seeds = base.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val seedAssign = base.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("v"), col("cid"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))))
+      .filter(col("rk") === 1)
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val meanAgg = (0 until dim).map(i =>
+      avg(element_at(col("v"), i + 1)).as(s"c$i"))
+    val cents = seedAssign.groupBy("cid")
+      .agg(meanAgg.head, meanAgg.tail: _*)
+      .select(col("cid"), array((0 until dim).map(i => col(s"c$i")): _*).as("cv"))
+      .withColumn("cnrm", norm(col("cv")))
     // assign every vector to its best centroid (broadcast centroid table)
     val assigned = base.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),

@@ -31,11 +31,14 @@ class SimilaritySpec extends SparkSpec {
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
     val approx = SimilarityOps.qIvfTopK(spark, SF).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
-    val recalls = exact.keys.map(q =>
+    // keys.toSeq: Map.keys is a Set — mapping to recall VALUES on a Set
+    // collapses duplicates and skews the mean
+    val recalls = exact.keys.toSeq.map(q =>
       (exact(q) intersect approx.getOrElse(q, Set.empty)).size.toDouble / exact(q).size)
     val mean = recalls.sum / recalls.size
-    // nprobe=4 of 16 centroids on unclustered data: expect well above random
-    assert(mean >= 0.2, s"mean recall $mean")
+    // nprobe=4 of 16 Lloyd-refined centroids: measured 1.0 at sf0.001 and
+    // sf0.1; 0.6 leaves headroom for other data shapes
+    assert(mean >= 0.6, s"mean recall $mean")
   }
 
   test("LSH signature is deterministic and bucket query covers all vectors") {
