@@ -70,6 +70,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == 1000)
   }
 
+  test("St3 exactly-once: checkpointed restart processes only new files") {
+    val src = java.nio.file.Files.createTempDirectory("ckpt-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-meta").toString
+    val out = java.nio.file.Files.createTempDirectory("ckpt-out").toString
+    val events = Tables(spark, SF).events.select("event_id", "user_id")
+    events.coalesce(1).write.mode("overwrite").parquet(s"$src/batch_a")
+    // flatten: file source watches one dir level
+    def stage(sub: String): Unit = {
+      val f = new java.io.File(s"$src/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(s"$src/$sub.parquet"))
+    }
+    stage("batch_a")
+    def run(): Unit = {
+      val q = spark.readStream.schema(events.schema).parquet(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 1000)
+    // restart with NO new input: the commit log prevents reprocessing
+    run()
+    assert(spark.read.parquet(out).count() == 1000)
+    // add a second file, restart: only the new file flows through
+    events.withColumn("event_id", col("event_id") + 1000000)
+      .coalesce(1).write.mode("overwrite").parquet(s"$src/batch_b")
+    stage("batch_b")
+    run()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 2000)
+    assert(got.select("event_id").distinct().count() == 2000)
+  }
+
   test("mapGroupsWithState carries per-user state across micro-batches") {
     // two copies of the events file → two micro-batches over the same data;
     // correct cross-batch state ⇒ exactly 2× the per-user batch counts
