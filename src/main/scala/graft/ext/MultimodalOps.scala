@@ -37,9 +37,13 @@ object MultimodalOps {
 
   private val pngMetaUdf = udf((b: Array[Byte]) => pngMeta(b))
 
-  /** Attach a typed metadata struct parsed from the binary content. */
+  /** Attach a typed metadata struct parsed from the binary content.
+    * Null-safe: CaseWhen evaluates branches lazily, so the UDF never sees a
+    * null blob (a raw UDF call would NPE the whole stage on one bad row).
+    */
   def withImageMeta(df: DataFrame, content: String = "content"): DataFrame =
-    df.withColumn("image_meta", pngMetaUdf(col(content)))
+    df.withColumn("image_meta",
+      when(col(content).isNotNull, pngMetaUdf(col(content))))
 
   case class ImageRow(id: Long, content: Array[Byte])
 
@@ -102,5 +106,6 @@ object MultimodalOps {
   private val audioUdf = udf((b: Array[Byte]) => audioFeatures(b))
 
   def withAudioFeatures(df: DataFrame, content: String = "content"): DataFrame =
-    df.withColumn("audio_features", audioUdf(col(content)))
+    df.withColumn("audio_features",
+      when(col(content).isNotNull, audioUdf(col(content))))
 }

@@ -78,6 +78,14 @@ object SimilarityOps {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Embedding dimensionality measured from the data — hardcoding it would
+    * make zip_with null-pad against the hyperplanes and silently produce
+    * all-zero signatures (one giant bucket = the O(n²) blowup LSH exists to
+    * avoid).
+    */
+  private def embeddingDim(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding"))).head().getInt(0)
+
   /** q31: LSH-bucketed approximate neighbor counts: per-vector bucket size
     * and same-bucket best cosine (null-safe; n rows always).
     */
@@ -85,7 +93,7 @@ object SimilarityOps {
     val t = Tables(spark, dir)
     val sigs = t.embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("sig", lshSignature(col("v")))
+      .withColumn("sig", lshSignature(col("v"), dim = embeddingDim(t.embeddings)))
     val a = sigs.select(col("vec_id"), col("sig"), col("v"))
     val b = sigs.select(col("vec_id").as("nbr_id"), col("sig"), col("v").as("nbr_v"))
     val pairs = a.join(b, Seq("sig")).filter(col("vec_id") =!= col("nbr_id"))
@@ -168,7 +176,8 @@ object SimilarityOps {
     val t = Tables(spark, dir)
     val sigs = t.embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("sig", lshSignature(col("v"), nPlanes = 8))
+      .withColumn("sig",
+        lshSignature(col("v"), nPlanes = 8, dim = embeddingDim(t.embeddings)))
     val b = sigs.select(col("vec_id").as("nbr_id"), col("sig"), col("v").as("nbr_v"))
     val dups = sigs.join(b, Seq("sig"))
       .filter(col("vec_id") < col("nbr_id"))

@@ -110,8 +110,9 @@ object TextOps {
   }
 
   /** Language-ID: deterministic stopword-profile scoring (n-gram heuristic
-    * class). Scores = marker-hit counts per language; argmax with
-    * alphabetical tie-break; 'und' when nothing matches.
+    * class). Scores = marker-hit counts per language; argmax, with ties
+    * resolved to the lexicographically LAST language code (array_max over
+    * (score, lang) structs); 'und' when nothing matches.
     */
   private val langMarkers: Seq[(String, String)] = Seq(
     "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein)\\b",
@@ -126,9 +127,7 @@ object TextOps {
         lit(lang).as("lang"))
     }
     // array_max on struct<score,lang> = lexicographic max → highest score,
-    // then lexicographically-last lang; invert lang order for a stable
-    // alphabetical-first tie-break is not needed for a heuristic — pin to
-    // struct ordering and document it.
+    // ties to the lexicographically-last lang (documented above)
     val best = array_max(array(scores: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }

@@ -34,10 +34,17 @@ object AsOfJoin {
     val lType = left.select(lStruct).schema.head.dataType
     val rType = right.select(rStruct).schema.head.dataType
 
+    val mType = new org.apache.spark.sql.types.StructType()
+      .add("ts", org.apache.spark.sql.types.TimestampType)
+      .add("r", rType)
     val l = left.select(col(key).as("__k"), col(ts).cast("timestamp").as("__ts"),
-      lit(1).as("__side"), lStruct.as("__l"), lit(null).cast(rType).as("__r"))
+      lit(1).as("__side"), lStruct.as("__l"), lit(null).cast(mType).as("__r"))
+    // the carried right payload includes its NORMALIZED event time: the
+    // tolerance check must compare like-scaled timestamps (re-casting a raw
+    // epoch-numeric ts column would be interpreted as seconds)
     val r = right.select(col(key).as("__k"), col(ts).cast("timestamp").as("__ts"),
-      lit(0).as("__side"), lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+      lit(0).as("__side"), lit(null).cast(lType).as("__l"),
+      struct(col(ts).cast("timestamp").as("ts"), rStruct.as("r")).as("__r"))
 
     val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -49,13 +56,13 @@ object AsOfJoin {
       case Some(tol) =>
         matched.withColumn("__m",
           when(col("__m").isNotNull &&
-            unix_millis(col("__ts")) - unix_millis(col(s"__m.$ts").cast("timestamp")) <= tol,
+            unix_millis(col("__ts")) - unix_millis(col("__m.ts")) <= tol,
             col("__m")))
       case None => matched
     }
 
     val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
-    val rightCols = right.columns.map(c => col(s"__m.$c").as(s"$rightPrefix$c"))
+    val rightCols = right.columns.map(c => col(s"__m.r.$c").as(s"$rightPrefix$c"))
     withTol.select((leftCols ++ rightCols).toSeq: _*)
   }
 }

@@ -32,16 +32,23 @@ object BagFormat {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.write(Magic)
+    // u16 length prefixes: writeShort silently truncates over 0xFFFF, which
+    // would corrupt the stream — reject at encode time
+    def checked(b: Array[Byte], what: String): Array[Byte] = {
+      require(b.length <= 0xffff, s"$what exceeds 65535 bytes (${b.length})")
+      b
+    }
     records.foreach { r =>
-      val t = r.topic.getBytes("UTF-8")
+      val t = checked(r.topic.getBytes("UTF-8"), "topic")
       out.writeShort(t.length)
       out.write(t)
       out.writeLong(r.rosbagTimestamp)
+      require(r.fields.size <= 0xffff, s"too many fields (${r.fields.size})")
       out.writeShort(r.fields.size)
       // sort for deterministic bytes
       r.fields.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        val kb = k.getBytes("UTF-8")
-        val vb = v.getBytes("UTF-8")
+        val kb = checked(k.getBytes("UTF-8"), s"field key '$k'")
+        val vb = checked(v.getBytes("UTF-8"), s"field value of '$k'")
         out.writeShort(kb.length); out.write(kb)
         out.writeShort(vb.length); out.write(vb)
       }
@@ -90,10 +97,23 @@ object BagFormat {
       new ByteArrayInputStream(bytes)))
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
     val header = new Array[Byte](512)
+    // a gzip stream may return short reads mid-stream: fill the 512-byte
+    // header block fully; only a clean EOF at a block boundary ends the tar
+    def readHeader(): Boolean = {
+      var off = 0
+      while (off < 512) {
+        val r = in.read(header, off, 512 - off)
+        if (r < 0) {
+          require(off == 0, "truncated tar header")
+          return false
+        }
+        off += r
+      }
+      true
+    }
     var done = false
     while (!done) {
-      val read = in.read(header, 0, 512)
-      if (read < 512 || header.forall(_ == 0)) done = true
+      if (!readHeader() || header.forall(_ == 0)) done = true
       else {
         val name = new String(header, 0, 100, "UTF-8").takeWhile(_ != 0)
         val size = java.lang.Long.parseLong(

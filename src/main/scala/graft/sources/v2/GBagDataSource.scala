@@ -1,6 +1,6 @@
 package graft.sources.v2
 
-import java.io.{ByteArrayInputStream, DataInputStream}
+import java.io.DataInputStream
 import java.util
 
 import scala.jdk.CollectionConverters._
@@ -37,8 +37,29 @@ class GBagDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GBagTable.fullSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new GBagTable(properties.get("path"))
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null,
+      "gbag requires exactly one path: spark.read.format(\"gbag\").load(dir)")
+    new GBagTable(path)
+  }
+}
+
+/** Hadoop Configuration is not Serializable; ship it to executors via its
+  * Writable form (the same trick as Spark's internal
+  * SerializableConfiguration, which is private[spark]).
+  */
+class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
 }
 
 object GBagTable {
@@ -111,22 +132,26 @@ class GBagScan(path: String, required: StructType,
       .map(f => GBagInputPartition(f.toString): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GBagReaderFactory(required, pushed)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // capture the Hadoop conf DRIVER-side: executors have no active session
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    new GBagReaderFactory(required, pushed, conf)
+  }
 }
 
-class GBagReaderFactory(required: StructType,
-    pushed: Array[sources.Filter]) extends PartitionReaderFactory {
+class GBagReaderFactory(required: StructType, pushed: Array[sources.Filter],
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GBagPartitionReader(partition.asInstanceOf[GBagInputPartition].file,
-      required, pushed)
+      required, pushed, conf)
 }
 
 /** Streams one bag file; decodes ONLY the projected columns and skips
   * records (cheap byte skips, no allocation) that fail pushed filters.
   */
 class GBagPartitionReader(file: String, required: StructType,
-    pushed: Array[sources.Filter] = Array.empty)
+    pushed: Array[sources.Filter], conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val needTopic = required.fieldNames.contains("topic")
@@ -157,15 +182,14 @@ class GBagPartitionReader(file: String, required: StructType,
   }
   private val hasFilters = pushed.nonEmpty
 
+  // true streaming: buffered sequential read straight off the filesystem —
+  // memory is O(record) regardless of bag size (no >2 GB array, no heap
+  // copy of the file)
   private val in: DataInputStream = {
     val p = new Path(file)
-    val fs = p.getFileSystem(
-      SparkSession.active.sessionState.newHadoopConf())
-    val len = fs.getFileStatus(p).getLen
-    val bytes = new Array[Byte](len.toInt)
-    val s = fs.open(p)
-    try s.readFully(0, bytes) finally s.close()
-    val d = new DataInputStream(new ByteArrayInputStream(bytes))
+    val fs = p.getFileSystem(conf.value)
+    val d = new DataInputStream(
+      new java.io.BufferedInputStream(fs.open(p), 1 << 20))
     val magic = new Array[Byte](BagFormat.Magic.length)
     d.readFully(magic)
     require(util.Arrays.equals(magic, BagFormat.Magic), s"not a GBAG file: $file")
@@ -174,16 +198,28 @@ class GBagPartitionReader(file: String, required: StructType,
 
   private var current: InternalRow = _
 
+  /** Reads the next record's topic length, or -1 at clean EOF (the only
+    * valid end position is a record boundary).
+    */
+  private def readTopicLenOrEof(): Int = {
+    val b0 = in.read()
+    if (b0 < 0) -1
+    else {
+      val b1 = in.read()
+      require(b1 >= 0, s"truncated GBAG record header in $file")
+      (b0 << 8) | b1
+    }
+  }
+
   override def next(): Boolean = {
     current = null
-    while (current == null && in.available() > 0) {
-      // topic: decode when projected OR filtered on; else skip bytes
-      val topicLen = in.readUnsignedShort()
+    var topicLen = readTopicLenOrEof()
+    while (current == null && topicLen >= 0) {
       var topicU: UTF8String = null
       if (needTopic || hasFilters) {
         val b = new Array[Byte](topicLen); in.readFully(b)
         topicU = UTF8String.fromBytes(b)
-      } else in.skipBytes(topicLen)
+      } else skipFully(topicLen)
       val ts = in.readLong()
       val keep = !hasFilters || (topicKeep(if (topicU == null) "" else topicU.toString) && tsKeep(ts))
       val n = in.readUnsignedShort()
@@ -197,18 +233,30 @@ class GBagPartitionReader(file: String, required: StructType,
           var i = 0
           while (i < n) { keys(i) = readUtf8(); vals(i) = readUtf8(); i += 1 }
           row.update(ordinals("fields"), ArrayBasedMapData(keys, vals))
-        } else {
-          var i = 0
-          while (i < 2 * n) { in.skipBytes(in.readUnsignedShort()); i += 1 }
-        }
+        } else skipFields(n)
         current = row
       } else {
         // rejected: skip the field bytes without decoding/allocating
-        var i = 0
-        while (i < 2 * n) { in.skipBytes(in.readUnsignedShort()); i += 1 }
+        skipFields(n)
+        topicLen = readTopicLenOrEof()
       }
     }
     current != null
+  }
+
+  private def skipFields(n: Int): Unit = {
+    var i = 0
+    while (i < 2 * n) { skipFully(in.readUnsignedShort()); i += 1 }
+  }
+
+  /** skipBytes may skip fewer than requested at buffer boundaries. */
+  private def skipFully(n: Int): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skipBytes(left)
+      require(s > 0, s"truncated GBAG record in $file")
+      left -= s
+    }
   }
 
   private def readUtf8(): UTF8String = {

@@ -20,6 +20,11 @@ class BagFormatSpec extends SparkSpec {
     assert(BagFormat.decode(BagFormat.encode(recs)).toSeq == recs)
   }
 
+  test("encode rejects values over the u16 length prefix") {
+    val big = BagRecord("/imu", 1L, Map("k" -> "x" * 70000))
+    intercept[IllegalArgumentException] { BagFormat.encode(Seq(big)) }
+  }
+
   test("decode rejects non-bag bytes") {
     intercept[IllegalArgumentException] {
       BagFormat.decode("not a bag at all".getBytes).toSeq

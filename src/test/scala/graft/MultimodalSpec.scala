@@ -28,6 +28,16 @@ class MultimodalSpec extends SparkSpec {
     assert(metas.head.getInt(0) == 20 && metas.head.getInt(1) == 10)
   }
 
+  test("metadata/feature UDFs are null-safe") {
+    val withNull = images.unionByName(
+      Seq((99L, null.asInstanceOf[Array[Byte]])).toDF("id", "content"))
+    val m = MultimodalOps.withImageMeta(withNull)
+    assert(m.filter(col("id") === 99).head().isNullAt(2))
+    assert(m.filter(col("image_meta").isNotNull).count() == 8)
+    val a = MultimodalOps.withAudioFeatures(withNull)
+    assert(a.filter(col("id") === 99).head().isNullAt(2))
+  }
+
   test("frame sampling keeps every nth frame") {
     val frames = (0 until 30).map(i => ("cam", i)).toDF("camera", "frame_index")
     val sampled = MultimodalOps.sampleFrames(frames, 5)

@@ -37,6 +37,19 @@ class OpsSpec extends SparkSpec {
     assert(tight.isNullAt(0))
   }
 
+  test("asof tolerance scales correctly for numeric-epoch ts columns") {
+    // ts as epoch SECONDS (long): cast long→timestamp treats values as
+    // seconds; toleranceMs must compare in the same normalized scale
+    val left = Seq((1L, "k", 1700000000L + 30)).toDF("id", "key", "ts")
+    val right = Seq((9L, "k", 1700000000L)).toDF("rid", "key", "ts")
+    val kept = AsOfJoin.asofJoin(left, right, "key", "ts",
+      toleranceMs = Some(60 * 1000L)).select("right_rid").head()
+    val dropped = AsOfJoin.asofJoin(left, right, "key", "ts",
+      toleranceMs = Some(10 * 1000L)).select("right_rid").head()
+    assert(kept.getLong(0) == 9L)   // 30s gap <= 60s tolerance
+    assert(dropped.isNullAt(0))     // 30s gap > 10s tolerance
+  }
+
   test("asof join emits exactly one row per left row") {
     val t = Tables(spark, SF)
     val clicks = t.events.filter(col("event_type") === "click")
