@@ -28,6 +28,91 @@ case class BagRecord(topic: String, rosbagTimestamp: Long, fields: Map[String, S
 object BagFormat {
   val Magic: Array[Byte] = "GBAG1".getBytes("UTF-8")
 
+  /** Optional trailing index magic. Layout of an indexed bag:
+    *
+    * {{{ GBAG1 [records...] [stride:i32][nOffsets:i32][offsets:i64×n] [footerBytes:i32] GIDX1 }}}
+    *
+    * `offsets(i)` = absolute byte position of record `i*stride`. The index
+    * lets the V2 source split ONE bag into byte-range partitions (a 100 GB
+    * recording is otherwise a single task); readers without index support
+    * still work — `decode` detects and excludes the footer.
+    */
+  val IndexMagic: Array[Byte] = "GIDX1".getBytes("UTF-8")
+
+  /** Byte length of the records region (excludes any index footer). */
+  def recordsEnd(bytes: Array[Byte]): Int = {
+    val n = bytes.length
+    val hasIdx = n >= Magic.length + IndexMagic.length + 4 &&
+      (0 until IndexMagic.length).forall(i =>
+        bytes(n - IndexMagic.length + i) == IndexMagic(i))
+    if (!hasIdx) n
+    else {
+      val fbOff = n - IndexMagic.length - 4
+      val footerBytes = ((bytes(fbOff) & 0xff) << 24) | ((bytes(fbOff + 1) & 0xff) << 16) |
+        ((bytes(fbOff + 2) & 0xff) << 8) | (bytes(fbOff + 3) & 0xff)
+      fbOff - footerBytes
+    }
+  }
+
+  /** Encode with a trailing offset index (one entry per `stride` records). */
+  def encodeIndexed(records: Seq[BagRecord], stride: Int = 1000): Array[Byte] = {
+    val body = encode(records)
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // recompute record offsets with a decoding pass over the body
+    val in = new DataInputStream(new ByteArrayInputStream(body))
+    in.skipBytes(Magic.length)
+    var pos = Magic.length.toLong
+    var i = 0
+    while (pos < body.length) {
+      if (i % stride == 0) offsets += pos
+      val topicLen = in.readUnsignedShort(); in.skipBytes(topicLen)
+      in.skipBytes(8)
+      val nf = in.readUnsignedShort()
+      var consumed = 2 + topicLen + 8 + 2
+      var f = 0
+      while (f < 2 * nf) {
+        val l = in.readUnsignedShort(); in.skipBytes(l); consumed += 2 + l; f += 1
+      }
+      pos += consumed
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.write(body)
+    out.writeInt(stride)
+    out.writeInt(offsets.length)
+    offsets.foreach(out.writeLong)
+    out.writeInt(4 + 4 + 8 * offsets.length) // footerBytes
+    out.write(IndexMagic)
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Read the index footer via ranged reads (no full-file scan): returns
+    * record-group offsets + the records-region end, or None if unindexed.
+    */
+  def readIndex(fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path,
+      fileLen: Long): Option[(Seq[Long], Long)] = {
+    if (fileLen < Magic.length + IndexMagic.length + 4) return None
+    val s = fs.open(p)
+    try {
+      val tail = new Array[Byte](IndexMagic.length + 4)
+      s.readFully(fileLen - tail.length, tail)
+      if (!(0 until IndexMagic.length).forall(i =>
+        tail(4 + i) == IndexMagic(i))) return None
+      val footerBytes = ((tail(0) & 0xff) << 24) | ((tail(1) & 0xff) << 16) |
+        ((tail(2) & 0xff) << 8) | (tail(3) & 0xff)
+      val footerStart = fileLen - tail.length - footerBytes
+      val footer = new Array[Byte](footerBytes)
+      s.readFully(footerStart, footer)
+      val din = new DataInputStream(new ByteArrayInputStream(footer))
+      din.readInt() // stride (not needed by the planner)
+      val n = din.readInt()
+      val offsets = (0 until n).map(_ => din.readLong())
+      Some((offsets, footerStart))
+    } finally s.close()
+  }
+
   def encode(records: Seq[BagRecord]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -62,10 +147,11 @@ object BagFormat {
     val magic = new Array[Byte](Magic.length)
     in.readFully(magic)
     require(java.util.Arrays.equals(magic, Magic), "not a GBAG file")
+    val end = recordsEnd(bytes) // exclude any trailing index footer
     new Iterator[BagRecord] {
       private var nextRec: BagRecord = advance()
       private def advance(): BagRecord =
-        if (in.available() == 0) null
+        if (bytes.length - in.available() >= end) null
         else {
           val topic = readStr()
           val ts = in.readLong()

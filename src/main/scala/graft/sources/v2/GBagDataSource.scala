@@ -111,7 +111,11 @@ class GBagScanBuilder(path: String)
   override def build(): Scan = new GBagScan(path, required, pushed)
 }
 
-case class GBagInputPartition(file: String) extends InputPartition
+/** start/end bound the byte range to read; start=-1 means "whole file from
+  * after the magic", end=-1 means "to the records end / EOF".
+  */
+case class GBagInputPartition(file: String, start: Long = -1L, end: Long = -1L)
+    extends InputPartition
 
 class GBagScan(path: String, required: StructType,
     pushed: Array[sources.Filter] = Array.empty) extends Scan with Batch {
@@ -121,15 +125,43 @@ class GBagScan(path: String, required: StructType,
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
   override def toBatch: Batch = this
 
+  /** One partition per file; files with an offset-index footer are further
+    * split into ~`splitSize` byte ranges at record-group boundaries — a
+    * single multi-GB bag parallelizes across the cluster instead of
+    * serializing into one task.
+    */
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
+    val splitSize = SparkSession.active.conf
+      .getOption("spark.graft.gbag.splitSizeBytes").map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val files =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq.map(_.getPath)
-      else Seq(p)
-    files.filter(_.getName.endsWith(".bag")).sortBy(_.toString)
-      .map(f => GBagInputPartition(f.toString): InputPartition).toArray
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
+    files.filter(_.getPath.getName.endsWith(".bag")).sortBy(_.getPath.toString)
+      .flatMap { st =>
+        val f = st.getPath
+        BagFormat.readIndex(fs, f, st.getLen) match {
+          case Some((offsets, recordsEnd)) =>
+            if (offsets.isEmpty) // indexed but empty: bounded no-op range
+              Seq(GBagInputPartition(f.toString, BagFormat.Magic.length.toLong,
+                recordsEnd): InputPartition)
+            else {
+              // group record-block offsets into ranges of >= splitSize bytes
+              val bounds = scala.collection.mutable.ArrayBuffer(offsets.head)
+              offsets.drop(1).foreach { o =>
+                if (o - bounds.last >= splitSize) bounds += o
+              }
+              val ends = bounds.drop(1) :+ recordsEnd
+              bounds.zip(ends).map { case (s, e) =>
+                GBagInputPartition(f.toString, s, e): InputPartition
+              }
+            }
+          case None => Seq(GBagInputPartition(f.toString): InputPartition)
+        }
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -143,16 +175,17 @@ class GBagScan(path: String, required: StructType,
 class GBagReaderFactory(required: StructType, pushed: Array[sources.Filter],
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GBagPartitionReader(partition.asInstanceOf[GBagInputPartition].file,
+    new GBagPartitionReader(partition.asInstanceOf[GBagInputPartition],
       required, pushed, conf)
 }
 
 /** Streams one bag file; decodes ONLY the projected columns and skips
   * records (cheap byte skips, no allocation) that fail pushed filters.
   */
-class GBagPartitionReader(file: String, required: StructType,
+class GBagPartitionReader(part: GBagInputPartition, required: StructType,
     pushed: Array[sources.Filter], conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
+  private val file = part.file
 
   private val needTopic = required.fieldNames.contains("topic")
   private val needTs = required.fieldNames.contains("rosbagTimestamp")
@@ -184,29 +217,43 @@ class GBagPartitionReader(file: String, required: StructType,
 
   // true streaming: buffered sequential read straight off the filesystem —
   // memory is O(record) regardless of bag size (no >2 GB array, no heap
-  // copy of the file)
+  // copy of the file). Byte-range partitions seek to their start and stop
+  // at their end (record-group boundaries from the index footer).
+  private var bytesConsumed: Long = 0L
+  private val rangeEnd: Long = part.end // -1 = until EOF/footer-magic guard
+
   private val in: DataInputStream = {
     val p = new Path(file)
     val fs = p.getFileSystem(conf.value)
-    val d = new DataInputStream(
-      new java.io.BufferedInputStream(fs.open(p), 1 << 20))
-    val magic = new Array[Byte](BagFormat.Magic.length)
-    d.readFully(magic)
-    require(util.Arrays.equals(magic, BagFormat.Magic), s"not a GBAG file: $file")
+    val raw = fs.open(p)
+    if (part.start >= 0) {
+      raw.seek(part.start)
+      bytesConsumed = part.start
+    }
+    val d = new DataInputStream(new java.io.BufferedInputStream(raw, 1 << 20))
+    if (part.start < 0) {
+      val magic = new Array[Byte](BagFormat.Magic.length)
+      d.readFully(magic)
+      require(util.Arrays.equals(magic, BagFormat.Magic), s"not a GBAG file: $file")
+      bytesConsumed = BagFormat.Magic.length
+    }
     d
   }
 
   private var current: InternalRow = _
 
-  /** Reads the next record's topic length, or -1 at clean EOF (the only
-    * valid end position is a record boundary).
+  /** Reads the next record's topic length, or -1 at the range end / clean
+    * EOF / start of an index footer (whose magic can only follow a record
+    * boundary).
     */
   private def readTopicLenOrEof(): Int = {
+    if (rangeEnd >= 0 && bytesConsumed >= rangeEnd) return -1
     val b0 = in.read()
     if (b0 < 0) -1
     else {
       val b1 = in.read()
       require(b1 >= 0, s"truncated GBAG record header in $file")
+      bytesConsumed += 2
       (b0 << 8) | b1
     }
   }
@@ -220,9 +267,11 @@ class GBagPartitionReader(file: String, required: StructType,
         val b = new Array[Byte](topicLen); in.readFully(b)
         topicU = UTF8String.fromBytes(b)
       } else skipFully(topicLen)
+      bytesConsumed += topicLen
       val ts = in.readLong()
       val keep = !hasFilters || (topicKeep(if (topicU == null) "" else topicU.toString) && tsKeep(ts))
       val n = in.readUnsignedShort()
+      bytesConsumed += 10
       if (keep) {
         val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
         if (needTopic) row.update(ordinals("topic"), topicU)
@@ -246,7 +295,12 @@ class GBagPartitionReader(file: String, required: StructType,
 
   private def skipFields(n: Int): Unit = {
     var i = 0
-    while (i < 2 * n) { skipFully(in.readUnsignedShort()); i += 1 }
+    while (i < 2 * n) {
+      val len = in.readUnsignedShort()
+      skipFully(len)
+      bytesConsumed += 2 + len
+      i += 1
+    }
   }
 
   /** skipBytes may skip fewer than requested at buffer boundaries. */
@@ -263,6 +317,7 @@ class GBagPartitionReader(file: String, required: StructType,
     val len = in.readUnsignedShort()
     val b = new Array[Byte](len)
     in.readFully(b)
+    bytesConsumed += 2 + len
     UTF8String.fromBytes(b)
   }
 

@@ -71,6 +71,32 @@ class GBagV2Spec extends SparkSpec {
     assert(f.count() == 3) // one record per file with seq=3
   }
 
+  test("indexed bag splits into byte-range partitions, results identical") {
+    val d = Files.createTempDirectory("gbagidx").toString
+    val recs = (0 until 5000).map(i =>
+      BagRecord(s"/t${i % 3}", 1700000000000000000L + i,
+        Map("x" -> s"$i.5", "seq" -> i.toString)))
+    Files.write(Paths.get(s"$d/big.bag"),
+      BagFormat.encodeIndexed(recs, stride = 100))
+    // v0 decode skips the footer
+    assert(BagFormat.decode(
+      Files.readAllBytes(Paths.get(s"$d/big.bag"))).toSeq == recs)
+    // tiny split size → many range partitions over the one file
+    spark.conf.set("spark.graft.gbag.splitSizeBytes", "8192")
+    try {
+      val df = spark.read.format("gbag").load(d)
+      assert(df.rdd.getNumPartitions > 4,
+        s"expected range splits, got ${df.rdd.getNumPartitions}")
+      assert(df.count() == 5000)
+      val back = df.selectExpr("topic", "rosbagTimestamp", "fields['seq'] AS seq")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(back == recs.map(r =>
+        (r.topic, r.rosbagTimestamp, r.fields("seq"))).toSet)
+      // pushdown composes with range splits
+      assert(df.filter(col("topic") === "/t1").count() == recs.count(_.topic == "/t1"))
+    } finally spark.conf.unset("spark.graft.gbag.splitSizeBytes")
+  }
+
   test("aggregate over v2 source matches bagInfo") {
     val v2info = spark.read.format("gbag").load(dir)
       .groupBy("topic").agg(count(lit(1)).as("n_messages"),
