@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S13: extension-filtered file sync (`service/app/engine.py:278-300`):
+  * upload only `.parquet/.png/.mp4/.info/.log`, preserving relative paths,
+  * under a prefix derived from the bag key minus `.bag` (P7). The
+  * reference loops serially; here listing + filtering is a DataFrame
+  * (predicate P3 as an `rlike`) and the copies run data-parallel via
+  * foreachPartition — and counting synced files is the A5 counter.
+  */
+object FileSync {
+  val DefaultExtensions: Seq[String] = Seq("parquet", "png", "mp4", "info", "log")
+
+  /** List `srcDir` recursively as a DataFrame of (path, relpath, length). */
+  def listFiles(spark: SparkSession, srcDir: String): DataFrame = {
+    import spark.implicits._
+    val base = new Path(srcDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(base, true)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val full = st.getPath.toString
+      val rel = full.stripPrefix(fs.makeQualified(base).toString).stripPrefix("/")
+      rows += ((full, rel, st.getLen))
+    }
+    rows.toSeq.toDF("path", "relpath", "length")
+  }
+
+  /** Sync matching files; returns the number copied (A5 counter). */
+  def syncFiltered(spark: SparkSession, srcDir: String, dstDir: String,
+      extensions: Seq[String] = DefaultExtensions): Long = {
+    val pattern = extensions.mkString("\\.(", "|", ")$")
+    val matched = listFiles(spark, srcDir).filter(col("relpath").rlike(pattern))
+    val confBroadcast = spark.sparkContext.broadcast(
+      new graft.sources.v2.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val dst = dstDir
+    val counter = spark.sparkContext.longAccumulator("synced_files")
+    matched.select("path", "relpath").rdd.foreachPartition { part =>
+      val conf = confBroadcast.value.value
+      part.foreach { row =>
+        val src = new Path(row.getString(0))
+        val out = new Path(dst, row.getString(1))
+        val srcFs = src.getFileSystem(conf)
+        val dstFs = out.getFileSystem(conf)
+        dstFs.mkdirs(out.getParent)
+        val in = srcFs.open(src)
+        val o = dstFs.create(out, true)
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) { o.write(buf, 0, n); n = in.read(buf) }
+        } finally { in.close(); o.close() }
+        counter.add(1)
+      }
+    }
+    counter.value
+  }
+}

@@ -96,6 +96,23 @@ class PipelineSpec extends SparkSpec {
     out.foreach(r => assert(Imaging.decodePng(r.getAs[Array[Byte]](0)) != null))
   }
 
+  test("S13 extension-filtered sync preserves relative paths, counts files") {
+    val src = java.nio.file.Files.createTempDirectory("sync-src")
+    val dst = java.nio.file.Files.createTempDirectory("sync-dst").toString
+    java.nio.file.Files.createDirectories(src.resolve("sub/deep"))
+    java.nio.file.Files.write(src.resolve("a.png"), Array[Byte](1, 2))
+    java.nio.file.Files.write(src.resolve("sub/b.parquet"), Array[Byte](3))
+    java.nio.file.Files.write(src.resolve("sub/deep/c.info"), Array[Byte](4))
+    java.nio.file.Files.write(src.resolve("skip.csv"), Array[Byte](5))
+    java.nio.file.Files.write(src.resolve("skip.bag"), Array[Byte](6))
+    val n = FileSync.syncFiltered(spark, src.toString, dst)
+    assert(n == 3)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dst, "a.png")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dst, "sub/b.parquet")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dst, "sub/deep/c.info")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst, "skip.csv")))
+  }
+
   test("St3 job-state transitions + sensor next-unprocessed") {
     val files = Seq("bags/a.bag", "bags/b.bag", "bags/c.bag").toDF("path")
     var state = JobState.empty(spark)
