@@ -62,6 +62,8 @@ object SparkEntry {
     "q38_sketches" -> (CoreQueries.q38Sketches _),
     "q39_rollup" -> (CoreQueries.q39Rollup _),
     "q40_intersect" -> (CoreQueries.q40Intersect _),
+    "q41_stats" -> (CoreQueries.q41Stats _),
+    "q42_collect" -> (CoreQueries.q42Collect _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -258,5 +260,17 @@ object SparkEntry {
       """SELECT o_custkey AS key FROM orders
         |INTERSECT SELECT c_custkey AS key FROM customer
         |ORDER BY key""".stripMargin,
+    "q41_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 6) AS sd_qty,
+        | round(var_samp(l_discount), 8) AS var_disc,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q42_collect" ->
+      """SELECT o_orderstatus,
+        | array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

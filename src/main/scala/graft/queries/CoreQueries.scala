@@ -316,6 +316,35 @@ object CoreQueries {
       .orderBy("key")
   }
 
+  /** Statistical aggregates (engine capability beyond reference parity):
+    * stddev/variance/correlation/covariance per group — one hash aggregate,
+    * moments merged associatively (partial-agg friendly at any scale).
+    */
+  def q41Stats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_discount")), 8).as("var_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Ordered distinct collect (array agg family): deterministic via
+    * array_sort so the result is oracle-comparable.
+    */
+  def q42Collect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .groupBy("o_orderstatus")
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), "|").as("priorities"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Sketch aggregates (SURVEY §2.4 "not present" row — engine capability):
     * HLL++ distinct counts and quantile sketches per group. At 100 TB these
     * replace exact distinct/percentile where a bounded error buys an

@@ -96,6 +96,57 @@ object EventStreaming {
       }
   }
 
+  case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long)
+
+  /** Custom sessionization via flatMapGroupsWithState + event-time timeout:
+    * unlike `session_window` (fixed gap semantics baked into the operator),
+    * the state function owns the policy — it closes a session when the gap
+    * exceeds `gapMs` and emits it, keeps the open tail in O(1) state, and
+    * relies on the watermark timeout to flush sessions whose users go
+    * silent. This is the arbitrary-stateful-logic escape hatch of SURVEY
+    * §2.9 done with bounded state.
+    */
+  def statefulSessions(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "2 hours"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // keep the WATERMARKED timestamp column itself through the projection —
+    // event-time timeout requires it to reach the stateful operator
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) { (uid, rows, state) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator(ClosedSession(uid, s.startMs, s.lastMs, s.n))
+        } else {
+          val sorted = rows.map(_._2.getTime).toArray.sorted
+          var open = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          sorted.foreach { t =>
+            open match {
+              case null => open = OpenSession(t, t, 1)
+              case s if t - s.lastMs <= gapMs =>
+                open = s.copy(lastMs = t, n = s.n + 1)
+              case s =>
+                closed += ClosedSession(uid, s.startMs, s.lastMs, s.n)
+                open = OpenSession(t, t, 1)
+            }
+          }
+          state.update(open)
+          state.setTimeoutTimestamp(open.lastMs + gapMs)
+          closed.iterator
+        }
+      }
+  }
+
   /** Drive a streaming DataFrame to completion against a memory sink and
     * return the materialized result (synchronous batch-driven streaming for
     * tests / verification).

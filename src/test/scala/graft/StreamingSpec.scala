@@ -131,6 +131,32 @@ class StreamingSpec extends SparkSpec {
     assert(finalRows == batchCounts.view.mapValues(_ * 2).toMap)
   }
 
+  test("flatMapGroupsWithState sessions agree with batch gaps-and-islands") {
+    val stream = EventStreaming.readEventStream(spark, eventsDir)
+    val got = EventStreaming.runToMemory(
+      EventStreaming.statefulSessions(stream).toDF(), "fmgs_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch twin: classic gaps-and-islands over the same data
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, SF).events
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+    val w = Window.partitionBy("user_id").orderBy("ts_ms")
+    val want = ev
+      .withColumn("new_sess",
+        when(col("ts_ms") - lag("ts_ms", 1).over(w) > 30 * 60 * 1000L, 1)
+          .otherwise(when(lag("ts_ms", 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("sess_id", sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_id")
+      .agg(min("ts_ms").as("s"), max("ts_ms").as("e"), count(lit(1)).as("n"))
+      .select("user_id", "s", "e", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // streaming emits only sessions closed by gap or timeout; every emitted
+    // one must be exactly a batch session, and most sessions should emerge
+    assert(got.subsetOf(want), s"emitted sessions not in batch set: ${(got -- want).take(3)}")
+    assert(got.size >= want.size / 2, s"only ${got.size} of ${want.size} sessions emitted")
+  }
+
   test("sessionization: sessions are disjoint and cover all events") {
     val stream = EventStreaming.readEventStream(spark, eventsDir)
     val sessions = EventStreaming.runToMemory(
