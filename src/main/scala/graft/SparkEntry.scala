@@ -250,6 +250,14 @@ object SparkEntry {
         |ORDER BY c.event_id""".stripMargin,
     "q37_zip_join" ->
       "SELECT event_id, event_type, value FROM events ORDER BY event_id",
+    // end-to-end oracle over the BINARY bag pipeline: events → GBAG encode →
+    // V2 scan/decode → bagInfo must equal the same aggregation computed
+    // directly over events (ns = µs × 1000 as encoded in qBagRoundtrip)
+    "q34_bag_roundtrip" ->
+      """SELECT printf('/topic%d', user_id % 4) AS topic, count(*) AS n_messages,
+        | CAST(min(epoch_us(ts)) * 1000 AS BIGINT) AS min_ts,
+        | CAST(max(epoch_us(ts)) * 1000 AS BIGINT) AS max_ts
+        |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
     "q39_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         | coalesce(l_linestatus, 'ALL') AS status,
