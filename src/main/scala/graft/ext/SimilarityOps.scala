@@ -132,7 +132,7 @@ object SimilarityOps {
       .withColumn("rk",
         row_number().over(Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))))
       .filter(col("rk") === 1)
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val dim = embeddingDim(embeddings)
     val meanAgg = (0 until dim).map(i =>
       avg(element_at(col("v"), i + 1)).as(s"c$i"))
     val cents = seedAssign.groupBy("cid")

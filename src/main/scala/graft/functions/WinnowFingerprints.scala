@@ -23,6 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * documents table ~5 s at sf0.1; this one-call-per-row loop is ~20×
   * cheaper and allocation-light. CodegenFallback is fine: the per-row cost
   * is the loop itself, not the call boundary.
+  *
+  * Unit of windowing: UTF-8 BYTES (locale-free, the standard choice for
+  * content fingerprinting). The HOF pipeline windows over CHARACTERS
+  * (substr), so the two agree exactly on ASCII text (asserted on the
+  * all-ASCII corpus in TextSpec) but diverge on multi-byte code points —
+  * byte-grams are the defined semantics.
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression with CodegenFallback {

@@ -25,10 +25,14 @@ object ZipJoin {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
-  /** Positional zip of two equally-ordered DataFrames. */
+  /** Positional zip of two equally-ordered DataFrames. Full-outer on the
+    * index: unequal lengths surface as null-padded rows (pandas
+    * concat(axis=1) semantics) instead of silently truncating to the
+    * shorter side.
+    */
   def zipJoin(a: DataFrame, b: DataFrame): DataFrame = {
     val ia = withRowIndex(a)
     val ib = withRowIndex(b)
-    ia.join(ib, "__row_idx").drop("__row_idx")
+    ia.join(ib, Seq("__row_idx"), "full_outer").drop("__row_idx")
   }
 }

@@ -83,8 +83,11 @@ object Imaging {
     */
   def annotate(labeled: DataFrame, content: String = "content"): DataFrame =
     labeled.withColumn("annotated",
-      drawUdf(col(content),
-        expr("transform(flatten(transform(labels, l -> l.Instances)), " +
-          "i -> struct(i.BoundingBox.Width, i.BoundingBox.Height, " +
-          "i.BoundingBox.Left, i.BoundingBox.Top))")))
+      // lazy CaseWhen: one corrupt/null frame or missing label array must
+      // not NPE the stage (same guard as MultimodalOps)
+      when(col(content).isNotNull && col("labels").isNotNull,
+        drawUdf(col(content),
+          expr("transform(flatten(transform(labels, l -> l.Instances)), " +
+            "i -> struct(i.BoundingBox.Width, i.BoundingBox.Height, " +
+            "i.BoundingBox.Left, i.BoundingBox.Top))"))))
 }

@@ -271,23 +271,25 @@ object CoreQueries {
       .orderBy("camera", "label")
   }
 
-  /** A3 wide view: pivot detections to one column per label + categorical
-    * counters (the DynamoDB wide item, processing.py:224-233, 272-282).
-    * Pivot values are pinned → single pass, deterministic schema.
+  /** A3 wide view: one column per label + categorical counters (the
+    * DynamoDB wide item, processing.py:224-233, 272-282) in a SINGLE
+    * aggregation pass — conditional max/sum per pinned label (a
+    * pivot + counters join would scan and shuffle the input twice; the
+    * pivot() operator itself is exercised by Detections.wide / q35).
     */
   def q19DetectionsPivot(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val labels = Seq("Person", "Bicycle", "Motorcycle", "Car", "Dog")
+    val maxCols = labels.map(l =>
+      round(max(when(col("label") === l, col("confidence"))), 2).as(l))
+    val counters = Seq(
+      sum(when(col("label") === "Person", col("n_instances")).otherwise(0L)).as("ped_count"),
+      sum(when(col("label") === "Bicycle", col("n_instances")).otherwise(0L)).as("bike_count"),
+      sum(when(col("label") === "Motorcycle", col("n_instances")).otherwise(0L)).as("motorbike_count"))
+    val aggs = maxCols ++ counters
     detectionsInput(t)
       .groupBy("camera")
-      .pivot("label", labels)
-      .agg(round(max("confidence"), 2))
-      .join(
-        detectionsInput(t).groupBy("camera").agg(
-          sum(when(col("label") === "Person", col("n_instances")).otherwise(0L)).as("ped_count"),
-          sum(when(col("label") === "Bicycle", col("n_instances")).otherwise(0L)).as("bike_count"),
-          sum(when(col("label") === "Motorcycle", col("n_instances")).otherwise(0L)).as("motorbike_count")),
-        Seq("camera"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy("camera")
   }
 

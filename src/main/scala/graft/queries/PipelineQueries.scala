@@ -24,25 +24,37 @@ object PipelineQueries {
   def qBagRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
-    val recs = t.events
+    val tmp = Files.createTempDirectory("gbag-q34")
+    tmp.toFile.deleteOnExit()
+    val outDir = tmp.toString
+    // DISTRIBUTED encode: repartition by topic, sort within partitions, and
+    // write one bag per (partition, topic) run on the executors — no
+    // driver-side collect (the encode scales with the events table).
+    t.events
       .select(
         format_string("/topic%d", col("user_id") % 4).as("topic"),
-        unix_micros(col("ts")).as("ts_us"),
+        (unix_micros(col("ts")) * 1000L).as("ts_ns"),
         col("event_id"), col("value"))
-      .collect()
-      .map(r => BagRecord(r.getString(0), r.getLong(1) * 1000L,
-        Map("event_id" -> r.getLong(2).toString, "value" -> r.getDouble(3).toString)))
-    val tmp = Files.createTempDirectory("gbag-q34")
-    recs.groupBy(_.topic).foreach { case (topic, rs) =>
-      Files.write(tmp.resolve(s"bag_${topic.stripPrefix("/")}.bag"),
-        BagFormat.encode(rs.sortBy(_.rosbagTimestamp).toSeq))
-    }
+      .repartition(col("topic"))
+      .sortWithinPartitions("topic", "ts_ns", "event_id")
+      .as[(String, Long, Long, Double)]
+      .foreachPartition { (rows: Iterator[(String, Long, Long, Double)]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        rows.toSeq.groupBy(_._1).foreach { case (topic, rs) =>
+          val recs = rs.map { case (tp, ts, id, v) =>
+            BagRecord(tp, ts, Map("event_id" -> id.toString, "value" -> v.toString))
+          }
+          Files.write(
+            java.nio.file.Paths.get(outDir,
+              s"bag_${topic.stripPrefix("/")}_p$pid.bag"),
+            BagFormat.encode(recs))
+        }
+      }
     // read back through the DataSource V2 reader (file-parallel partitions,
     // pruning pushed to the byte decoder); bagInfo only needs topic+ts, so
     // the field maps are never decoded.
-    import spark.implicits._
     BagFormat.bagInfo(
-      spark.read.format("gbag").load(tmp.toString)
+      spark.read.format("gbag").load(outDir)
         .as[graft.sources.BagRecord])
   }
 

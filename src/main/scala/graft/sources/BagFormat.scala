@@ -39,19 +39,39 @@ object BagFormat {
     */
   val IndexMagic: Array[Byte] = "GIDX1".getBytes("UTF-8")
 
+  /** Parse + validate a footer body; None when the bytes are not a
+    * plausible index (strictly increasing offsets starting at the magic,
+    * all inside the records region, consistent lengths). Guards against a
+    * record whose last field VALUE happens to end in the index magic —
+    * magic alone is not proof of a footer.
+    */
+  private def parseFooter(footer: Array[Byte], footerStart: Long): Option[Seq[Long]] = {
+    if (footer.length < 8 || (footer.length - 8) % 8 != 0) return None
+    val din = new DataInputStream(new ByteArrayInputStream(footer))
+    val stride = din.readInt()
+    val n = din.readInt()
+    if (stride <= 0 || n < 0 || footer.length != 8 + 8 * n) return None
+    val offsets = (0 until n).map(_ => din.readLong())
+    val ok = offsets.isEmpty || (offsets.head == Magic.length &&
+      offsets.forall(o => o >= Magic.length && o < footerStart) &&
+      offsets.lazyZip(offsets.drop(1)).forall(_ < _))
+    if (ok) Some(offsets) else None
+  }
+
   /** Byte length of the records region (excludes any index footer). */
   def recordsEnd(bytes: Array[Byte]): Int = {
     val n = bytes.length
-    val hasIdx = n >= Magic.length + IndexMagic.length + 4 &&
+    val hasMagic = n >= Magic.length + IndexMagic.length + 4 &&
       (0 until IndexMagic.length).forall(i =>
         bytes(n - IndexMagic.length + i) == IndexMagic(i))
-    if (!hasIdx) n
-    else {
-      val fbOff = n - IndexMagic.length - 4
-      val footerBytes = ((bytes(fbOff) & 0xff) << 24) | ((bytes(fbOff + 1) & 0xff) << 16) |
-        ((bytes(fbOff + 2) & 0xff) << 8) | (bytes(fbOff + 3) & 0xff)
-      fbOff - footerBytes
-    }
+    if (!hasMagic) return n
+    val fbOff = n - IndexMagic.length - 4
+    val footerBytes = ((bytes(fbOff) & 0xff) << 24) | ((bytes(fbOff + 1) & 0xff) << 16) |
+      ((bytes(fbOff + 2) & 0xff) << 8) | (bytes(fbOff + 3) & 0xff)
+    val footerStart = fbOff.toLong - footerBytes
+    if (footerBytes < 0 || footerStart < Magic.length) return n
+    val footer = java.util.Arrays.copyOfRange(bytes, footerStart.toInt, fbOff)
+    if (parseFooter(footer, footerStart).isDefined) footerStart.toInt else n
   }
 
   /** Encode with a trailing offset index (one entry per `stride` records). */
@@ -103,13 +123,10 @@ object BagFormat {
       val footerBytes = ((tail(0) & 0xff) << 24) | ((tail(1) & 0xff) << 16) |
         ((tail(2) & 0xff) << 8) | (tail(3) & 0xff)
       val footerStart = fileLen - tail.length - footerBytes
+      if (footerBytes < 0 || footerStart < Magic.length) return None
       val footer = new Array[Byte](footerBytes)
       s.readFully(footerStart, footer)
-      val din = new DataInputStream(new ByteArrayInputStream(footer))
-      din.readInt() // stride (not needed by the planner)
-      val n = din.readInt()
-      val offsets = (0 until n).map(_ => din.readLong())
-      Some((offsets, footerStart))
+      parseFooter(footer, footerStart).map(offsets => (offsets, footerStart))
     } finally s.close()
   }
 

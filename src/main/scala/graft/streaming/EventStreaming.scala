@@ -134,14 +134,20 @@ object EventStreaming {
             open match {
               case null => open = OpenSession(t, t, 1)
               case s if t - s.lastMs <= gapMs =>
-                open = s.copy(lastMs = t, n = s.n + 1)
+                // late (t < lastMs) events extend the count but must never
+                // move the session end backwards
+                open = s.copy(startMs = math.min(s.startMs, t),
+                  lastMs = math.max(s.lastMs, t), n = s.n + 1)
               case s =>
                 closed += ClosedSession(uid, s.startMs, s.lastMs, s.n)
                 open = OpenSession(t, t, 1)
             }
           }
           state.update(open)
-          state.setTimeoutTimestamp(open.lastMs + gapMs)
+          // clamp: a timeout at-or-before the current watermark throws and
+          // kills the query (possible when the whole batch was late data)
+          state.setTimeoutTimestamp(
+            math.max(open.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
           closed.iterator
         }
       }

@@ -25,6 +25,13 @@ class BagFormatSpec extends SparkSpec {
     intercept[IllegalArgumentException] { BagFormat.encode(Seq(big)) }
   }
 
+  test("a field value ending in the index magic is not mistaken for a footer") {
+    val sneaky = Seq(
+      BagRecord("/imu", 1L, Map("note" -> "payload that ends in GIDX1")),
+      BagRecord("/gps", 2L, Map("x" -> "GIDX1")))
+    assert(BagFormat.decode(BagFormat.encode(sneaky)).toSeq == sneaky)
+  }
+
   test("decode rejects non-bag bytes") {
     intercept[IllegalArgumentException] {
       BagFormat.decode("not a bag at all".getBytes).toSeq

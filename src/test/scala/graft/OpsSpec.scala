@@ -59,6 +59,14 @@ class OpsSpec extends SparkSpec {
     assert(joined.select("event_id").distinct().count() == n)
   }
 
+  test("zip join null-pads unequal lengths instead of truncating") {
+    val a = spark.range(0, 10).toDF("n")
+    val b = spark.range(0, 8).toDF("m")
+    val z = ZipJoin.zipJoin(a, b)
+    assert(z.count() == 10)
+    assert(z.filter(col("m").isNull).count() == 2)
+  }
+
   test("zip join aligns positionally across partitions") {
     val a = spark.range(0, 10000).toDF("n")
     val b = spark.range(0, 10000).select((col("id") * 2).as("dbl"))

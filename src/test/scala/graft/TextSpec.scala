@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
 class TextSpec extends SparkSpec {
   import spark.implicits._
 
+  // byte-grams (native) == char-grams (HOF) holds exactly on ASCII text —
+  // the corpus is all-ASCII; non-ASCII behavior is defined as byte-grams
+  // (see WinnowFingerprints scaladoc) and covered by the unicode test below
   test("native winnow expression equals the HOF pipeline on real docs") {
     val docs = Tables(spark, SF).documents.limit(100)
     val hof = TextOps.withWinnow(spark, docs, "text", "fp")
@@ -27,6 +30,18 @@ class TextSpec extends SparkSpec {
       .select(col("text"), WinnowFingerprints.winnow_fingerprints(col("text")).as("fp"))
       .collect()
     rows.foreach(r => assert(r.getSeq[Long](1).nonEmpty, s"'${r.getString(0)}' empty"))
+  }
+
+  test("unicode text fingerprints deterministically over utf-8 bytes") {
+    val rows = Seq("café déjà vu encore une fois", "深度学习模型的训练数据去重")
+      .toDF("text")
+      .select(WinnowFingerprints.winnow_fingerprints(col("text")).as("fp"))
+      .collect().map(_.getSeq[Long](0))
+    rows.foreach(fp => assert(fp.nonEmpty))
+    val again = Seq("café déjà vu encore une fois").toDF("text")
+      .select(WinnowFingerprints.winnow_fingerprints(col("text")).as("fp"))
+      .head().getSeq[Long](0)
+    assert(again == rows.head)
   }
 
   test("identical texts share fingerprints; shifted text overlaps") {
