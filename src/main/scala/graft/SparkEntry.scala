@@ -64,6 +64,7 @@ object SparkEntry {
     "q40_intersect" -> (CoreQueries.q40Intersect _),
     "q41_stats" -> (CoreQueries.q41Stats _),
     "q42_collect" -> (CoreQueries.q42Collect _),
+    "q43_range_join" -> (CoreQueries.q43RangeJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -280,5 +281,13 @@ object SparkEntry {
         | array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q43_range_join" ->
+      """WITH iv AS (
+        | SELECT DISTINCT date_trunc('day', ts) + INTERVAL 10 HOUR AS start,
+        |   date_trunc('day', ts) + INTERVAL 12 HOUR AS "end"
+        | FROM events)
+        |SELECT e.event_id, e.event_type, epoch_ms(iv.start) AS window_start_ms
+        |FROM events e JOIN iv ON e.ts >= iv.start AND e.ts < iv."end"
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

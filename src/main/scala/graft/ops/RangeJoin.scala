@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join (SURVEY §2.3 "not present" row — engine
+  * capability): match each point `p.ts` to intervals `[start, end)`.
+  *
+  * A naive implementation is a broadcast-nested-loop/cross join with an
+  * inequality condition — O(points × intervals), the classic 100 TB
+  * killer. The scale pattern here: quantize time into fixed buckets,
+  * explode each interval into the buckets it covers (sequence — bounded by
+  * interval length / bucket size), and equi-join points to interval-buckets
+  * on the bucket id before applying the exact containment filter. The
+  * shuffle is a plain hash join keyed by bucket; cost is proportional to
+  * points + Σ interval-spans, not their product.
+  */
+object RangeJoin {
+
+  /** `points` needs a `ts` timestamp column; `intervals` needs `start` and
+    * `end` timestamp columns. Returns points ⋈ containing intervals
+    * (inner). `bucketMs` should be ≥ the typical interval length so most
+    * intervals explode into ≤ 2 buckets.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      bucketMs: Long = 3600 * 1000L): DataFrame = {
+    val p = points.withColumn("__bucket", (unix_millis(col("ts")) / bucketMs).cast("long"))
+    val iv = intervals
+      .withColumn("__bucket",
+        explode(sequence(
+          (unix_millis(col("start")) / bucketMs).cast("long"),
+          // end is exclusive: the last covered bucket holds end-1ms
+          ((unix_millis(col("end")) - 1) / bucketMs).cast("long"))))
+    p.join(iv, Seq("__bucket"))
+      .filter(col("ts") >= col("start") && col("ts") < col("end"))
+      .drop("__bucket")
+  }
+}

@@ -318,6 +318,24 @@ object CoreQueries {
       .orderBy("key")
   }
 
+  /** Range join (q43): events matched into synthetic 2-hour daily windows
+    * [day+10h, day+12h) via the bucketed equi-join pattern of
+    * [[graft.ops.RangeJoin]]; oracle = DuckDB's plain inequality join.
+    */
+  def q43RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val points = t.events.select(col("event_id"), col("event_type"), col("ts"))
+    val intervals = t.events
+      .select(date_trunc("day", col("ts")).as("day")).distinct()
+      .select(
+        (col("day") + expr("INTERVAL 10 HOURS")).as("start"),
+        (col("day") + expr("INTERVAL 12 HOURS")).as("end"))
+    graft.ops.RangeJoin.pointInInterval(points, intervals)
+      .select(col("event_id"), col("event_type"),
+        unix_millis(col("start")).as("window_start_ms"))
+      .orderBy("event_id")
+  }
+
   /** Statistical aggregates (engine capability beyond reference parity):
     * stddev/variance/correlation/covariance per group — one hash aggregate,
     * moments merged associatively (partial-agg friendly at any scale).

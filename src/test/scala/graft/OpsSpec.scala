@@ -59,6 +59,21 @@ class OpsSpec extends SparkSpec {
     assert(joined.select("event_id").distinct().count() == n)
   }
 
+  test("range join equals the naive inequality join") {
+    import graft.ops.RangeJoin
+    val points = Tables(spark, SF).events.select(col("event_id"), col("ts"))
+    val intervals = Tables(spark, SF).events
+      .select(date_trunc("day", col("ts")).as("day")).distinct()
+      .select((col("day") + expr("INTERVAL 10 HOURS")).as("start"),
+        (col("day") + expr("INTERVAL 12 HOURS")).as("end"))
+    val bucketed = RangeJoin.pointInInterval(points, intervals)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val naive = points.join(intervals,
+      col("ts") >= col("start") && col("ts") < col("end"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(bucketed == naive && naive.nonEmpty)
+  }
+
   test("zip join null-pads unequal lengths instead of truncating") {
     val a = spark.range(0, 10).toDF("n")
     val b = spark.range(0, 8).toDF("m")
