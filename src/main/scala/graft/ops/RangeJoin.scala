@@ -24,13 +24,16 @@ object RangeJoin {
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       bucketMs: Long = 3600 * 1000L): DataFrame = {
-    val p = points.withColumn("__bucket", (unix_millis(col("ts")) / bucketMs).cast("long"))
+    // `div` = integer division: `/` would go through double and truncate,
+    // which can mis-bucket values sitting exactly on a bucket boundary
+    val p = points.withColumn("__bucket",
+      expr(s"unix_millis(ts) div ${bucketMs}L"))
     val iv = intervals
       .withColumn("__bucket",
         explode(sequence(
-          (unix_millis(col("start")) / bucketMs).cast("long"),
+          expr(s"unix_millis(start) div ${bucketMs}L"),
           // end is exclusive: the last covered bucket holds end-1ms
-          ((unix_millis(col("end")) - 1) / bucketMs).cast("long"))))
+          expr(s"(unix_millis(`end`) - 1) div ${bucketMs}L"))))
     p.join(iv, Seq("__bucket"))
       .filter(col("ts") >= col("start") && col("ts") < col("end"))
       .drop("__bucket")
