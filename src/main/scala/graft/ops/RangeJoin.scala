@@ -29,6 +29,10 @@ object RangeJoin {
     val p = points.withColumn("__bucket",
       expr(s"unix_millis(ts) div ${bucketMs}L"))
     val iv = intervals
+      // a malformed interval (end <= start) must not explode: sequence()
+      // with start > stop steps BACKWARDS, fabricating a bucket row for
+      // every bucket in between — the exact blowup this operator avoids
+      .filter(col("end") > col("start"))
       .withColumn("__bucket",
         explode(sequence(
           expr(s"unix_millis(start) div ${bucketMs}L"),

@@ -87,7 +87,11 @@ object Imaging {
       // not NPE the stage (same guard as MultimodalOps)
       when(col(content).isNotNull && col("labels").isNotNull,
         drawUdf(col(content),
-          expr("transform(flatten(transform(labels, l -> l.Instances)), " +
+          // filter null Instances BEFORE flatten: flatten returns NULL if
+          // any nested array is null, which would NPE the UDF
+          expr("transform(flatten(transform(" +
+            "filter(labels, l -> l IS NOT NULL AND l.Instances IS NOT NULL), " +
+            "l -> l.Instances)), " +
             "i -> struct(i.BoundingBox.Width, i.BoundingBox.Height, " +
             "i.BoundingBox.Left, i.BoundingBox.Top))"))))
 }

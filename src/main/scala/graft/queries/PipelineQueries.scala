@@ -24,12 +24,21 @@ object PipelineQueries {
   def qBagRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
-    val tmp = Files.createTempDirectory("gbag-q34")
-    tmp.toFile.deleteOnExit()
-    val outDir = tmp.toString
+    // fixed staging dir, wiped per run: bounded temp usage across repeated
+    // bench/verify invocations (deleteOnExit can't remove non-empty dirs).
+    // NOTE: a local path works because the harness is single-node; on a
+    // real cluster this would be a shared-FS URI — the write below already
+    // goes through the Hadoop FileSystem API, so only the path changes.
+    val outDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-q34-bags"
+    val hconf = new graft.sources.v2.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val rootFs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(hconf.value)
+    rootFs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    rootFs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
     // DISTRIBUTED encode: repartition by topic, sort within partitions, and
-    // write one bag per (partition, topic) run on the executors — no
-    // driver-side collect (the encode scales with the events table).
+    // stream each (partition, topic) run straight to its bag file — no
+    // driver collect and O(record) executor memory.
     t.events
       .select(
         format_string("/topic%d", col("user_id") % 4).as("topic"),
@@ -40,15 +49,26 @@ object PipelineQueries {
       .as[(String, Long, Long, Double)]
       .foreachPartition { (rows: Iterator[(String, Long, Long, Double)]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        rows.toSeq.groupBy(_._1).foreach { case (topic, rs) =>
-          val recs = rs.map { case (tp, ts, id, v) =>
-            BagRecord(tp, ts, Map("event_id" -> id.toString, "value" -> v.toString))
-          }
-          Files.write(
-            java.nio.file.Paths.get(outDir,
-              s"bag_${topic.stripPrefix("/")}_p$pid.bag"),
-            BagFormat.encode(recs))
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(hconf.value)
+        var curTopic: String = null
+        var out: java.io.DataOutputStream = null
+        def open(topic: String): Unit = {
+          out = new java.io.DataOutputStream(fs.create(
+            new org.apache.hadoop.fs.Path(outDir,
+              s"bag_${topic.stripPrefix("/")}_p$pid.bag"), true))
+          out.write(BagFormat.Magic)
         }
+        rows.foreach { case (tp, ts, id, v) =>
+          if (tp != curTopic) {
+            if (out != null) out.close()
+            open(tp); curTopic = tp
+          }
+          // stream one record at a time via the shared record writer
+          BagFormat.writeRecord(out,
+            BagRecord(tp, ts, Map("event_id" -> id.toString, "value" -> v.toString)))
+        }
+        if (out != null) out.close()
       }
     // read back through the DataSource V2 reader (file-parallel partitions,
     // pruning pushed to the byte decoder); bagInfo only needs topic+ts, so

@@ -130,32 +130,43 @@ object BagFormat {
     } finally s.close()
   }
 
+  // u16 length prefixes: writeShort silently truncates over 0xFFFF, which
+  // would corrupt the stream — reject at encode time
+  private def checked(b: Array[Byte], what: String): Array[Byte] = {
+    require(b.length <= 0xffff, s"$what exceeds 65535 bytes (${b.length})")
+    b
+  }
+
+  /** Write ONE record (no magic) — the streaming unit for executor-side
+    * sinks; memory is O(record).
+    */
+  def writeRecord(out: DataOutputStream, r: BagRecord): Unit = {
+    val t = checked(r.topic.getBytes("UTF-8"), "topic")
+    out.writeShort(t.length)
+    out.write(t)
+    out.writeLong(r.rosbagTimestamp)
+    require(r.fields.size <= 0xffff, s"too many fields (${r.fields.size})")
+    out.writeShort(r.fields.size)
+    // sort for deterministic bytes
+    r.fields.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val kb = checked(k.getBytes("UTF-8"), s"field key '$k'")
+      val vb = checked(v.getBytes("UTF-8"), s"field value of '$k'")
+      out.writeShort(kb.length); out.write(kb)
+      out.writeShort(vb.length); out.write(vb)
+    }
+  }
+
+  /** Streaming encode: magic + records written straight to `out`. */
+  def writeRecords(out: DataOutputStream, records: Iterator[BagRecord]): Unit = {
+    out.write(Magic)
+    records.foreach(writeRecord(out, _))
+    out.flush()
+  }
+
   def encode(records: Seq[BagRecord]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.write(Magic)
-    // u16 length prefixes: writeShort silently truncates over 0xFFFF, which
-    // would corrupt the stream — reject at encode time
-    def checked(b: Array[Byte], what: String): Array[Byte] = {
-      require(b.length <= 0xffff, s"$what exceeds 65535 bytes (${b.length})")
-      b
-    }
-    records.foreach { r =>
-      val t = checked(r.topic.getBytes("UTF-8"), "topic")
-      out.writeShort(t.length)
-      out.write(t)
-      out.writeLong(r.rosbagTimestamp)
-      require(r.fields.size <= 0xffff, s"too many fields (${r.fields.size})")
-      out.writeShort(r.fields.size)
-      // sort for deterministic bytes
-      r.fields.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        val kb = checked(k.getBytes("UTF-8"), s"field key '$k'")
-        val vb = checked(v.getBytes("UTF-8"), s"field value of '$k'")
-        out.writeShort(kb.length); out.write(kb)
-        out.writeShort(vb.length); out.write(vb)
-      }
-    }
-    out.flush()
+    writeRecords(out, records.iterator)
     bos.toByteArray
   }
 

@@ -128,21 +128,36 @@ object EventStreaming {
           Iterator(ClosedSession(uid, s.startMs, s.lastMs, s.n))
         } else {
           val sorted = rows.map(_._2.getTime).toArray.sorted
-          var open = state.getOption.orNull
+          val stateOpen = state.getOption.orNull
           val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-          sorted.foreach { t =>
-            open match {
-              case null => open = OpenSession(t, t, 1)
-              case s if t - s.lastMs <= gapMs =>
-                // late (t < lastMs) events extend the count but must never
-                // move the session end backwards
-                open = s.copy(startMs = math.min(s.startMs, t),
-                  lastMs = math.max(s.lastMs, t), n = s.n + 1)
-              case s =>
-                closed += ClosedSession(uid, s.startMs, s.lastMs, s.n)
-                open = OpenSession(t, t, 1)
-            }
+          // events older than gap before the open session can never merge
+          // with it — fold them into their own (immediately closed) past
+          // sessions instead of dragging the open session's start backwards
+          val boundary = if (stateOpen == null) Long.MinValue
+            else stateOpen.startMs - gapMs
+          val (ancient, recent) = sorted.partition(_ < boundary)
+          var open: OpenSession = null
+          def fold(t: Long): Unit = open match {
+            case null => open = OpenSession(t, t, 1)
+            case s if t - s.lastMs <= gapMs =>
+              open = s.copy(startMs = math.min(s.startMs, t),
+                lastMs = math.max(s.lastMs, t), n = s.n + 1)
+            case s =>
+              closed += ClosedSession(uid, s.startMs, s.lastMs, s.n)
+              open = OpenSession(t, t, 1)
           }
+          ancient.foreach(fold)
+          open match {
+            case null => open = stateOpen
+            case last if stateOpen != null &&
+                stateOpen.startMs - last.lastMs <= gapMs =>
+              // the newest past session chains into the open one
+              open = stateOpen.copy(startMs = last.startMs, n = stateOpen.n + last.n)
+            case last =>
+              closed += ClosedSession(uid, last.startMs, last.lastMs, last.n)
+              open = stateOpen
+          }
+          recent.foreach(fold)
           state.update(open)
           // clamp: a timeout at-or-before the current watermark throws and
           // kills the query (possible when the whole batch was late data)
