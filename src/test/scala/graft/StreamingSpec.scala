@@ -157,6 +157,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.size >= want.size / 2, s"only ${got.size} of ${want.size} sessions emitted")
   }
 
+  test("statefulSessions: late events form past sessions, never drag the open one") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("late-sessions")
+    val schema = Tables(spark, SF).events.schema
+    def writeBatch(name: String, minutes: Seq[Int], modTime: Long): Unit = {
+      val df = minutes.zipWithIndex.map { case (m, i) =>
+        (name.hashCode.toLong * 100 + i, // unique event ids
+          new java.sql.Timestamp(1700000000000L + m * 60000L),
+          1L, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val f = dir.resolve(s"$name.parquet")
+      df.coalesce(1).write.mode("overwrite").parquet(f.toString + ".d")
+      val part = new java.io.File(f.toString + ".d").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, f)
+      f.toFile.setLastModified(modTime) // file source processes in modTime order
+    }
+    writeBatch("a", Seq(100, 101), 1000000L)      // open session [100,101]
+    writeBatch("b", Seq(10), 2000000L)            // late: 10 < 100 - 30 → own session
+    val schemaDf = spark.readStream.schema(
+      spark.read.parquet(dir.resolve("a.parquet").toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val got = EventStreaming.runToMemory(
+      EventStreaming.statefulSessions(schemaDf, gapMs = 30 * 60000L).toDF(),
+      "late_sessions")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the ancient event must be emitted as its own single-event session;
+    // the open [100,101] session must NOT have been dragged back to 10
+    def tMin(m: Int): Long = 1700000000000L + m * 60000L
+    assert(got.contains((tMin(10), tMin(10), 1L)), s"got $got")
+    assert(!got.exists { case (s, e, _) => s == tMin(10) && e == tMin(101) },
+      s"open session dragged across the gap: $got")
+  }
+
   test("sessionization: sessions are disjoint and cover all events") {
     val stream = EventStreaming.readEventStream(spark, eventsDir)
     val sessions = EventStreaming.runToMemory(
