@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{DedupOps, SimilarityOps, TextOps}
+import graft.ext.{DedupOps, SamplingOps, SimilarityOps, TextOps}
 import graft.queries.{CoreQueries, PipelineQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -65,6 +65,8 @@ object SparkEntry {
     "q41_stats" -> (CoreQueries.q41Stats _),
     "q42_collect" -> (CoreQueries.q42Collect _),
     "q43_range_join" -> (CoreQueries.q43RangeJoin _),
+    "q44_uniform_sample" -> (SamplingOps.qUniformSample _),
+    "q45_stratified_sample" -> (SamplingOps.qStratifiedSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -281,6 +283,18 @@ object SparkEntry {
         | array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
         | count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q44_uniform_sample" ->
+      """SELECT * FROM (
+        | SELECT doc_id, lang, n_chars FROM documents
+        | ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+    "q45_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents)
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
     "q43_range_join" ->
       """WITH iv AS (
         | SELECT DISTINCT date_trunc('day', ts) + INTERVAL 10 HOUR AS start,

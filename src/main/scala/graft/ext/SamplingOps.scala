@@ -1,0 +1,54 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Deterministic distributed sampling for training-data pipelines.
+  *
+  * `df.sample()` is seed-dependent per partitioning and not reproducible
+  * across re-runs/re-partitions; the scalable reproducible primitive is
+  * HASH-RANK sampling: order by a content hash and take the bottom k.
+  *
+  *  - uniform: bottom-k over the whole table — planned as
+  *    TakeOrderedAndProject (per-partition top-k + merge of k·P rows),
+  *    never a full global sort.
+  *  - stratified: row_number over the hash order within each stratum —
+  *    one window shuffle keyed by the stratum.
+  *
+  * Both are pure functions of the data (same rows in → same sample out,
+  * on any cluster layout), which is what dataset reproducibility demands.
+  */
+object SamplingOps {
+
+  def hashRank(key: Column): Column = md5(key.cast("string"))
+
+  /** Deterministic uniform k-sample (bottom-k by hash of the key). */
+  def uniformSample(df: DataFrame, key: String, k: Int): DataFrame =
+    df.orderBy(hashRank(col(key)), col(key)).limit(k)
+
+  /** Deterministic stratified sample: k rows per stratum. */
+  def stratifiedSample(df: DataFrame, stratum: String, key: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(hashRank(col(key)), col(key))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** q44: uniform 100-doc sample (oracle: same hash order in DuckDB). */
+  def qUniformSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    uniformSample(t.documents.select("doc_id", "lang", "n_chars"), "doc_id", 100)
+      .orderBy("doc_id")
+  }
+
+  /** q45: stratified 10-per-language sample. */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    stratifiedSample(t.documents.select("doc_id", "lang"), "lang", "doc_id", 10)
+      .orderBy("doc_id")
+  }
+}
