@@ -3,56 +3,37 @@ package graft.tools
 import graft.{GraftSession, Tables}
 import org.apache.spark.sql.functions._
 
-/** Ad-hoc perf scratchpad. */
+/** Ad-hoc perf scratchpad: micro-benchmarks for plan-shape experiments.
+  * (Historical findings live in commit messages/NOTES.md: the
+  * distinct-agg × TypedImperative SortAggregate fallback and the IVF
+  * recall measurements were diagnosed here.)
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("scratch")
-    val t = Tables(spark, "/root/testdata/sf0.1")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val t = Tables(spark, sfDir)
     def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       f
       println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val li = t.lineitem
-    li.write.format("noop").mode("overwrite").save() // warm scan
-    time("hll only") {
-      li.groupBy("l_returnflag").agg(approx_count_distinct(col("l_orderkey"), 0.02))
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("countDistinct only") {
-      li.groupBy("l_returnflag").agg(countDistinct(col("l_orderkey")))
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("percentile only") {
-      li.groupBy("l_returnflag").agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)))
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("hll + countDistinct") {
-      li.groupBy("l_returnflag").agg(approx_count_distinct(col("l_orderkey"), 0.02),
-        countDistinct(col("l_orderkey")))
+    t.lineitem.write.format("noop").mode("overwrite").save() // warm scan
+    time("pricing summary") {
+      graft.queries.CoreQueries.q01PricingSummary(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }
     time("ivf recall") {
       import graft.ext.SimilarityOps
-      val exact = SimilarityOps.bruteForceTopK(t.embeddings, 8, 5).collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
-      val approx = SimilarityOps.ivfTopK(t.embeddings, 8, 5, 16, sys.env.getOrElse("NPROBE","4").toInt).collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
-      val rec = exact.keys.toSeq.map(q => (exact(q) intersect approx.getOrElse(q, Set.empty[Long])).size.toDouble / 5).sum / exact.size
+      val exact = SimilarityOps.bruteForceTopK(t.embeddings, 8, 5).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      val approx = SimilarityOps.ivfTopK(t.embeddings, 8, 5, 16,
+        sys.env.getOrElse("NPROBE", "4").toInt).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      val rec = exact.keys.toSeq.map(q =>
+        (exact(q) intersect approx.getOrElse(q, Set.empty[Long])).size.toDouble / 5)
+        .sum / exact.size
       println(f"[scratch] IVF recall@5 = $rec%.3f")
-      val base2 = t.embeddings.select(col("vec_id"), SimilarityOps.toDouble(col("embedding")).as("v")).withColumn("nrm", org.apache.spark.sql.functions.sqrt(SimilarityOps.dot(col("v"), col("v"))))
-      val seeds2 = base2.filter(col("vec_id") < 16).select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val sa = base2.crossJoin(broadcast(seeds2)).select(col("vec_id"), (SimilarityOps.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"), col("cid")).withColumn("rk", org.apache.spark.sql.functions.row_number().over(org.apache.spark.sql.expressions.Window.partitionBy("vec_id").orderBy(org.apache.spark.sql.functions.desc("ccos"), col("cid")))).filter(col("rk") === 1)
-      sa.groupBy("cid").count().orderBy(org.apache.spark.sql.functions.desc("count")).show(16)
-      println("[scratch] exact q0: " + exact(0L).toSeq.sorted.mkString(","))
-      println("[scratch] approx q0: " + approx(0L).toSeq.sorted.mkString(","))
-      SimilarityOps.ivfTopK(t.embeddings, 8, 5, 16, sys.env.getOrElse("NPROBE","4").toInt).filter(col("qid") === 0).show(10)
-      SimilarityOps.bruteForceTopK(t.embeddings, 8, 5).filter(col("qid") === 0).show(10)
-    }
-    time("all four") {
-      li.groupBy("l_returnflag").agg(approx_count_distinct(col("l_orderkey"), 0.02),
-        countDistinct(col("l_orderkey")),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)))
-        .write.format("noop").mode("overwrite").save()
     }
     spark.stop()
   }
