@@ -31,11 +31,13 @@ object SamplingOps {
   /** Deterministic stratified sample: k rows per stratum. */
   def stratifiedSample(df: DataFrame, stratum: String, key: String,
       k: Int): DataFrame = {
+    val rk = "__graft_sample_rk"
+    require(!df.columns.contains(rk), s"input already has a $rk column")
     val w = Window.partitionBy(col(stratum))
       .orderBy(hashRank(col(key)), col(key))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= k)
+      .drop(rk)
   }
 
   /** q44: uniform 100-doc sample (oracle: same hash order in DuckDB). */

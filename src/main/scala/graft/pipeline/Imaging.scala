@@ -87,11 +87,13 @@ object Imaging {
       // not NPE the stage (same guard as MultimodalOps)
       when(col(content).isNotNull && col("labels").isNotNull,
         drawUdf(col(content),
-          // filter null Instances BEFORE flatten: flatten returns NULL if
-          // any nested array is null, which would NPE the UDF
+          // null labels / null Instances arrays / null instance elements /
+          // null boxes are all filtered BEFORE the UDF (flatten returns
+          // NULL on any nested null array; a null box struct would NPE
+          // Row.getDouble)
           expr("transform(flatten(transform(" +
             "filter(labels, l -> l IS NOT NULL AND l.Instances IS NOT NULL), " +
-            "l -> l.Instances)), " +
+            "l -> filter(l.Instances, i -> i IS NOT NULL AND i.BoundingBox IS NOT NULL))), " +
             "i -> struct(i.BoundingBox.Width, i.BoundingBox.Height, " +
             "i.BoundingBox.Left, i.BoundingBox.Top))"))))
 }

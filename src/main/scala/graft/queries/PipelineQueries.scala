@@ -24,18 +24,22 @@ object PipelineQueries {
   def qBagRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
-    // fixed staging dir, wiped per run: bounded temp usage across repeated
-    // bench/verify invocations (deleteOnExit can't remove non-empty dirs).
-    // NOTE: a local path works because the harness is single-node; on a
-    // real cluster this would be a shared-FS URI — the write below already
-    // goes through the Hadoop FileSystem API, so only the path changes.
-    val outDir = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-q34-bags"
+    // unique staging dir per run (a fixed path would let concurrent
+    // Verify/Bench runs delete each other's files mid-read); recursively
+    // removed by a JVM shutdown hook — deleteOnExit can't remove non-empty
+    // dirs. NOTE: a local path works because the harness is single-node; on
+    // a real cluster this would be a shared-FS URI — the write below goes
+    // through the Hadoop FileSystem API, so only the path changes.
+    val tmp = Files.createTempDirectory("graft-q34-bags")
+    val outDir = tmp.toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }))
     val hconf = new graft.sources.v2.SerializableHadoopConf(
       spark.sessionState.newHadoopConf())
-    val rootFs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(hconf.value)
-    rootFs.delete(new org.apache.hadoop.fs.Path(outDir), true)
-    rootFs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
     // DISTRIBUTED encode: repartition by topic, sort within partitions, and
     // stream each (partition, topic) run straight to its bag file — no
     // driver collect and O(record) executor memory.

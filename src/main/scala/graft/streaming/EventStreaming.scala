@@ -127,37 +127,28 @@ object EventStreaming {
           state.remove()
           Iterator(ClosedSession(uid, s.startMs, s.lastMs, s.n))
         } else {
-          val sorted = rows.map(_._2.getTime).toArray.sorted
-          val stateOpen = state.getOption.orNull
+          // interval-merge over the sorted union of this batch's events and
+          // the open session: handles late events transitively (a late
+          // event within gap of BOTH an older late event and the open
+          // session bridges them into one), the property a fixed
+          // ancient/recent boundary cannot express. All merged sessions
+          // except the newest close immediately; the newest stays open.
+          // (Inherent state-model limit, documented: sessions CLOSED in
+          // earlier batches cannot retroactively merge.)
           val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-          // events older than gap before the open session can never merge
-          // with it — fold them into their own (immediately closed) past
-          // sessions instead of dragging the open session's start backwards
-          val boundary = if (stateOpen == null) Long.MinValue
-            else stateOpen.startMs - gapMs
-          val (ancient, recent) = sorted.partition(_ < boundary)
-          var open: OpenSession = null
-          def fold(t: Long): Unit = open match {
-            case null => open = OpenSession(t, t, 1)
-            case s if t - s.lastMs <= gapMs =>
-              open = s.copy(startMs = math.min(s.startMs, t),
-                lastMs = math.max(s.lastMs, t), n = s.n + 1)
-            case s =>
-              closed += ClosedSession(uid, s.startMs, s.lastMs, s.n)
-              open = OpenSession(t, t, 1)
+          val intervals =
+            (state.getOption.toList ++ rows.map(r => OpenSession(r._2.getTime, r._2.getTime, 1)))
+              .sortBy(s => (s.startMs, s.lastMs))
+          var open = intervals.head
+          intervals.tail.foreach { next =>
+            if (next.startMs - open.lastMs <= gapMs)
+              open = OpenSession(open.startMs,
+                math.max(open.lastMs, next.lastMs), open.n + next.n)
+            else {
+              closed += ClosedSession(uid, open.startMs, open.lastMs, open.n)
+              open = next
+            }
           }
-          ancient.foreach(fold)
-          open match {
-            case null => open = stateOpen
-            case last if stateOpen != null &&
-                stateOpen.startMs - last.lastMs <= gapMs =>
-              // the newest past session chains into the open one
-              open = stateOpen.copy(startMs = last.startMs, n = stateOpen.n + last.n)
-            case last =>
-              closed += ClosedSession(uid, last.startMs, last.lastMs, last.n)
-              open = stateOpen
-          }
-          recent.foreach(fold)
           state.update(open)
           // clamp: a timeout at-or-before the current watermark throws and
           // kills the query (possible when the whole batch was late data)

@@ -176,6 +176,10 @@ class StreamingSpec extends SparkSpec {
     }
     writeBatch("a", Seq(100, 101), 1000000L)      // open session [100,101]
     writeBatch("b", Seq(10), 2000000L)            // late: 10 < 100 - 30 → own session
+    // late events that CHAIN to the open session through each other
+    // (65→85 is 20min, 85→100 is 15min, both ≤ gap): must all merge into
+    // the open session, emitting nothing
+    writeBatch("c", Seq(65, 85), 3000000L)
     val schemaDf = spark.readStream.schema(
       spark.read.parquet(dir.resolve("a.parquet").toString).schema)
       .option("maxFilesPerTrigger", 1)
@@ -184,12 +188,11 @@ class StreamingSpec extends SparkSpec {
       EventStreaming.statefulSessions(schemaDf, gapMs = 30 * 60000L).toDF(),
       "late_sessions")
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    // the ancient event must be emitted as its own single-event session;
-    // the open [100,101] session must NOT have been dragged back to 10
+    // the ancient event (10') is its own emitted session; the chained late
+    // events (65', 85') merged silently into the open session — so exactly
+    // one closed session exists and nothing overlaps the open [65..101]
     def tMin(m: Int): Long = 1700000000000L + m * 60000L
-    assert(got.contains((tMin(10), tMin(10), 1L)), s"got $got")
-    assert(!got.exists { case (s, e, _) => s == tMin(10) && e == tMin(101) },
-      s"open session dragged across the gap: $got")
+    assert(got == Set((tMin(10), tMin(10), 1L)), s"got $got")
   }
 
   test("sessionization: sessions are disjoint and cover all events") {
