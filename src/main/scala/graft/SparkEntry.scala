@@ -67,6 +67,7 @@ object SparkEntry {
     "q43_range_join" -> (CoreQueries.q43RangeJoin _),
     "q44_uniform_sample" -> (SamplingOps.qUniformSample _),
     "q45_stratified_sample" -> (SamplingOps.qStratifiedSample _),
+    "q46_bigram_entropy" -> (TextOps.qBigramEntropy _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -288,6 +289,14 @@ object SparkEntry {
         | SELECT doc_id, lang, n_chars FROM documents
         | ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+    "q46_bigram_entropy" ->
+      """WITH idx AS (
+        | SELECT doc_id, text, unnest(range(1, length(text))) AS i FROM documents),
+        |bg AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bg FROM idx),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id,
+        | round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS bigram_entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q45_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         | SELECT doc_id, lang,

@@ -109,6 +109,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q46: character-bigram entropy per document — a standard LM-training
+    * quality signal (low entropy ⇒ repetitive/boilerplate text). Entropy =
+    * log2(N) − Σ c·log2(c)/N over bigram counts; explode + two hash
+    * aggregations, all partial-agg friendly.
+    */
+  def qBigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bigrams = t.documents
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"))
+          .as("bg"))
+    bigrams
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(
+        log2(sum("c")) - sum(col("c") * log2(col("c"))) / sum("c"), 6)
+        .as("bigram_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID: deterministic stopword-profile scoring (n-gram heuristic
     * class). Scores = marker-hit counts per language; argmax, with ties
     * resolved to the lexicographically LAST language code (array_max over
