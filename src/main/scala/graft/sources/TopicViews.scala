@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed per-topic views over the dynamic long-format bag table
+  * (SURVEY.md §1.2: "inferred at ingest, then pinned"). The reference
+  * infers a CSV header from the FIRST message and silently misaligns later
+  * ones (`service/app/bag_to_csv.py:125-136`); here a topic's schema is an
+  * explicit declaration and extraction is BY NAME from the fields map —
+  * missing fields become null instead of positionally shifting the row
+  * (the documented deliberate bug fix, SURVEY §7.4 risk 1).
+  */
+object TopicViews {
+
+  /** Reference topic schemas (FIXTURES.md A1). Flat column name → type;
+    * dotted names address nested message fields flattened by the encoder.
+    */
+  val ImuSchema: Seq[(String, DataType)] = Seq(
+    "orientation.x" -> DoubleType, "orientation.y" -> DoubleType,
+    "orientation.z" -> DoubleType, "orientation.w" -> DoubleType,
+    "angular_velocity.x" -> DoubleType, "angular_velocity.y" -> DoubleType,
+    "angular_velocity.z" -> DoubleType,
+    "linear_acceleration.x" -> DoubleType, "linear_acceleration.y" -> DoubleType,
+    "linear_acceleration.z" -> DoubleType)
+
+  val TfSchema: Seq[(String, DataType)] = Seq(
+    "frame_id" -> StringType, "child_frame_id" -> StringType,
+    "translation.x" -> DoubleType, "translation.y" -> DoubleType,
+    "translation.z" -> DoubleType,
+    "rotation.x" -> DoubleType, "rotation.y" -> DoubleType,
+    "rotation.z" -> DoubleType, "rotation.w" -> DoubleType)
+
+  val GpsSchema: Seq[(String, DataType)] = Seq(
+    "latitude" -> DoubleType, "longitude" -> DoubleType,
+    "altitude" -> DoubleType, "status" -> IntegerType)
+
+  /** Project the long-format records of one topic into a typed view:
+    * `rosbagTimestamp` + one typed column per declared field, extracted
+    * from the string map BY NAME and cast. Dotted field names become
+    * sanitized column names (`orientation.x` → `orientation_x`).
+    */
+  def topicView(records: DataFrame, topic: String,
+      schema: Seq[(String, DataType)]): DataFrame = {
+    val cols: Seq[Column] = col("rosbagTimestamp") +: schema.map { case (name, dt) =>
+      element_at(col("fields"), name).cast(dt).as(name.replace('.', '_'))
+    }
+    records.filter(col("topic") === topic).select(cols: _*)
+  }
+
+  def imu(records: DataFrame, topic: String = "/imu"): DataFrame =
+    topicView(records, topic, ImuSchema)
+  def tf(records: DataFrame, topic: String = "/tf"): DataFrame =
+    topicView(records, topic, TfSchema)
+  def gps(records: DataFrame, topic: String = "/gps"): DataFrame =
+    topicView(records, topic, GpsSchema)
+}

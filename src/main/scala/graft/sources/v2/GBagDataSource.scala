@@ -118,12 +118,32 @@ case class GBagInputPartition(file: String, start: Long = -1L, end: Long = -1L)
     extends InputPartition
 
 class GBagScan(path: String, required: StructType,
-    pushed: Array[sources.Filter] = Array.empty) extends Scan with Batch {
+    pushed: Array[sources.Filter] = Array.empty)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"GBagScan path=$path, ReadSchema: ${required.catalogString}, " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
   override def toBatch: Batch = this
+
+  /** Size statistics from the file listing — lets Catalyst/AQE make
+    * broadcast-join decisions for small bag tables instead of assuming the
+    * worst.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val totalBytes: Long = {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+        else Seq(fs.getFileStatus(p))
+      files.filter(_.getPath.getName.endsWith(".bag")).map(_.getLen).sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(totalBytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   /** One partition per file; files with an offset-index footer are further
     * split into ~`splitSize` byte ranges at record-group boundaries — a

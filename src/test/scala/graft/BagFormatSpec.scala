@@ -64,6 +64,33 @@ class BagFormatSpec extends SparkSpec {
     assert(!plan.contains("topic=gps"))
   }
 
+  test("typed topic view extracts by NAME; missing fields null, not shifted") {
+    import graft.sources.TopicViews
+    val recs = Seq(
+      BagRecord("/imu", 1L, Map("orientation.x" -> "0.5", "orientation.y" -> "0.25",
+        "orientation.z" -> "0", "orientation.w" -> "1",
+        "angular_velocity.x" -> "0.1", "angular_velocity.y" -> "0.2",
+        "angular_velocity.z" -> "0.3", "linear_acceleration.x" -> "9.8",
+        "linear_acceleration.y" -> "0", "linear_acceleration.z" -> "0")),
+      // second message MISSING orientation.y + extra unknown field — the
+      // reference's positional CSV flattening would shift every value
+      BagRecord("/imu", 2L, Map("orientation.x" -> "0.7", "orientation.z" -> "0.1",
+        "orientation.w" -> "0.9", "unknown.extra" -> "junk",
+        "linear_acceleration.x" -> "9.7")),
+      BagRecord("/gps", 3L, Map("latitude" -> "52.1", "longitude" -> "13.3")))
+    val dir = Files.createTempDirectory("typed").toString
+    Files.write(Paths.get(dir, "t.bag"), BagFormat.encode(recs))
+    val bag = spark.read.format("gbag").load(dir)
+    val imu = TopicViews.imu(bag).orderBy("rosbagTimestamp").collect()
+    assert(imu.length == 2)
+    assert(imu(0).getAs[Double]("orientation_y") == 0.25)
+    assert(imu(1).isNullAt(imu(1).fieldIndex("orientation_y"))) // null, not shifted
+    assert(imu(1).getAs[Double]("orientation_x") == 0.7)        // stays aligned
+    assert(imu(1).getAs[Double]("linear_acceleration_x") == 9.7)
+    val gps = TopicViews.gps(bag).collect()
+    assert(gps.length == 1 && gps.head.getAs[Double]("latitude") == 52.1)
+  }
+
   test("bagInfo = per-topic counts and time range") {
     val dir = Files.createTempDirectory("gbag3").toString
     Files.write(Paths.get(dir, "a.bag"), BagFormat.encode(sampleRecords(40)))
