@@ -68,6 +68,7 @@ object SparkEntry {
     "q44_uniform_sample" -> (SamplingOps.qUniformSample _),
     "q45_stratified_sample" -> (SamplingOps.qStratifiedSample _),
     "q46_bigram_entropy" -> (TextOps.qBigramEntropy _),
+    "q47_topic_view" -> (PipelineQueries.qTopicView _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -297,6 +298,12 @@ object SparkEntry {
         |SELECT doc_id,
         | round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS bigram_entropy
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // typed extraction from the binary bag container round-trips exactly:
+    // Double.toString / cast is value-preserving
+    "q47_topic_view" ->
+      """SELECT CAST(epoch_us(ts) * 1000 AS BIGINT) AS rosbagTimestamp,
+        | event_id, value
+        |FROM events WHERE user_id % 4 = 0 ORDER BY event_id""".stripMargin,
     "q45_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         | SELECT doc_id, lang,

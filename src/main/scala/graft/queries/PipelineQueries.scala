@@ -21,7 +21,10 @@ object PipelineQueries {
     * bucket), scan them back with the data-parallel binaryFile decode, and
     * run the `rosbag info` metadata query.
     */
-  def qBagRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+  /** Stage the events table as GBAG bags (distributed encode) and return
+    * the staging directory. Shared by q34/q47.
+    */
+  def stageBags(spark: SparkSession, dir: String): String = {
     import spark.implicits._
     val t = Tables(spark, dir)
     // unique staging dir per run (a fixed path would let concurrent
@@ -74,12 +77,32 @@ object PipelineQueries {
         }
         if (out != null) out.close()
       }
-    // read back through the DataSource V2 reader (file-parallel partitions,
-    // pruning pushed to the byte decoder); bagInfo only needs topic+ts, so
-    // the field maps are never decoded.
+    outDir
+  }
+
+  /** X1+S1+S7 end-to-end (oracle-checked): the staged bags read back
+    * through the DataSource V2 reader (file-parallel partitions, pruning
+    * pushed to the byte decoder — bagInfo only needs topic+ts, so the
+    * field maps are never decoded).
+    */
+  def qBagRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     BagFormat.bagInfo(
-      spark.read.format("gbag").load(outDir)
+      spark.read.format("gbag").load(stageBags(spark, dir))
         .as[graft.sources.BagRecord])
+  }
+
+  /** Typed per-topic view (oracle-checked): by-name extraction + cast from
+    * the dynamic fields map of one topic's records — the SURVEY §1.2
+    * "inferred then pinned" schema story, end to end through the binary
+    * container.
+    */
+  def qTopicView(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val bags = spark.read.format("gbag").load(stageBags(spark, dir))
+    graft.sources.TopicViews.topicView(bags, "/topic0",
+      Seq("event_id" -> LongType, "value" -> DoubleType))
+      .orderBy("event_id")
   }
 
   /** §3 entry points 1-3 composed on synthetic frames: number (W1) →
