@@ -69,6 +69,7 @@ object SparkEntry {
     "q45_stratified_sample" -> (SamplingOps.qStratifiedSample _),
     "q46_bigram_entropy" -> (TextOps.qBigramEntropy _),
     "q47_topic_view" -> (PipelineQueries.qTopicView _),
+    "q48_percentiles" -> (CoreQueries.q48Percentiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -311,6 +312,12 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         | FROM documents)
         |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+    "q48_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q43_range_join" ->
       """WITH iv AS (
         | SELECT DISTINCT date_trunc('day', ts) + INTERVAL 10 HOUR AS start,

@@ -365,6 +365,21 @@ object CoreQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Exact interpolated percentiles (q48): Spark `percentile` and DuckDB
+    * `quantile_cont` share the R-7 linear-interpolation definition, so the
+    * values match exactly (modulo rounding hedging).
+    */
+  def q48Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
   /** Sketch aggregates (SURVEY §2.4 "not present" row — engine capability):
     * HLL++ distinct counts and quantile sketches per group. At 100 TB these
     * replace exact distinct/percentile where a bounded error buys an
