@@ -117,6 +117,10 @@ object TextOps {
   def qBigramEntropy(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val bigrams = t.documents
+      // texts shorter than 2 chars have no bigrams: without this filter
+      // sequence(1, 0) would DESCEND ([1,0]) and fabricate bigram rows the
+      // DuckDB oracle (empty range) doesn't emit
+      .filter(length(col("text")) >= 2)
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"))
           .as("bg"))

@@ -17,10 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  /** X1+S1+S7 end-to-end: encode events as GBAG bag files (one per user
-    * bucket), scan them back with the data-parallel binaryFile decode, and
-    * run the `rosbag info` metadata query.
-    */
   /** Stage the events table as GBAG bags (distributed encode) and return
     * the staging directory. Shared by q34/q47.
     */

@@ -117,6 +117,11 @@ class GBagScanBuilder(path: String)
 case class GBagInputPartition(file: String, start: Long = -1L, end: Long = -1L)
     extends InputPartition
 
+object GBagScan {
+  /** Conservative decoded-row vs on-disk expansion for stats reporting. */
+  val RowExpansionFactor = 4L
+}
+
 class GBagScan(path: String, required: StructType,
     pushed: Array[sources.Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
@@ -126,20 +131,26 @@ class GBagScan(path: String, required: StructType,
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
   override def toBatch: Batch = this
 
+  private def listBagFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
+    files.filter(_.getPath.getName.endsWith(".bag")).sortBy(_.getPath.toString)
+  }
+
   /** Size statistics from the file listing — lets Catalyst/AQE make
     * broadcast-join decisions for small bag tables instead of assuming the
-    * worst.
+    * worst. On-disk bytes are multiplied by a conservative row-format
+    * expansion factor: decoded rows (GenericInternalRow + map data) are a
+    * multiple of the compact length-prefixed file bytes, and broadcast
+    * decisions must be made against IN-MEMORY size.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private lazy val totalBytes: Long = {
-      val conf = SparkSession.active.sessionState.newHadoopConf()
-      val p = new Path(path)
-      val fs = p.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-        else Seq(fs.getFileStatus(p))
-      files.filter(_.getPath.getName.endsWith(".bag")).map(_.getLen).sum
-    }
+    private lazy val totalBytes: Long =
+      listBagFiles().map(_.getLen).sum * GBagScan.RowExpansionFactor
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(totalBytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
@@ -155,12 +166,8 @@ class GBagScan(path: String, required: StructType,
     val splitSize = SparkSession.active.conf
       .getOption("spark.graft.gbag.splitSizeBytes").map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-      else Seq(fs.getFileStatus(p))
-    files.filter(_.getPath.getName.endsWith(".bag")).sortBy(_.getPath.toString)
+    val fs = new Path(path).getFileSystem(conf)
+    listBagFiles()
       .flatMap { st =>
         val f = st.getPath
         BagFormat.readIndex(fs, f, st.getLen) match {

@@ -91,6 +91,22 @@ class BagFormatSpec extends SparkSpec {
     assert(gps.length == 1 && gps.head.getAs[Double]("latitude") == 52.1)
   }
 
+  test("tf topic view extracts transform fields typed") {
+    import graft.sources.TopicViews
+    val recs = Seq(BagRecord("/tf", 5L, Map(
+      "frame_id" -> "map", "child_frame_id" -> "base_link",
+      "translation.x" -> "1.5", "translation.y" -> "-2.0", "translation.z" -> "0.1",
+      "rotation.x" -> "0", "rotation.y" -> "0", "rotation.z" -> "0.707",
+      "rotation.w" -> "0.707")))
+    val dir = Files.createTempDirectory("tfview").toString
+    Files.write(Paths.get(dir, "t.bag"), BagFormat.encode(recs))
+    val tf = TopicViews.tf(spark.read.format("gbag").load(dir)).head()
+    assert(tf.getAs[String]("frame_id") == "map")
+    assert(tf.getAs[String]("child_frame_id") == "base_link")
+    assert(tf.getAs[Double]("translation_y") == -2.0)
+    assert(tf.getAs[Double]("rotation_w") == 0.707)
+  }
+
   test("bagInfo = per-topic counts and time range") {
     val dir = Files.createTempDirectory("gbag3").toString
     Files.write(Paths.get(dir, "a.bag"), BagFormat.encode(sampleRecords(40)))
