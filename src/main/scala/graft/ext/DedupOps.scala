@@ -54,18 +54,31 @@ object DedupOps {
     exactDedup(t.documents).orderBy("keep_id")
   }
 
-  /** MinHash signatures: `numHashes` independent permutations approximated
-    * by seeded xxhash64; one explode + one groupBy (partial-agg friendly).
+  /** (doc_id, distinct-shingle array) — the ONE shared intermediate both
+    * MinHash signatures and exact-Jaccard verification derive from. Callers
+    * that use it twice in one plan should `.persist()` it (Spark recomputes
+    * shared subtrees per branch otherwise — the round-1 double-rescan);
+    * at 100 TB this is the intermediate you'd checkpoint to parquet.
+    */
+  def shingleSets(docs: DataFrame, shingleSize: Int): DataFrame =
+    withShingles(docs, "text", "__sh", shingleSize)
+      .select(col("doc_id"), array_distinct(col("__sh")).as("sh"))
+
+  /** MinHash signatures from a pre-staged shingle-set column: one explode +
+    * one groupBy with k independent min() aggregates (partial-agg friendly —
+    * the shuffle carries k longs per doc, not the shingles).
     * Output: (doc_id, h0..h{k-1}).
     */
-  def minHashSignatures(docs: DataFrame, numHashes: Int, shingleSize: Int): DataFrame = {
-    // distinct before explode: MinHash is set-semantics (min unaffected by
-    // multiplicity) and it cuts the exploded row count
-    val exploded = withShingles(docs, "text", "__sh", shingleSize)
-      .select(col("doc_id"), explode(array_distinct(col("__sh"))).as("shingle"))
+  def minHashSignaturesFromSets(sets: DataFrame, numHashes: Int): DataFrame = {
+    // distinct already applied in shingleSets: MinHash is set-semantics
+    // (min unaffected by multiplicity) and it cuts the exploded row count
+    val exploded = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
+
+  def minHashSignatures(docs: DataFrame, numHashes: Int, shingleSize: Int): DataFrame =
+    minHashSignaturesFromSets(shingleSets(docs, shingleSize), numHashes)
 
   /** LSH banding: signature rows → (doc_id, band, band_sig); candidates =
     * self-equi-join on (band, band_sig). rowsPerBand hashes per band,
@@ -101,9 +114,11 @@ object DedupOps {
   }
 
   /** Exact n-gram Jaccard verification over candidate pairs only. */
-  def jaccardVerify(docs: DataFrame, candidates: DataFrame, shingleSize: Int): DataFrame = {
-    val sets = withShingles(docs, "text", "__sh", shingleSize)
-      .select(col("doc_id"), array_distinct(col("__sh")).as("sh"))
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame, shingleSize: Int): DataFrame =
+    jaccardVerifyFromSets(shingleSets(docs, shingleSize), candidates)
+
+  /** Same, from a pre-staged (possibly persisted) shingle-set frame. */
+  def jaccardVerifyFromSets(sets: DataFrame, candidates: DataFrame): DataFrame = {
     candidates
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
@@ -120,8 +135,14 @@ object DedupOps {
   def minHashDedupAssign(docs: DataFrame, numHashes: Int = 15,
       rowsPerBand: Int = 3, shingleSize: Int = 2,
       threshold: Double = 0.6): DataFrame = {
-    val sigs = minHashSignatures(docs, numHashes, shingleSize)
-    val verified = jaccardVerify(docs, lshCandidates(sigs, numHashes, rowsPerBand), shingleSize)
+    // ONE shingle scan shared by the signature and verification branches
+    // (persisted: Spark recomputes shared subtrees per branch otherwise).
+    // Bounded: n_docs rows of shingle arrays; freed when the session's
+    // block manager evicts or the JVM exits.
+    val sets = shingleSets(docs, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minHashSignaturesFromSets(sets, numHashes)
+    val verified = jaccardVerifyFromSets(sets, lshCandidates(sigs, numHashes, rowsPerBand))
       .filter(col("jaccard") >= threshold)
     // undirected neighbor list (one hop of connected components — enough for
     // keep-first dedup of pairwise-similar groups)
@@ -159,15 +180,24 @@ object DedupOps {
   }
 
   /** q28: SimHash fingerprints + hamming distance to the previous doc_id (a
-    * cheap deterministic near-dup signal; rows-only check).
+    * cheap deterministic near-dup signal).
+    *
+    * Scale note: "previous" is doc_id-1 via a SELF-JOIN on the id, not a
+    * global `Window.orderBy` — an unpartitioned window moves every row to
+    * ONE partition (the round-1 scale-killer); the equi-join is an ordinary
+    * hash-partitioned shuffle that survives 100×. doc_ids are dense
+    * (0..n-1, the generator's row index), so join-on-id and lag-by-order
+    * agree; a doc with no predecessor reports -1.
     */
   def qSimHash(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-    simHash(t.documents)
-      .withColumn("hamming_prev",
-        when(lag("simhash", 1).over(w).isNull, lit(-1L))
-          .otherwise(bit_count(col("simhash").bitwiseXOR(lag("simhash", 1).over(w))).cast("long")))
+    val sh = simHash(t.documents)
+    val prev = sh.select((col("doc_id") + 1).as("doc_id"), col("simhash").as("prev_simhash"))
+    sh.join(prev, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        when(col("prev_simhash").isNull, lit(-1L))
+          .otherwise(bit_count(col("simhash").bitwiseXOR(col("prev_simhash"))).cast("long"))
+          .as("hamming_prev"))
       .orderBy("doc_id")
   }
 
@@ -177,8 +207,10 @@ object DedupOps {
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val docs = t.documents
-    val sigs = minHashSignatures(docs, 15, 2)
-    val verified = jaccardVerify(docs, lshCandidates(sigs, 15, 3), 2)
+    val sets = shingleSets(docs, 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minHashSignaturesFromSets(sets, 15)
+    val verified = jaccardVerifyFromSets(sets, lshCandidates(sigs, 15, 3))
     val sym = verified.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("jaccard"))
       .union(verified.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"), col("jaccard")))
     docs.select(col("doc_id"))
