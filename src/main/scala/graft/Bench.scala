@@ -26,7 +26,7 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name: $e")
           -1.0
-        }
+        } finally CacheRegistry.release() // each timed run pays its own caching
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }.toMap
@@ -34,7 +34,12 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries carry -1 sentinels; they must not DEDUCT from the total
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // raw stdout (build.sbt routes forked run output past sbt's [info]
+    // logger) AND a file — both driver-parseable.
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
     spark.stop()
   }
 }

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Tracks DataFrames that query builders `.persist()` so runners (Bench,
+  * Verify, tests, pipeline callers) can free the cached blocks once the
+  * query's action has materialized. Without this, each invocation
+  * re-persists a plan-identical frame and the CacheManager both warns
+  * ("already cached") and retains blocks until JVM exit.
+  */
+object CacheRegistry {
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` at MEMORY_AND_DISK and remember it for [[release]]. */
+  def persist(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    live.add(df)
+    df
+  }
+
+  /** Unpersist (non-blocking) everything registered since the last call. */
+  def release(): Unit = {
+    var df = live.poll()
+    while (df != null) {
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () } // session may already be stopped
+      df = live.poll()
+    }
+  }
+}

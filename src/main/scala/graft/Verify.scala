@@ -13,13 +13,18 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+          failed.add(name)
+          // a partially-written or stale dir from a previous run would be
+          // read by the driver as a false 'ok' — remove it
+          deleteRecursively(new java.io.File(s"$outDir/$name"))
+        } finally CacheRegistry.release()
       }
     }
     scala.concurrent.Await.result(
@@ -42,5 +47,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (!failed.isEmpty) {
+      System.err.println(s"[verify] FAILED queries: ${failed}")
+      sys.exit(1)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

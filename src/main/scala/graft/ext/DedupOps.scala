@@ -137,10 +137,8 @@ object DedupOps {
       threshold: Double = 0.6): DataFrame = {
     // ONE shingle scan shared by the signature and verification branches
     // (persisted: Spark recomputes shared subtrees per branch otherwise).
-    // Bounded: n_docs rows of shingle arrays; freed when the session's
-    // block manager evicts or the JVM exits.
-    val sets = shingleSets(docs, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Registered so runners free the blocks after materialization.
+    val sets = graft.CacheRegistry.persist(shingleSets(docs, shingleSize))
     val sigs = minHashSignaturesFromSets(sets, numHashes)
     val verified = jaccardVerifyFromSets(sets, lshCandidates(sigs, numHashes, rowsPerBand))
       .filter(col("jaccard") >= threshold)
@@ -182,18 +180,34 @@ object DedupOps {
   /** q28: SimHash fingerprints + hamming distance to the previous doc_id (a
     * cheap deterministic near-dup signal).
     *
-    * Scale note: "previous" is doc_id-1 via a SELF-JOIN on the id, not a
-    * global `Window.orderBy` — an unpartitioned window moves every row to
-    * ONE partition (the round-1 scale-killer); the equi-join is an ordinary
-    * hash-partitioned shuffle that survives 100×. doc_ids are dense
-    * (0..n-1, the generator's row index), so join-on-id and lag-by-order
-    * agree; a doc with no predecessor reports -1.
+    * Scale note: "previous" is doc_id-1, but NOT via a global
+    * `Window.orderBy` (moves every row to ONE partition — the round-1
+    * scale-killer) and NOT via a self-join of the aggregate (Spark
+    * recomputes shared subtrees per join branch — the round-2 regression
+    * that doubled the token aggregation). Instead each fingerprint is
+    * fanned to two rows — its own id and its successor's — and one more
+    * hash-partitioned groupBy reassembles (self, prev) pairs: the
+    * expensive token aggregate runs ONCE and the extra shuffle carries 2
+    * longs per doc. doc_ids are dense (0..n-1, the generator's row index),
+    * so id-arithmetic and lag-by-order agree; a doc with no predecessor
+    * (id gaps included) reports -1. Duplicate ids would collapse into one
+    * row here rather than fan out as a join would.
     */
   def qSimHash(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val sh = simHash(t.documents)
-    val prev = sh.select((col("doc_id") + 1).as("doc_id"), col("simhash").as("prev_simhash"))
-    sh.join(prev, Seq("doc_id"), "left")
+    val fanned = sh.select(explode(array(
+        struct(col("doc_id"), lit(0).as("role"), col("simhash")),
+        struct((col("doc_id") + 1).as("doc_id"), lit(1).as("role"), col("simhash"))
+      )).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.role").as("role"),
+        col("r.simhash").as("sh"))
+    fanned.groupBy("doc_id")
+      .agg(
+        max(when(col("role") === 0, col("sh"))).as("simhash"),
+        max(when(col("role") === 1, col("sh"))).as("prev_simhash"))
+      // the fan row addressed to max(doc_id)+1 has no self fingerprint
+      .filter(col("simhash").isNotNull)
       .select(col("doc_id"), col("simhash"),
         when(col("prev_simhash").isNull, lit(-1L))
           .otherwise(bit_count(col("simhash").bitwiseXOR(col("prev_simhash"))).cast("long"))
@@ -207,8 +221,7 @@ object DedupOps {
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val docs = t.documents
-    val sets = shingleSets(docs, 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = graft.CacheRegistry.persist(shingleSets(docs, 2))
     val sigs = minHashSignaturesFromSets(sets, 15)
     val verified = jaccardVerifyFromSets(sets, lshCandidates(sigs, 15, 3))
     val sym = verified.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("jaccard"))

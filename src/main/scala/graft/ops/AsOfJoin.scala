@@ -38,15 +38,20 @@ object AsOfJoin {
       .add("ts", org.apache.spark.sql.types.TimestampType)
       .add("r", rType)
     val l = left.select(col(key).as("__k"), col(ts).cast("timestamp").as("__ts"),
-      lit(1).as("__side"), lStruct.as("__l"), lit(null).cast(mType).as("__r"))
+      lit(1).as("__side"), lit(0L).as("__tie"), lStruct.as("__l"),
+      lit(null).cast(mType).as("__r"))
     // the carried right payload includes its NORMALIZED event time: the
     // tolerance check must compare like-scaled timestamps (re-casting a raw
-    // epoch-numeric ts column would be interpreted as seconds)
+    // epoch-numeric ts column would be interpreted as seconds).
+    // __tie: duplicate right timestamps on one key would otherwise leave
+    // `last()` free to pick whichever sorted last — a deterministic
+    // payload-hash tiebreak pins the winner (ties between IDENTICAL
+    // payloads remain, harmlessly).
     val r = right.select(col(key).as("__k"), col(ts).cast("timestamp").as("__ts"),
-      lit(0).as("__side"), lit(null).cast(lType).as("__l"),
+      lit(0).as("__side"), xxhash64(rStruct).as("__tie"), lit(null).cast(lType).as("__l"),
       struct(col(ts).cast("timestamp").as("ts"), rStruct.as("r")).as("__r"))
 
-    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = l.unionByName(r)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

@@ -17,6 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** One JVM-wide shutdown hook deleting every staging dir registered —
+    * per-invocation `addShutdownHook` calls would accumulate a thread per
+    * query run for the life of the JVM.
+    */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      tempDirs.asScala.foreach { tmp =>
+        try Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+        catch { case _: Throwable => () }
+      }
+    }))
+  private def registerTempDir(tmp: java.nio.file.Path): Unit = {
+    cleanupHook
+    tempDirs.add(tmp): Unit
+  }
+
   /** Stage the events table as GBAG bags (distributed encode) and return
     * the staging directory. Shared by q34/q47.
     */
@@ -25,29 +45,32 @@ object PipelineQueries {
     val t = Tables(spark, dir)
     // unique staging dir per run (a fixed path would let concurrent
     // Verify/Bench runs delete each other's files mid-read); recursively
-    // removed by a JVM shutdown hook — deleteOnExit can't remove non-empty
-    // dirs. NOTE: a local path works because the harness is single-node; on
-    // a real cluster this would be a shared-FS URI — the write below goes
-    // through the Hadoop FileSystem API, so only the path changes.
+    // removed by the shared JVM shutdown hook — deleteOnExit can't remove
+    // non-empty dirs. NOTE: a local path works because the harness is
+    // single-node; on a real cluster this would be a shared-FS URI — the
+    // write below goes through the Hadoop FileSystem API, so only the path
+    // changes.
     val tmp = Files.createTempDirectory("graft-q34-bags")
     val outDir = tmp.toString
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }))
+    registerTempDir(tmp)
     val hconf = new graft.sources.v2.SerializableHadoopConf(
       spark.sessionState.newHadoopConf())
-    // DISTRIBUTED encode: repartition by topic, sort within partitions, and
-    // stream each (partition, topic) run straight to its bag file — no
-    // driver collect and O(record) executor memory.
+    // DISTRIBUTED encode: repartition by (topic, salt), sort within
+    // partitions, and stream each (partition, topic) run straight to its
+    // bag file — no driver collect and O(record) executor memory. The salt
+    // matters at scale: repartitioning by topic alone caps encode
+    // parallelism at the TOPIC COUNT (4 here), which does not grow with
+    // data volume; salting by a hash of the row key gives
+    // topics × saltBuckets independent encode tasks, and the reader
+    // already handles many files per topic.
+    val saltBuckets = spark.conf
+      .getOption("spark.graft.stage.saltBuckets").map(_.toInt).getOrElse(8)
     t.events
       .select(
         format_string("/topic%d", col("user_id") % 4).as("topic"),
         (unix_micros(col("ts")) * 1000L).as("ts_ns"),
         col("event_id"), col("value"))
-      .repartition(col("topic"))
+      .repartition(col("topic"), pmod(xxhash64(col("event_id")), lit(saltBuckets.toLong)))
       .sortWithinPartitions("topic", "ts_ns", "event_id")
       .as[(String, Long, Long, Double)]
       .foreachPartition { (rows: Iterator[(String, Long, Long, Double)]) =>

@@ -34,6 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GBagDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "gbag"
+  // a caller MAY pass .schema(...) — validated in getTable below
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GBagTable.fullSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -41,7 +43,17 @@ class GBagDataSource extends TableProvider with DataSourceRegister {
     val path = properties.get("path")
     require(path != null,
       "gbag requires exactly one path: spark.read.format(\"gbag\").load(dir)")
-    new GBagTable(path)
+    // honor a caller-provided schema (e.g. .schema(...) before .load) as
+    // long as every field is one the decoder can produce; silently
+    // substituting the full schema would return columns the user never
+    // asked for (and mis-bind ordinals downstream)
+    schema.fields.foreach { f =>
+      val ref = GBagTable.fullSchema.fields.find(_.name == f.name)
+      require(ref.exists(_.dataType == f.dataType),
+        s"gbag: unsupported schema field '${f.name}: ${f.dataType.simpleString}'; " +
+          s"available: ${GBagTable.fullSchema.catalogString}")
+    }
+    new GBagTable(path, schema)
   }
 }
 
@@ -69,19 +81,20 @@ object GBagTable {
     StructField("fields", MapType(StringType, StringType, valueContainsNull = false))))
 }
 
-class GBagTable(path: String) extends Table with SupportsRead {
+class GBagTable(path: String, tableSchema: StructType = GBagTable.fullSchema)
+    extends Table with SupportsRead {
   override def name(): String = s"gbag($path)"
-  override def schema(): StructType = GBagTable.fullSchema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GBagScanBuilder(path)
+    new GBagScanBuilder(path, tableSchema)
 }
 
-class GBagScanBuilder(path: String)
+class GBagScanBuilder(path: String, tableSchema: StructType = GBagTable.fullSchema)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
-  private var required: StructType = GBagTable.fullSchema
+  private var required: StructType = tableSchema
   private var pushed: Array[sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =

@@ -64,7 +64,7 @@ object EventStreaming {
       .select(unix_millis(col("w.start")).as("session_start_ms"),
         col("user_id"), col("n_events"), col("sum_value"))
 
-  case class UserState(nEvents: Long, lastTsMs: Long, maxGapMs: Long)
+  case class UserState(nEvents: Long, firstTsMs: Long, lastTsMs: Long, maxGapMs: Long)
   case class UserSummary(user_id: Long, n_events: Long, max_gap_ms: Long)
 
   /** Custom keyed state via mapGroupsWithState (SURVEY §2.8 / the
@@ -72,6 +72,14 @@ object EventStreaming {
     * max inter-event gap, carried across micro-batches. State is O(1) per
     * key — the 100 TB-safe shape for arbitrary stateful logic that
     * windows/aggregations can't express.
+    *
+    * Late-data semantics (O(1) state can't keep every timestamp): the
+    * state carries the seen span [firstTs, lastTs]. Events at/after
+    * lastTs chain forward with exact gaps; late events at/before firstTs
+    * chain BACKWARD with exact gaps (never regressing lastTs, never
+    * fabricating a span-crossing gap); events strictly inside the span
+    * only split an existing gap — they can never enlarge the max — so
+    * they update the count alone (maxGap stays an upper bound).
     */
   def statefulUserSummary(events: DataFrame): Dataset[UserSummary] = {
     val spark = events.sparkSession
@@ -81,17 +89,31 @@ object EventStreaming {
       .groupByKey(_._1)
       .mapGroupsWithState[UserState, UserSummary](GroupStateTimeout.NoTimeout) {
         case (uid, rows, state) =>
-          val sorted = rows.map(_._2).toArray.sorted
-          val prev = state.getOption.getOrElse(UserState(0L, -1L, 0L))
+          val batch = rows.map(_._2).toArray.sorted
+          val prev = state.getOption.getOrElse(UserState(0L, -1L, -1L, 0L))
+          var first = prev.firstTsMs
           var last = prev.lastTsMs
           var maxGap = prev.maxGapMs
-          var n = prev.nEvents
-          sorted.foreach { t =>
-            if (last >= 0) maxGap = math.max(maxGap, t - last)
-            last = t
-            n += 1
+          val start = if (first < 0 && batch.nonEmpty) {
+            first = batch.head; last = batch.head; 1
+          } else 0
+          // walk the pre-span events downward from first (exact backward
+          // gaps), the post-span events upward from last (exact forward
+          // gaps); interior events are counted only
+          var i = batch.length - 1
+          while (i >= start && batch(i) >= last) { i -= 1 } // find span start
+          var j = i
+          while (j >= start && batch(j) > first) { j -= 1 } // interior bound
+          var k = j
+          while (k >= start) { // <= first, descending
+            maxGap = math.max(maxGap, first - batch(k)); first = batch(k); k -= 1
           }
-          state.update(UserState(n, last, maxGap))
+          k = i + 1
+          while (k < batch.length) { // >= last, ascending
+            maxGap = math.max(maxGap, batch(k) - last); last = batch(k); k += 1
+          }
+          val n = prev.nEvents + batch.length
+          state.update(UserState(n, first, last, maxGap))
           UserSummary(uid, n, maxGap)
       }
   }

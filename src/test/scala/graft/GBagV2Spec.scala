@@ -97,6 +97,21 @@ class GBagV2Spec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.gbag.splitSizeBytes")
   }
 
+  test("caller-provided schema is honored; unknown fields rejected") {
+    import org.apache.spark.sql.types._
+    val user = StructType(Seq(
+      StructField("topic", StringType),
+      StructField("rosbagTimestamp", LongType)))
+    val df = spark.read.format("gbag").schema(user).load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("topic", "rosbagTimestamp"))
+    assert(df.count() == 300)
+    val bad = StructType(Seq(StructField("nope", StringType)))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("gbag").schema(bad).load(dir).count()
+    }
+    assert(e.getMessage.contains("unsupported schema field"))
+  }
+
   test("aggregate over v2 source matches bagInfo") {
     val v2info = spark.read.format("gbag").load(dir)
       .groupBy("topic").agg(count(lit(1)).as("n_messages"),

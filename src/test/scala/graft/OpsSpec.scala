@@ -50,6 +50,25 @@ class OpsSpec extends SparkSpec {
     assert(dropped.isNullAt(0))     // 30s gap > 10s tolerance
   }
 
+  test("asof join deterministic on duplicate right timestamps") {
+    // three right rows share the key+ts; without a tiebreak `last()` picks
+    // whichever the shuffle happened to sort last. The payload-hash
+    // tiebreak must pin one winner across runs and input orderings.
+    val left = Seq((1L, "k", ts("2024-01-01 10:00:05"))).toDF("id", "key", "ts")
+    val dups = Seq(
+      (100L, "k", ts("2024-01-01 10:00:00")),
+      (101L, "k", ts("2024-01-01 10:00:00")),
+      (102L, "k", ts("2024-01-01 10:00:00")))
+    val picks = (0 until 4).map { i =>
+      // vary physical input order/partitioning between runs
+      val right = (if (i % 2 == 0) dups else dups.reverse)
+        .toDF("rid", "key", "ts").repartition(i + 1)
+      AsOfJoin.asofJoin(left, right, "key", "ts")
+        .select("right_rid").head().getLong(0)
+    }
+    assert(picks.distinct.size == 1, s"nondeterministic picks: $picks")
+  }
+
   test("asof join emits exactly one row per left row") {
     val t = Tables(spark, SF)
     val clicks = t.events.filter(col("event_type") === "click")

@@ -131,6 +131,39 @@ class StreamingSpec extends SparkSpec {
     assert(finalRows == batchCounts.view.mapValues(_ * 2).toMap)
   }
 
+  test("mapGroupsWithState: late-only micro-batch neither regresses lastTs nor fakes a gap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events-late")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def write(name: String, mtime: Long, rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      // file source wants FLAT parquet files; write via Spark then move the
+      // part file up. mtime ordering fixes the micro-batch order (a, b, c).
+      val stage = java.nio.file.Files.createTempDirectory(s"stage-$name")
+      rows.toDF("user_id", "ts").coalesce(1).write.mode("overwrite")
+        .parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(mtime): Unit
+    }
+    val t0 = System.currentTimeMillis()
+    // batch a: gap 100s; batch b: LATE-only event (30s before batch a's
+    // first); batch c: 20s after batch a's last
+    write("a", t0 - 30000, Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:01:40"))))
+    write("b", t0 - 20000, Seq((1L, ts("2024-01-01 09:59:30"))))
+    write("c", t0 - 10000, Seq((1L, ts("2024-01-01 10:02:00"))))
+    val stream = EventStreaming.readEventStream(spark, dir.toString,
+      maxFilesPerTrigger = 1)
+    val got = EventStreaming.runToMemory(
+      EventStreaming.statefulUserSummary(stream).toDF(), "late_state",
+      outputMode = "update")
+    val fin = got.orderBy(col("n_events").desc).head()
+    assert(fin.getLong(1) == 4, s"n_events: $fin")
+    // a lastTs regression on batch b would make batch c's gap
+    // 10:02:00-09:59:30 = 150s; correct is max(100s, 20s, 30s) = 100s
+    assert(fin.getLong(2) == 100000L, s"max_gap_ms: $fin")
+  }
+
   test("flatMapGroupsWithState sessions agree with batch gaps-and-islands") {
     val stream = EventStreaming.readEventStream(spark, eventsDir)
     val got = EventStreaming.runToMemory(
