@@ -70,6 +70,8 @@ object SparkEntry {
     "q46_bigram_entropy" -> (TextOps.qBigramEntropy _),
     "q47_topic_view" -> (PipelineQueries.qTopicView _),
     "q48_percentiles" -> (CoreQueries.q48Percentiles _),
+    "q49_rosbag_roundtrip" -> (PipelineQueries.qRosbagRoundtrip _),
+    "q50_rosbag_topic_view" -> (PipelineQueries.qRosbagTopicView _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -326,5 +328,18 @@ object SparkEntry {
         |SELECT e.event_id, e.event_type, epoch_ms(iv.start) AS window_start_ms
         |FROM events e JOIN iv ON e.ts >= iv.start AND e.ts < iv."end"
         |ORDER BY e.event_id""".stripMargin,
+    // end-to-end oracle over the REAL ROS bag v2.0 container: events →
+    // chunked/indexed bag encode (generic message serializer) → DSv2
+    // chunk-planned scan → bagInfo must equal the same aggregation
+    // computed directly over events
+    "q49_rosbag_roundtrip" ->
+      """SELECT printf('/topic%d', user_id % 4) AS topic, count(*) AS n_messages,
+        | CAST(min(epoch_us(ts)) * 1000 AS BIGINT) AS min_ts,
+        | CAST(max(epoch_us(ts)) * 1000 AS BIGINT) AS max_ts
+        |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
+    "q50_rosbag_topic_view" ->
+      """SELECT CAST(epoch_us(ts) * 1000 AS BIGINT) AS rosbagTimestamp,
+        | event_id, value
+        |FROM events WHERE user_id % 4 = 0 ORDER BY event_id""".stripMargin,
   )
 }

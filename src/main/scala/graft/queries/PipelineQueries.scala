@@ -99,6 +99,76 @@ object PipelineQueries {
     outDir
   }
 
+  /** Stage the events table as REAL ROS bag v2.0 recordings (the
+    * reference's actual container): one multiplexed, chunked, indexed bag
+    * per shuffle partition, encoded executor-side through the generic
+    * message serializer with a custom `graft_msgs/Event` type. Salted
+    * like [[stageBags]] so encode parallelism scales past the topic
+    * count.
+    */
+  def stageRosBags(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val tmp = Files.createTempDirectory("graft-rosbags")
+    val outDir = tmp.toString
+    registerTempDir(tmp)
+    val hconf = new graft.sources.v2.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val saltBuckets = spark.conf
+      .getOption("spark.graft.stage.saltBuckets").map(_.toInt).getOrElse(8)
+    val eventDef = "int64 event_id\nfloat64 value\n"
+    val topicSpecs = (0 until 4).map(i =>
+      graft.sources.rosbag.RosBagWriter.TopicSpec(s"/topic$i", "graft_msgs/Event", eventDef))
+    t.events
+      .select(
+        format_string("/topic%d", col("user_id") % 4).as("topic"),
+        (unix_micros(col("ts")) * 1000L).as("ts_ns"),
+        col("event_id"), col("value"))
+      .repartition(pmod(xxhash64(col("event_id")), lit(saltBuckets.toLong)))
+      .sortWithinPartitions("ts_ns", "event_id")
+      .as[(String, Long, Long, Double)]
+      .foreachPartition { (rows: Iterator[(String, Long, Long, Double)]) =>
+        if (rows.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val recs = rows.map { case (tp, ts, id, v) =>
+            (tp, ts, Map("event_id" -> id.toString, "value" -> v.toString))
+          }
+          // one multiplexed bag per partition (real recordings interleave
+          // topics); the writer chunks + indexes as rosbag record would
+          val bytes = graft.sources.rosbag.RosBagWriter.build(topicSpecs, recs)
+          val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(hconf.value)
+          val out = fs.create(new org.apache.hadoop.fs.Path(outDir, f"rec_p$pid%04d.bag"), true)
+          try out.write(bytes) finally out.close()
+        }
+      }
+    outDir
+  }
+
+  /** X1 through the REAL container (oracle-checked): events → ROS bag v2.0
+    * encode → DSv2 chunk-planned scan (message payloads never deserialized:
+    * bagInfo projects only topic+ts) → per-topic summary.
+    */
+  def qRosbagRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    BagFormat.bagInfo(
+      spark.read.format("rosbag").load(stageRosBags(spark, dir))
+        .as[graft.sources.BagRecord])
+  }
+
+  /** Typed per-topic view out of the REAL container (oracle-checked):
+    * by-name extraction + cast from the generically-deserialized fields of
+    * one topic. The staged bags are multiplexed, so the pushed topic
+    * filter skips non-matching messages BEFORE payload deserialization
+    * (chunk-level pruning kicks in when topics live in separate bags).
+    */
+  def qRosbagTopicView(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val bags = spark.read.format("rosbag").load(stageRosBags(spark, dir))
+    graft.sources.TopicViews.topicView(bags, "/topic0",
+      Seq("event_id" -> LongType, "value" -> DoubleType))
+      .orderBy("event_id")
+  }
+
   /** X1+S1+S7 end-to-end (oracle-checked): the staged bags read back
     * through the DataSource V2 reader (file-parallel partitions, pruning
     * pushed to the byte decoder — bagInfo only needs topic+ts, so the

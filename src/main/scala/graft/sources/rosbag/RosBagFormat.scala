@@ -1,0 +1,295 @@
+package graft.sources.rosbag
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, EOFException, InputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.sources.BagRecord
+
+/** The REAL ROS bag v2.0 container (the reference's actual on-disk format —
+  * `/root/reference/service/app/bag_to_csv.py:74-76` opens it via
+  * `rosbag.Bag`; `engine.py:80-99` replays it), implemented pure-JVM from
+  * the public format spec (ros.org "Bags/Format/2.0"):
+  *
+  * {{{
+  *   #ROSBAG V2.0\n
+  *   <record>*          where record = [hlen:u32le][header][dlen:u32le][data]
+  *   header             = ([flen:u32le]name=value)*   (op field id's the kind)
+  * }}}
+  *
+  * Record kinds: bag header (op=3, index_pos/conn_count/chunk_count, padded
+  * to 4096 B), chunk (op=5, compression none|bz2|lz4, holds connection +
+  * message-data records), connection (op=7, data = a connection header
+  * carrying topic/type/md5sum/message_definition), message data (op=2,
+  * conn + time), index data (op=4), chunk info (op=6, chunk_pos + per-conn
+  * message counts — the driver-side pruning index).
+  *
+  * Scale design: chunk infos in the trailing index section give (byte
+  * position, topics, counts) per chunk WITHOUT touching chunk bytes — the
+  * DSv2 source plans byte-range splits over chunks and prunes whole chunks
+  * against a pushed topic filter driver-side; executors then decompress
+  * only their assigned chunks (O(chunk) memory, default rosbag chunks are
+  * ~768 KiB).
+  */
+object RosBagFormat {
+
+  val VersionLine: Array[Byte] = "#ROSBAG V2.0\n".getBytes(UTF_8)
+
+  object Op {
+    val MsgData: Int = 0x02
+    val BagHeader: Int = 0x03
+    val IndexData: Int = 0x04
+    val Chunk: Int = 0x05
+    val ChunkInfo: Int = 0x06
+    val Connection: Int = 0x07
+  }
+
+  /** One parsed record header: field name → raw value bytes. */
+  final case class Header(fields: Map[String, Array[Byte]]) {
+    def op: Int = fields("op")(0) & 0xff
+    def u32(name: String): Long =
+      ByteBuffer.wrap(fields(name)).order(ByteOrder.LITTLE_ENDIAN).getInt() & 0xffffffffL
+    def u64(name: String): Long =
+      ByteBuffer.wrap(fields(name)).order(ByteOrder.LITTLE_ENDIAN).getLong()
+    def str(name: String): String = new String(fields(name), UTF_8)
+    /** ROS time field (u32 secs, u32 nsecs) as a single ns-epoch long. */
+    def timeNs(name: String): Long = {
+      val b = ByteBuffer.wrap(fields(name)).order(ByteOrder.LITTLE_ENDIAN)
+      (b.getInt() & 0xffffffffL) * 1000000000L + (b.getInt() & 0xffffffffL)
+    }
+  }
+
+  final case class Connection(id: Long, topic: String, tpe: String,
+      md5sum: String, messageDefinition: String) {
+    /** Lazily-compiled generic deserializer for this connection's type. */
+    @transient lazy val spec: (RosMsgDef.MsgSpec, Map[String, RosMsgDef.MsgSpec]) =
+      RosMsgDef.parse(tpe, messageDefinition)
+  }
+
+  /** Driver-side chunk summary from a chunk-info record. */
+  final case class ChunkSummary(pos: Long, startNs: Long, endNs: Long,
+      msgCountByConn: Map[Long, Long])
+
+  final case class BagIndex(connections: Map[Long, Connection],
+      chunks: Seq[ChunkSummary])
+
+  // ------------------------------------------------------------- low-level
+
+  private def readU32LE(in: InputStream): Long = {
+    val b0 = in.read(); val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+    if ((b0 | b1 | b2 | b3) < 0) throw new EOFException()
+    (b0 & 0xffL) | ((b1 & 0xffL) << 8) | ((b2 & 0xffL) << 16) | ((b3 & 0xffL) << 24)
+  }
+
+  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+    val b = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(b, off, n - off)
+      if (r < 0) throw new EOFException(s"expected $n bytes, got $off")
+      off += r
+    }
+    b
+  }
+
+  def parseHeader(bytes: Array[Byte]): Header = {
+    val fields = Map.newBuilder[String, Array[Byte]]
+    var pos = 0
+    while (pos < bytes.length) {
+      val len = ((bytes(pos) & 0xffL) | ((bytes(pos + 1) & 0xffL) << 8) |
+        ((bytes(pos + 2) & 0xffL) << 16) | ((bytes(pos + 3) & 0xffL) << 24)).toInt
+      pos += 4
+      var eq = pos
+      while (bytes(eq) != '=') eq += 1
+      fields += new String(bytes, pos, eq - pos, UTF_8) ->
+        java.util.Arrays.copyOfRange(bytes, eq + 1, pos + len)
+      pos += len
+    }
+    Header(fields.result())
+  }
+
+  /** Read one `[hlen][header][dlen][data]` record; None at clean EOF. */
+  def readRecord(in: InputStream): Option[(Header, Array[Byte])] = {
+    val first = in.read()
+    if (first < 0) return None
+    val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+    if ((b1 | b2 | b3) < 0) throw new EOFException("truncated record length")
+    val hlen = ((first & 0xffL) | ((b1 & 0xffL) << 8) | ((b2 & 0xffL) << 16) |
+      ((b3 & 0xffL) << 24)).toInt
+    val header = parseHeader(readFully(in, hlen))
+    val dlen = readU32LE(in).toInt
+    Some((header, readFully(in, dlen)))
+  }
+
+  /** Same but skipping data for records the caller doesn't need. */
+  def readRecordLazy(in: DataInputStream, wantData: Header => Boolean): Option[(Header, Array[Byte])] = {
+    val first = in.read()
+    if (first < 0) return None
+    val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+    if ((b1 | b2 | b3) < 0) throw new EOFException("truncated record length")
+    val hlen = ((first & 0xffL) | ((b1 & 0xffL) << 8) | ((b2 & 0xffL) << 16) |
+      ((b3 & 0xffL) << 24)).toInt
+    val header = parseHeader(readFully(in, hlen))
+    val dlen = readU32LE(in).toInt
+    if (wantData(header)) Some((header, readFully(in, dlen)))
+    else {
+      var left = dlen.toLong
+      while (left > 0) {
+        val s = in.skip(left)
+        if (s <= 0) { readFully(in, left.toInt); left = 0 } else left -= s
+      }
+      Some((header, Array.emptyByteArray))
+    }
+  }
+
+  // ------------------------------------------------------------ chunk codec
+
+  def decompressChunk(compression: String, data: Array[Byte],
+      uncompressedSize: Int): Array[Byte] = compression match {
+    case "none" => data
+    case "bz2" =>
+      val in = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorInputStream(new ByteArrayInputStream(data))
+      try readFully(in, uncompressedSize) finally in.close()
+    case "lz4" =>
+      // roslz4 writes the standard LZ4 frame stream (magic 0x184D2204)
+      val in = new net.jpountz.lz4.LZ4FrameInputStream(new ByteArrayInputStream(data))
+      try readFully(in, uncompressedSize) finally in.close()
+    case other => throw new IllegalArgumentException(s"unknown chunk compression '$other'")
+  }
+
+  def compressChunk(compression: String, data: Array[Byte]): Array[Byte] = compression match {
+    case "none" => data
+    case "bz2" =>
+      val bos = new ByteArrayOutputStream()
+      val out = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(bos)
+      out.write(data); out.close()
+      bos.toByteArray
+    case "lz4" =>
+      val bos = new ByteArrayOutputStream()
+      val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      out.write(data); out.close()
+      bos.toByteArray
+    case other => throw new IllegalArgumentException(s"unknown chunk compression '$other'")
+  }
+
+  // ------------------------------------------------------------- the reader
+
+  /** Iterate the records INSIDE one uncompressed chunk body: connection
+    * records update `conns`; message-data records yield `BagRecord`s
+    * (deserialized via the connection's message_definition).
+    */
+  def chunkRecords(body: Array[Byte],
+      conns: scala.collection.mutable.Map[Long, Connection],
+      topicKeep: String => Boolean = _ => true,
+      tsKeep: Long => Boolean = _ => true): Iterator[BagRecord] = {
+    val in = new ByteArrayInputStream(body)
+    Iterator.continually(readRecord(in)).takeWhile(_.isDefined).map(_.get)
+      .flatMap { case (h, data) =>
+        h.op match {
+          case Op.Connection =>
+            val c = parseConnection(h, data)
+            conns(c.id) = c
+            None
+          case Op.MsgData =>
+            val ts = h.timeNs("time")
+            val conn = conns.getOrElse(h.u32("conn"), throw new IllegalStateException(
+              s"message for unknown connection ${h.u32("conn")}"))
+            if (topicKeep(conn.topic) && tsKeep(ts)) {
+              val (spec, reg) = conn.spec
+              Some(BagRecord(conn.topic, ts, RosMsgDef.deserialize(spec, reg, data)))
+            } else None
+          case _ => None // index-data inside a chunk: not produced by rosbag
+        }
+      }
+  }
+
+  def parseConnection(h: Header, data: Array[Byte]): Connection = {
+    val ch = parseHeader(data) // the connection header lives in the DATA
+    Connection(h.u32("conn"), ch.str("topic"), ch.str("type"),
+      if (ch.fields.contains("md5sum")) ch.str("md5sum") else "",
+      if (ch.fields.contains("message_definition")) ch.str("message_definition") else "")
+  }
+
+  /** Read the bag header record (first record after the version line) →
+    * (index_pos, conn_count, chunk_count).
+    */
+  def readBagHeader(in: DataInputStream): (Long, Long, Long) = {
+    val magic = readFully(in, VersionLine.length)
+    require(java.util.Arrays.equals(magic, VersionLine),
+      "not a ROS bag v2.0 file (bad version line)")
+    val (h, _) = readRecord(in).getOrElse(throw new EOFException("empty bag"))
+    require(h.op == Op.BagHeader, s"first record is op=${h.op}, expected bag header")
+    (h.u64("index_pos"), h.u32("conn_count"), h.u32("chunk_count"))
+  }
+
+  /** Driver-side index scan: seek to index_pos, read connection + chunk-info
+    * records. Returns None for unindexed bags (index_pos == 0, i.e. an
+    * unclosed recording that would need `rosbag reindex`).
+    */
+  def readIndex(open: Long => DataInputStream): Option[BagIndex] = {
+    val head = open(0L)
+    val (indexPos, _, _) =
+      try readBagHeader(head) finally head.close()
+    if (indexPos == 0L) return None
+    val in = open(indexPos)
+    try {
+      val conns = Map.newBuilder[Long, Connection]
+      val chunks = Seq.newBuilder[ChunkSummary]
+      var rec = readRecord(in)
+      while (rec.isDefined) {
+        val (h, data) = rec.get
+        h.op match {
+          case Op.Connection =>
+            val c = parseConnection(h, data)
+            conns += c.id -> c
+          case Op.ChunkInfo =>
+            val n = h.u32("count").toInt
+            val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+            val counts = Map.newBuilder[Long, Long]
+            var i = 0
+            while (i < n) {
+              counts += ((b.getInt() & 0xffffffffL) -> (b.getInt() & 0xffffffffL))
+              i += 1
+            }
+            chunks += ChunkSummary(h.u64("chunk_pos"), h.timeNs("start_time"),
+              h.timeNs("end_time"), counts.result())
+          case _ => () // ignore anything else in the index section
+        }
+        rec = readRecord(in)
+      }
+      Some(BagIndex(conns.result(), chunks.result().sortBy(_.pos)))
+    } finally in.close()
+  }
+
+  /** Sequential whole-file record iterator (fallback for unindexed bags and
+    * the v0 `binaryFile`+flatMap path): walks every record from the top,
+    * picking up connections as encountered (both file-level and in-chunk).
+    */
+  def decode(bytes: Array[Byte]): Iterator[BagRecord] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val magic = readFully(in, VersionLine.length)
+    require(java.util.Arrays.equals(magic, VersionLine),
+      "not a ROS bag v2.0 file (bad version line)")
+    val conns = scala.collection.mutable.Map.empty[Long, Connection]
+    Iterator.continually(readRecord(in)).takeWhile(_.isDefined).map(_.get)
+      .flatMap { case (h, data) =>
+        h.op match {
+          case Op.Chunk =>
+            val body = decompressChunk(h.str("compression"), data, h.u32("size").toInt)
+            chunkRecords(body, conns)
+          case Op.Connection =>
+            val c = parseConnection(h, data)
+            conns(c.id) = c
+            Iterator.empty
+          case Op.MsgData => // unchunked message (not produced by rosbag record, but legal)
+            val conn = conns(h.u32("conn"))
+            val (spec, reg) = conn.spec
+            Iterator.single(
+              BagRecord(conn.topic, h.timeNs("time"), RosMsgDef.deserialize(spec, reg, data)))
+          case _ => Iterator.empty
+        }
+      }
+  }
+}

@@ -1,0 +1,278 @@
+package graft.sources.rosbag
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.Base64
+
+/** ROS message-definition text → schema → generic (de)serializer.
+  *
+  * The reference never deserializes messages itself — it shells out to the
+  * ROS Python stack, whose `str(msg)` rendering bag_to_csv re-splits into
+  * (name, value) string pairs (`/root/reference/service/app/bag_to_csv.py:
+  * 116-123`). Here the SAME capability is native JVM: every `.bag`
+  * connection record carries the full `message_definition` text (the public
+  * ROS serialization format: little-endian primitives, u32-length-prefixed
+  * strings and variable arrays, recursively serialized sub-messages), so a
+  * definition-driven walker can decode ANY topic generically — no
+  * per-message-type code, exactly like rospy's dynamic message classes.
+  *
+  * Flattening convention (mirrors the reference's dotted/indented str()
+  * splitting, SURVEY.md §2.1 S10):
+  *  - nested message fields join with '.': `pose.position.x`
+  *  - time/duration flatten to `<name>.secs` / `<name>.nsecs` (as rospy
+  *    prints them)
+  *  - `uint8[]` / `byte[]` payloads (images!) render as ONE base64 value —
+  *    a megapixel camera frame must not become a million-element list
+  *  - other primitive arrays render `[v1, v2, ...]`; message arrays flatten
+  *    with the element index in the path: `transforms.0.header.seq`
+  */
+object RosMsgDef {
+
+  sealed trait FieldType
+  final case class Primitive(name: String) extends FieldType
+  final case class MsgRef(fullName: String) extends FieldType
+
+  /** arrayLen: -1 scalar, 0 variable-length array, >0 fixed-length array. */
+  final case class RosField(name: String, tpe: FieldType, arrayLen: Int)
+
+  final case class MsgSpec(fullName: String, fields: Seq[RosField])
+
+  val PrimitiveSizes: Map[String, Int] = Map(
+    "bool" -> 1, "int8" -> 1, "uint8" -> 1, "byte" -> 1, "char" -> 1,
+    "int16" -> 2, "uint16" -> 2, "int32" -> 4, "uint32" -> 4,
+    "int64" -> 8, "uint64" -> 8, "float32" -> 4, "float64" -> 8,
+    "time" -> 8, "duration" -> 8) // string is variable-length
+
+  def isPrimitive(t: String): Boolean =
+    t == "string" || PrimitiveSizes.contains(t)
+
+  /** Parse a full message_definition (root text + `===`-separated dependent
+    * sub-message sections, each headed `MSG: pkg/Name`) into a registry of
+    * specs keyed by full AND short name; returns (root spec, registry).
+    */
+  def parse(rootType: String, definition: String): (MsgSpec, Map[String, MsgSpec]) = {
+    val sections = definition.split("(?m)^=+\\s*$").map(_.trim)
+    def parseSection(text: String, fullName: String): MsgSpec = {
+      val fields = text.linesIterator.flatMap { raw =>
+        val line = raw.takeWhile(_ != '#').trim
+        if (line.isEmpty || line.startsWith("MSG:")) None
+        else {
+          val sp = line.indexWhere(c => c == ' ' || c == '\t')
+          if (sp < 0) None
+          else {
+            val tpeTok = line.substring(0, sp)
+            val rest = line.substring(sp).trim
+            // constants (`int32 X=123`, `string FOO=bar baz`) are not wire fields
+            if (rest.contains('=')) None
+            else {
+              val (base, arrLen) = tpeTok.indexOf('[') match {
+                case -1 => (tpeTok, -1)
+                case i =>
+                  val inner = tpeTok.substring(i + 1, tpeTok.indexOf(']'))
+                  (tpeTok.substring(0, i), if (inner.isEmpty) 0 else inner.toInt)
+              }
+              val tpe =
+                if (isPrimitive(base)) Primitive(base)
+                else if (base == "Header") MsgRef("std_msgs/Header")
+                else MsgRef(base) // resolved against the registry (may be short)
+              Some(RosField(rest, tpe, arrLen))
+            }
+          }
+        }
+      }.toSeq
+      MsgSpec(fullName, fields)
+    }
+    val root = parseSection(sections.head, rootType)
+    val deps = sections.tail.filter(_.nonEmpty).map { sec =>
+      val name = sec.linesIterator
+        .map(_.trim).find(_.startsWith("MSG:"))
+        .map(_.stripPrefix("MSG:").trim)
+        .getOrElse(throw new IllegalArgumentException(
+          s"dependent section without MSG: header in definition of $rootType"))
+      parseSection(sec, name)
+    }
+    val registry = deps.flatMap { s =>
+      val short = s.fullName.split('/').last
+      Seq(s.fullName -> s, short -> s)
+    }.toMap
+    (root, registry)
+  }
+
+  private def resolve(ref: MsgRef, registry: Map[String, MsgSpec]): MsgSpec =
+    registry.getOrElse(ref.fullName, registry.getOrElse(
+      ref.fullName.split('/').last,
+      throw new IllegalArgumentException(s"unresolved message type ${ref.fullName}")))
+
+  // ---------------------------------------------------------------- decode
+
+  /** Deserialize one message payload into flattened (path, value) pairs. */
+  def deserialize(spec: MsgSpec, registry: Map[String, MsgSpec],
+      bytes: Array[Byte]): Map[String, String] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = Map.newBuilder[String, String]
+    walkMsg(spec, registry, buf, "", out)
+    out.result()
+  }
+
+  private def walkMsg(spec: MsgSpec, registry: Map[String, MsgSpec],
+      buf: ByteBuffer, prefix: String,
+      out: scala.collection.mutable.Builder[(String, String), Map[String, String]]): Unit =
+    spec.fields.foreach { f =>
+      val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      f.tpe match {
+        case Primitive(p) => walkPrimitive(p, f.arrayLen, buf, path, out)
+        case r: MsgRef =>
+          val sub = resolve(r, registry)
+          if (f.arrayLen == -1) walkMsg(sub, registry, buf, path, out)
+          else {
+            val n = if (f.arrayLen > 0) f.arrayLen else buf.getInt()
+            var i = 0
+            while (i < n) { walkMsg(sub, registry, buf, s"$path.$i", out); i += 1 }
+          }
+      }
+    }
+
+  private def readScalar(p: String, buf: ByteBuffer): String = p match {
+    case "bool" => if (buf.get() != 0) "true" else "false"
+    case "int8" => buf.get().toString
+    case "uint8" | "byte" | "char" => (buf.get() & 0xff).toString
+    case "int16" => buf.getShort().toString
+    case "uint16" => (buf.getShort() & 0xffff).toString
+    case "int32" => buf.getInt().toString
+    case "uint32" => (buf.getInt() & 0xffffffffL).toString
+    case "int64" => buf.getLong().toString
+    case "uint64" => java.lang.Long.toUnsignedString(buf.getLong())
+    case "float32" => buf.getFloat().toString
+    case "float64" => buf.getDouble().toString
+    case "string" =>
+      val n = buf.getInt()
+      val b = new Array[Byte](n); buf.get(b)
+      new String(b, "UTF-8")
+    case other => throw new IllegalArgumentException(s"unknown primitive $other")
+  }
+
+  private def walkPrimitive(p: String, arrayLen: Int, buf: ByteBuffer,
+      path: String,
+      out: scala.collection.mutable.Builder[(String, String), Map[String, String]]): Unit = {
+    if (p == "time" || p == "duration") {
+      if (arrayLen != -1) {
+        val n = if (arrayLen > 0) arrayLen else buf.getInt()
+        var i = 0
+        while (i < n) {
+          out += (s"$path.$i.secs" -> (buf.getInt() & 0xffffffffL).toString)
+          out += (s"$path.$i.nsecs" -> (buf.getInt() & 0xffffffffL).toString)
+          i += 1
+        }
+      } else {
+        out += (s"$path.secs" -> (buf.getInt() & 0xffffffffL).toString)
+        out += (s"$path.nsecs" -> (buf.getInt() & 0xffffffffL).toString)
+      }
+    } else if (arrayLen == -1) {
+      out += (path -> readScalar(p, buf))
+    } else if (p == "uint8" || p == "byte") {
+      // bulk binary payload (image/audio bytes): ONE base64 value
+      val n = if (arrayLen > 0) arrayLen else buf.getInt()
+      val b = new Array[Byte](n); buf.get(b)
+      out += (path -> Base64.getEncoder.encodeToString(b))
+    } else {
+      val n = if (arrayLen > 0) arrayLen else buf.getInt()
+      val sb = new java.lang.StringBuilder("[")
+      var i = 0
+      while (i < n) {
+        if (i > 0) sb.append(", ")
+        sb.append(readScalar(p, buf))
+        i += 1
+      }
+      out += (path -> sb.append("]").toString)
+    }
+  }
+
+  // ---------------------------------------------------------------- encode
+
+  /** Serialize flattened (path, value) pairs back to the ROS wire format —
+    * the writer-side inverse of [[deserialize]] (used to STAGE real bag
+    * fixtures from tabular data).
+    */
+  def serialize(spec: MsgSpec, registry: Map[String, MsgSpec],
+      fields: Map[String, String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    writeMsg(spec, registry, fields, "", bos)
+    bos.toByteArray
+  }
+
+  private def writeMsg(spec: MsgSpec, registry: Map[String, MsgSpec],
+      fields: Map[String, String], prefix: String,
+      out: java.io.ByteArrayOutputStream): Unit =
+    spec.fields.foreach { f =>
+      val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      f.tpe match {
+        case Primitive(p) => writePrimitive(p, f.arrayLen, fields, path, out)
+        case r: MsgRef =>
+          val sub = resolve(r, registry)
+          if (f.arrayLen == -1) writeMsg(sub, registry, fields, path, out)
+          else {
+            // element count = consecutive `path.i.` prefixes present
+            var n = 0
+            while (fields.keysIterator.exists(_.startsWith(s"$path.$n."))) n += 1
+            val fixed = f.arrayLen > 0
+            if (!fixed) writeLE32(out, n)
+            val count = if (fixed) f.arrayLen else n
+            var i = 0
+            while (i < count) { writeMsg(sub, registry, fields, s"$path.$i", out); i += 1 }
+          }
+      }
+    }
+
+  private def writeLE32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+
+  private def scalarBytes(p: String, v: String): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    p match {
+      case "bool" =>
+        return Array[Byte](if (v == "true" || v == "True" || v == "1") 1 else 0)
+      case "int8" | "uint8" | "byte" | "char" => return Array(v.toInt.toByte)
+      case "int16" | "uint16" => buf.putShort(v.toInt.toShort)
+      case "int32" => buf.putInt(v.toInt)
+      case "uint32" => buf.putInt(v.toLong.toInt)
+      case "int64" => buf.putLong(v.toLong)
+      case "uint64" => buf.putLong(java.lang.Long.parseUnsignedLong(v))
+      case "float32" => buf.putFloat(v.toFloat)
+      case "float64" => buf.putDouble(v.toDouble)
+      case "string" =>
+        val b = v.getBytes("UTF-8")
+        val sb = ByteBuffer.allocate(4 + b.length).order(ByteOrder.LITTLE_ENDIAN)
+        sb.putInt(b.length).put(b)
+        return sb.array()
+      case other => throw new IllegalArgumentException(s"unknown primitive $other")
+    }
+    java.util.Arrays.copyOf(buf.array(), PrimitiveSizes(p))
+  }
+
+  private def writePrimitive(p: String, arrayLen: Int,
+      fields: Map[String, String], path: String,
+      out: java.io.ByteArrayOutputStream): Unit = {
+    if (p == "time" || p == "duration") {
+      if (arrayLen != -1)
+        throw new IllegalArgumentException(s"time[] serialization unsupported: $path")
+      val s = fields.getOrElse(s"$path.secs", "0").toLong
+      val ns = fields.getOrElse(s"$path.nsecs", "0").toLong
+      writeLE32(out, s.toInt); writeLE32(out, ns.toInt)
+    } else if (arrayLen == -1) {
+      out.write(scalarBytes(p, fields.getOrElse(path,
+        throw new IllegalArgumentException(s"missing field $path"))))
+    } else if (p == "uint8" || p == "byte") {
+      val b = Base64.getDecoder.decode(fields.getOrElse(path, ""))
+      if (arrayLen == 0) writeLE32(out, b.length)
+      else require(b.length == arrayLen, s"fixed array $path length mismatch")
+      out.write(b)
+    } else {
+      val items = fields.getOrElse(path, "[]")
+        .stripPrefix("[").stripSuffix("]").split(",").map(_.trim).filter(_.nonEmpty)
+      if (arrayLen == 0) writeLE32(out, items.length)
+      else require(items.length == arrayLen, s"fixed array $path length mismatch")
+      items.foreach(v => out.write(scalarBytes(p, v)))
+    }
+  }
+}

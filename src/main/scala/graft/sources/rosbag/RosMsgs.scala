@@ -1,0 +1,170 @@
+package graft.sources.rosbag
+
+import graft.sources.rosbag.RosBagWriter.TopicSpec
+
+/** The genuine public message definitions of the reference's topic
+  * whitelist (`/root/reference/service/app/engine.py:200-209`: /gps /imu
+  * /tf /pose_* /velocity_raw and the camera image topics), verbatim from
+  * ros.org common_msgs — plus the deterministic sample corpus shared by
+  * the committed binary fixture, RosBagSpec, and the fixture generator
+  * (`graft.tools.MakeRosFixture`).
+  */
+object RosMsgs {
+
+  val imuDef: String =
+    """Header header
+      |geometry_msgs/Quaternion orientation
+      |float64[9] orientation_covariance
+      |geometry_msgs/Vector3 angular_velocity
+      |float64[9] angular_velocity_covariance
+      |geometry_msgs/Vector3 linear_acceleration
+      |float64[9] linear_acceleration_covariance
+      |================================================================================
+      |MSG: std_msgs/Header
+      |uint32 seq
+      |time stamp
+      |string frame_id
+      |================================================================================
+      |MSG: geometry_msgs/Quaternion
+      |float64 x
+      |float64 y
+      |float64 z
+      |float64 w
+      |================================================================================
+      |MSG: geometry_msgs/Vector3
+      |float64 x
+      |float64 y
+      |float64 z
+      |""".stripMargin
+
+  val navSatDef: String =
+    """uint8 COVARIANCE_TYPE_UNKNOWN=0
+      |Header header
+      |sensor_msgs/NavSatStatus status
+      |float64 latitude
+      |float64 longitude
+      |float64 altitude
+      |float64[9] position_covariance
+      |uint8 position_covariance_type
+      |================================================================================
+      |MSG: std_msgs/Header
+      |uint32 seq
+      |time stamp
+      |string frame_id
+      |================================================================================
+      |MSG: sensor_msgs/NavSatStatus
+      |int8 STATUS_NO_FIX=-1
+      |int8 status
+      |uint16 service
+      |""".stripMargin
+
+  val tfDef: String =
+    """geometry_msgs/TransformStamped[] transforms
+      |================================================================================
+      |MSG: geometry_msgs/TransformStamped
+      |Header header
+      |string child_frame_id
+      |geometry_msgs/Transform transform
+      |================================================================================
+      |MSG: std_msgs/Header
+      |uint32 seq
+      |time stamp
+      |string frame_id
+      |================================================================================
+      |MSG: geometry_msgs/Transform
+      |geometry_msgs/Vector3 translation
+      |geometry_msgs/Quaternion rotation
+      |================================================================================
+      |MSG: geometry_msgs/Vector3
+      |float64 x
+      |float64 y
+      |float64 z
+      |================================================================================
+      |MSG: geometry_msgs/Quaternion
+      |float64 x
+      |float64 y
+      |float64 z
+      |float64 w
+      |""".stripMargin
+
+  val imageDef: String =
+    """Header header
+      |uint32 height
+      |uint32 width
+      |string encoding
+      |uint8 is_bigendian
+      |uint32 step
+      |uint8[] data
+      |================================================================================
+      |MSG: std_msgs/Header
+      |uint32 seq
+      |time stamp
+      |string frame_id
+      |""".stripMargin
+
+  val imu: TopicSpec = TopicSpec("/imu", "sensor_msgs/Imu", imuDef)
+  val gps: TopicSpec = TopicSpec("/gps", "sensor_msgs/NavSatFix", navSatDef)
+  val tf: TopicSpec = TopicSpec("/tf", "tf2_msgs/TFMessage", tfDef)
+  def image(topic: String): TopicSpec = TopicSpec(topic, "sensor_msgs/Image", imageDef)
+
+  val sampleTopics: Seq[TopicSpec] = Seq(imu, gps, tf)
+
+  def imuFields(i: Int): Map[String, String] = Map(
+    "header.seq" -> i.toString,
+    "header.stamp.secs" -> (1600000000L + i).toString,
+    "header.stamp.nsecs" -> (i * 1000).toString,
+    "header.frame_id" -> "imu_link",
+    "orientation.x" -> "0.0", "orientation.y" -> "0.5",
+    "orientation.z" -> s"$i.25", "orientation.w" -> "1.0",
+    "orientation_covariance" -> (0 until 9).map(j => s"$j.5").mkString("[", ", ", "]"),
+    "angular_velocity.x" -> "0.125", "angular_velocity.y" -> "-2.5",
+    "angular_velocity.z" -> s"$i.0",
+    "angular_velocity_covariance" -> (0 until 9).map(_ => "0.0").mkString("[", ", ", "]"),
+    "linear_acceleration.x" -> "9.81", "linear_acceleration.y" -> "0.0",
+    "linear_acceleration.z" -> "-0.5",
+    "linear_acceleration_covariance" -> (0 until 9).map(_ => "1.0").mkString("[", ", ", "]"))
+
+  def gpsFields(i: Int): Map[String, String] = Map(
+    "header.seq" -> i.toString,
+    "header.stamp.secs" -> (1600000000L + i).toString,
+    "header.stamp.nsecs" -> "0",
+    "header.frame_id" -> "gps",
+    "status.status" -> "-1", "status.service" -> "65535",
+    "latitude" -> "52.52", "longitude" -> "13.405", "altitude" -> s"$i.0",
+    "position_covariance" -> (0 until 9).map(_ => "0.25").mkString("[", ", ", "]"),
+    "position_covariance_type" -> "2")
+
+  def tfFields(i: Int): Map[String, String] = Map(
+    "transforms.0.header.seq" -> i.toString,
+    "transforms.0.header.stamp.secs" -> (1600000000L + i).toString,
+    "transforms.0.header.stamp.nsecs" -> "7",
+    "transforms.0.header.frame_id" -> "map",
+    "transforms.0.child_frame_id" -> "base_link",
+    "transforms.0.transform.translation.x" -> s"$i.5",
+    "transforms.0.transform.translation.y" -> "0.0",
+    "transforms.0.transform.translation.z" -> "1.0",
+    "transforms.0.transform.rotation.x" -> "0.0",
+    "transforms.0.transform.rotation.y" -> "0.0",
+    "transforms.0.transform.rotation.z" -> "0.0",
+    "transforms.0.transform.rotation.w" -> "1.0",
+    "transforms.1.header.seq" -> (i + 1000).toString,
+    "transforms.1.header.stamp.secs" -> (1600000000L + i).toString,
+    "transforms.1.header.stamp.nsecs" -> "8",
+    "transforms.1.header.frame_id" -> "base_link",
+    "transforms.1.child_frame_id" -> "camera",
+    "transforms.1.transform.translation.x" -> "0.0",
+    "transforms.1.transform.translation.y" -> "0.25",
+    "transforms.1.transform.translation.z" -> "0.5",
+    "transforms.1.transform.rotation.x" -> "0.0",
+    "transforms.1.transform.rotation.y" -> "0.0",
+    "transforms.1.transform.rotation.z" -> "0.0",
+    "transforms.1.transform.rotation.w" -> "1.0")
+
+  /** n interleaved (imu, gps, tf) triples at ~15 fps spacing. */
+  def sampleRecords(n: Int): Seq[(String, Long, Map[String, String])] =
+    (0 until n).flatMap { i =>
+      val ts = 1600000000000000000L + i * 67000000L
+      Seq(("/imu", ts, imuFields(i)), ("/gps", ts + 1, gpsFields(i)),
+        ("/tf", ts + 2, tfFields(i)))
+    }
+}

@@ -1,0 +1,24 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.rosbag.{RosBagWriter, RosMsgs}
+
+/** Regenerates the committed real-format ROS bag fixture
+  * (src/test/resources/fixtures/sample.bag): 8 sample triples of
+  * imu/gps/tf messages, bz2-compressed chunks, complete trailing index.
+  * RosBagSpec asserts the committed bytes still decode to exactly
+  * `RosMsgs.sampleRecords(8)` — a format-stability canary across rounds.
+  */
+object MakeRosFixture {
+  def main(args: Array[String]): Unit = {
+    val out = Paths.get(args.headOption
+      .getOrElse("src/test/resources/fixtures/sample.bag"))
+    Files.createDirectories(out.getParent)
+    val bytes = RosBagWriter.build(RosMsgs.sampleTopics,
+      RosMsgs.sampleRecords(8).iterator, compression = "bz2",
+      chunkThreshold = 4096)
+    Files.write(out, bytes)
+    println(s"wrote ${bytes.length} bytes to $out")
+  }
+}
