@@ -52,6 +52,77 @@ object Imaging {
     encodePng(img)
   }
 
+  /** Deterministic RAW pixel payload (rgb8 row-major, same LCG as
+    * [[syntheticFrame]]) — what a `sensor_msgs/Image` message carries on
+    * the wire before any codec.
+    */
+  def rawFrame(width: Int, height: Int, seed: Int): Array[Byte] = {
+    val data = new Array[Byte](width * height * 3)
+    var s = seed
+    var p = 0
+    var i = 0
+    while (i < width * height) {
+      s = s * 1103515245 + 12345
+      val rgb = (s >>> 8) & 0xffffff
+      data(p) = ((rgb >> 16) & 0xff).toByte
+      data(p + 1) = ((rgb >> 8) & 0xff).toByte
+      data(p + 2) = (rgb & 0xff).toByte
+      p += 3
+      i += 1
+    }
+    data
+  }
+
+  /** S14, the REAL image-topic decode: a raw `sensor_msgs/Image` payload
+    * (the reference's camera topics, extracted by ROS `image_saver` —
+    * `service/app/export.launch:2-9`) → PNG bytes. Supports the wire
+    * encodings the reference's cameras produce: `rgb8`, `bgr8`, `mono8`;
+    * honors `step` (row stride may exceed width×channels for aligned
+    * buffers).
+    */
+  def decodeRosImage(width: Int, height: Int, encoding: String, step: Int,
+      data: Array[Byte]): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    encoding match {
+      case "rgb8" | "bgr8" =>
+        val stride = if (step > 0) step else width * 3
+        val (rOff, bOff) = if (encoding == "rgb8") (0, 2) else (2, 0)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val o = y * stride + x * 3
+            img.setRGB(x, y, ((data(o + rOff) & 0xff) << 16) |
+              ((data(o + 1) & 0xff) << 8) | (data(o + bOff) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+      case "mono8" =>
+        val stride = if (step > 0) step else width
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val v = data(y * stride + x) & 0xff
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported image encoding '$other'")
+    }
+    encodePng(img)
+  }
+
+  /** Columnar wrapper over [[decodeRosImage]] for frames scanned out of a
+    * real bag (`fields['data']` rides as base64 — decode with `unbase64`
+    * before this UDF).
+    */
+  val rosImageToPngUdf = udf((w: Int, h: Int, encoding: String, step: Int,
+      data: Array[Byte]) => decodeRosImage(w, h, encoding, step, data))
+
   /** Draw all normalized-coordinate boxes (scaling per
     * processing.py:366-375), then encode once.
     */

@@ -194,19 +194,57 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
-  /** §3 entry points 1-3 composed on synthetic frames: number (W1) →
-    * derive frame_ts (F5) → stub-detect (X3) → detections wide (A3/A4
-    * pivot) → annotate (X4, exercised for a sample).
+  /** Stage one REAL recording with four `sensor_msgs/Image` camera topics
+    * (deterministic raw rgb8 payloads) — the S14 input shape
+    * (`/root/reference/service/app/export.launch:2-9` subscribes exactly
+    * such topics). One small driver-built file: the recording arrives as
+    * a unit, the DECODE is what distributes.
+    */
+  def stageImageBag(spark: SparkSession): String = {
+    val tmp = Files.createTempDirectory("graft-framebag")
+    registerTempDir(tmp)
+    val topics = (0 until 4).map(c =>
+      graft.sources.rosbag.RosMsgs.image(s"/cam$c/image_raw"))
+    val recs = (0 until 4).iterator.flatMap { cam =>
+      (0 until 16).iterator.map { i =>
+        val raw = Imaging.rawFrame(48, 32, cam * 1000 + i)
+        val tsNs = (1700000000000L + i * 67L) * 1000000L
+        (s"/cam$cam/image_raw", tsNs, Map(
+          "header.seq" -> i.toString,
+          "header.stamp.secs" -> (tsNs / 1000000000L).toString,
+          "header.stamp.nsecs" -> (tsNs % 1000000000L).toString,
+          "header.frame_id" -> s"cam$cam",
+          "height" -> "32", "width" -> "48", "encoding" -> "rgb8",
+          "is_bigendian" -> "0", "step" -> (48 * 3).toString,
+          "data" -> java.util.Base64.getEncoder.encodeToString(raw)))
+      }
+    }
+    Files.write(tmp.resolve("frames.bag"),
+      graft.sources.rosbag.RosBagWriter.build(topics, recs, compression = "lz4"))
+    tmp.toString
+  }
+
+  /** §3 entry points 1-3 composed over a REAL bag's image topics: DSv2
+    * scan → S14 raw-rgb8 → PNG decode (X2) → number (W1) → derive
+    * frame_ts (F5) → stub-detect (X3) → detections wide (A3/A4 pivot) →
+    * annotate (X4, exercised for a sample).
     */
   def qFramePipeline(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val frames = (0 until 4).flatMap { cam =>
-      (0 until 16).map { i =>
-        (s"cam$cam", 1700000000000L + i * 67L,
-          Imaging.syntheticFrame(48, 32, cam * 1000 + i))
-      }
-    }.toDF("camera", "ts_ms", "content")
+    val bags = spark.read.format("rosbag").load(stageImageBag(spark))
+    val frames = bags
+      .filter(col("topic").endsWith("/image_raw"))
+      .select(
+        regexp_extract(col("topic"), "^/(cam\\d+)/", 1).as("camera"),
+        (col("rosbagTimestamp") / 1000000L).cast("long").as("ts_ms"),
+        col("fields")("width").cast("int").as("w"),
+        col("fields")("height").cast("int").as("h"),
+        col("fields")("encoding").as("encoding"),
+        col("fields")("step").cast("int").as("step"),
+        unbase64(col("fields")("data")).as("raw"))
+      .withColumn("content", Imaging.rosImageToPngUdf(
+        col("w"), col("h"), col("encoding"), col("step"), col("raw")))
       .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .drop("raw")
     val numbered = FrameOps.numberFrames(frames)
       .withColumn("prefix", lit("2020-06-29-13-15-12_run"))
     val withTs = FrameOps.deriveFrameTs(numbered)

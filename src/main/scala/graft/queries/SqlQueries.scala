@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The SQL surface: `spark.sql` twins of the DataFrame queries, proving the
+  * engine end-to-end through the parser/analyzer — temp views over the base
+  * tables, ANSI SQL (Spark dialect) reproducing each query's EXACT output
+  * (column names, types, row order), including a `LATERAL VIEW bag_explode`
+  * query driving the custom Generator registered by
+  * [[graft.GraftExtensions]]. SqlTwinsSpec asserts twin ≡ DataFrame result
+  * for every entry; the DataFrame side is what the DuckDB oracle checks, so
+  * equality transfers oracle coverage to the SQL form.
+  */
+object SqlQueries {
+
+  /** Register the base tables as temp views (events with the same ns→µs
+    * timestamp normalization the DataFrame queries get from [[Tables]]).
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    val t = Tables(spark, dir)
+    t.region.createOrReplaceTempView("region")
+    t.nation.createOrReplaceTempView("nation")
+    t.customer.createOrReplaceTempView("customer")
+    t.part.createOrReplaceTempView("part")
+    t.orders.createOrReplaceTempView("orders")
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.events.createOrReplaceTempView("events")
+    t.documents.createOrReplaceTempView("documents")
+  }
+
+  /** Stage GBAG bags from events and expose their binary blobs as the
+    * `bag_files` view — input for the LATERAL VIEW bag_explode twin.
+    */
+  def registerBagView(spark: SparkSession, dir: String): Unit =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bag")
+      .load(PipelineQueries.stageBags(spark, dir))
+      .select("content")
+      .createOrReplaceTempView("bag_files")
+
+  /** name (matching SparkEntry.queries) → Spark SQL text. */
+  val twins: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_topic_summary" ->
+      """SELECT event_type, count(*) AS n,
+        | unix_millis(min(ts)) AS min_ts_ms, unix_millis(max(ts)) AS max_ts_ms,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q03_running_max" ->
+      """SELECT user_id, event_type, max(value) AS max_value, count(*) AS n_events
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q04_category_counts" ->
+      """SELECT l_linestatus,
+        | round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END), 4) AS r_qty,
+        | round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END), 4) AS a_qty,
+        | sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS n_rows,
+        | count(*) AS total_rows
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |LEFT ANTI JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |LEFT SEMI JOIN lineitem ON p_partkey = l_partkey
+        |ORDER BY p_partkey""".stripMargin,
+    "q07_derived_join" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS total_revenue,
+        | count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON concat('C', o_custkey) = concat('C', c_custkey)
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q08_except_diff" ->
+      """SELECT c_custkey AS key FROM customer
+        |EXCEPT SELECT o_custkey AS key FROM orders
+        |ORDER BY key""".stripMargin,
+    "q09_frame_numbering" ->
+      """SELECT event_id, user_id, frame_index,
+        | format_string('u%03d_%04d', user_id, frame_index) AS frame_name
+        |FROM (SELECT event_id, user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+        |    AS BIGINT) AS frame_index
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q10_gap_detect" ->
+      """SELECT user_id, event_id, prev_id, event_id - prev_id AS gap
+        |FROM (SELECT user_id, event_id,
+        |  lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id
+        |  FROM events)
+        |WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q11_first_match" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | unix_millis(o_orderdate) AS o_orderdate_ms
+        |FROM orders ORDER BY o_orderkey LIMIT 1""".stripMargin,
+    "q12_distinct_topics" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q13_string_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(element_at(split(o_orderpriority, '-'), 1) AS INT) AS prio_num,
+        | element_at(split(o_orderpriority, '-'), 2) AS prio_name,
+        | CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS BIGINT) AS prio_digit,
+        | lower(o_orderstatus) AS status_lower,
+        | format_string('ord%09d', o_orderkey) AS padded,
+        | CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+        | regexp_replace(o_orderpriority, '-', '/') AS prio_path
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q14_ts_derive" ->
+      """SELECT event_id, unix_millis(ts) AS ts_ms,
+        | unix_millis(timestampadd(MILLISECOND, CAST((event_id % 240) * 67 AS INT), ts))
+        |   AS frame_ts_ms,
+        | CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+        | CAST(day(ts) AS BIGINT) AS d,
+        | date_format(ts, "yyyy-MM-dd'T'HH:mm:ss") AS iso_sec
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q15_json_extract" ->
+      """SELECT event_type,
+        | sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q16_group_tally" ->
+      """SELECT lang, count(*) AS n_docs,
+        | count(DISTINCT source) AS n_sources,
+        | sum(n_chars) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q17_sensor_next" ->
+      """SELECT path FROM (
+        | SELECT format_string('bags/bag_%09d.bag', o_orderkey) AS path, o_orderkey
+        | FROM orders) f
+        |LEFT ANTI JOIN (
+        | SELECT o_orderkey AS done_key FROM orders
+        | WHERE o_orderstatus IN ('F', 'O')) s
+        |ON f.o_orderkey = s.done_key
+        |ORDER BY path LIMIT 1""".stripMargin,
+    "q18_detections_tall" ->
+      """WITH det AS (
+        | SELECT format_string('cam%d', user_id % 4) AS camera,
+        |   (event_id * 1103515245 + 12345) % 2147483648 AS seed
+        | FROM events),
+        |det2 AS (
+        | SELECT camera,
+        |   element_at(array('Person', 'Bicycle', 'Motorcycle', 'Car', 'Dog'),
+        |     CAST(seed % 5 AS INT) + 1) AS label,
+        |   50.0 + CAST(seed % 5000 AS DOUBLE) / 100.0 AS confidence,
+        |   seed % 4 AS n_instances
+        | FROM det)
+        |SELECT camera, label, round(max(confidence), 2) AS max_conf,
+        | sum(n_instances) AS sum_instances, count(*) AS n_frames
+        |FROM det2 GROUP BY camera, label ORDER BY camera, label""".stripMargin,
+    "q20_tumbling_window" ->
+      """SELECT unix_millis(date_trunc('hour', ts)) AS window_start_ms, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+    "q26_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q39_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q40_intersect" ->
+      """SELECT o_custkey AS key FROM orders
+        |INTERSECT SELECT c_custkey AS key FROM customer
+        |ORDER BY key""".stripMargin,
+    "q41_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 6) AS sd_qty,
+        | round(var_samp(l_discount), 8) AS var_disc,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q42_collect" ->
+      """SELECT o_orderstatus,
+        | array_join(array_sort(collect_set(o_orderpriority)), '|') AS priorities,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q44_uniform_sample" ->
+      """SELECT * FROM (
+        | SELECT doc_id, lang, n_chars FROM documents
+        | ORDER BY md5(CAST(doc_id AS STRING)), doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+    "q45_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+        | FROM documents)
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+    "q48_percentiles" ->
+      """SELECT l_returnflag,
+        | round(percentile(l_extendedprice, 0.25), 4) AS p25,
+        | round(percentile(l_extendedprice, 0.5), 4) AS p50,
+        | round(percentile(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the custom Generator through pure SQL: LATERAL VIEW over binary bag
+    // blobs — twin of q34's DSv2 path (same events-derived bags, so the
+    // per-topic summary is identical)
+    "q34_bag_roundtrip" ->
+      """SELECT b.topic, count(*) AS n_messages,
+        | min(b.rosbagTimestamp) AS min_ts, max(b.rosbagTimestamp) AS max_ts
+        |FROM bag_files LATERAL VIEW bag_explode(content) b AS topic, rosbagTimestamp, fields
+        |GROUP BY b.topic ORDER BY topic""".stripMargin,
+  )
+
+  /** Run one twin (views must be registered; q34 also needs
+    * [[registerBagView]]).
+    */
+  def run(spark: SparkSession, name: String): DataFrame = spark.sql(twins(name))
+}

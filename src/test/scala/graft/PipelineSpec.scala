@@ -89,6 +89,40 @@ class PipelineSpec extends SparkSpec {
     assert(colors.contains(0x00d400))
   }
 
+  test("S14 real sensor_msgs/Image decode: rgb8/bgr8/mono8 + step stride") {
+    // rgb8 raw payload decodes to EXACTLY the pixels of the synthetic PNG
+    // generated from the same LCG seed
+    val w = 48; val h = 32
+    val raw = Imaging.rawFrame(w, h, 4007)
+    val fromRaw = Imaging.decodePng(Imaging.decodeRosImage(w, h, "rgb8", w * 3, raw))
+    val fromPng = Imaging.decodePng(Imaging.syntheticFrame(w, h, 4007))
+    for (x <- 0 until w; y <- 0 until h)
+      assert(fromRaw.getRGB(x, y) == fromPng.getRGB(x, y), s"pixel ($x,$y)")
+    // bgr8: channel-swapped payload decodes to the same image
+    val bgr = raw.grouped(3).flatMap(p => Array(p(2), p(1), p(0))).toArray
+    val fromBgr = Imaging.decodePng(Imaging.decodeRosImage(w, h, "bgr8", w * 3, bgr))
+    assert(fromBgr.getRGB(5, 7) == fromRaw.getRGB(5, 7))
+    // step > width*channels (aligned rows): padding bytes are skipped
+    val stride = w * 3 + 8
+    val padded = new Array[Byte](stride * h)
+    for (y <- 0 until h) System.arraycopy(raw, y * w * 3, padded, y * stride, w * 3)
+    val fromPadded = Imaging.decodePng(Imaging.decodeRosImage(w, h, "rgb8", stride, padded))
+    assert(fromPadded.getRGB(w - 1, h - 1) == fromRaw.getRGB(w - 1, h - 1))
+    // mono8
+    val mono = Array.tabulate[Byte](w * h)(i => (i % 251).toByte)
+    val m = Imaging.decodePng(Imaging.decodeRosImage(w, h, "mono8", w, mono))
+    assert((m.getRGB(10, 0) & 0xff) == (mono(10) & 0xff))
+    intercept[IllegalArgumentException] {
+      Imaging.decodeRosImage(w, h, "yuv422", 0, raw)
+    }
+  }
+
+  test("q35 frame pipeline runs over frames decoded from a real bag") {
+    val out = queries.PipelineQueries.qFramePipeline(spark, SF)
+    assert(out.count() == 64) // 4 cameras × 16 frames
+    assert(out.select("camera").distinct().count() == 4)
+  }
+
   test("X4 via DataFrame: annotate draws all instance boxes in one pass") {
     val labeled = Detector.withLabels(frames)
     val out = Imaging.annotate(labeled).select("annotated").collect()

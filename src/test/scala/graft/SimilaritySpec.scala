@@ -26,19 +26,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("IVF top-k recall@5 vs exact baseline is reasonable") {
-    val exact = SimilarityOps.qBruteForceTopK(spark, SF).collect()
+  private def ivfRecall(dir: String): Double = {
+    val exact = SimilarityOps.qBruteForceTopK(spark, dir).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
-    val approx = SimilarityOps.qIvfTopK(spark, SF).collect()
+    val approx = SimilarityOps.qIvfTopK(spark, dir).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
     // keys.toSeq: Map.keys is a Set — mapping to recall VALUES on a Set
     // collapses duplicates and skews the mean
     val recalls = exact.keys.toSeq.map(q =>
       (exact(q) intersect approx.getOrElse(q, Set.empty)).size.toDouble / exact(q).size)
-    val mean = recalls.sum / recalls.size
-    // nprobe=4 of 16 Lloyd-refined centroids: measured 1.0 at sf0.001 and
-    // sf0.1; 0.6 leaves headroom for other data shapes
-    assert(mean >= 0.6, s"mean recall $mean")
+    recalls.sum / recalls.size
+  }
+
+  test("IVF top-k recall@5 ≥ 0.9 at nprobe/C = 1/8 (sampled k-means quantizer)") {
+    val mean = ivfRecall(SF)
+    assert(mean >= 0.9, s"mean recall $mean")
+  }
+
+  test("IVF recall@5 ≥ 0.9 holds at sf0.1 (C ~ √N scales with the table)") {
+    assume(new java.io.File("/root/testdata/sf0.1/embeddings.parquet").exists)
+    val mean = ivfRecall("/root/testdata/sf0.1")
+    assert(mean >= 0.9, s"mean recall $mean")
   }
 
   test("LSH signature is deterministic and bucket query covers all vectors") {

@@ -1,0 +1,35 @@
+package graft
+
+import graft.queries.SqlQueries
+
+/** Every SQL twin must reproduce its DataFrame query EXACTLY: same column
+  * names, same types, same values, same row order. The DataFrame side is
+  * what the DuckDB oracle validates, so twin ≡ DataFrame transfers oracle
+  * coverage to the SQL surface (VERDICT round-2 item 8).
+  */
+class SqlTwinsSpec extends SparkSpec {
+
+  test("SQL surface covers ≥ 20 queries") {
+    assert(SqlQueries.twins.size >= 20, s"only ${SqlQueries.twins.size} twins")
+  }
+
+  SqlQueries.twins.keys.toSeq.sorted.foreach { name =>
+    test(s"SQL twin $name ≡ DataFrame query") {
+      SqlQueries.registerViews(spark, SF)
+      if (name == "q34_bag_roundtrip") SqlQueries.registerBagView(spark, SF)
+      val df = SparkEntry.queries(name)(spark, SF)
+      val sql = SqlQueries.run(spark, name)
+      assert(sql.schema.fieldNames.toSeq == df.schema.fieldNames.toSeq,
+        s"column names differ: sql=${sql.schema.fieldNames.toSeq} df=${df.schema.fieldNames.toSeq}")
+      assert(sql.schema.map(_.dataType) == df.schema.map(_.dataType),
+        s"column types differ: sql=${sql.schema.map(_.dataType)} df=${df.schema.map(_.dataType)}")
+      val sqlRows = sql.collect().toSeq
+      val dfRows = df.collect().toSeq
+      assert(sqlRows.size == dfRows.size,
+        s"row counts differ: sql=${sqlRows.size} df=${dfRows.size}")
+      sqlRows.zip(dfRows).zipWithIndex.foreach { case ((s, d), i) =>
+        assert(s == d, s"row $i differs:\n  sql=$s\n  df =$d")
+      }
+    }
+  }
+}
