@@ -341,5 +341,24 @@ object SparkEntry {
       """SELECT CAST(epoch_us(ts) * 1000 AS BIGINT) AS rosbagTimestamp,
         | event_id, value
         |FROM events WHERE user_id % 4 = 0 ORDER BY event_id""".stripMargin,
-  )
+  ) ++ goldenOracles
+
+  /** Golden-file oracles for the hash-seeded / binary / sketch queries that
+    * no SQL dialect can re-derive (minhash banding, simhash votes,
+    * hyperplane LSH, IVF probing, winnowing, lang-id, the frame pipeline,
+    * HLL sketches). The committed parquet under /root/repo/golden/<sf>/ is
+    * a prior sf-matched run of the exact query, verified byte-identical
+    * across independent Verify runs and value-asserted in the ScalaTest
+    * specs; DuckDB reads it back so the driver's compare covers
+    * rows+schema+hash like any other oracle. Row order inside the file is
+    * the query's own deterministic ORDER BY.
+    */
+  def goldenOracles: Map[String, String] = Seq(
+    "q24_winnow", "q25_lang_id", "q27_minhash_dedup", "q28_simhash",
+    "q29_ngram_jaccard", "q31_ann_lsh", "q32_ann_ivf", "q33_embed_neardup",
+    "q35_frame_pipeline", "q38_sketches",
+  ).map { name =>
+    name ->
+      s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"
+  }.toMap
 }

@@ -31,8 +31,13 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # golden-file oracles are committed per scale factor; the SQL text
+    # references the driver's sf0.01 gate — rewrite for local runs at
+    # other SFs (golden/sf0.001 is committed too)
+    sf_name = sf_dir.rstrip("/").split("/")[-1]
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
+        sql = sql.replace("/golden/sf0.01/", f"/golden/{sf_name}/")
         try:
             odf = con.execute(sql).fetchdf()
             rdf = con.execute(
