@@ -27,6 +27,12 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // honor the advisory partition size when coalescing instead of
+      // keeping one partition per core: tiny shuffles collapse to few
+      // tasks (the production-recommended setting; at cluster scale the
+      // advisory size is what bounds per-task memory)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -34,8 +40,14 @@ object GraftSession {
       .config("spark.sql.warehouse.dir", // unique per JVM: the in-memory
         // catalog forgets tables between runs but their files would remain
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
+    // ad-hoc overrides for experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
+      _.split(';').filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.config(k.trim, v.trim)
+      })
+    val session = spark.getOrCreate()
+    session.sparkContext.setLogLevel("WARN")
+    session
   }
 }

@@ -111,26 +111,22 @@ object TextOps {
 
   /** q46: character-bigram entropy per document — a standard LM-training
     * quality signal (low entropy ⇒ repetitive/boilerplate text). Entropy =
-    * log2(N) − Σ c·log2(c)/N over bigram counts; explode + two hash
-    * aggregations, all partial-agg friendly.
+    * log2(N) − Σ c·log2(c)/N over bigram counts, computed per row by the
+    * native [[graft.functions.BigramEntropy]] expression in one O(len)
+    * pass. The previous explode → groupBy(doc, bigram) → groupBy(doc)
+    * plan shuffled one row per CHARACTER of the corpus twice — two
+    * corpus-sized shuffles at 100 TB for a value each row can produce
+    * locally (measured 2.9 s → ~0.4 s at sf0.1).
     */
   def qBigramEntropy(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val bigrams = t.documents
-      // texts shorter than 2 chars have no bigrams: without this filter
-      // sequence(1, 0) would DESCEND ([1,0]) and fabricate bigram rows the
-      // DuckDB oracle (empty range) doesn't emit
+    t.documents
+      // texts shorter than 2 chars have no bigrams: the oracle's
+      // range(1, length) is empty there, so those docs emit no row
       .filter(length(col("text")) >= 2)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"))
-          .as("bg"))
-    bigrams
-      .groupBy("doc_id", "bg")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(round(
-        log2(sum("c")) - sum(col("c") * log2(col("c"))) / sum("c"), 6)
-        .as("bigram_entropy"))
+        round(graft.functions.BigramEntropy.bigram_entropy(col("text")), 6)
+          .as("bigram_entropy"))
       .orderBy("doc_id")
   }
 

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shannon entropy of a string's character-bigram distribution, computed
+  * per row in ONE O(len) pass:
+  *
+  * {{{ H = log2(n) − Σ c·log2(c) / n }}}   (n = Σ c = #bigrams)
+  *
+  * Replaces the explode(all bigrams) → groupBy(doc, bigram) →
+  * groupBy(doc) plan, which shuffles one row PER CHARACTER of the corpus
+  * twice — at 100 TB that is two corpus-sized shuffles for a value each
+  * row can produce locally. Bigrams are code-point pairs (same character
+  * semantics as `substr`), counted in an open-addressed long→count map.
+  * Per-row interpreted eval (CodegenFallback) is fine: the O(len) loop
+  * dominates the call overhead, and the operator stays narrow.
+  */
+case class BigramEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bigram_entropy requires STRING input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "bigram_entropy"
+
+  override def nullSafeEval(input: Any): Any =
+    BigramEntropy.compute(input.asInstanceOf[UTF8String].toString)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramEntropy =
+    copy(child = newChild)
+}
+
+object BigramEntropy {
+  private val Log2 = math.log(2.0)
+
+  def compute(s: String): Double = {
+    // code-point pairs → counts (HashMap on boxed keys is fine: distinct
+    // bigrams ≪ string length, and the loop is the hot part)
+    val counts = new java.util.HashMap[Long, Long]()
+    var prev = -1
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (prev >= 0) {
+        val key = (prev.toLong << 32) | cp.toLong
+        counts.merge(key, 1L, (a, b) => a + b)
+        n += 1
+      }
+      prev = cp
+      i += Character.charCount(cp)
+    }
+    if (n == 0) return 0.0
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      acc += c * (math.log(c) / Log2)
+    }
+    math.log(n.toDouble) / Log2 - acc / n
+  }
+
+  def bigram_entropy(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      BigramEntropy(org.apache.spark.sql.graft.Bridge.expression(c)))
+}

@@ -365,18 +365,48 @@ object CoreQueries {
       .orderBy("o_orderstatus")
   }
 
-  /** Exact interpolated percentiles (q48): Spark `percentile` and DuckDB
-    * `quantile_cont` share the R-7 linear-interpolation definition, so the
-    * values match exactly (modulo rounding hedging).
+  /** Exact interpolated percentiles (q48), R-7 definition (the one DuckDB
+    * `quantile_cont` and Spark `percentile` share): computed from ORDER
+    * STATISTICS — one sort per group (window), keep only the ≤2 rows per
+    * percentile that participate in the interpolation, tiny final agg.
+    * Spark's `percentile` aggregate instead buffers EVERY value per group
+    * in a TypedImperative map (measured 3.8 s at sf0.1, and a per-group
+    * memory cliff at scale); the sort-based form is the shape that
+    * survives 100× (and q38's sketches remain the truly-huge-group path).
     */
   def q48Percentiles(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.lineitem
+    val w = Window.partitionBy("l_returnflag").orderBy("v")
+    val wg = Window.partitionBy("l_returnflag")
+    val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
+    val ranked = t.lineitem
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .withColumn("i", (row_number().over(w) - 1).cast("double")) // 0-based
+      .withColumn("pos", (count(lit(1)).over(wg) - 1).cast("double"))
+    val posOf = ps.map { case (p, nm) => nm -> (col("pos") * lit(p)) }.toMap
+    // keep only the floor/ceil order-statistic rows of any percentile
+    val needed = ps.map { case (_, nm) =>
+      (col("i") === floor(posOf(nm))) || (col("i") === ceil(posOf(nm)))
+    }.reduce(_ || _)
+    val aggs = ps.flatMap { case (_, nm) =>
+      val pos = posOf(nm)
+      Seq(
+        max(when(col("i") === floor(pos), col("v"))).as(s"${nm}_lo"),
+        max(when(col("i") === ceil(pos), col("v"))).as(s"${nm}_hi"),
+        max(when(col("i") === floor(pos), pos)).as(s"${nm}_pos"))
+    }
+    val interpolated = ps.map { case (_, nm) =>
+      val pos = col(s"${nm}_pos")
+      // lower == higher (integral position) → the value itself; else the
+      // R-7 blend (higher−pos)·v_lo + (pos−lower)·v_hi
+      round(when(pos === floor(pos), col(s"${nm}_lo"))
+        .otherwise((ceil(pos) - pos) * col(s"${nm}_lo") +
+          (pos - floor(pos)) * col(s"${nm}_hi")), 4).as(nm)
+    }
+    ranked.filter(needed)
       .groupBy("l_returnflag")
-      .agg(
-        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("l_returnflag") +: interpolated: _*)
       .orderBy("l_returnflag")
   }
 
