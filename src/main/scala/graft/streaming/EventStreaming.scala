@@ -181,6 +181,47 @@ object EventStreaming {
       }
   }
 
+  /** S19 as STREAMING: the reference's DynamoDB conditional upsert
+    * (`SET <label> = :conf IF attribute_not_exists OR < :conf` —
+    * `dags/processing/processing.py:257-270`) re-expressed as a
+    * foreachBatch merge into a persistent max-confidence table. Each
+    * micro-batch pre-aggregates map-side, merges with the table, and
+    * commits via write-new + atomic rename — idempotent under batch
+    * replay BECAUSE max is monotone (the same property that makes the
+    * DynamoDB condition commute). At warehouse scale the commit step is
+    * a Delta/Iceberg MERGE; the per-batch plan is identical.
+    */
+  def upsertMaxBatch(batch: DataFrame, tableDir: String): Unit = {
+    val spark = batch.sparkSession
+    val agg = batch.groupBy("camera", "label")
+      .agg(max("confidence").as("confidence"))
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      if (fs.exists(path))
+        spark.read.parquet(tableDir).unionByName(agg)
+          .groupBy("camera", "label").agg(max("confidence").as("confidence"))
+      else agg
+    val tmp = new org.apache.hadoop.fs.Path(tableDir + ".staging")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    require(fs.rename(tmp, path), s"commit rename failed for $tableDir")
+  }
+
+  /** Run the upsert over a detections stream (cols camera, label,
+    * confidence) until available data is drained.
+    */
+  def streamingDetectionsUpsert(detections: DataFrame, tableDir: String,
+      checkpointDir: String): Unit = {
+    val q = detections.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, _: Long) => upsertMaxBatch(b, tableDir))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive a streaming DataFrame to completion against a memory sink and
     * return the materialized result (synchronous batch-driven streaming for
     * tests / verification).

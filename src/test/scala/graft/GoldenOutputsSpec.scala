@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.pipeline.{Detections, Detector, Imaging}
+import org.apache.spark.sql.functions._
+
+/** Replay of the reference's committed golden outputs
+  * (`/root/reference/outputs/`: real Rekognition label JSON + the original
+  * and annotated camera frames referenced by its README) through this
+  * engine's label schema, detection aggregates and box drawing — the
+  * parity fixtures the reference itself treats as ground truth.
+  * Read-only from the reference checkout; skipped when absent.
+  */
+class GoldenOutputsSpec extends SparkSpec {
+
+  private val outputsDir = "/root/reference/outputs"
+  private def exists(name: String) = Files.exists(Paths.get(outputsDir, name))
+
+  test("real Rekognition JSON parses completely through the label schema") {
+    assume(exists("right0033.json"))
+    import spark.implicits._
+    val raw = new String(Files.readAllBytes(Paths.get(outputsDir, "right0033.json")), "UTF-8")
+    val schema = org.apache.spark.sql.types.DataType.fromDDL(
+      "ARRAY<STRUCT<Name: STRING, Confidence: DOUBLE, " +
+        "Instances: ARRAY<STRUCT<BoundingBox: STRUCT<Width: DOUBLE, Height: DOUBLE, " +
+        "Left: DOUBLE, Top: DOUBLE>, Confidence: DOUBLE>>, " +
+        "Parents: ARRAY<STRUCT<Name: STRING>>>>")
+    val parsed = Seq(raw).toDF("js")
+      .select(from_json(col("js"), schema).as("labels"))
+    // completeness: every label of the real payload survives the parse
+    val names = parsed.select(explode(col("labels")).as("l"))
+      .select(col("l.Name")).as[String].collect().toSet
+    assert(names.contains("Car") && names.contains("Road") && names.contains("Highway"))
+    // value fidelity on the real Car label: 2 instances, exact confidence
+    val car = parsed.select(explode(col("labels")).as("l"))
+      .filter(col("l.Name") === "Car")
+      .select(col("l.Confidence"), size(col("l.Instances")).as("n"),
+        col("l.Parents")(0)("Name").as("p0"))
+      .head()
+    assert(car.getDouble(0) == 94.84969329833984)
+    assert(car.getInt(1) == 2)
+    assert(car.getString(2) == "Vehicle")
+    // no label lost: every top-level label struct carries exactly one
+    // "Instances" key, so the parsed array length must equal that count
+    val n = parsed.select(size(col("labels"))).head().getInt(0)
+    assert(n == raw.sliding("\"Instances\"".length).count(_ == "\"Instances\""))
+  }
+
+  test("reference frame + real labels replay through A3/A4 aggregates") {
+    assume(exists("left0193_labels.json"))
+    import spark.implicits._
+    val raw = new String(
+      Files.readAllBytes(Paths.get(outputsDir, "left0193_labels.json")), "UTF-8")
+    val labeled = Seq(("left", raw)).toDF("camera", "js")
+      .select(col("camera"),
+        lit(java.sql.Timestamp.valueOf("2020-06-29 13:15:12")).as("frame_ts"),
+        from_json(col("js"), Detector.withLabels(
+          Seq(("x", Imaging.syntheticFrame(8, 8, 1))).toDF("camera", "content"))
+          .schema("labels").dataType).as("labels"))
+    val tall = Detections.tall(labeled)
+    // tall view: one row per (frame, camera, label) with the max confidence
+    val byLabel = tall.collect().map(r =>
+      r.getAs[String]("label") -> r.getAs[Double]("confidence")).toMap
+    assert(byLabel.keySet.contains("Road"))
+    assert(byLabel.values.forall(c => c >= 0.0 && c <= 100.0))
+    val wide = Detections.wide(tall)
+    assert(wide.count() == 1) // one frame
+  }
+
+  test("box drawing replays on the reference's original camera frame") {
+    assume(exists("left0193_original.png") && exists("left0193_labels.json"))
+    val png = Files.readAllBytes(Paths.get(outputsDir, "left0193_original.png"))
+    val img = Imaging.decodePng(png)
+    assert(img.getWidth > 0 && img.getHeight > 0)
+    // real boxes from the real JSON
+    val raw = new String(
+      Files.readAllBytes(Paths.get(outputsDir, "left0193_labels.json")), "UTF-8")
+    val boxes = "\"BoundingBox\": \\{\"Width\": ([0-9.eE-]+), \"Height\": ([0-9.eE-]+), \"Left\": ([0-9.eE-]+), \"Top\": ([0-9.eE-]+)\\}".r
+      .findAllMatchIn(raw)
+      .map(m => (m.group(1).toDouble, m.group(2).toDouble,
+        m.group(3).toDouble, m.group(4).toDouble)).toSeq
+    assert(boxes.nonEmpty, "golden JSON carries no instance boxes")
+    val drawn = Imaging.drawBoxes(png, boxes)
+    assert(!java.util.Arrays.equals(png, drawn))
+    val out = Imaging.decodePng(drawn)
+    assert(out.getWidth == img.getWidth && out.getHeight == img.getHeight)
+    // the reference draws #00d400 (processing.py:377-385) — present post-draw
+    val found = (0 until out.getWidth by 4).exists(x =>
+      (0 until out.getHeight by 4).exists(y => (out.getRGB(x, y) & 0xffffff) == 0x00d400))
+    assert(found, "annotation color not found in drawn frame")
+  }
+}

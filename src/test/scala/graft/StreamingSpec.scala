@@ -164,6 +164,35 @@ class StreamingSpec extends SparkSpec {
     assert(fin.getLong(2) == 100000L, s"max_gap_ms: $fin")
   }
 
+  test("S19 streaming upsert-to-table equals the batch max across micro-batches") {
+    // two copies of the events file → two micro-batches; the upsert table
+    // must converge to the SAME per-(camera, label) max as one batch pass
+    // (the DynamoDB conditional-update semantics are monotone)
+    val dir = java.nio.file.Files.createTempDirectory("events-upsert")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$SF/events.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$SF/events.parquet"),
+      dir.resolve("b.parquet"))
+    def toDetections(df: org.apache.spark.sql.DataFrame) = df.select(
+      format_string("cam%d", col("user_id") % 4).as("camera"),
+      ((col("event_id") * 1103515245L + 12345L) % 2147483648L).as("seed"))
+      .select(col("camera"),
+        element_at(array(lit("Person"), lit("Bicycle"), lit("Motorcycle"),
+          lit("Car"), lit("Dog")), (col("seed") % 5).cast("int") + 1).as("label"),
+        (lit(50.0) + (col("seed") % 5000).cast("double") / 100.0).as("confidence"))
+    val table = java.nio.file.Files.createTempDirectory("det-table").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("det-ckpt").toString
+    EventStreaming.streamingDetectionsUpsert(
+      toDetections(EventStreaming.readEventStream(spark, dir.toString)),
+      table, ckpt)
+    val got = spark.read.parquet(table).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val want = toDetections(Tables(spark, SF).events)
+      .groupBy("camera", "label").agg(max("confidence").as("confidence"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got == want)
+  }
+
   test("flatMapGroupsWithState sessions agree with batch gaps-and-islands") {
     val stream = EventStreaming.readEventStream(spark, eventsDir)
     val got = EventStreaming.runToMemory(
