@@ -138,12 +138,24 @@ object RosBagFilters {
 }
 
 class RosBagScan(path: String, required: StructType,
-    pushed: Array[sources.Filter]) extends Scan with Batch {
+    pushed: Array[sources.Filter]) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"RosBagScan path=$path, ReadSchema: ${required.catalogString}, " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
   override def toBatch: Batch = this
+
+  /** File-listing size × a conservative decoded-row expansion factor —
+    * lets Catalyst/AQE broadcast small bag tables instead of assuming the
+    * worst (same contract as the GBag scan).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val totalBytes: Long = listBagFiles().map(_.getLen).sum * 4L
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(totalBytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   private def listBagFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
