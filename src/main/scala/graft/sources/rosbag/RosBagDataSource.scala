@@ -69,12 +69,14 @@ class RosBagTable(path: String, tableSchema: StructType = RosBagTable.fullSchema
   override def name(): String = s"rosbag($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RosBagScanBuilder(path, tableSchema)
+    new RosBagScanBuilder(path, tableSchema,
+      options.getInt("maxFilesPerTrigger", 0))
 }
 
-class RosBagScanBuilder(path: String, tableSchema: StructType)
+class RosBagScanBuilder(path: String, tableSchema: StructType,
+    maxFilesPerTrigger: Int = 0)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = tableSchema
@@ -98,7 +100,8 @@ class RosBagScanBuilder(path: String, tableSchema: StructType)
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
 
-  override def build(): Scan = new RosBagScan(path, required, pushed)
+  override def build(): Scan =
+    new RosBagScan(path, required, pushed, maxFilesPerTrigger)
 }
 
 /** chunks = byte positions of the chunk records this partition decodes;
@@ -138,13 +141,16 @@ object RosBagFilters {
 }
 
 class RosBagScan(path: String, required: StructType,
-    pushed: Array[sources.Filter]) extends Scan with Batch
-    with SupportsReportStatistics {
+    pushed: Array[sources.Filter], maxFilesPerTrigger: Int = 0)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"RosBagScan path=$path, ReadSchema: ${required.catalogString}, " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RosBagMicroBatchStream(path, required, maxFilesPerTrigger)
 
   /** File-listing size × a conservative decoded-row expansion factor —
     * lets Catalyst/AQE broadcast small bag tables instead of assuming the
@@ -243,12 +249,14 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
   private val conns = scala.collection.mutable.Map.empty[Long, RosBagFormat.Connection]
   conns ++= part.connections
 
+  // the one FS stream this reader owns — released in close()
+  private val stream = fs.open(fsPath)
+
   /** One BagRecord-iterator per assigned chunk, concatenated lazily —
     * at most one decompressed chunk body is live at a time.
     */
   private val records: Iterator[graft.sources.BagRecord] =
     if (part.indexed) {
-      val stream = fs.open(fsPath)
       part.chunks.iterator.flatMap { pos =>
         stream.seek(pos)
         val in = new DataInputStream(new java.io.BufferedInputStream(stream, 1 << 16))
@@ -261,7 +269,7 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
       }
     } else {
       // unindexed fallback: stream the whole file
-      val in = new DataInputStream(new java.io.BufferedInputStream(fs.open(fsPath), 1 << 20))
+      val in = new DataInputStream(new java.io.BufferedInputStream(stream, 1 << 20))
       val magic = new Array[Byte](RosBagFormat.VersionLine.length)
       in.readFully(magic)
       require(java.util.Arrays.equals(magic, RosBagFormat.VersionLine),
@@ -331,5 +339,5 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = stream.close()
 }

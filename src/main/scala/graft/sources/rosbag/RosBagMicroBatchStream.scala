@@ -1,0 +1,123 @@
+package graft.sources.rosbag
+
+import java.io.DataInputStream
+
+import graft.sources.v2.SerializableHadoopConf
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+
+/** Streaming half of the `rosbag` source: the reference's polling sensor
+  * (`plugins/sensors/s3_metadata_sensor.py:49-74` re-poked every 10 s) as
+  * a Structured Streaming micro-batch source — new-recording discovery IS
+  * the sensor (SURVEY.md §2.8 St2), with `maxFilesPerTrigger=1`
+  * reproducing the one-bag-per-run behavior and the checkpointed offset
+  * log replacing the S3-tag state machine (St3).
+  *
+  * Offsets carry the SEEN FILE SET (sorted paths), the same contract as
+  * Spark's own file source but over bag recordings decoded through the
+  * real-container reader; each batch plans the not-yet-seen files.
+  */
+class RosBagMicroBatchStream(path: String, schema: StructType,
+    maxFilesPerTrigger: Int) extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val conf = new SerializableHadoopConf(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  private def listFiles(): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val files =
+        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+        else Seq(fs.getFileStatus(p))
+      files.filter(_.getPath.getName.endsWith(".bag")).map(_.getPath.toString).sorted
+    }
+  }
+
+  // pinned listing for Trigger.AvailableNow: drain exactly these files
+  @volatile private var availableNowCeiling: Option[Seq[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCeiling = Some(listFiles())
+
+  override def initialOffset(): Offset = RosBagSourceOffset(Seq.empty)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    if (maxFilesPerTrigger > 0)
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles(maxFilesPerTrigger)
+    else org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** Admission control: the per-trigger file cap is applied HERE — capping
+    * in planInputPartitions instead would mark files committed without
+    * ever reading them.
+    */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val seen = start.asInstanceOf[RosBagSourceOffset].seen
+    val seenSet = seen.toSet
+    val candidates = availableNowCeiling.getOrElse(listFiles()).filterNot(seenSet)
+    val admitted = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        candidates.take(m.maxFiles())
+      case _ => candidates
+    }
+    RosBagSourceOffset(seen ++ admitted)
+  }
+
+  override def reportLatestOffset(): Offset =
+    RosBagSourceOffset(availableNowCeiling.getOrElse(listFiles()))
+
+  override def deserializeOffset(json: String): Offset =
+    RosBagSourceOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[RosBagSourceOffset].seen.toSet
+    val newFiles = end.asInstanceOf[RosBagSourceOffset].seen.filterNot(seen)
+    newFiles.map { f =>
+      val p = new Path(f)
+      val fs = p.getFileSystem(conf.value)
+      def open(pos: Long): DataInputStream = {
+        val s = fs.open(p)
+        if (pos > 0) s.seek(pos)
+        new DataInputStream(new java.io.BufferedInputStream(s, 1 << 16))
+      }
+      RosBagFormat.readIndex(open) match {
+        case Some(idx) =>
+          RosBagInputPartition(f, idx.chunks.map(_.pos), idx.connections,
+            indexed = true): InputPartition
+        case None =>
+          RosBagInputPartition(f, Seq.empty, Map.empty, indexed = false): InputPartition
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RosBagReaderFactory(schema, Array.empty[sources.Filter], conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class RosBagSourceOffset(seen: Seq[String]) extends Offset {
+  override def json(): String =
+    seen.map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object RosBagSourceOffset {
+  def fromJson(json: String): RosBagSourceOffset = {
+    // minimal JSON string-array parse (offsets are written by json() above)
+    val items = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    RosBagSourceOffset(items)
+  }
+}

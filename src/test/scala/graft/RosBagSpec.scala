@@ -170,6 +170,45 @@ class RosBagSpec extends SparkSpec {
     assert(df.groupBy("topic").count().collect().map(_.getLong(1)).toSet == Set(5L))
   }
 
+  test("streaming rosbag source: sensor semantics over a landing dir") {
+    // St2 on the real container: recordings land as files; the stream
+    // discovers each exactly once, one bag per micro-batch, and a restart
+    // from the checkpoint does not reprocess
+    val landing = Files.createTempDirectory("rosbag-landing").toString
+    val ckpt = Files.createTempDirectory("rosbag-ckpt").toString
+    def drop(n: Int): Unit = Files.write(Paths.get(s"$landing/rec$n.bag"),
+      RosBagWriter.build(topics, sampleRecords(10).map { case (t, ts, m) =>
+        (t, ts + n * 1000000000L, m)
+      }.iterator))
+    drop(0); drop(1)
+    val out = Files.createTempDirectory("rosbag-out").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("rosbag")
+        .option("maxFilesPerTrigger", 1)
+        .schema(graft.sources.rosbag.RosBagTable.fullSchema)
+        .load(landing)
+        .selectExpr("topic", "rosbagTimestamp", "fields['header.seq'] AS seq")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 60) // 2 bags × 30 records
+    // restart with no new files: nothing reprocessed
+    run()
+    assert(spark.read.parquet(out).count() == 60)
+    // a third recording lands; only it flows through
+    drop(2)
+    run()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 90)
+    assert(got.select("rosbagTimestamp").distinct().count() == 90)
+  }
+
   test("committed real-format fixture decodes with expected values") {
     val url = getClass.getResource("/fixtures/sample.bag")
     assert(url != null, "fixture missing: src/test/resources/fixtures/sample.bag")

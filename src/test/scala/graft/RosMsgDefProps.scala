@@ -1,0 +1,104 @@
+package graft
+
+import graft.sources.rosbag.{RosBagFormat, RosBagWriter, RosMsgDef}
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property coverage of the generic ROS message serde: random values of a
+  * composite type exercising every primitive kind, fixed + variable
+  * arrays, binary payloads, nested messages and message arrays must
+  * round-trip bit-exactly through the wire format, and whole records must
+  * survive the full container (writer → sequential reader).
+  */
+object RosMsgDefProps extends Properties("rosmsg") {
+
+  private val kitchenSinkDef =
+    """bool b
+      |int8 i8
+      |uint8 u8
+      |int16 i16
+      |uint16 u16
+      |int32 i32
+      |uint32 u32
+      |int64 i64
+      |uint64 u64
+      |float32 f32
+      |float64 f64
+      |string s
+      |time t
+      |duration d
+      |int32[3] fixed
+      |int64[] var
+      |uint8[] blob
+      |test_msgs/Inner inner
+      |test_msgs/Inner[] inners
+      |================================================================================
+      |MSG: test_msgs/Inner
+      |int32 x
+      |string name
+      |""".stripMargin
+
+  private val (spec, registry) = RosMsgDef.parse("test_msgs/KitchenSink", kitchenSinkDef)
+
+  // strings must be valid UTF-8 round-trippers (no unpaired surrogates)
+  private val genStr: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', 'ß', '中', 'é', '!')))
+      .map(_.mkString.take(40))
+
+  private def inner(path: String): Gen[Map[String, String]] = for {
+    x <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    name <- genStr
+  } yield Map(s"$path.x" -> x.toString, s"$path.name" -> name)
+
+  private val genFields: Gen[Map[String, String]] = for {
+    b <- Gen.oneOf("true", "false")
+    i8 <- Gen.chooseNum(-128, 127)
+    u8 <- Gen.chooseNum(0, 255)
+    i16 <- Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt)
+    u16 <- Gen.chooseNum(0, 65535)
+    i32 <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    u32 <- Gen.chooseNum(0L, 0xffffffffL)
+    i64 <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    u64 <- Gen.chooseNum(Long.MinValue, Long.MaxValue) // full 64-bit pattern
+    f32 <- Gen.chooseNum(-1e6f, 1e6f)
+    f64 <- Gen.chooseNum(-1e12, 1e12)
+    s <- genStr
+    secs <- Gen.chooseNum(0L, 0xffffffffL)
+    nsecs <- Gen.chooseNum(0L, 999999999L)
+    fixed <- Gen.listOfN(3, Gen.chooseNum(Int.MinValue, Int.MaxValue))
+    varr <- Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)).map(_.take(6))
+    blob <- Gen.listOf(Gen.chooseNum(0, 255)).map(_.take(32).map(_.toByte))
+    in0 <- inner("inner")
+    n <- Gen.chooseNum(0, 3)
+    ins <- Gen.sequence[Seq[Map[String, String]], Map[String, String]](
+      (0 until n).map(i => inner(s"inners.$i")))
+  } yield Map(
+    "b" -> b, "i8" -> i8.toString, "u8" -> u8.toString,
+    "i16" -> i16.toString, "u16" -> u16.toString, "i32" -> i32.toString,
+    "u32" -> u32.toString, "i64" -> i64.toString,
+    "u64" -> java.lang.Long.toUnsignedString(u64),
+    "f32" -> f32.toString, "f64" -> f64.toString, "s" -> s,
+    "t.secs" -> secs.toString, "t.nsecs" -> nsecs.toString,
+    "d.secs" -> "0", "d.nsecs" -> "0",
+    "fixed" -> fixed.mkString("[", ", ", "]"),
+    "var" -> varr.mkString("[", ", ", "]"),
+    "blob" -> java.util.Base64.getEncoder.encodeToString(blob.toArray)) ++
+    in0 ++ ins.flatten
+
+  property("serde round-trips every primitive kind, arrays, nested msgs") =
+    Prop.forAll(genFields) { fields =>
+      val bytes = RosMsgDef.serialize(spec, registry, fields)
+      RosMsgDef.deserialize(spec, registry, bytes) == fields
+    }
+
+  property("records survive the whole container (writer -> reader)") =
+    Prop.forAll(Gen.listOfN(5, genFields), Gen.oneOf("none", "bz2", "lz4")) {
+      (fieldss, comp) =>
+        val topic = RosBagWriter.TopicSpec("/sink", "test_msgs/KitchenSink", kitchenSinkDef)
+        val recs = fieldss.zipWithIndex.map { case (f, i) =>
+          ("/sink", 1600000000000000000L + i, f)
+        }
+        val bag = RosBagWriter.build(Seq(topic), recs.iterator, compression = comp,
+          chunkThreshold = 512)
+        RosBagFormat.decode(bag).toSeq.map(r => (r.topic, r.rosbagTimestamp, r.fields)) == recs
+    }
+}
