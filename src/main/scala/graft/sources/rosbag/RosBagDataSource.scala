@@ -285,6 +285,18 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
               val c = RosBagFormat.parseConnection(h, data)
               conns(c.id) = c
               Iterator.empty
+            case RosBagFormat.Op.MsgData =>
+              // unchunked message (legal, though `rosbag record` always
+              // chunks) — same handling as the sequential decoder
+              val ts = h.timeNs("time")
+              val conn = conns(h.u32("conn"))
+              if (topicKeep(conn.topic) && tsKeep(ts)) {
+                if (needFields) {
+                  val (spec, reg) = conn.spec
+                  Iterator.single(graft.sources.BagRecord(conn.topic, ts,
+                    RosMsgDef.deserialize(spec, reg, data)))
+                } else Iterator.single(graft.sources.BagRecord(conn.topic, ts, null))
+              } else Iterator.empty
             case _ => Iterator.empty
           }
         }
