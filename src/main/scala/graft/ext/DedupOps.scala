@@ -98,18 +98,24 @@ object DedupOps {
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("band_sig"))
     }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")
-    val banded = sigs
+    // ONE aggregation collects each bucket's member list (bounded by the
+    // cap filter), then pairs expand BUCKET-LOCALLY — no self-join, no
+    // window pass, and the upstream signature aggregation is computed
+    // once instead of once per join branch. Bucket lists are ≤ maxBucket
+    // ids (the oversize filter drops pathological buckets exactly as the
+    // windowed count did), so the collect_list is O(maxBucket) per group
+    // and the pair fan-out is Σ bucket² over CAPPED buckets.
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
-      .withColumn("sz", count(lit(1)).over(w))
-      .filter(col("sz") <= maxBucket)
-      .drop("sz")
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("band", "band_sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), b -> " +
+          "struct(a AS doc_a, b AS doc_b))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
   }
 
