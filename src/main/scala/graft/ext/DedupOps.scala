@@ -168,6 +168,110 @@ object DedupOps {
     minHashDedupAssign(t.documents).orderBy("doc_id")
   }
 
+  /** Multi-hop near-dup CLUSTERING: connected components over the verified
+    * pair graph by iterated label propagation (each vertex adopts the min
+    * cluster id among itself and its neighbors until fixpoint). The one-hop
+    * assignment above is keep-first dedup; chains (A~B~C with A≁C) need the
+    * transitive closure. Convergence in O(component diameter) shuffles —
+    * near-dup components are shallow in practice; `maxIters` bounds
+    * pathological chains and the loop stops early at fixpoint.
+    *
+    * 100 TB shape: each iteration is one join + one groupBy on the edge
+    * list — hash-partitioned by vertex, no driver-side state; edges are
+    * the (bounded) LSH-verified pairs, not n².
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIters: Int = 10): DataFrame = {
+    // labels: (doc_id, cluster_id); edges: (doc_a, doc_b) undirected
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = graft.CacheRegistry.persist(
+      vertices.select(col("doc_id"), col("doc_id").cast("long").as("cluster_id")))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("cluster_id").as("nbr_min"))
+      val next = graft.CacheRegistry.persist(
+        labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id")))
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  /** q27's transitive extension (spec-verified): cluster ids closed over
+    * chains, so A~B~C collapses to one cluster even when A≁C directly.
+    */
+  def minHashDedupClusters(docs: DataFrame, numHashes: Int = 15,
+      rowsPerBand: Int = 3, shingleSize: Int = 2,
+      threshold: Double = 0.6): DataFrame = {
+    val sets = graft.CacheRegistry.persist(shingleSets(docs, shingleSize))
+    val sigs = minHashSignaturesFromSets(sets, numHashes)
+    val verified = jaccardVerifyFromSets(sets, lshCandidates(sigs, numHashes, rowsPerBand))
+      .filter(col("jaccard") >= threshold)
+    connectedComponents(docs.select(col("doc_id")), verified)
+  }
+
+  /** INCREMENTAL dedup — the 100 TB workflow: match a NEW batch of
+    * documents against an already-indexed corpus WITHOUT recomputing it.
+    * State = the persisted signature table (k minhash longs per doc — the
+    * same bounded sketch the batch path shuffles); similarity against old
+    * docs is the standard MinHash estimate (fraction of agreeing
+    * components), so old shingle sets never need storing. New-vs-new
+    * pairs get the same estimator for consistency.
+    *
+    * Returns (new doc_id, matched doc_id, est_jaccard) for pairs ≥
+    * `threshold`, and appends the new signatures to the table (atomic
+    * rename commit, same recipe as the streaming S19 upsert).
+    */
+  def incrementalMinHashDedup(newDocs: DataFrame, stateDir: String,
+      numHashes: Int = 15, rowsPerBand: Int = 3, shingleSize: Int = 2,
+      threshold: Double = 0.6): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSigs = minHashSignatures(newDocs, numHashes, shingleSize)
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // eager localCheckpoint: the commit below REPLACES the state parquet,
+    // and the returned (lazy) result must not re-read the deleted files —
+    // lineage is cut here. (A production table format would version
+    // instead of swap; the plan shape is the same.)
+    val allSigs =
+      (if (fs.exists(path)) spark.read.parquet(stateDir).unionByName(newSigs)
+       else newSigs).localCheckpoint(true)
+    // candidates via banding over old ∪ new, keep pairs touching a new doc
+    val newIds = newDocs.select(col("doc_id").as("doc_a"))
+    val cands = lshCandidates(allSigs, numHashes, rowsPerBand)
+    val touchingNew = cands.join(broadcast(newIds), Seq("doc_a"), "left_semi")
+      .union(cands.join(
+        broadcast(newIds.withColumnRenamed("doc_a", "doc_b")), Seq("doc_b"), "left_semi")
+        .select(col("doc_a"), col("doc_b")))
+      .distinct()
+    val matchExprs = (0 until numHashes)
+      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val estimated = touchingNew
+      .join(allSigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(allSigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matchExprs.cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+    // commit the new signatures into the state table
+    val merged = allSigs.dropDuplicates("doc_id")
+    val tmp = new org.apache.hadoop.fs.Path(stateDir + ".staging")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    require(fs.rename(tmp, path), s"signature-table commit failed for $stateDir")
+    estimated
+  }
+
   /** SimHash (Charikar): 64-bit fingerprint — per-token xxhash64, signed
     * bit-vote per bit position, sign → bit. One explode + one groupBy.
     */

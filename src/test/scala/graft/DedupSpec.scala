@@ -55,6 +55,50 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 0)
   }
 
+  test("connected components close duplicate CHAINS transitively") {
+    // chain A(1)~B(2)~C(3) where A≁C directly: B differs from A in the
+    // LAST word, C differs from B in the FIRST word → j(A,B)=j(B,C)≈0.83
+    // (well above both the 0.75 threshold and the banding collision
+    // knee), while j(A,C)≈0.69 stays below the threshold
+    val mid = "beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val docs = Seq(
+      (1L, s"alpha $mid omega"),
+      (2L, s"alpha $mid psi"),   // ~A (last word differs)
+      (3L, s"nu $mid psi"),      // ~B (first word differs), A≁C
+      (10L, "totally unrelated content lives here okay then"))
+      .toDF("doc_id", "text")
+    val clusters = DedupOps.minHashDedupClusters(docs, threshold = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L,
+      s"chain not closed: $clusters")
+    assert(clusters(10L) == 10L)
+    // one-hop assignment would leave C keyed to B (2), not A (1) — the
+    // transitive closure is what this operator adds
+  }
+
+  test("incremental dedup matches new docs against the persisted corpus") {
+    val state = java.nio.file.Files.createTempDirectory("sig-state").toString + "/sigs"
+    val batch1 = Tables(spark, SF).documents.limit(30).select(col("doc_id"), col("text"))
+    // index the corpus: no prior state — any matches are new-vs-new pairs
+    // inside batch 1 (the synthetic corpus does contain near-dups)
+    val r1 = DedupOps.incrementalMinHashDedup(batch1, state).collect()
+    assert(r1.forall(r => r.getLong(0) < 30 && r.getLong(1) < 30 && r.getDouble(2) >= 0.6))
+    assert(spark.read.parquet(state).count() == 30)
+    // new batch: one exact copy of doc 3, one fresh doc
+    val batch2 = Tables(spark, SF).documents.filter(col("doc_id") === 3)
+      .select(lit(5000L).as("doc_id"), col("text"))
+      .unionByName(Seq((5001L, "nothing like anything indexed before now"))
+        .toDF("doc_id", "text"))
+    val r2 = DedupOps.incrementalMinHashDedup(batch2, state).collect()
+    // the copy is found against the OLD corpus without recomputing it
+    assert(r2.exists(r => Set(r.getLong(0), r.getLong(1)) == Set(3L, 5000L)
+      && r.getDouble(2) == 1.0), s"missed cross-batch dup: ${r2.toSeq}")
+    assert(!r2.exists(r => r.getLong(0) == 5001L || r.getLong(1) == 5001L))
+    // state now carries both batches, each doc once
+    assert(spark.read.parquet(state).count() == 32)
+    assert(spark.read.parquet(state).select("doc_id").distinct().count() == 32)
+  }
+
   test("shingles: short docs fall back to whole text") {
     val one = DedupOps.withShingles(
       Seq((1L, "single word")).toDF("doc_id", "text"), "text", "s", 3)
