@@ -17,9 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * End-to-end through the REAL ROS bag v2.0 container: events staged as
+    * chunked+indexed recordings, read back via the DSv2 `rosbag` source,
+    * summarized per topic.
+    */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.q07DerivedKeyJoin(spark, "/root/testdata/sf0.001")
+    PipelineQueries.qRosbagRoundtrip(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (CoreQueries.q01PricingSummary _),

@@ -96,11 +96,15 @@ object RosBagFormat {
     val fields = Map.newBuilder[String, Array[Byte]]
     var pos = 0
     while (pos < bytes.length) {
+      require(pos + 4 <= bytes.length, "truncated header field length")
       val len = ((bytes(pos) & 0xffL) | ((bytes(pos + 1) & 0xffL) << 8) |
         ((bytes(pos + 2) & 0xffL) << 16) | ((bytes(pos + 3) & 0xffL) << 24)).toInt
       pos += 4
+      require(len > 0 && pos + len <= bytes.length,
+        s"header field overruns the header block (len=$len)")
       var eq = pos
-      while (bytes(eq) != '=') eq += 1
+      while (eq < pos + len && bytes(eq) != '=') eq += 1
+      require(eq < pos + len, "header field without '=' separator")
       fields += new String(bytes, pos, eq - pos, UTF_8) ->
         java.util.Arrays.copyOfRange(bytes, eq + 1, pos + len)
       pos += len

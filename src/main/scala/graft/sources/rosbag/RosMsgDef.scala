@@ -24,6 +24,12 @@ import java.util.Base64
   *    a megapixel camera frame must not become a million-element list
   *  - other primitive arrays render `[v1, v2, ...]`; message arrays flatten
   *    with the element index in the path: `transforms.0.header.seq`
+  *
+  * Known flattening limit: `string[]` values containing commas are lossy
+  * through the bracketed rendering (the reference's split-on-separator
+  * flattener has the same property — bag_to_csv.py:116-123); none of the
+  * reference's whitelisted topics carries string arrays, and binary
+  * payloads use base64 for exactly this reason.
   */
 object RosMsgDef {
 
