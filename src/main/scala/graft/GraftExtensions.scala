@@ -43,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bag_explode"),
       new ExpressionInfo(classOf[BagExplode].getName, "bag_explode"),
       (exprs: Seq[Expression]) => BagExplode(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bigram_entropy"),
+      new ExpressionInfo(classOf[graft.functions.BigramEntropy].getName, "bigram_entropy"),
+      (exprs: Seq[Expression]) => graft.functions.BigramEntropy(exprs.head)))
   }
 }

@@ -206,6 +206,11 @@ object SqlQueries {
         | round(percentile(l_extendedprice, 0.5), 4) AS p50,
         | round(percentile(l_extendedprice, 0.75), 4) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the native entropy expression through pure SQL (registered by
+    // GraftExtensions)
+    "q46_bigram_entropy" ->
+      """SELECT doc_id, round(bigram_entropy(text), 6) AS bigram_entropy
+        |FROM documents WHERE length(text) >= 2 ORDER BY doc_id""".stripMargin,
     // the custom Generator through pure SQL: LATERAL VIEW over binary bag
     // blobs — twin of q34's DSv2 path (same events-derived bags, so the
     // per-topic summary is identical)
