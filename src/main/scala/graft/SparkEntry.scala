@@ -76,6 +76,8 @@ object SparkEntry {
     "q48_percentiles" -> (CoreQueries.q48Percentiles _),
     "q49_rosbag_roundtrip" -> (PipelineQueries.qRosbagRoundtrip _),
     "q50_rosbag_topic_view" -> (PipelineQueries.qRosbagTopicView _),
+    "q51_dedup_clusters" -> (DedupOps.qDedupClusters _),
+    "q52_incremental_dedup" -> (DedupOps.qIncrementalDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -361,6 +363,7 @@ object SparkEntry {
     "q24_winnow", "q25_lang_id", "q27_minhash_dedup", "q28_simhash",
     "q29_ngram_jaccard", "q31_ann_lsh", "q32_ann_ivf", "q33_embed_neardup",
     "q35_frame_pipeline", "q38_sketches",
+    "q51_dedup_clusters", "q52_incremental_dedup",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

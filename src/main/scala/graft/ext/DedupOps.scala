@@ -220,6 +220,42 @@ object DedupOps {
     connectedComponents(docs.select(col("doc_id")), verified)
   }
 
+  /** q51: transitive near-dup clusters (golden-oracle check — banding is
+    * hash-seeded). Every doc reports its connected-component id.
+    */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    minHashDedupClusters(t.documents).orderBy("doc_id")
+  }
+
+  /** q52: incremental dedup (golden-oracle check) — even doc_ids are
+    * indexed first (building the signature table), then odd doc_ids
+    * arrive as the "new batch" and match against the persisted corpus
+    * without recomputing it. Output: per new doc, its match count and
+    * best estimated jaccard (−1 when unmatched), n/2 rows always.
+    */
+  def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val state = java.nio.file.Files.createTempDirectory("graft-sigstate")
+    graft.queries.PipelineQueries.registerTempDirForCleanup(state)
+    val stateDir = state.resolve("sigs").toString
+    val firstBatch = t.documents.filter(col("doc_id") % 2 === 0)
+    val newBatch = t.documents.filter(col("doc_id") % 2 === 1)
+    // index the even half (result discarded; the state write is eager)
+    incrementalMinHashDedup(firstBatch, stateDir)
+    val matches = incrementalMinHashDedup(newBatch, stateDir)
+    val perNew = matches
+      .select(col("doc_a").as("doc_id"), col("est_jaccard"))
+      .union(matches.select(col("doc_b").as("doc_id"), col("est_jaccard")))
+      .filter(col("doc_id") % 2 === 1)
+    newBatch.select(col("doc_id"))
+      .join(perNew, Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("est_jaccard")).as("n_matches"),
+        round(coalesce(max(col("est_jaccard")), lit(-1.0)), 6).as("best_est_jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** INCREMENTAL dedup — the 100 TB workflow: match a NEW batch of
     * documents against an already-indexed corpus WITHOUT recomputing it.
     * State = the persisted signature table (k minhash longs per doc — the

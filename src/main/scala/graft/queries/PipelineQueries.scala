@@ -37,6 +37,10 @@ object PipelineQueries {
     tempDirs.add(tmp): Unit
   }
 
+  /** Shared cleanup registration for query builders outside this object. */
+  def registerTempDirForCleanup(tmp: java.nio.file.Path): Unit =
+    registerTempDir(tmp)
+
   /** Stage the events table as GBAG bags (distributed encode) and return
     * the staging directory. Shared by q34/q47.
     */
