@@ -308,6 +308,31 @@ object DedupOps {
     estimated
   }
 
+  /** Streaming incremental dedup: each micro-batch of documents is matched
+    * against the persisted signature table and then indexed into it — the
+    * continuous-ingest form of [[incrementalMinHashDedup]] (new data
+    * deduped on arrival, corpus never recomputed). Matches append to
+    * `matchesDir` as parquet.
+    */
+  def streamingIncrementalDedup(docs: DataFrame, stateDir: String,
+      matchesDir: String, checkpointDir: String,
+      numHashes: Int = 15, rowsPerBand: Int = 3, shingleSize: Int = 2,
+      threshold: Double = 0.6): Unit = {
+    val q = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          incrementalMinHashDedup(batch, stateDir, numHashes, rowsPerBand,
+            shingleSize, threshold)
+            .write.mode("append").parquet(matchesDir)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** SimHash (Charikar): 64-bit fingerprint — per-token xxhash64, signed
     * bit-vote per bit position, sign → bit. One explode + one groupBy.
     */

@@ -99,6 +99,36 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(state).select("doc_id").distinct().count() == 32)
   }
 
+  test("streaming incremental dedup finds cross-micro-batch duplicates") {
+    // batch a lands doc 0-19; batch b (later file) lands a copy of doc 7 —
+    // the match is found against the PERSISTED signature table
+    val src = java.nio.file.Files.createTempDirectory("docs-stream")
+    def write(name: String, mtime: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory(s"stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = src.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(mtime): Unit
+    }
+    val t0 = System.currentTimeMillis()
+    val docs = Tables(spark, SF).documents.select(col("doc_id"), col("text"))
+    write("a", t0 - 20000, docs.filter(col("doc_id") < 20))
+    write("b", t0 - 10000, docs.filter(col("doc_id") === 7)
+      .select(lit(9000L).as("doc_id"), col("text")))
+    val base = java.nio.file.Files.createTempDirectory("sid")
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    DedupOps.streamingIncrementalDedup(stream,
+      s"$base/state", s"$base/matches", s"$base/ckpt")
+    val matches = spark.read.parquet(s"$base/matches").collect()
+    assert(matches.exists(r => Set(r.getLong(0), r.getLong(1)) == Set(7L, 9000L)
+      && r.getDouble(2) == 1.0), s"cross-batch dup missed: ${matches.toSeq}")
+    assert(spark.read.parquet(s"$base/state").count() == 21)
+  }
+
   test("shingles: short docs fall back to whole text") {
     val one = DedupOps.withShingles(
       Seq((1L, "single word")).toDF("doc_id", "text"), "text", "s", 3)
