@@ -80,10 +80,50 @@ object MultimodalOps {
 
   case class AudioFeatures(durationMs: Long, rms: Double, zeroCrossings: Long)
 
-  /** STUB audio decode (no codec libs in this environment): deterministic
-    * features from the raw bytes treated as 16-bit PCM — the batch shape,
-    * schema and partitioning are the real deliverable; swap the body for a
-    * real decoder without touching callers.
+  /** REAL audio container decode for the formats the JDK parses natively
+    * (WAV/AIFF/AU via `javax.sound.sampled` — no external codec libs):
+    * header-derived sample rate/channels/endianness drive the PCM walk,
+    * so durations are true wall-clock and features are computed on actual
+    * samples. Compressed codecs (mp3/ogg) remain out of scope in this
+    * environment — [[audioFeatures]] keeps the raw-PCM fallback shape.
+    */
+  def wavFeatures(bytes: Array[Byte]): AudioFeatures = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16, s"expected 16-bit PCM, got $fmt")
+      val data = in.readAllBytes()
+      val channels = fmt.getChannels
+      val big = fmt.isBigEndian
+      val nFrames = data.length / (2 * channels)
+      var sumSq = 0.0
+      var zc = 0L
+      var prevSign = 0
+      var f = 0
+      while (f < nFrames) {
+        val o = f * 2 * channels // channel 0 of each frame
+        val s = (if (big) ((data(o) << 8) | (data(o + 1) & 0xff))
+                 else ((data(o + 1) << 8) | (data(o) & 0xff))).toShort.toInt
+        sumSq += s.toDouble * s
+        val sign = Integer.signum(s)
+        if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+        if (sign != 0) prevSign = sign
+        f += 1
+      }
+      AudioFeatures((nFrames * 1000L / fmt.getSampleRate.toLong),
+        if (nFrames == 0) 0.0 else math.sqrt(sumSq / nFrames), zc)
+    } finally in.close()
+  }
+
+  private val wavUdf = udf((b: Array[Byte]) => wavFeatures(b))
+
+  def withWavFeatures(df: DataFrame, content: String = "content"): DataFrame =
+    df.withColumn("audio_features",
+      when(col(content).isNotNull, wavUdf(col(content))))
+
+  /** Raw-PCM fallback (headerless 16-bit LE samples at an assumed rate) —
+    * kept for payloads that arrive without a container.
     */
   def audioFeatures(bytes: Array[Byte], sampleRateHz: Int = 16000): AudioFeatures = {
     val n = bytes.length / 2

@@ -56,6 +56,31 @@ class MultimodalSpec extends SparkSpec {
     assert(f == MultimodalOps.audioFeatures(tone))
   }
 
+  test("REAL WAV decode: header-true duration/rate, features match raw PCM") {
+    // build a genuine 16-bit mono WAV at 8 kHz with javax.sound, then
+    // prove wavFeatures reads the REAL header: duration must follow the
+    // 8 kHz rate (the raw-PCM fallback would assume 16 kHz and halve it)
+    val n = 1600
+    val pcm = Array.tabulate(n)(i => (math.sin(i / 3.0) * 9000).toInt)
+      .flatMap(s => Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val f = MultimodalOps.wavFeatures(wav)
+    assert(f.durationMs == n * 1000 / 8000, s"duration: $f") // real rate honored
+    val raw = MultimodalOps.audioFeatures(pcm, sampleRateHz = 8000)
+    assert(math.abs(f.rms - raw.rms) < 1e-9)
+    assert(f.zeroCrossings == raw.zeroCrossings)
+    // DataFrame path
+    import spark.implicits._
+    val df = MultimodalOps.withWavFeatures(Seq((1L, wav)).toDF("id", "content"))
+    assert(df.select("audio_features.durationMs").head().getLong(0) == 200L)
+  }
+
   test("tar.gz archive expansion decodes the single inner bag (S5)") {
     val recs = (0 until 50).map(i =>
       BagRecord("/imu", 1700000000000000000L + i, Map("i" -> i.toString)))
