@@ -64,17 +64,21 @@ object DedupOps {
     withShingles(docs, "text", "__sh", shingleSize)
       .select(col("doc_id"), array_distinct(col("__sh")).as("sh"))
 
-  /** MinHash signatures from a pre-staged shingle-set column: one explode +
-    * one groupBy with k independent min() aggregates (partial-agg friendly —
-    * the shuffle carries k longs per doc, not the shingles).
+  /** MinHash signatures from a pre-staged shingle-set column: ONE narrow
+    * per-row pass via the native [[graft.functions.MinHashSigs]]
+    * expression — no explode, no shuffle (a signature is a per-document
+    * value; the former explode → k-min groupBy shuffled one row per
+    * shingle of the corpus, measured ~4 s at sf0.1 vs ~0.6 s narrow).
+    * Hash chain is bit-identical to `xxhash64(lit(i), shingle)`, so every
+    * downstream banding/golden result is unchanged.
     * Output: (doc_id, h0..h{k-1}).
     */
   def minHashSignaturesFromSets(sets: DataFrame, numHashes: Int): DataFrame = {
-    // distinct already applied in shingleSets: MinHash is set-semantics
-    // (min unaffected by multiplicity) and it cuts the exploded row count
-    val exploded = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sigCols = (0 until numHashes).map(i =>
+      element_at(col("__sigs"), i + 1).as(s"h$i"))
+    sets.select(col("doc_id"),
+        graft.functions.MinHashSigs.minhash_sigs(col("sh"), numHashes).as("__sigs"))
+      .select(col("doc_id") +: sigCols: _*)
   }
 
   def minHashSignatures(docs: DataFrame, numHashes: Int, shingleSize: Int): DataFrame =
@@ -91,13 +95,21 @@ object DedupOps {
     * cluster is still caught by the exact-dup pass) — the window count
     * reuses the same hash partitioning as the join, so no extra shuffle.
     */
-  def lshCandidates(sigs: DataFrame, numHashes: Int, rowsPerBand: Int,
-      maxBucket: Int = 100): DataFrame = {
+  private def bandStructsFor(numHashes: Int, rowsPerBand: Int): Seq[Column] = {
     val bands = numHashes / rowsPerBand
-    val bandStructs = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("band_sig"))
     }
+  }
+
+  private def bandRows(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc_id"),
+        explode(array(bandStructsFor(numHashes, rowsPerBand): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+
+  def lshCandidates(sigs: DataFrame, numHashes: Int, rowsPerBand: Int,
+      maxBucket: Int = 100): DataFrame = {
     // ONE aggregation collects each bucket's member list (bounded by the
     // cap filter), then pairs expand BUCKET-LOCALLY — no self-join, no
     // window pass, and the upstream signature aggregation is computed
@@ -105,9 +117,7 @@ object DedupOps {
     // ids (the oversize filter drops pathological buckets exactly as the
     // windowed count did), so the collect_list is O(maxBucket) per group
     // and the pair fan-out is Σ bucket² over CAPPED buckets.
-    sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    bandRows(sigs, numHashes, rowsPerBand)
       .groupBy("band", "band_sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
@@ -116,6 +126,29 @@ object DedupOps {
           "transform(slice(ids, i + 2, size(ids)), b -> " +
           "struct(a AS doc_a, b AS doc_b))))")).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+  }
+
+  /** Asymmetric LSH candidates: pairs between a (typically SMALL) query
+    * side and the full corpus — bands of the query rows join the corpus's
+    * capped bucket lists, so cost is Σ (query-hits × bucket), NOT the
+    * corpus's Σ bucket². This is the incremental-dedup shape: expanding
+    * corpus-vs-corpus pairs only to discard them would be catastrophic
+    * once the indexed corpus dwarfs each arriving batch.
+    */
+  def lshCandidatesAgainst(querySigs: DataFrame, allSigs: DataFrame,
+      numHashes: Int, rowsPerBand: Int, maxBucket: Int = 100): DataFrame = {
+    val buckets = bandRows(allSigs, numHashes, rowsPerBand)
+      .groupBy("band", "band_sig")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+    bandRows(querySigs, numHashes, rowsPerBand)
+      .withColumnRenamed("doc_id", "qid")
+      .join(buckets, Seq("band", "band_sig"))
+      .select(col("qid"), explode(col("ids")).as("other"))
+      .filter(col("qid") =!= col("other"))
+      .select(least(col("qid"), col("other")).as("doc_a"),
+        greatest(col("qid"), col("other")).as("doc_b"))
       .distinct()
   }
 
@@ -228,32 +261,54 @@ object DedupOps {
     minHashDedupClusters(t.documents).orderBy("doc_id")
   }
 
-  /** q52: incremental dedup (golden-oracle check) — even doc_ids are
-    * indexed first (building the signature table), then odd doc_ids
-    * arrive as the "new batch" and match against the persisted corpus
-    * without recomputing it. Output: per new doc, its match count and
-    * best estimated jaccard (−1 when unmatched), n/2 rows always.
+  /** q52: incremental dedup (golden-oracle check) in the REALISTIC shape —
+    * 90% of the corpus is indexed first (the standing signature table),
+    * then the remaining 10% arrives as the new batch and matches against
+    * the persisted corpus without recomputing it. Output: per new doc,
+    * its match count and best estimated jaccard (−1 when unmatched),
+    * n/10 rows always.
     */
   def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val state = java.nio.file.Files.createTempDirectory("graft-sigstate")
     graft.queries.PipelineQueries.registerTempDirForCleanup(state)
     val stateDir = state.resolve("sigs").toString
-    val firstBatch = t.documents.filter(col("doc_id") % 2 === 0)
-    val newBatch = t.documents.filter(col("doc_id") % 2 === 1)
-    // index the even half (result discarded; the state write is eager)
-    incrementalMinHashDedup(firstBatch, stateDir)
+    val corpus = t.documents.filter(col("doc_id") % 10 =!= 0)
+    val newBatch = t.documents.filter(col("doc_id") % 10 === 0)
+    // index the standing corpus (no matching against an empty table)
+    indexSignatures(corpus, stateDir)
     val matches = incrementalMinHashDedup(newBatch, stateDir)
     val perNew = matches
       .select(col("doc_a").as("doc_id"), col("est_jaccard"))
       .union(matches.select(col("doc_b").as("doc_id"), col("est_jaccard")))
-      .filter(col("doc_id") % 2 === 1)
+      .filter(col("doc_id") % 10 === 0)
     newBatch.select(col("doc_id"))
       .join(perNew, Seq("doc_id"), "left")
       .groupBy("doc_id")
       .agg(count(col("est_jaccard")).as("n_matches"),
         round(coalesce(max(col("est_jaccard")), lit(-1.0)), 6).as("best_est_jaccard"))
       .orderBy("doc_id")
+  }
+
+  /** Index a batch's signatures into the state table WITHOUT matching —
+    * the initial corpus load (matching an empty corpus is wasted jobs).
+    */
+  def indexSignatures(docs: DataFrame, stateDir: String,
+      numHashes: Int = 15, shingleSize: Int = 2): Unit = {
+    val spark = docs.sparkSession
+    val sigs = minHashSignatures(docs, numHashes, shingleSize)
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) sigs.write.mode("overwrite").parquet(stateDir)
+    else {
+      // read-old + write-staging completes before the swap; no lazy
+      // result escapes, so no checkpoint is needed here
+      val tmp = new org.apache.hadoop.fs.Path(stateDir + ".staging")
+      spark.read.parquet(stateDir).unionByName(sigs).dropDuplicates("doc_id")
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(path, true)
+      require(fs.rename(tmp, path), s"signature-table commit failed for $stateDir")
+    }
   }
 
   /** INCREMENTAL dedup — the 100 TB workflow: match a NEW batch of
@@ -282,14 +337,13 @@ object DedupOps {
     val allSigs =
       (if (fs.exists(path)) spark.read.parquet(stateDir).unionByName(newSigs)
        else newSigs).localCheckpoint(true)
-    // candidates via banding over old ∪ new, keep pairs touching a new doc
-    val newIds = newDocs.select(col("doc_id").as("doc_a"))
-    val cands = lshCandidates(allSigs, numHashes, rowsPerBand)
-    val touchingNew = cands.join(broadcast(newIds), Seq("doc_a"), "left_semi")
-      .union(cands.join(
-        broadcast(newIds.withColumnRenamed("doc_a", "doc_b")), Seq("doc_b"), "left_semi")
-        .select(col("doc_a"), col("doc_b")))
-      .distinct()
+    // asymmetric banding: new-batch bands probe the corpus's capped
+    // buckets — old-vs-old pairs are never generated. The query side is
+    // carved out of the CHECKPOINTED union so the signature aggregation
+    // isn't recomputed per branch.
+    val querySigs = allSigs.join(
+      broadcast(newDocs.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+    val touchingNew = lshCandidatesAgainst(querySigs, allSigs, numHashes, rowsPerBand)
     val matchExprs = (0 until numHashes)
       .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
       .reduce(_ + _)

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** k MinHash components of a shingle-set column in ONE per-row pass —
+  * replaces `explode(shingles) → groupBy(doc).agg(min(xxhash64(i, s))×k)`,
+  * which shuffles one row PER SHINGLE of the corpus through a k-buffer
+  * aggregate. A signature is a per-document value; at 100 TB the exploded
+  * formulation shuffles the tokenized corpus for nothing.
+  *
+  * Bit-compatibility: each component replicates Spark's
+  * `xxhash64(lit(i), shingle)` chain exactly — XXH64.hashInt(i, seed=42)
+  * then XXH64.hashUnsafeBytes(shingleBytes, seed=prev) — so signatures,
+  * LSH bands, and every downstream golden result are unchanged.
+  */
+case class MinHashSigs(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  // per-component seeds: xxhash64's default seed 42 folded over the int i
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sigs = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      val len = s.numBytes()
+      var i = 0
+      while (i < k) {
+        val h = XXH64.hashUnsafeBytes(base, off, len, seeds(i))
+        if (h < sigs(i)) sigs(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+object MinHashSigs {
+  def minhash_sigs(c: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      MinHashSigs(org.apache.spark.sql.graft.Bridge.expression(c), k))
+}
