@@ -47,5 +47,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bigram_entropy"),
       new ExpressionInfo(classOf[graft.functions.BigramEntropy].getName, "bigram_entropy"),
       (exprs: Seq[Expression]) => graft.functions.BigramEntropy(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSigs].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, k) => graft.functions.MinHashSigs(c, intArg(k, "k"))
+        case _ => throw new IllegalArgumentException("minhash_sigs(shingles, k)")
+      }))
   }
 }

@@ -13,6 +13,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(h == want)
   }
 
+  test("minhash_sigs from SQL matches the xxhash64 chain") {
+    val r = spark.sql(
+      "SELECT minhash_sigs(array('ab', 'cd'), 3) AS s, " +
+        "array(least(xxhash64(0, 'ab'), xxhash64(0, 'cd')), " +
+        "least(xxhash64(1, 'ab'), xxhash64(1, 'cd')), " +
+        "least(xxhash64(2, 'ab'), xxhash64(2, 'cd'))) AS want").head()
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
+
   test("winnow_fingerprints from SQL with and without k/w") {
     val r = spark.sql(
       "SELECT size(winnow_fingerprints('the quick brown fox jumps')) AS a, " +
