@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.BigramEntropy].getName, "bigram_entropy"),
       (exprs: Seq[Expression]) => graft.functions.BigramEntropy(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs.head)))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[graft.functions.MinHashSigs].getName, "minhash_sigs"),
       (exprs: Seq[Expression]) => exprs match {

@@ -388,19 +388,15 @@ object DedupOps {
   }
 
   /** SimHash (Charikar): 64-bit fingerprint — per-token xxhash64, signed
-    * bit-vote per bit position, sign → bit. One explode + one groupBy.
+    * bit-vote per bit position, sign → bit. ONE narrow per-row pass via
+    * the native [[graft.functions.SimHash64]] expression (the former
+    * explode → 64-conditional-sum groupBy shuffled one row per corpus
+    * token; integer votes commute, so the fingerprint is bit-identical).
     */
-  def simHash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
-    val voted = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val bits = (0 until 64).map(b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-    voted.select(col("doc_id"), bits.reduce(_ bitwiseOR _).as("simhash"))
-  }
+  def simHash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHash64.simhash64(
+        split(trim(col("text")), "\\s+")).as("simhash"))
 
   /** q28: SimHash fingerprints + hamming distance to the previous doc_id (a
     * cheap deterministic near-dup signal).

@@ -22,6 +22,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](0) == r.getSeq[Long](1))
   }
 
+  test("simhash64 from SQL matches the bit-vote definition") {
+    // two tokens: fingerprint bit b set iff both hashes agree on 1 there
+    // (votes +2), cleared on -2, and the single-token case IS its hash's
+    // bit pattern
+    val r = spark.sql(
+      "SELECT simhash64(array('spark')) AS one, xxhash64('spark') AS h").head()
+    val one = r.getLong(0); val h = r.getLong(1)
+    (0 until 64).foreach { b =>
+      assert(((one >> b) & 1L) == ((h >> b) & 1L), s"bit $b")
+    }
+  }
+
   test("winnow_fingerprints from SQL with and without k/w") {
     val r = spark.sql(
       "SELECT size(winnow_fingerprints('the quick brown fox jumps')) AS a, " +
