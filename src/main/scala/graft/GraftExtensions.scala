@@ -48,6 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.BigramEntropy].getName, "bigram_entropy"),
       (exprs: Seq[Expression]) => graft.functions.BigramEntropy(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, n) => graft.functions.WordShingles(c, intArg(n, "n"))
+        case _ => throw new IllegalArgumentException("word_shingles(tokens, n)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs.head)))

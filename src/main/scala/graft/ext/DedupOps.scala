@@ -20,17 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Word shingles of size `n` over a PRE-STAGED token-array column —
-    * staging matters: higher-order-function lambdas are evaluated per
-    * element, so tokenizing inside the lambda would re-split the text
-    * O(tokens) times per row. Docs shorter than `n` tokens get their whole
-    * text as the single shingle.
+  /** Word shingles of size `n` over a PRE-STAGED token-array column, via
+    * the native [[graft.functions.WordShingles]] expression (the HOF
+    * `transform(sequence, i -> array_join(slice))` formulation evaluates
+    * its lambda interpreted PER ELEMENT and allocates a slice per
+    * shingle — the round-1 finding). Docs shorter than `n` tokens get
+    * their whole text as the single shingle; output strings identical.
     */
   def shingleExpr(toksCol: String, n: Int): Column =
-    expr(
-      s"CASE WHEN size($toksCol) < $n THEN array(array_join($toksCol, ' ')) " +
-        s"ELSE transform(sequence(1, size($toksCol) - ${n - 1}), " +
-        s"i -> array_join(slice($toksCol, i, $n), ' ')) END")
+    graft.functions.WordShingles.word_shingles(col(toksCol), n)
 
   /** Adds a shingle-array column `out` derived from `textCol`. */
   def withShingles(df: DataFrame, textCol: String, out: String, n: Int): DataFrame =

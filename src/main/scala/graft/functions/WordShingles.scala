@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word n-gram shingles of a token array in one native pass. Replaces the
+  * `transform(sequence(1, size-n+1), i -> array_join(slice(toks, i, n)))`
+  * higher-order pipeline, whose lambda body is evaluated INTERPRETED per
+  * element (NOTES round-1 finding) and allocates a slice per shingle.
+  * Semantics preserved exactly: tokens shorter than `n` yield the single
+  * whole-join shingle; separator is one space.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    def join(from: Int, count: Int): UTF8String = {
+      val parts = new Array[UTF8String](count)
+      var i = 0
+      while (i < count) { parts(i) = arr.getUTF8String(from + i); i += 1 }
+      UTF8String.concatWs(space, parts: _*)
+    }
+    if (len < n) new GenericArrayData(Array[Any](join(0, len)))
+    else {
+      val out = new Array[Any](len - n + 1)
+      var i = 0
+      while (i <= len - n) { out(i) = join(i, n); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def word_shingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      WordShingles(org.apache.spark.sql.graft.Bridge.expression(c), n))
+}

@@ -22,6 +22,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](0) == r.getSeq[Long](1))
   }
 
+  test("word_shingles from SQL: n-grams and the short-doc fallback") {
+    val r = spark.sql(
+      "SELECT word_shingles(array('a','b','c','d'), 2) AS sh, " +
+        "word_shingles(array('a'), 3) AS short").head()
+    assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(r.getSeq[String](1) == Seq("a"))
+  }
+
   test("simhash64 from SQL matches the bit-vote definition") {
     // two tokens: fingerprint bit b set iff both hashes agree on 1 there
     // (votes +2), cleared on -2, and the single-token case IS its hash's
