@@ -13,12 +13,14 @@ object Bench {
     }
     // noop sink = full materialization of every output column (count()
     // would let Catalyst prune the aggregates' value columns away).
-    // Two timed runs per query, report the warm one: run 1 pays one-time
-    // whole-stage-codegen compilation + JIT for the query shape, which at
-    // bench SF dwarfs the actual data processing.
+    // Four runs per query: run 0 (discarded) pays one-time whole-stage-
+    // codegen compilation + JIT for the query shape, then MEDIAN of 3 warm
+    // runs — machine-load spikes on this box swing single runs ±30%
+    // (NOTES), and a median is robust to one bad draw where min-of-2 was
+    // not robust to two.
     // a failed query reports -1, never a (misleadingly fast) fail duration
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (0 to 3).map { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -28,7 +30,8 @@ object Bench {
           -1.0
         } finally CacheRegistry.release() // each timed run pays its own caching
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      val warm = times.drop(1)
+      name -> (if (times.contains(-1.0)) -1.0 else warm.sorted.apply(warm.size / 2))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
