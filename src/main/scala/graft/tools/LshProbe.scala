@@ -1,0 +1,28 @@
+package graft.tools
+import graft._
+import graft.ext.SimilarityOps
+import org.apache.spark.sql.functions._
+object LshProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("lsh-probe")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val t = Tables(spark, dir)
+    def time(nm: String)(f: => Unit): Unit = (1 to 3).foreach { i =>
+      val t0 = System.nanoTime(); f
+      println(f"[probe] $nm run $i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    time("candidates-only") {
+      SimilarityOps.embeddingCandidates(t.embeddings)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("candidateCosines") {
+      SimilarityOps.candidateCosines(t.embeddings)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("full-q31") {
+      SimilarityOps.qLshBuckets(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

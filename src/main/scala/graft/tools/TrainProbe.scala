@@ -1,0 +1,20 @@
+package graft.tools
+import graft._
+import graft.ext.SimilarityOps
+import org.apache.spark.sql.functions._
+object TrainProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("train-probe")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val t = Tables(spark, dir)
+    val base = t.embeddings.select(col("vec_id"),
+      SimilarityOps.toDouble(col("embedding")).as("v"))
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val c = SimilarityOps.trainCentroids(base, 45, 2048)
+      println(f"[probe] train run $i: ${(System.nanoTime()-t0)/1e9}%.2f s (C=${c.length})")
+      CacheRegistry.release()
+    }
+    spark.stop()
+  }
+}

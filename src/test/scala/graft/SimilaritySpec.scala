@@ -54,4 +54,34 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.length == 500)
     assert(r1.map(_.getLong(0)).toSet == (0L until 500L).toSet)
   }
+
+  test("LSH candidates: oversize buckets are dropped by the cap, not expanded") {
+    // 150 identical vectors land in ONE bucket of every band; 10 distinct
+    // vectors are noise. cap < 150 must drop the hot bucket entirely
+    // (zero pair expansion — the N² guard), a larger cap admits it.
+    val dup = Seq.fill(150)(Seq.fill(8)(1.0f))
+    val distinct = (0 until 10).map(i => Seq.tabulate(8)(j => if (j == i % 8) 1.0f else -1.0f))
+    val df = (dup ++ distinct).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val capped = SimilarityOps.embeddingCandidates(df, bands = 2, bitsPerBand = 4,
+      maxBucket = 100)
+    val dupIds = (0L until 150L).toSet
+    assert(!capped.collect().exists(r => dupIds(r.getLong(0)) && dupIds(r.getLong(1))),
+      "capped run must not expand the 150-member bucket")
+    val uncapped = SimilarityOps.embeddingCandidates(df, bands = 2, bitsPerBand = 4,
+      maxBucket = 1000)
+    assert(uncapped.collect().count(r => dupIds(r.getLong(0)) && dupIds(r.getLong(1)))
+      == 150 * 149 / 2, "uncapped run expands all identical-vector pairs")
+  }
+
+  test("q31/q33 plans contain no self-join on a raw signature (bucket-local expansion)") {
+    // the capped path builds pairs from collect_list inside one aggregation;
+    // a SortMergeJoin/ShuffledHashJoin keyed on `sig` would be the uncapped
+    // self-join shape this guard exists to prevent
+    Seq(SimilarityOps.qLshBuckets(spark, SF), SimilarityOps.qEmbeddingNearDup(spark, SF))
+      .foreach { q =>
+        val plan = q.queryExecution.executedPlan.toString
+        assert(!plan.contains("Join [sig"), s"unexpected sig-keyed join:\n$plan")
+      }
+  }
 }
