@@ -74,6 +74,23 @@ class SimilaritySpec extends SparkSpec {
       == 150 * 149 / 2, "uncapped run expands all identical-vector pairs")
   }
 
+  test("distributed Lloyd (sample > 8192) is deterministic and agrees with driver Lloyd's shape") {
+    // force the distributed path with a sampleSize above the driver
+    // threshold; the sf0.1 table (2000 rows) bounds the actual sample, but
+    // the path split keys on the REQUESTED size, so this exercises the
+    // crossJoin + min_by + fixed-point-mean iterations end to end
+    assume(new java.io.File("/root/testdata/sf0.1/embeddings.parquet").exists)
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), SimilarityOps.toDouble(col("embedding")).as("v"))
+    val c1 = SimilarityOps.trainCentroids(base, k = 16, sampleSize = 9000)
+    val c2 = SimilarityOps.trainCentroids(base, k = 16, sampleSize = 9000)
+    assert(c1.length == 16)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq,
+      "fixed-point means must make distributed training run-to-run identical")
+    // centroids are means of unit vectors: norms in (0, 1]
+    assert(c1.forall(v => { val n = math.sqrt(v.map(x => x * x).sum); n > 0 && n <= 1 + 1e-9 }))
+  }
+
   test("q31/q33 plans contain no self-join on a raw signature (bucket-local expansion)") {
     // the capped path builds pairs from collect_list inside one aggregation;
     // a SortMergeJoin/ShuffledHashJoin keyed on `sig` would be the uncapped
