@@ -222,20 +222,27 @@ object DedupOps {
     var it = 0
     while (changed > 0 && it < maxIters) {
       val nbrMin = sym
-        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("cluster_id").as("nbr_min"))
+      // carry a per-row "label improved" flag so the convergence check is a
+      // filter over the frame this iteration materializes anyway — no
+      // second join against the previous labels
       val next = graft.CacheRegistry.persist(
         labels.join(nbrMin, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-              .as("cluster_id")))
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).count()
+              .as("cluster_id"),
+            (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+              .as("chg")))
+      changed = next.filter(col("chg")).count() // also materializes the cache
+      labels.unpersist(blocking = false) // superseded generation: free it NOW,
+      // not at the runner's final release — iterative retention otherwise
+      // grows with iteration count
       labels = next
       it += 1
     }
-    labels
+    labels.select("doc_id", "cluster_id")
   }
 
   /** q27's transitive extension (spec-verified): cluster ids closed over

@@ -233,7 +233,10 @@ object PipelineQueries {
     * frame_ts (F5) → stub-detect (X3) → detections wide (A3/A4 pivot) →
     * annotate (X4, exercised for a sample).
     */
-  def qFramePipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** The real-bag decode → number → derive-ts → detect chain shared by
+    * [[qFramePipeline]] and PipelineSpec's X4-over-real-frames assertion.
+    */
+  def labeledBagFrames(spark: SparkSession): DataFrame = {
     val bags = spark.read.format("rosbag").load(stageImageBag(spark))
     val frames = bags
       .filter(col("topic").endsWith("/image_raw"))
@@ -251,10 +254,13 @@ object PipelineQueries {
       .drop("raw")
     val numbered = FrameOps.numberFrames(frames)
       .withColumn("prefix", lit("2020-06-29-13-15-12_run"))
-    val withTs = FrameOps.deriveFrameTs(numbered)
-    val labeled = Detector.withLabels(withTs)
-    val annotatedCount = Imaging.annotate(labeled.limit(4)).count()
-    require(annotatedCount == 4)
+    Detector.withLabels(FrameOps.deriveFrameTs(numbered))
+  }
+
+  def qFramePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = labeledBagFrames(spark)
+    // X4 annotation over these frames is value-asserted in PipelineSpec;
+    // an eager action does not belong inside query construction
     Detections.wide(Detections.tall(labeled))
       .withColumn("frame_ts_ms", unix_millis(col("frame_ts")))
       .drop("frame_ts")

@@ -47,6 +47,18 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - 0.6) < 1e-12)
   }
 
+  test("q28 contract: documents doc_ids are dense 0..n-1 (id-arithmetic lag == lag-by-order)") {
+    // qSimHash computes hamming-vs-previous via doc_id-1 fan-out; on gapped
+    // ids a row would report -1 instead of its order-predecessor. Assert the
+    // contract holds on the fixture the query actually runs against.
+    val d = Tables(spark, SF).documents
+      .agg(org.apache.spark.sql.functions.max(col("doc_id")),
+        org.apache.spark.sql.functions.count(col("doc_id")),
+        org.apache.spark.sql.functions.countDistinct(col("doc_id"))).head()
+    assert(d.getLong(0) + 1 == d.getLong(1), "ids must be dense 0..n-1")
+    assert(d.getLong(1) == d.getLong(2), "ids must be unique")
+  }
+
   test("simhash: identical texts identical hash; hamming sane") {
     val docs = Seq((1L, "spark scale shuffle join"), (2L, "spark scale shuffle join"),
       (3L, "completely different words here")).toDF("doc_id", "text")

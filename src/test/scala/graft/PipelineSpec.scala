@@ -123,6 +123,13 @@ class PipelineSpec extends SparkSpec {
     assert(out.select("camera").distinct().count() == 4)
   }
 
+  test("X4 annotates real-bag pipeline frames (was an eager require in q35's builder)") {
+    val labeled = queries.PipelineQueries.labeledBagFrames(spark).limit(4)
+    val annotated = Imaging.annotate(labeled).select("annotated").collect()
+    assert(annotated.length == 4)
+    annotated.foreach(r => assert(Imaging.decodePng(r.getAs[Array[Byte]](0)) != null))
+  }
+
   test("X4 via DataFrame: annotate draws all instance boxes in one pass") {
     val labeled = Detector.withLabels(frames)
     val out = Imaging.annotate(labeled).select("annotated").collect()
