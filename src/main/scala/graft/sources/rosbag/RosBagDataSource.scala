@@ -72,15 +72,26 @@ class RosBagTable(path: String, tableSchema: StructType = RosBagTable.fullSchema
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RosBagScanBuilder(path, tableSchema,
-      options.getInt("maxFilesPerTrigger", 0))
+      options.getInt("maxFilesPerTrigger", 0),
+      // the reference's topics_to_extract contract
+      // (/root/reference/service/app/engine.py:200-222): a comma-separated
+      // whitelist that behaves exactly like a pushed In("topic", ...) —
+      // chunk pruning and op=4 intra-chunk seeks both honor it
+      Option(options.get("topics")).map(_.split(',').map(_.trim)
+        .filter(_.nonEmpty).toSeq).filter(_.nonEmpty))
 }
 
 class RosBagScanBuilder(path: String, tableSchema: StructType,
-    maxFilesPerTrigger: Int = 0)
+    maxFilesPerTrigger: Int = 0, topicsOpt: Option[Seq[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = tableSchema
-  private var pushed: Array[sources.Filter] = Array.empty
+  // the topics option is a STANDING filter — query-pushed filters add to
+  // it, never replace it
+  private val optionFilters: Array[sources.Filter] =
+    topicsOpt.map(ts => sources.In("topic", ts.toArray[Any]))
+      .toArray[sources.Filter]
+  private var pushed: Array[sources.Filter] = optionFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -95,7 +106,7 @@ class RosBagScanBuilder(path: String, tableSchema: StructType,
       case sources.LessThanOrEqual("rosbagTimestamp", _: java.lang.Long) => true
       case _ => false
     }
-    pushed = supported
+    pushed = optionFilters ++ supported
     rest
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
@@ -111,6 +122,20 @@ class RosBagScanBuilder(path: String, tableSchema: StructType,
 case class RosBagInputPartition(file: String, chunks: Seq[Long],
     connections: Map[Long, RosBagFormat.Connection], indexed: Boolean)
     extends InputPartition
+
+/** Local-mode-visible read diagnostics (LongAdders — executors share the
+  * JVM under local[*]; on a real cluster these are per-executor and exist
+  * for tests/debugging, not for driver aggregation).
+  */
+object RosBagMetrics {
+  val messagesDecoded = new java.util.concurrent.atomic.LongAdder
+  /** Messages whose record header was never parsed thanks to op=4 seeks. */
+  val messagesSkippedByIndex = new java.util.concurrent.atomic.LongAdder
+  val chunksFullyScanned = new java.util.concurrent.atomic.LongAdder
+  val chunksIndexSeeked = new java.util.concurrent.atomic.LongAdder
+  def reset(): Unit = Seq(messagesDecoded, messagesSkippedByIndex,
+    chunksFullyScanned, chunksIndexSeeked).foreach(_.reset())
+}
 
 object RosBagFilters {
   def topicKeep(pushed: Array[sources.Filter]): String => Boolean = {
@@ -150,7 +175,7 @@ class RosBagScan(path: String, required: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new RosBagMicroBatchStream(path, required, maxFilesPerTrigger)
+    new RosBagMicroBatchStream(path, required, maxFilesPerTrigger, pushed)
 
   /** File-listing size × a conservative decoded-row expansion factor —
     * lets Catalyst/AQE broadcast small bag tables instead of assuming the
@@ -255,6 +280,10 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
   /** One BagRecord-iterator per assigned chunk, concatenated lazily —
     * at most one decompressed chunk body is live at a time.
     */
+  // any pushed filter is a topic/ts predicate (pushFilters admits nothing
+  // else), so "filters exist" == "an op=4 intra-chunk seek can skip work"
+  private val selective = pushed.nonEmpty
+
   private val records: Iterator[graft.sources.BagRecord] =
     if (part.indexed) {
       part.chunks.iterator.flatMap { pos =>
@@ -263,9 +292,26 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
         val (h, data) = RosBagFormat.readRecord(in).getOrElse(
           throw new java.io.EOFException(s"missing chunk at $pos in ${part.file}"))
         require(h.op == RosBagFormat.Op.Chunk, s"record at $pos is not a chunk")
+        // op=4 index records trail the chunk; with a pushed filter they let
+        // us parse ONLY the surviving messages' byte ranges instead of
+        // walking every record header in the chunk
+        val idx = if (selective) RosBagFormat.readChunkIndex(in) else Seq.empty
         val body = RosBagFormat.decompressChunk(h.str("compression"), data,
           h.u32("size").toInt)
-        decodeChunk(body)
+        if (idx.nonEmpty) {
+          RosBagMetrics.chunksIndexSeeked.increment()
+          val wanted = RosBagFormat.indexedChunkRecords(body, idx, conns,
+            topicKeep, tsKeep, needFields)
+            .map { r => RosBagMetrics.messagesDecoded.increment(); r }
+          // skipped = indexed messages whose headers we never parse
+          RosBagMetrics.messagesSkippedByIndex.add(idx.size -
+            idx.count(e => conns.get(e.conn).exists(c => topicKeep(c.topic)) &&
+              tsKeep(e.timeNs)))
+          wanted
+        } else {
+          RosBagMetrics.chunksFullyScanned.increment()
+          decodeChunk(body)
+        }
       }
     } else {
       // unindexed fallback: stream the whole file

@@ -209,6 +209,71 @@ object RosBagFormat {
       }
   }
 
+  /** One message's entry in a per-chunk op=4 index-data record: its
+    * connection, timestamp, and byte offset inside the UNCOMPRESSED chunk.
+    */
+  final case class ChunkMsgIndex(conn: Long, timeNs: Long, offset: Long)
+
+  /** Consume the op=4 index-data records that immediately follow a chunk
+    * record (the standard `rosbag record` layout — one per connection in
+    * the chunk). Stops at the first non-index record, whose DATA is
+    * skipped, not read (callers re-seek per chunk anyway). Returns entries
+    * sorted by offset so a selective reader visits the chunk
+    * monotonically.
+    */
+  def readChunkIndex(in: DataInputStream): Seq[ChunkMsgIndex] = {
+    val entries = Seq.newBuilder[ChunkMsgIndex]
+    var continue = true
+    while (continue) {
+      readRecordLazy(in, _.op == Op.IndexData) match {
+        case Some((h, data)) if h.op == Op.IndexData =>
+          val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+          val conn = h.u32("conn")
+          val n = h.u32("count").toInt
+          var i = 0
+          while (i < n) {
+            val ts = (b.getInt() & 0xffffffffL) * 1000000000L + (b.getInt() & 0xffffffffL)
+            entries += ChunkMsgIndex(conn, ts, b.getInt() & 0xffffffffL)
+            i += 1
+          }
+        case _ => continue = false
+      }
+    }
+    entries.result().sortBy(_.offset)
+  }
+
+  /** Decode ONLY the indexed messages that survive the pushed filters:
+    * each surviving entry is parsed directly at its byte offset — headers
+    * of filtered-out messages are never touched (the intra-chunk seek the
+    * op=4 records exist for). The caller decides whether the chunk body
+    * needed decompressing; for `compression=none` bags this reads just the
+    * selected byte ranges of the raw chunk data.
+    */
+  def indexedChunkRecords(body: Array[Byte], entries: Seq[ChunkMsgIndex],
+      conns: scala.collection.Map[Long, Connection],
+      topicKeep: String => Boolean, tsKeep: Long => Boolean,
+      needFields: Boolean): Iterator[BagRecord] = {
+    entries.iterator
+      .filter { e =>
+        val c = conns.getOrElse(e.conn, throw new IllegalStateException(
+          s"index entry for unknown connection ${e.conn}"))
+        topicKeep(c.topic) && tsKeep(e.timeNs)
+      }
+      .map { e =>
+        val in = new ByteArrayInputStream(body, e.offset.toInt,
+          body.length - e.offset.toInt)
+        val (h, data) = readRecord(in).getOrElse(throw new EOFException(
+          s"index offset ${e.offset} beyond chunk body"))
+        require(h.op == Op.MsgData, s"index offset ${e.offset} is op=${h.op}, " +
+          "expected message data")
+        val conn = conns(h.u32("conn"))
+        if (needFields) {
+          val (spec, reg) = conn.spec
+          BagRecord(conn.topic, h.timeNs("time"), RosMsgDef.deserialize(spec, reg, data))
+        } else BagRecord(conn.topic, h.timeNs("time"), null)
+      }
+  }
+
   def parseConnection(h: Header, data: Array[Byte]): Connection = {
     val ch = parseHeader(data) // the connection header lives in the DATA
     Connection(h.u32("conn"), ch.str("topic"), ch.str("type"),

@@ -22,7 +22,9 @@ import org.apache.spark.sql.types.StructType
   * real-container reader; each batch plans the not-yet-seen files.
   */
 class RosBagMicroBatchStream(path: String, schema: StructType,
-    maxFilesPerTrigger: Int) extends MicroBatchStream with SupportsTriggerAvailableNow {
+    maxFilesPerTrigger: Int,
+    pushed: Array[sources.Filter] = Array.empty)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val conf = new SerializableHadoopConf(
     SparkSession.active.sessionState.newHadoopConf())
@@ -92,7 +94,15 @@ class RosBagMicroBatchStream(path: String, schema: StructType,
       }
       RosBagFormat.readIndex(open) match {
         case Some(idx) =>
-          RosBagInputPartition(f, idx.chunks.map(_.pos), idx.connections,
+          // same driver-side chunk pruning as the batch scan: the
+          // topics option / pushed predicates drop whole chunks here
+          val topicKeep = RosBagFilters.topicKeep(pushed)
+          val kept = idx.chunks.filter { c =>
+            c.msgCountByConn.keys.exists(cid =>
+              idx.connections.get(cid).exists(cn => topicKeep(cn.topic))) &&
+              RosBagFilters.rangeMayMatch(pushed, c.startNs, c.endNs)
+          }
+          RosBagInputPartition(f, kept.map(_.pos), idx.connections,
             indexed = true): InputPartition
         case None =>
           RosBagInputPartition(f, Seq.empty, Map.empty, indexed = false): InputPartition
@@ -101,7 +111,7 @@ class RosBagMicroBatchStream(path: String, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RosBagReaderFactory(schema, Array.empty[sources.Filter], conf)
+    new RosBagReaderFactory(schema, pushed, conf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

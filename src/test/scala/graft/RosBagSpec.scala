@@ -136,6 +136,50 @@ class RosBagSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("op=4 intra-chunk seeks parse only the filtered messages") {
+    import graft.sources.rosbag.RosBagMetrics
+    // every fixture chunk interleaves all three topics, so chunk pruning
+    // keeps every chunk — the op=4 per-chunk index is the only thing that
+    // can cut work here, by seeking straight to the /imu records
+    RosBagMetrics.reset()
+    val df = spark.read.format("rosbag").load(bagDir).filter(col("topic") === "/imu")
+    assert(df.count() == 120)
+    assert(RosBagMetrics.chunksIndexSeeked.sum() > 0, "index path not taken")
+    assert(RosBagMetrics.chunksFullyScanned.sum() == 0,
+      "a filtered indexed read must not fall back to full chunk scans")
+    assert(RosBagMetrics.messagesDecoded.sum() == 120)
+    // not 240: each file's 2-message trailing chunk holds no /imu at all,
+    // so driver-side chunk pruning drops those 6 messages before the
+    // reader ever opens them — pruning outranks the intra-chunk seek
+    assert(RosBagMetrics.messagesSkippedByIndex.sum() == 234,
+      "gps+tf message headers must never be parsed")
+    // values survive the seek path identically to the full-scan path
+    RosBagMetrics.reset()
+    val viaIndex = spark.read.format("rosbag").load(bagDir)
+      .filter(col("topic") === "/imu")
+      .selectExpr("rosbagTimestamp", "fields['orientation.z'] AS z")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(RosBagMetrics.chunksIndexSeeked.sum() > 0)
+    val viaScan = spark.read.format("rosbag").load(bagDir)
+      .selectExpr("topic", "rosbagTimestamp", "fields['orientation.z'] AS z")
+      .collect().collect { case r if r.getString(0) == "/imu" =>
+        (r.getLong(1), r.getString(2)) }.toSet
+    assert(viaIndex == viaScan)
+  }
+
+  test("option(topics) is a standing pushed In filter (topics_to_extract contract)") {
+    val df = spark.read.format("rosbag").option("topics", "/imu, /gps").load(bagDir)
+    assert(df.queryExecution.executedPlan.toString.contains("In(topic"),
+      "topics option must surface as a pushed In filter")
+    assert(df.count() == 240)
+    val perTopic = df.groupBy("topic").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perTopic == Map("/imu" -> 120L, "/gps" -> 120L))
+    // composes with query predicates; the whitelist always binds
+    assert(df.filter(col("topic") === "/imu").count() == 120)
+    assert(df.filter(col("topic") === "/tf").count() == 0)
+  }
+
   test("column pruning skips message deserialization (ReadSchema narrow)") {
     val pruned = spark.read.format("rosbag").load(bagDir).select("topic")
     val scanDesc = pruned.queryExecution.executedPlan.toString
