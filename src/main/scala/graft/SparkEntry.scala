@@ -61,6 +61,7 @@ object SparkEntry {
     "q33_embed_neardup" -> (SimilarityOps.qEmbeddingNearDup _),
     "q34_bag_roundtrip" -> (PipelineQueries.qBagRoundtrip _),
     "q35_frame_pipeline" -> (PipelineQueries.qFramePipeline _),
+    "q53_compressed_frames" -> (PipelineQueries.qCompressedFrames _),
     "q36_asof_join" -> (CoreQueries.q36AsofJoin _),
     "q37_zip_join" -> (CoreQueries.q37ZipJoin _),
     "q38_sketches" -> (CoreQueries.q38Sketches _),
@@ -363,7 +364,7 @@ object SparkEntry {
     "q24_winnow", "q25_lang_id", "q27_minhash_dedup", "q28_simhash",
     "q29_ngram_jaccard", "q31_ann_lsh", "q32_ann_ivf", "q33_embed_neardup",
     "q35_frame_pipeline", "q38_sketches",
-    "q51_dedup_clusters", "q52_incremental_dedup",
+    "q51_dedup_clusters", "q52_incremental_dedup", "q53_compressed_frames",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

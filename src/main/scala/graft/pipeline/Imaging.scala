@@ -123,6 +123,32 @@ object Imaging {
   val rosImageToPngUdf = udf((w: Int, h: Int, encoding: String, step: Int,
       data: Array[Byte]) => decodeRosImage(w, h, encoding, step, data))
 
+  /** `sensor_msgs/CompressedImage` decode (the reference republishes its
+    * camera topics compressed — `service/app/export.launch:10-11`): the
+    * payload is a self-describing JPEG/PNG container, `format` strings
+    * look like "png", "jpeg", or "rgb8; jpeg compressed bgr8". Decoded via
+    * javax.imageio and re-encoded to the pipeline's canonical PNG; a
+    * png-compressed topic round-trips pixel-exact (lossless), jpeg is
+    * decoded to whatever the codec preserved.
+    */
+  def decodeCompressedImage(format: String, data: Array[Byte]): Array[Byte] = {
+    val f = format.toLowerCase
+    require(f.contains("png") || f.contains("jpeg") || f.contains("jpg"),
+      s"unsupported CompressedImage format '$format'")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+    require(img != null, s"imageio failed to decode a '$format' payload")
+    // normalize to TYPE_INT_RGB so downstream pixel ops (and the raw-topic
+    // decode path) see identical rasters
+    val rgb = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+    val g = rgb.createGraphics()
+    g.drawImage(img, 0, 0, null)
+    g.dispose()
+    encodePng(rgb)
+  }
+
+  val compressedImageToPngUdf = udf((format: String, data: Array[Byte]) =>
+    decodeCompressedImage(format, data))
+
   /** Draw all normalized-coordinate boxes (scaling per
     * processing.py:366-375), then encode once.
     */

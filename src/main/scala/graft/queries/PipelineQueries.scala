@@ -228,6 +228,59 @@ object PipelineQueries {
     tmp.toString
   }
 
+  /** Stage the SAME four camera streams as [[stageImageBag]], but on
+    * `sensor_msgs/CompressedImage` topics (png-compressed payloads of the
+    * identical synthetic frames) — the reference's compressed republish
+    * shape (`/root/reference/service/app/export.launch:10-11`). PNG is
+    * lossless, so this bag must decode pixel-identical to the raw one.
+    */
+  def stageCompressedImageBag(spark: SparkSession): String = {
+    val tmp = Files.createTempDirectory("graft-compbag")
+    registerTempDir(tmp)
+    val topics = (0 until 4).map(c =>
+      graft.sources.rosbag.RosMsgs.compressedImage(s"/cam$c/image_raw/compressed"))
+    val recs = (0 until 4).iterator.flatMap { cam =>
+      (0 until 16).iterator.map { i =>
+        val raw = Imaging.rawFrame(48, 32, cam * 1000 + i)
+        val png = Imaging.decodeRosImage(48, 32, "rgb8", 48 * 3, raw)
+        val tsNs = (1700000000000L + i * 67L) * 1000000L
+        (s"/cam$cam/image_raw/compressed", tsNs, Map(
+          "header.seq" -> i.toString,
+          "header.stamp.secs" -> (tsNs / 1000000000L).toString,
+          "header.stamp.nsecs" -> (tsNs % 1000000000L).toString,
+          "header.frame_id" -> s"cam$cam",
+          "format" -> "png",
+          "data" -> java.util.Base64.getEncoder.encodeToString(png)))
+      }
+    }
+    Files.write(tmp.resolve("compressed.bag"),
+      graft.sources.rosbag.RosBagWriter.build(topics, recs, compression = "lz4"))
+    tmp.toString
+  }
+
+  /** q53: the compressed-topic variant of the frame pipeline's decode
+    * stage — `sensor_msgs/CompressedImage` payloads (X2 via
+    * javax.imageio) scanned from a real bag, one row per frame with the
+    * decoded PNG's hash/length as the decode proof (pixel-parity with the
+    * raw-topic path is asserted in PipelineSpec).
+    */
+  def qCompressedFrames(spark: SparkSession, dir: String): DataFrame = {
+    val bags = spark.read.format("rosbag").load(stageCompressedImageBag(spark))
+    bags
+      .filter(col("topic").endsWith("/compressed"))
+      .select(
+        regexp_extract(col("topic"), "^/(cam\\d+)/", 1).as("camera"),
+        col("fields")("header.seq").cast("int").as("seq"),
+        (col("rosbagTimestamp") / 1000000L).cast("long").as("ts_ms"),
+        col("fields")("format").as("format"),
+        unbase64(col("fields")("data")).as("payload"))
+      .withColumn("content", Imaging.compressedImageToPngUdf(col("format"), col("payload")))
+      .select(col("camera"), col("seq"), col("ts_ms"), col("format"),
+        xxhash64(col("content")).as("png_hash"),
+        length(col("content")).cast("long").as("png_len"))
+      .orderBy("camera", "seq")
+  }
+
   /** §3 entry points 1-3 composed over a REAL bag's image topics: DSv2
     * scan → S14 raw-rgb8 → PNG decode (X2) → number (W1) → derive
     * frame_ts (F5) → stub-detect (X3) → detections wide (A3/A4 pivot) →

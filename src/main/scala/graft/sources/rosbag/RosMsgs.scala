@@ -102,6 +102,25 @@ object RosMsgs {
       |string frame_id
       |""".stripMargin
 
+  /** `sensor_msgs/CompressedImage` — the reference republishes camera
+    * topics in this compressed form (`service/app/export.launch:10-11`);
+    * `format` names the codec ("png", "jpeg", or "rgb8; jpeg compressed
+    * bgr8"-style strings), `data` is the self-describing container bytes.
+    */
+  val compressedImageDef: String =
+    """Header header
+      |string format
+      |uint8[] data
+      |================================================================================
+      |MSG: std_msgs/Header
+      |uint32 seq
+      |time stamp
+      |string frame_id
+      |""".stripMargin
+
+  def compressedImage(topic: String): TopicSpec =
+    TopicSpec(topic, "sensor_msgs/CompressedImage", compressedImageDef)
+
   val imu: TopicSpec = TopicSpec("/imu", "sensor_msgs/Imu", imuDef)
   val gps: TopicSpec = TopicSpec("/gps", "sensor_msgs/NavSatFix", navSatDef)
   val tf: TopicSpec = TopicSpec("/tf", "tf2_msgs/TFMessage", tfDef)

@@ -130,6 +130,53 @@ class PipelineSpec extends SparkSpec {
     annotated.foreach(r => assert(Imaging.decodePng(r.getAs[Array[Byte]](0)) != null))
   }
 
+  test("CompressedImage decode is pixel-exact vs the raw-topic decode (png) and sane for jpeg") {
+    val raw = Imaging.rawFrame(48, 32, 7)
+    val fromRaw = Imaging.decodeRosImage(48, 32, "rgb8", 48 * 3, raw)
+    // png payload (lossless): identical pixels, and — same encoder — identical bytes
+    val fromPng = Imaging.decodeCompressedImage("png", fromRaw)
+    val a = Imaging.decodePng(fromRaw); val b = Imaging.decodePng(fromPng)
+    for (y <- 0 until 32; x <- 0 until 48)
+      assert(a.getRGB(x, y) == b.getRGB(x, y), s"pixel ($x,$y)")
+    // jpeg payload (lossy): right raster size, pixels close on a SMOOTH
+    // image (the LCG noise frame is jpeg's worst case — don't use it here)
+    val smooth = new java.awt.image.BufferedImage(48, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 48)
+      smooth.setRGB(x, y, ((x * 5) << 16) | ((y * 7) << 8) | ((x + y) * 2))
+    val jpegBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(smooth, "jpg", bos)
+      bos.toByteArray
+    }
+    val fromJpeg = Imaging.decodePng(
+      Imaging.decodeCompressedImage("rgb8; jpeg compressed bgr8", jpegBytes))
+    assert(fromJpeg.getWidth == 48 && fromJpeg.getHeight == 32)
+    val meanErr = (for (y <- 0 until 32; x <- 0 until 48) yield {
+      val p = smooth.getRGB(x, y); val q = fromJpeg.getRGB(x, y)
+      math.abs(((p >> 16) & 0xff) - ((q >> 16) & 0xff)) +
+        math.abs(((p >> 8) & 0xff) - ((q >> 8) & 0xff)) +
+        math.abs((p & 0xff) - (q & 0xff))
+    }).sum.toDouble / (48 * 32 * 3)
+    assert(meanErr < 12.0, s"jpeg mean channel error $meanErr")
+    intercept[IllegalArgumentException] {
+      Imaging.decodeCompressedImage("tiff", fromRaw)
+    }
+  }
+
+  test("q53 compressed-topic pipeline decodes every frame to the raw path's exact bytes") {
+    val out = queries.PipelineQueries.qCompressedFrames(spark, SF).collect()
+    assert(out.length == 64)
+    // cross-check against the raw-topic bag: same synthetic frames → the
+    // per-frame PNG hashes must match the raw decode chain's content
+    val rawHashes = queries.PipelineQueries.labeledBagFrames(spark)
+      .select(col("camera"), xxhash64(col("content")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val compHashes = out.map(r => (r.getString(0), r.getLong(4))).toSet
+    assert(compHashes == rawHashes,
+      "compressed-topic decode must reproduce the raw-topic PNGs byte-exactly")
+  }
+
   test("X4 via DataFrame: annotate draws all instance boxes in one pass") {
     val labeled = Detector.withLabels(frames)
     val out = Imaging.annotate(labeled).select("annotated").collect()
