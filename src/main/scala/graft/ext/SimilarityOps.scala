@@ -183,11 +183,20 @@ object SimilarityOps {
     * candidates each vector has and the best cosine among them (null-safe;
     * n rows always).
     */
+  /** Fan a pair row out to both endpoints in ONE narrow pass — a
+    * self-union of two projections would make Spark compute the whole
+    * candidate aggregation subtree twice (no exchange reuse across
+    * differently-projected branches).
+    */
+  private def pairEndpoints(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(
+        struct(col("vec_a").as("vec_id"), col("cos")),
+        struct(col("vec_b").as("vec_id"), col("cos")))).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("r.cos").as("cos"))
+
   def qLshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val scored = candidateCosines(t.embeddings)
-    val sym = scored.select(col("vec_a").as("vec_id"), col("cos"))
-      .union(scored.select(col("vec_b").as("vec_id"), col("cos")))
+    val sym = pairEndpoints(candidateCosines(t.embeddings))
     t.embeddings.select(col("vec_id"))
       .join(sym, Seq("vec_id"), "left")
       .groupBy("vec_id")
@@ -416,9 +425,7 @@ object SimilarityOps {
     */
   def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val dups = candidateCosines(t.embeddings).filter(col("cos") >= 0.3)
-    val sym = dups.select(col("vec_a").as("vec_id"), col("cos"))
-      .union(dups.select(col("vec_b").as("vec_id"), col("cos")))
+    val sym = pairEndpoints(candidateCosines(t.embeddings).filter(col("cos") >= 0.3))
     t.embeddings.select(col("vec_id"))
       .join(sym, Seq("vec_id"), "left")
       .groupBy("vec_id")
