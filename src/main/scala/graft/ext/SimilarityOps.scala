@@ -30,7 +30,16 @@ object SimilarityOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** NULL (not an ANSI DIVIDE_BY_ZERO crash) for a zero-norm operand: the
+    * session runs ANSI mode, where a plain `/` on a zero divisor would
+    * abort the whole query the first time an empty-document embedding
+    * appears. A zero vector has no defined cosine — downstream tallies
+    * count pairs by the never-null partner id (q31) or drop undefined
+    * cosines at the threshold filter (q33).
+    */
+  def safeCos(d: Column, na: Column, nb: Column): Column = try_divide(d, na * nb)
+
+  def cosine(a: Column, b: Column): Column = safeCos(dot(a, b), norm(a), norm(b))
 
   /** Brute-force exact cosine top-k: queries (vec_id < nQueries) broadcast
     * against the full table; rank via window over each query partition.
@@ -42,7 +51,7 @@ object SimilarityOps {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val sims = base.join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cos"))
+        safeCos(dot(col("v"), col("qv")), col("nrm"), col("qnrm")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
     sims.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
@@ -78,11 +87,22 @@ object SimilarityOps {
     }.reduce(_ bitwiseOR _)
   }
 
-  // dim/count are per-dataset constants; memoized on the analyzed plan so a
-  // query BUILD costs at most one tiny job per dataset per JVM instead of one
-  // per invocation (Bench re-builds each query 4×).
-  private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private val countCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // dim/count are per-dataset constants; memoized on the CANONICALIZED
+  // analyzed plan so a query BUILD costs at most one tiny job per dataset
+  // per JVM instead of one per invocation (Bench re-builds each query 4×).
+  // Canonicalization normalizes expression IDs (vec_id#N churns per read,
+  // so the raw plan — let alone its treeString, which is also subject to
+  // maxToStringFields truncation — would miss on every build and grow the
+  // map unboundedly); structural TreeNode equality makes two reads of the
+  // same parquet path one key (verified) while a filtered/derived frame
+  // keys separately.
+  private val dimCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]()
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]()
+
+  private def planKey(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed.canonicalized
 
   /** Embedding dimensionality measured from the data — hardcoding it would
     * make zip_with null-pad against the hyperplanes and silently produce
@@ -90,11 +110,11 @@ object SimilarityOps {
     * avoid).
     */
   private def embeddingDim(embeddings: DataFrame): Int =
-    dimCache.computeIfAbsent(embeddings.queryExecution.analyzed.treeString,
+    dimCache.computeIfAbsent(planKey(embeddings),
       _ => embeddings.select(size(col("embedding"))).head().getInt(0)).toInt
 
   private def tableCount(embeddings: DataFrame): Long =
-    countCache.computeIfAbsent(embeddings.queryExecution.analyzed.treeString,
+    countCache.computeIfAbsent(planKey(embeddings),
       _ => embeddings.count()).toLong
 
   /** Banded hyperplane signatures: `bands` independent sigs of `bits` sign
@@ -172,38 +192,46 @@ object SimilarityOps {
         "flatten(transform(ids, (a, i) -> " +
           "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS a, b AS b))))")).as("p"))
       .select(col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"),
-        (dot(col("p.a.v"), col("p.b.v")) / (col("p.a.nrm") * col("p.b.nrm")))
+        safeCos(dot(col("p.a.v"), col("p.b.v")), col("p.a.nrm"), col("p.b.nrm"))
           .as("cos"))
       // a pair found by several bands computes bit-identical cos → distinct
       // collapses it
       .distinct()
   }
 
-  /** q31: LSH candidate-neighbor counts per vector: how many capped-bucket
-    * candidates each vector has and the best cosine among them (null-safe;
-    * n rows always).
-    */
   /** Fan a pair row out to both endpoints in ONE narrow pass — a
     * self-union of two projections would make Spark compute the whole
     * candidate aggregation subtree twice (no exchange reuse across
-    * differently-projected branches).
+    * differently-projected branches). Carries the partner id: `cos` is
+    * NULL for a zero-norm endpoint (Spark divide-by-zero), so counting
+    * `cos` would silently drop that pair from candidate tallies —
+    * `nbr_id` is never null and is the column to count.
     */
   private def pairEndpoints(pairs: DataFrame): DataFrame =
     pairs.select(explode(array(
-        struct(col("vec_a").as("vec_id"), col("cos")),
-        struct(col("vec_b").as("vec_id"), col("cos")))).as("r"))
-      .select(col("r.vec_id").as("vec_id"), col("r.cos").as("cos"))
+        struct(col("vec_a").as("vec_id"), col("vec_b").as("nbr_id"), col("cos")),
+        struct(col("vec_b").as("vec_id"), col("vec_a").as("nbr_id"), col("cos")))).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("r.nbr_id").as("nbr_id"),
+        col("r.cos").as("cos"))
 
-  def qLshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val sym = pairEndpoints(candidateCosines(t.embeddings))
-    t.embeddings.select(col("vec_id"))
+  /** Per-vector candidate tallies over the capped-bucket pairs — one row
+    * per input vector even with zero candidates.
+    */
+  def lshBucketStats(embeddings: DataFrame, bands: Int = 4,
+      bitsPerBand: Int = 0, maxBucket: Int = 100): DataFrame = {
+    val sym = pairEndpoints(candidateCosines(embeddings, bands, bitsPerBand, maxBucket))
+    embeddings.select(col("vec_id"))
       .join(sym, Seq("vec_id"), "left")
       .groupBy("vec_id")
-      .agg(count(col("cos")).as("n_bucket_neighbors"),
+      // count nbr_id, not cos: a candidate pair involving a zero-norm
+      // vector (NULL cosine) is still a bucket candidate
+      .agg(count(col("nbr_id")).as("n_bucket_neighbors"),
         round(coalesce(max(col("cos")), lit(-2.0)), 4).as("best_bucket_cos"))
       .orderBy("vec_id")
   }
+
+  def qLshBuckets(spark: SparkSession, dir: String): DataFrame =
+    lshBucketStats(Tables(spark, dir).embeddings)
 
   /** Coarse-quantizer training: deterministic farthest-point seeding +
     * `iters` Lloyd refinements over a bounded bottom-k-by-hash sample.
@@ -388,7 +416,7 @@ object SimilarityOps {
     // (broadcast centroid table, narrow pass over N)
     val assigned = base.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+        safeCos(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("ccos"))
       .withColumn("rk",
         row_number().over(Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))))
       .filter(col("rk") <= assignReplication)
@@ -398,7 +426,7 @@ object SimilarityOps {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val probes = queries.crossJoin(broadcast(cents))
       .select(col("qid"), col("qv"), col("qnrm"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("ccos"))
+        safeCos(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")).as("ccos"))
       .withColumn("rk",
         row_number().over(Window.partitionBy("qid").orderBy(desc("ccos"), col("cid"))))
       .filter(col("rk") <= p)
@@ -411,7 +439,7 @@ object SimilarityOps {
         col("qv"), col("qnrm"))
       .dropDuplicates("qid", "vec_id")
       .select(col("qid"), col("vec_id"),
-        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cos"))
+        safeCos(dot(col("v"), col("qv")), col("nrm"), col("qnrm")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
     sims.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
@@ -423,14 +451,24 @@ object SimilarityOps {
     * full similarity matrix is never formed). Emits per-vec dup counts so
     * the result is n rows even with zero dups.
     */
-  def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val sym = pairEndpoints(candidateCosines(t.embeddings).filter(col("cos") >= 0.3))
-    t.embeddings.select(col("vec_id"))
+  /** Per-vector near-dup tallies above `minCos` — one row per input
+    * vector. The threshold filter intentionally drops NULL cosines: a
+    * zero-norm vector has no defined cosine, so it cannot be a near-dup
+    * of anything (it still shows up as a row, with zero dups).
+    */
+  def nearDupStats(embeddings: DataFrame, minCos: Double = 0.3, bands: Int = 4,
+      bitsPerBand: Int = 0, maxBucket: Int = 100): DataFrame = {
+    val sym = pairEndpoints(
+      candidateCosines(embeddings, bands, bitsPerBand, maxBucket)
+        .filter(col("cos") >= minCos))
+    embeddings.select(col("vec_id"))
       .join(sym, Seq("vec_id"), "left")
       .groupBy("vec_id")
-      .agg(count(col("cos")).as("n_near_dups"),
+      .agg(count(col("nbr_id")).as("n_near_dups"),
         round(coalesce(max(col("cos")), lit(-2.0)), 4).as("best_cos"))
       .orderBy("vec_id")
   }
+
+  def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupStats(Tables(spark, dir).embeddings)
 }

@@ -271,7 +271,10 @@ object PipelineQueries {
       .select(
         regexp_extract(col("topic"), "^/(cam\\d+)/", 1).as("camera"),
         col("fields")("header.seq").cast("int").as("seq"),
-        (col("rosbagTimestamp") / 1000000L).cast("long").as("ts_ms"),
+        // integer `div`, not `/`: ns-epoch longs exceed 2^53, so double
+        // division can truncate to the wrong millisecond (Tables.events
+        // discipline)
+        expr("rosbagTimestamp div 1000000").as("ts_ms"),
         col("fields")("format").as("format"),
         unbase64(col("fields")("data")).as("payload"))
       .withColumn("content", Imaging.compressedImageToPngUdf(col("format"), col("payload")))
@@ -295,7 +298,8 @@ object PipelineQueries {
       .filter(col("topic").endsWith("/image_raw"))
       .select(
         regexp_extract(col("topic"), "^/(cam\\d+)/", 1).as("camera"),
-        (col("rosbagTimestamp") / 1000000L).cast("long").as("ts_ms"),
+        // integer `div` for ns-epoch longs (> 2^53) — see qCompressedFrames
+        expr("rosbagTimestamp div 1000000").as("ts_ms"),
         col("fields")("width").cast("int").as("w"),
         col("fields")("height").cast("int").as("h"),
         col("fields")("encoding").as("encoding"),

@@ -115,11 +115,18 @@ class RosBagScanBuilder(path: String, tableSchema: StructType,
     new RosBagScan(path, required, pushed, maxFilesPerTrigger)
 }
 
-/** chunks = byte positions of the chunk records this partition decodes;
+/** One chunk assignment: byte position of the chunk record plus the
+  * TOTAL message count the trailing chunk-info (op=6) claims for it — the
+  * ground truth the per-chunk op=4 index is validated against before the
+  * reader trusts it for selective seeks.
+  */
+case class RosBagChunkRef(pos: Long, msgCount: Long)
+
+/** chunks = the chunk records this partition decodes;
   * empty + indexed=false means "sequential whole-file fallback" (unindexed
   * bag).
   */
-case class RosBagInputPartition(file: String, chunks: Seq[Long],
+case class RosBagInputPartition(file: String, chunks: Seq[RosBagChunkRef],
     connections: Map[Long, RosBagFormat.Connection], indexed: Boolean)
     extends InputPartition
 
@@ -133,8 +140,12 @@ object RosBagMetrics {
   val messagesSkippedByIndex = new java.util.concurrent.atomic.LongAdder
   val chunksFullyScanned = new java.util.concurrent.atomic.LongAdder
   val chunksIndexSeeked = new java.util.concurrent.atomic.LongAdder
+  /** Chunks whose op=4 records did NOT account for every chunk-info
+    * message — the reader distrusted the index and fully scanned.
+    */
+  val chunksIndexIncomplete = new java.util.concurrent.atomic.LongAdder
   def reset(): Unit = Seq(messagesDecoded, messagesSkippedByIndex,
-    chunksFullyScanned, chunksIndexSeeked).foreach(_.reset())
+    chunksFullyScanned, chunksIndexSeeked, chunksIndexIncomplete).foreach(_.reset())
 }
 
 object RosBagFilters {
@@ -235,7 +246,8 @@ class RosBagScan(path: String, required: StructType,
                 groupStart = c.pos
               } else groups.last += c
             }
-            groups.map(g => RosBagInputPartition(f.toString, g.map(_.pos).toSeq,
+            groups.map(g => RosBagInputPartition(f.toString,
+              g.map(c => RosBagChunkRef(c.pos, c.msgCountByConn.values.sum)).toSeq,
               idx.connections, indexed = true): InputPartition).toSeq
           }
         case None =>
@@ -286,7 +298,8 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
 
   private val records: Iterator[graft.sources.BagRecord] =
     if (part.indexed) {
-      part.chunks.iterator.flatMap { pos =>
+      part.chunks.iterator.flatMap { ref =>
+        val pos = ref.pos
         stream.seek(pos)
         val in = new DataInputStream(new java.io.BufferedInputStream(stream, 1 << 16))
         val (h, data) = RosBagFormat.readRecord(in).getOrElse(
@@ -294,8 +307,15 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
         require(h.op == RosBagFormat.Op.Chunk, s"record at $pos is not a chunk")
         // op=4 index records trail the chunk; with a pushed filter they let
         // us parse ONLY the surviving messages' byte ranges instead of
-        // walking every record header in the chunk
-        val idx = if (selective) RosBagFormat.readChunkIndex(in) else Seq.empty
+        // walking every record header in the chunk. The index is trusted
+        // ONLY if it accounts for every message the chunk-info claims —
+        // a foreign writer that indexes some connections (or truncates an
+        // index) would otherwise silently drop the unindexed messages.
+        val idxRaw = if (selective) RosBagFormat.readChunkIndex(in) else Seq.empty
+        val idxComplete = idxRaw.size.toLong == ref.msgCount
+        if (idxRaw.nonEmpty && !idxComplete)
+          RosBagMetrics.chunksIndexIncomplete.increment()
+        val idx = if (idxComplete) idxRaw else Seq.empty
         val body = RosBagFormat.decompressChunk(h.str("compression"), data,
           h.u32("size").toInt)
         if (idx.nonEmpty) {

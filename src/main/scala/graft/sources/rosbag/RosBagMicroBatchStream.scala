@@ -102,8 +102,9 @@ class RosBagMicroBatchStream(path: String, schema: StructType,
               idx.connections.get(cid).exists(cn => topicKeep(cn.topic))) &&
               RosBagFilters.rangeMayMatch(pushed, c.startNs, c.endNs)
           }
-          RosBagInputPartition(f, kept.map(_.pos), idx.connections,
-            indexed = true): InputPartition
+          RosBagInputPartition(f,
+            kept.map(c => RosBagChunkRef(c.pos, c.msgCountByConn.values.sum)),
+            idx.connections, indexed = true): InputPartition
         case None =>
           RosBagInputPartition(f, Seq.empty, Map.empty, indexed = false): InputPartition
       }

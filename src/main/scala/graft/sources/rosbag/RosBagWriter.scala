@@ -90,10 +90,17 @@ object RosBagWriter {
     * every topic must appear in `topics`. Message payloads are serialized
     * generically from each topic's message_definition.
     */
+  /** `omitIndexFor`: topics whose per-chunk op=4 index entries are NOT
+    * written (chunk infos still count their messages) — fault injection
+    * for the reader's index-completeness check; a foreign writer that
+    * indexes only some connections produces exactly this layout. Never
+    * set for real output.
+    */
   def build(topics: Seq[TopicSpec],
       records: Iterator[(String, Long, Map[String, String])],
       compression: String = "none",
-      chunkThreshold: Int = 768 * 1024): Array[Byte] = {
+      chunkThreshold: Int = 768 * 1024,
+      omitIndexFor: Set[String] = Set.empty): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write(RosBagFormat.VersionLine)
     val bagHeaderPos = out.size()
@@ -123,7 +130,10 @@ object RosBagWriter {
         "size" -> u32le(body.length)),
         RosBagFormat.compressChunk(compression, body))
       // index-data records follow their chunk at file level
-      chunkIndex.toSeq.sortBy(_._1).foreach { case (conn, entries) =>
+      val omitConns = connIds.collect { case (t, id) if omitIndexFor(t) => id }.toSet
+      chunkIndex.toSeq.sortBy(_._1)
+        .filterNot { case (conn, _) => omitConns(conn) }
+        .foreach { case (conn, entries) =>
         val data = new ByteArrayOutputStream()
         entries.foreach { case (ts, off) =>
           data.write(timeBytes(ts)); data.write(u32le(off))

@@ -1,0 +1,22 @@
+package graft.tools
+
+import graft.GraftSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway probe: ANSI default + divide-by-zero semantics for the
+  * double-typed cosine (decides the zero-norm contract in SimilarityOps).
+  */
+object KeyProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("keyprobe")
+    import spark.implicits._
+    println(s"[keyprobe] ansi=${spark.conf.get("spark.sql.ansi.enabled")}")
+    val df = Seq((1.0, 0.0)).toDF("a", "b").select((col("a") / col("b")).as("q"))
+    try println(s"[keyprobe] 1.0/0.0 = ${df.head().get(0)}")
+    catch { case e: Exception => println(s"[keyprobe] 1.0/0.0 threw ${e.getClass.getSimpleName}: ${e.getMessage.take(100)}") }
+    val df0 = Seq((0.0, 0.0)).toDF("a", "b").select((col("a") / col("b")).as("q"))
+    try println(s"[keyprobe] 0.0/0.0 = ${df0.head().get(0)}")
+    catch { case e: Exception => println(s"[keyprobe] 0.0/0.0 threw ${e.getClass.getSimpleName}: ${e.getMessage.take(100)}") }
+    spark.stop()
+  }
+}

@@ -167,6 +167,39 @@ class RosBagSpec extends SparkSpec {
     assert(viaIndex == viaScan)
   }
 
+  test("partial op=4 index is distrusted: incomplete chunks fall back to a full scan") {
+    import graft.sources.rosbag.RosBagMetrics
+    // a foreign writer that indexes only SOME connections (here: /imu's
+    // entries omitted while chunk infos still count them) used to make the
+    // selective reader trust the surviving index and silently return ZERO
+    // /imu rows under a pushed /imu filter; the completeness check
+    // (index entry total vs chunk-info message total) must reject the
+    // index and fully scan those chunks instead
+    val d = Files.createTempDirectory("rosbag-partialidx").toString
+    Files.write(Paths.get(s"$d/rec.bag"),
+      RosBagWriter.build(topics, sampleRecords(40).iterator,
+        chunkThreshold = 8192, omitIndexFor = Set("/imu")))
+    RosBagMetrics.reset()
+    val imu = spark.read.format("rosbag").load(d).filter(col("topic") === "/imu")
+    assert(imu.count() == 40, "fallback must recover every unindexed message")
+    assert(RosBagMetrics.chunksIndexIncomplete.sum() > 0,
+      "incomplete index not detected")
+    assert(RosBagMetrics.chunksIndexSeeked.sum() == 0,
+      "no chunk in this bag has a trustworthy index")
+    // values survive identically to a fully-indexed bag's decode
+    val viaFallback = imu.selectExpr("rosbagTimestamp",
+      "fields['orientation.z'] AS z")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val complete = Files.createTempDirectory("rosbag-completeidx").toString
+    Files.write(Paths.get(s"$complete/rec.bag"),
+      RosBagWriter.build(topics, sampleRecords(40).iterator, chunkThreshold = 8192))
+    val viaIndex = spark.read.format("rosbag").load(complete)
+      .filter(col("topic") === "/imu")
+      .selectExpr("rosbagTimestamp", "fields['orientation.z'] AS z")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaFallback == viaIndex)
+  }
+
   test("option(topics) is a standing pushed In filter (topics_to_extract contract)") {
     val df = spark.read.format("rosbag").option("topics", "/imu, /gps").load(bagDir)
     assert(df.queryExecution.executedPlan.toString.contains("In(topic"),

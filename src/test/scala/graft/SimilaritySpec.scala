@@ -91,6 +91,33 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.forall(v => { val n = math.sqrt(v.map(x => x * x).sum); n > 0 && n <= 1 + 1e-9 }))
   }
 
+  test("zero-norm embeddings: no ANSI divide crash; q31 counts the pair, q33 never dups") {
+    // the session runs ANSI mode — a plain `/` cosine would abort the whole
+    // query on the first zero-norm embedding (empty document). try_divide
+    // yields NULL instead; q31's tally counts the never-null partner id, so
+    // the bucket pair still counts, while q33's threshold drops it.
+    val normals = (0 until 6).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => if (j == i) 1.0f else 0.1f)))
+    val zeros = Seq((10L, Seq.fill(8)(0.0f)), (11L, Seq.fill(8)(0.0f)))
+    val df = (normals ++ zeros).toDF("vec_id", "embedding")
+    // brute force must survive zero-norm rows too (NULLs sort last under desc)
+    SimilarityOps.bruteForceTopK(df, nQueries = 2, k = 3).collect()
+    val stats = SimilarityOps.lshBucketStats(df, bands = 2, bitsPerBand = 4).collect()
+    assert(stats.length == 8)
+    val byId = stats.map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // both zero vectors sign-hash to the all-zero-bits bucket of every band,
+    // so each has at least the other as a candidate; every pair involving a
+    // zero vector has an undefined (NULL) cosine → sentinel best stays -2.0
+    assert(byId(10L)._1 >= 1, "zero-vector pair must still count as a candidate")
+    assert(byId(11L)._1 >= 1)
+    assert(byId(10L)._2 == -2.0 && byId(11L)._2 == -2.0)
+    val dups = SimilarityOps.nearDupStats(df, bands = 2, bitsPerBand = 4).collect()
+    assert(dups.length == 8)
+    val dupById = dups.map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dupById(10L) == 0 && dupById(11L) == 0,
+      "an undefined cosine must never clear the near-dup threshold")
+  }
+
   test("q31/q33 plans contain no self-join on a raw signature (bucket-local expansion)") {
     // the capped path builds pairs from collect_list inside one aggregation;
     // a SortMergeJoin/ShuffledHashJoin keyed on `sig` would be the uncapped
