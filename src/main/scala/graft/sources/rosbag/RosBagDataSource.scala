@@ -41,16 +41,21 @@ class RosBagDataSource extends TableProvider with DataSourceRegister {
     RosBagTable.fullSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = properties.get("path")
-    require(path != null,
-      "rosbag requires exactly one path: spark.read.format(\"rosbag\").load(dir)")
+    // multi-path load(a, b, ...) arrives as a JSON string array under
+    // "paths"; a single load(dir) as "path" — accept both, plus globs
+    val multi = Option(properties.get("paths"))
+      .map(RosBagSourceOffset.fromJson(_).seen).getOrElse(Seq.empty)
+    val single = Option(properties.get("path")).toSeq
+    val paths = (multi ++ single).distinct
+    require(paths.nonEmpty,
+      "rosbag requires at least one path: spark.read.format(\"rosbag\").load(dir, ...)")
     schema.fields.foreach { f =>
       val ref = RosBagTable.fullSchema.fields.find(_.name == f.name)
       require(ref.exists(_.dataType == f.dataType),
         s"rosbag: unsupported schema field '${f.name}: ${f.dataType.simpleString}'; " +
           s"available: ${RosBagTable.fullSchema.catalogString}")
     }
-    new RosBagTable(path, schema)
+    new RosBagTable(paths, schema)
   }
 }
 
@@ -61,17 +66,48 @@ object RosBagTable {
   val fullSchema: StructType = StructType(Seq(
     StructField("topic", StringType, nullable = false),
     StructField("rosbagTimestamp", LongType, nullable = false),
+    // optional connection-header metadata: which publisher produced the
+    // message and whether the topic was latched — null when the recorder
+    // didn't stamp them
+    StructField("callerid", StringType, nullable = true),
+    StructField("latching", BooleanType, nullable = true),
     StructField("fields", MapType(StringType, StringType, valueContainsNull = false))))
 }
 
-class RosBagTable(path: String, tableSchema: StructType = RosBagTable.fullSchema)
+/** Path resolution shared by the batch scan and the streaming source:
+  * every load path may be a single .bag file, a directory (its *.bag
+  * children), or a Hadoop glob pattern (each match expanded the same
+  * way). Missing paths list as empty — the streaming contract (a landing
+  * directory that doesn't exist yet is just "no files so far").
+  */
+object RosBagPaths {
+  def hasGlob(p: String): Boolean = p.exists("{}[]*?".contains(_))
+
+  def listBagFiles(paths: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Seq[org.apache.hadoop.fs.FileStatus] =
+    paths.flatMap { raw =>
+      val p = new Path(raw)
+      val fs = p.getFileSystem(conf)
+      val roots =
+        if (hasGlob(raw)) Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+        else if (fs.exists(p)) Seq(fs.getFileStatus(p))
+        else Seq.empty
+      roots.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+      }
+    }.filter(_.getPath.getName.endsWith(".bag"))
+      .distinctBy(_.getPath.toString)
+      .sortBy(_.getPath.toString)
+}
+
+class RosBagTable(paths: Seq[String], tableSchema: StructType = RosBagTable.fullSchema)
     extends Table with SupportsRead {
-  override def name(): String = s"rosbag($path)"
+  override def name(): String = s"rosbag(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RosBagScanBuilder(path, tableSchema,
+    new RosBagScanBuilder(paths, tableSchema,
       options.getInt("maxFilesPerTrigger", 0),
       // the reference's topics_to_extract contract
       // (/root/reference/service/app/engine.py:200-222): a comma-separated
@@ -81,7 +117,7 @@ class RosBagTable(path: String, tableSchema: StructType = RosBagTable.fullSchema
         .filter(_.nonEmpty).toSeq).filter(_.nonEmpty))
 }
 
-class RosBagScanBuilder(path: String, tableSchema: StructType,
+class RosBagScanBuilder(paths: Seq[String], tableSchema: StructType,
     maxFilesPerTrigger: Int = 0, topicsOpt: Option[Seq[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -112,7 +148,7 @@ class RosBagScanBuilder(path: String, tableSchema: StructType,
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan =
-    new RosBagScan(path, required, pushed, maxFilesPerTrigger)
+    new RosBagScan(paths, required, pushed, maxFilesPerTrigger)
 }
 
 /** One chunk assignment: byte position of the chunk record plus the
@@ -176,17 +212,17 @@ object RosBagFilters {
     }
 }
 
-class RosBagScan(path: String, required: StructType,
+class RosBagScan(paths: Seq[String], required: StructType,
     pushed: Array[sources.Filter], maxFilesPerTrigger: Int = 0)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"RosBagScan path=$path, ReadSchema: ${required.catalogString}, " +
+    s"RosBagScan path=${paths.mkString(",")}, ReadSchema: ${required.catalogString}, " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new RosBagMicroBatchStream(path, required, maxFilesPerTrigger, pushed)
+    new RosBagMicroBatchStream(paths, required, maxFilesPerTrigger, pushed)
 
   /** File-listing size × a conservative decoded-row expansion factor —
     * lets Catalyst/AQE broadcast small bag tables instead of assuming the
@@ -199,15 +235,8 @@ class RosBagScan(path: String, required: StructType,
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
-  private def listBagFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-      else Seq(fs.getFileStatus(p))
-    files.filter(_.getPath.getName.endsWith(".bag")).sortBy(_.getPath.toString)
-  }
+  private def listBagFiles(): Seq[org.apache.hadoop.fs.FileStatus] =
+    RosBagPaths.listBagFiles(paths, SparkSession.active.sessionState.newHadoopConf())
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -296,7 +325,7 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
   // else), so "filters exist" == "an op=4 intra-chunk seek can skip work"
   private val selective = pushed.nonEmpty
 
-  private val records: Iterator[graft.sources.BagRecord] =
+  private val records: Iterator[RosBagFormat.ConnRecord] =
     if (part.indexed) {
       part.chunks.iterator.flatMap { ref =>
         val pos = ref.pos
@@ -359,9 +388,9 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
               if (topicKeep(conn.topic) && tsKeep(ts)) {
                 if (needFields) {
                   val (spec, reg) = conn.spec
-                  Iterator.single(graft.sources.BagRecord(conn.topic, ts,
+                  Iterator.single(RosBagFormat.ConnRecord(conn, ts,
                     RosMsgDef.deserialize(spec, reg, data)))
-                } else Iterator.single(graft.sources.BagRecord(conn.topic, ts, null))
+                } else Iterator.single(RosBagFormat.ConnRecord(conn, ts, null))
               } else Iterator.empty
             case _ => Iterator.empty
           }
@@ -371,8 +400,8 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
   /** Decode one chunk body honoring pushed filters; when `fields` is not
     * projected the message payload is never deserialized.
     */
-  private def decodeChunk(body: Array[Byte]): Iterator[graft.sources.BagRecord] = {
-    if (needFields) RosBagFormat.chunkRecords(body, conns, topicKeep, tsKeep)
+  private def decodeChunk(body: Array[Byte]): Iterator[RosBagFormat.ConnRecord] = {
+    if (needFields) RosBagFormat.chunkConnRecords(body, conns, topicKeep, tsKeep)
     else {
       val in = new java.io.ByteArrayInputStream(body)
       Iterator.continually(RosBagFormat.readRecord(in))
@@ -385,9 +414,9 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
               None
             case RosBagFormat.Op.MsgData =>
               val ts = h.timeNs("time")
-              val topic = conns(h.u32("conn")).topic
-              if (topicKeep(topic) && tsKeep(ts))
-                Some(graft.sources.BagRecord(topic, ts, null))
+              val conn = conns(h.u32("conn"))
+              if (topicKeep(conn.topic) && tsKeep(ts))
+                Some(RosBagFormat.ConnRecord(conn, ts, null))
               else None
             case _ => None
           }
@@ -401,8 +430,12 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
     if (!records.hasNext) { current = null; return false }
     val r = records.next()
     val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(required.length)
-    ordinals.get("topic").foreach(i => row.update(i, UTF8String.fromString(r.topic)))
-    ordinals.get("rosbagTimestamp").foreach(i => row.update(i, r.rosbagTimestamp))
+    ordinals.get("topic").foreach(i => row.update(i, UTF8String.fromString(r.conn.topic)))
+    ordinals.get("rosbagTimestamp").foreach(i => row.update(i, r.timeNs))
+    ordinals.get("callerid").foreach(i =>
+      row.update(i, r.conn.callerid.map(UTF8String.fromString).orNull))
+    ordinals.get("latching").foreach(i =>
+      row.update(i, r.conn.latching.map(java.lang.Boolean.valueOf).orNull))
     if (needFields) {
       val ks = new Array[UTF8String](r.fields.size)
       val vs = new Array[UTF8String](r.fields.size)

@@ -59,8 +59,14 @@ object RosBagFormat {
     }
   }
 
+  /** `callerid`/`latching` are the OPTIONAL connection-header fields a
+    * recorder may stamp (publisher node name; whether the topic was
+    * latched) — surfaced as nullable source columns because they identify
+    * WHICH publisher produced a message when several share a topic.
+    */
   final case class Connection(id: Long, topic: String, tpe: String,
-      md5sum: String, messageDefinition: String) {
+      md5sum: String, messageDefinition: String,
+      callerid: Option[String] = None, latching: Option[Boolean] = None) {
     /** Lazily-compiled generic deserializer for this connection's type. */
     @transient lazy val spec: (RosMsgDef.MsgSpec, Map[String, RosMsgDef.MsgSpec]) =
       RosMsgDef.parse(tpe, messageDefinition)
@@ -180,14 +186,21 @@ object RosBagFormat {
 
   // ------------------------------------------------------------- the reader
 
+  /** One decoded message WITH its originating connection — the reader
+    * needs the connection to surface callerid/latching columns; the
+    * BagRecord shape (shared with GBAG) deliberately doesn't carry it.
+    */
+  final case class ConnRecord(conn: Connection, timeNs: Long,
+      fields: Map[String, String])
+
   /** Iterate the records INSIDE one uncompressed chunk body: connection
-    * records update `conns`; message-data records yield `BagRecord`s
+    * records update `conns`; message-data records yield `ConnRecord`s
     * (deserialized via the connection's message_definition).
     */
-  def chunkRecords(body: Array[Byte],
+  def chunkConnRecords(body: Array[Byte],
       conns: scala.collection.mutable.Map[Long, Connection],
       topicKeep: String => Boolean = _ => true,
-      tsKeep: Long => Boolean = _ => true): Iterator[BagRecord] = {
+      tsKeep: Long => Boolean = _ => true): Iterator[ConnRecord] = {
     val in = new ByteArrayInputStream(body)
     Iterator.continually(readRecord(in)).takeWhile(_.isDefined).map(_.get)
       .flatMap { case (h, data) =>
@@ -202,12 +215,19 @@ object RosBagFormat {
               s"message for unknown connection ${h.u32("conn")}"))
             if (topicKeep(conn.topic) && tsKeep(ts)) {
               val (spec, reg) = conn.spec
-              Some(BagRecord(conn.topic, ts, RosMsgDef.deserialize(spec, reg, data)))
+              Some(ConnRecord(conn, ts, RosMsgDef.deserialize(spec, reg, data)))
             } else None
           case _ => None // index-data inside a chunk: not produced by rosbag
         }
       }
   }
+
+  def chunkRecords(body: Array[Byte],
+      conns: scala.collection.mutable.Map[Long, Connection],
+      topicKeep: String => Boolean = _ => true,
+      tsKeep: Long => Boolean = _ => true): Iterator[BagRecord] =
+    chunkConnRecords(body, conns, topicKeep, tsKeep)
+      .map(r => BagRecord(r.conn.topic, r.timeNs, r.fields))
 
   /** One message's entry in a per-chunk op=4 index-data record: its
     * connection, timestamp, and byte offset inside the UNCOMPRESSED chunk.
@@ -226,6 +246,15 @@ object RosBagFormat {
     var continue = true
     while (continue) {
       readRecordLazy(in, _.op == Op.IndexData) match {
+        case Some((h, _)) if h.op == Op.IndexData &&
+            h.fields.contains("ver") && h.u32("ver") != 1L =>
+          // foreign index version: the entry layout is unknown, so parse
+          // nothing from it — the reader's completeness check (entry total
+          // vs chunk-info message total) then rejects the whole index and
+          // falls back to a full chunk scan. Keep consuming trailing
+          // records so a mixed-version run doesn't leave the stream
+          // mid-sequence.
+          ()
         case Some((h, data)) if h.op == Op.IndexData =>
           val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
           val conn = h.u32("conn")
@@ -252,7 +281,7 @@ object RosBagFormat {
   def indexedChunkRecords(body: Array[Byte], entries: Seq[ChunkMsgIndex],
       conns: scala.collection.Map[Long, Connection],
       topicKeep: String => Boolean, tsKeep: Long => Boolean,
-      needFields: Boolean): Iterator[BagRecord] = {
+      needFields: Boolean): Iterator[ConnRecord] = {
     entries.iterator
       .filter { e =>
         val c = conns.getOrElse(e.conn, throw new IllegalStateException(
@@ -269,8 +298,8 @@ object RosBagFormat {
         val conn = conns(h.u32("conn"))
         if (needFields) {
           val (spec, reg) = conn.spec
-          BagRecord(conn.topic, h.timeNs("time"), RosMsgDef.deserialize(spec, reg, data))
-        } else BagRecord(conn.topic, h.timeNs("time"), null)
+          ConnRecord(conn, h.timeNs("time"), RosMsgDef.deserialize(spec, reg, data))
+        } else ConnRecord(conn, h.timeNs("time"), null)
       }
   }
 
@@ -278,7 +307,10 @@ object RosBagFormat {
     val ch = parseHeader(data) // the connection header lives in the DATA
     Connection(h.u32("conn"), ch.str("topic"), ch.str("type"),
       if (ch.fields.contains("md5sum")) ch.str("md5sum") else "",
-      if (ch.fields.contains("message_definition")) ch.str("message_definition") else "")
+      if (ch.fields.contains("message_definition")) ch.str("message_definition") else "",
+      callerid = ch.fields.get("callerid").map(_ => ch.str("callerid")),
+      // the wire value is the string "1"/"0" (rosbag's own convention)
+      latching = ch.fields.get("latching").map(_ => ch.str("latching") == "1"))
   }
 
   /** Read the bag header record (first record after the version line) →
@@ -314,6 +346,11 @@ object RosBagFormat {
             val c = parseConnection(h, data)
             conns += c.id -> c
           case Op.ChunkInfo =>
+            // foreign chunk-info version: its record layout (and therefore
+            // chunk positions/counts) can't be trusted — treat the whole
+            // bag as unindexed so the sequential full-file scan handles it
+            // instead of silently skipping chunks
+            if (h.fields.contains("ver") && h.u32("ver") != 1L) return None
             val n = h.u32("count").toInt
             val b = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
             val counts = Map.newBuilder[Long, Long]

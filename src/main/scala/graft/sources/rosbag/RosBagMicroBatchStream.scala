@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.StructType
   * Spark's own file source but over bag recordings decoded through the
   * real-container reader; each batch plans the not-yet-seen files.
   */
-class RosBagMicroBatchStream(path: String, schema: StructType,
+class RosBagMicroBatchStream(paths: Seq[String], schema: StructType,
     maxFilesPerTrigger: Int,
     pushed: Array[sources.Filter] = Array.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
@@ -29,17 +29,8 @@ class RosBagMicroBatchStream(path: String, schema: StructType,
   private val conf = new SerializableHadoopConf(
     SparkSession.active.sessionState.newHadoopConf())
 
-  private def listFiles(): Seq[String] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf.value)
-    if (!fs.exists(p)) Seq.empty
-    else {
-      val files =
-        if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-        else Seq(fs.getFileStatus(p))
-      files.filter(_.getPath.getName.endsWith(".bag")).map(_.getPath.toString).sorted
-    }
-  }
+  private def listFiles(): Seq[String] =
+    RosBagPaths.listBagFiles(paths, conf.value).map(_.getPath.toString)
 
   // pinned listing for Trigger.AvailableNow: drain exactly these files
   @volatile private var availableNowCeiling: Option[Seq[String]] = None

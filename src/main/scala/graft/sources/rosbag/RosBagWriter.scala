@@ -19,7 +19,12 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object RosBagWriter {
 
-  final case class TopicSpec(topic: String, tpe: String, definition: String) {
+  /** `callerid`/`latching` mirror the optional connection-header fields a
+    * live `rosbag record` stamps from the publisher (node name; latched
+    * flag, written as "1"/"0").
+    */
+  final case class TopicSpec(topic: String, tpe: String, definition: String,
+      callerid: Option[String] = None, latching: Option[Boolean] = None) {
     /** Content-derived stand-in: the real ROS md5 is computed over the
       * normalized definition text; readers here never verify it.
       */
@@ -81,7 +86,9 @@ object RosBagWriter {
       "topic" -> t.topic.getBytes(UTF_8),
       "type" -> t.tpe.getBytes(UTF_8),
       "md5sum" -> t.md5.getBytes(UTF_8),
-      "message_definition" -> t.definition.getBytes(UTF_8)))
+      "message_definition" -> t.definition.getBytes(UTF_8)) ++
+      t.callerid.map(c => "callerid" -> c.getBytes(UTF_8)) ++
+      t.latching.map(l => "latching" -> (if (l) "1" else "0").getBytes(UTF_8)))
     writeRecord(out, Seq(opField(RosBagFormat.Op.Connection),
       "conn" -> u32le(connId), "topic" -> t.topic.getBytes(UTF_8)), connHeader)
   }
@@ -96,11 +103,18 @@ object RosBagWriter {
     * indexes only some connections produces exactly this layout. Never
     * set for real output.
     */
+  /** `indexVer`/`chunkInfoVer`: record version stamps, normally 1 — any
+    * other value simulates a foreign/future bag whose index layouts this
+    * reader must distrust (fault injection for specs; the DATA layout
+    * stays v1, only the stamp changes).
+    */
   def build(topics: Seq[TopicSpec],
       records: Iterator[(String, Long, Map[String, String])],
       compression: String = "none",
       chunkThreshold: Int = 768 * 1024,
-      omitIndexFor: Set[String] = Set.empty): Array[Byte] = {
+      omitIndexFor: Set[String] = Set.empty,
+      indexVer: Int = 1,
+      chunkInfoVer: Int = 1): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write(RosBagFormat.VersionLine)
     val bagHeaderPos = out.size()
@@ -139,7 +153,7 @@ object RosBagWriter {
           data.write(timeBytes(ts)); data.write(u32le(off))
         }
         writeRecord(out, Seq(opField(RosBagFormat.Op.IndexData),
-          "ver" -> u32le(1L), "conn" -> u32le(conn),
+          "ver" -> u32le(indexVer.toLong), "conn" -> u32le(conn),
           "count" -> u32le(entries.length.toLong)), data.toByteArray)
       }
       chunkSummaries += ((chunkPos, chunkStartNs, chunkEndNs,
@@ -178,7 +192,7 @@ object RosBagWriter {
         data.write(u32le(c)); data.write(u32le(n))
       }
       writeRecord(out, Seq(opField(RosBagFormat.Op.ChunkInfo),
-        "ver" -> u32le(1L), "chunk_pos" -> u64le(pos),
+        "ver" -> u32le(chunkInfoVer.toLong), "chunk_pos" -> u64le(pos),
         "start_time" -> timeBytes(if (startNs == Long.MaxValue) 0L else startNs),
         "end_time" -> timeBytes(if (endNs == Long.MinValue) 0L else endNs),
         "count" -> u32le(counts.size.toLong)), data.toByteArray)

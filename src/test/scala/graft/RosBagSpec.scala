@@ -101,7 +101,8 @@ class RosBagSpec extends SparkSpec {
 
   test("rosbag DSv2 source reads all records across files and codecs") {
     val df = spark.read.format("rosbag").load(bagDir)
-    assert(df.schema.fieldNames.toSeq == Seq("topic", "rosbagTimestamp", "fields"))
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("topic", "rosbagTimestamp", "callerid", "latching", "fields"))
     assert(df.count() == 360)
     val perTopic = df.groupBy("topic").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -165,6 +166,66 @@ class RosBagSpec extends SparkSpec {
       .collect().collect { case r if r.getString(0) == "/imu" =>
         (r.getLong(1), r.getString(2)) }.toSet
     assert(viaIndex == viaScan)
+  }
+
+  test("callerid/latching connection metadata surface as nullable columns") {
+    val d = Files.createTempDirectory("rosbag-connmeta").toString
+    // /imu stamped with both optional fields, /gps with neither, /tf latched
+    val stamped = Seq(
+      topics(0).copy(callerid = Some("/imu_node"), latching = Some(false)),
+      topics(1),
+      topics(2).copy(latching = Some(true)))
+    Files.write(Paths.get(s"$d/rec.bag"),
+      RosBagWriter.build(stamped, sampleRecords(10).iterator, chunkThreshold = 4096))
+    val rows = spark.read.format("rosbag").load(d)
+      .select("topic", "callerid", "latching").distinct().collect()
+      .map(r => r.getString(0) -> ((Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2))))).toMap
+    assert(rows("/imu") == ((Some("/imu_node"), Some(false))))
+    assert(rows("/gps") == ((None, None)))
+    assert(rows("/tf") == ((None, Some(true))))
+    // metadata rides the selective op=4 seek path identically
+    val viaSeek = spark.read.format("rosbag").load(d)
+      .filter(col("topic") === "/imu").select("callerid").distinct().collect()
+    assert(viaSeek.map(_.getString(0)).toSeq == Seq("/imu_node"))
+  }
+
+  test("glob patterns and multi-path load resolve the same files as a dir load") {
+    val all = spark.read.format("rosbag").load(bagDir).count()
+    assert(all == 360)
+    val glob = spark.read.format("rosbag").load(s"$bagDir/rec*.bag").count()
+    assert(glob == all, "glob over the same files must read the same rows")
+    val multi = spark.read.format("rosbag")
+      .load(s"$bagDir/rec0.bag", s"$bagDir/rec1.bag", s"$bagDir/rec2.bag").count()
+    assert(multi == all, "explicit multi-path load must read the same rows")
+    // overlapping path + glob dedup to one read of each file
+    val overlap = spark.read.format("rosbag")
+      .load(s"$bagDir/rec0.bag", s"$bagDir/rec*.bag").count()
+    assert(overlap == all, "a file matched twice must be read once")
+  }
+
+  test("foreign chunk-info version: bag treated as unindexed, sequential scan succeeds") {
+    val d = Files.createTempDirectory("rosbag-foreignci").toString
+    Files.write(Paths.get(s"$d/rec.bag"),
+      RosBagWriter.build(topics, sampleRecords(10).iterator,
+        chunkThreshold = 4096, chunkInfoVer = 2))
+    val df = spark.read.format("rosbag").load(d)
+    // the v2-stamped chunk infos are distrusted wholesale → whole-file scan
+    assert(df.count() == 30)
+    assert(df.filter(col("topic") === "/imu").count() == 10)
+  }
+
+  test("foreign op=4 index version: entries distrusted, full chunk scan recovers rows") {
+    import graft.sources.rosbag.RosBagMetrics
+    val d = Files.createTempDirectory("rosbag-foreignidx").toString
+    Files.write(Paths.get(s"$d/rec.bag"),
+      RosBagWriter.build(topics, sampleRecords(10).iterator,
+        chunkThreshold = 4096, indexVer = 2))
+    RosBagMetrics.reset()
+    val imu = spark.read.format("rosbag").load(d).filter(col("topic") === "/imu")
+    assert(imu.count() == 10)
+    assert(RosBagMetrics.chunksIndexSeeked.sum() == 0,
+      "a v2-stamped index must never drive seeks")
   }
 
   test("partial op=4 index is distrusted: incomplete chunks fall back to a full scan") {
