@@ -441,15 +441,14 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** q29: per-doc best unigram-Jaccard neighbor among LSH candidates (the
-    * n-gram Jaccard [EXT] op; null-safe so every doc emits a row).
+  /** Per-doc best unigram-Jaccard neighbor among LSH candidates — one row
+    * per doc even with no candidates.
     */
-  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val docs = t.documents
-    val sets = graft.CacheRegistry.persist(shingleSets(docs, 2))
-    val sigs = minHashSignaturesFromSets(sets, 15)
-    val verified = jaccardVerifyFromSets(sets, lshCandidates(sigs, 15, 3))
+  def ngramJaccardStats(docs: DataFrame, numHashes: Int = 15,
+      rowsPerBand: Int = 3, shingleSize: Int = 2): DataFrame = {
+    val sets = graft.CacheRegistry.persist(shingleSets(docs, shingleSize))
+    val sigs = minHashSignaturesFromSets(sets, numHashes)
+    val verified = jaccardVerifyFromSets(sets, lshCandidates(sigs, numHashes, rowsPerBand))
     val sym = verified.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("jaccard"))
       .union(verified.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"), col("jaccard")))
     docs.select(col("doc_id"))
@@ -460,4 +459,11 @@ object DedupOps {
         count(col("nbr")).as("n_candidates"))
       .orderBy("doc_id")
   }
+
+  /** q29: the n-gram Jaccard [EXT] op over the documents table
+    * (golden-oracle check; re-derived from first principles in
+    * GoldenDerivationSpec).
+    */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardStats(Tables(spark, dir).documents)
 }

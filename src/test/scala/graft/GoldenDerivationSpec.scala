@@ -1,18 +1,19 @@
 package graft
 
-import graft.ext.DedupOps
+import graft.ext.{DedupOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
 
 /** First-principles re-derivations of the golden-oracle query chains
   * (VERDICT r3 task 6): the committed goldens prove determinism and
   * regression, but they are produced by the engine itself — a systematic
-  * bug in the native MinHashSigs/SimHash64/WordShingles expressions or the
-  * banding/verify/assign plumbing would self-certify. These tests rebuild
-  * ENTIRE q27/q28 rows for a 20-doc fixture outside the engine: shingling,
-  * min-hashing, banding, bucketing, Jaccard verification and cluster
-  * assignment in plain driver Scala, with ONLY Spark's stock `xxhash64`
-  * SQL function as the hash definition (graft's native expressions are
-  * never invoked on the derivation side).
+  * bug in the native MinHashSigs/SimHash64/WinnowFingerprints expressions
+  * or the banding/verify/assign plumbing would self-certify. These tests
+  * rebuild ENTIRE result rows for small fixtures outside the engine:
+  * shingling, min-hashing, banding, bucketing, Jaccard verification,
+  * cluster union-find, winnowing, and hyperplane-LSH cosine tallies in
+  * plain driver Scala, with ONLY Spark's stock `xxhash64` SQL function as
+  * a hash definition where the engine hashes through it (graft's native
+  * expressions are never invoked on the derivation side).
   */
 class GoldenDerivationSpec extends SparkSpec {
   import spark.implicits._
@@ -42,6 +43,11 @@ class GoldenDerivationSpec extends SparkSpec {
     (if (tk.length < 2) Seq(t.trim) else tk.sliding(2).map(_.mkString(" ")).toSeq).toSet
   }
 
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Stock-Spark hash oracle: xxhash64 evaluated through SQL literals only. */
   private def stockShingleHashes(shingles: Seq[String], k: Int): Map[String, Seq[Long]] = {
     val exprs = (0 until k).map(i => s"xxhash64($i, sh) AS h$i")
@@ -49,19 +55,21 @@ class GoldenDerivationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (1 to k).map(r.getLong(_))).toMap
   }
 
-  test("q27 rows re-derived end-to-end from first principles") {
-    val k = 15; val rowsPerBand = 3; val threshold = 0.6
-    val engine = DedupOps.minHashDedupAssign(docsDf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  // ---- the shared minhash-LSH chain, derived once (k=15, 3 rows/band) ----
 
-    // 1. shingle sets (plain Scala)
-    val sets: Map[Long, Set[String]] = fixture.map { case (id, t) => id -> bigramSet(t) }.toMap
-    // 2. minhash signatures from the stock hash oracle
+  private lazy val sets: Map[Long, Set[String]] =
+    fixture.map { case (id, t) => id -> bigramSet(t) }.toMap
+
+  /** Capped-bucket candidate pairs (doc_a < doc_b), steps 1-4 of the q27
+    * chain in plain Scala + the stock hash oracle.
+    */
+  private lazy val derivedCandidates: Set[(Long, Long)] = {
+    val k = 15; val rowsPerBand = 3
     val hashes = stockShingleHashes(sets.values.flatten.toSeq.distinct.sorted, k)
     val sigs: Map[Long, Seq[Long]] = sets.map { case (id, sh) =>
       id -> (0 until k).map(i => sh.map(s => hashes(s)(i)).min)
     }
-    // 3. banding: band_sig = stock xxhash64 over the band's 3 sig longs
+    // banding: band_sig = stock xxhash64 over the band's 3 sig longs
     val bandSigRows = sigs.toSeq.sortBy(_._1).flatMap { case (id, hs) =>
       (0 until k / rowsPerBand).map(b => (id, b, hs(b * 3), hs(b * 3 + 1), hs(b * 3 + 2)))
     }
@@ -69,17 +77,25 @@ class GoldenDerivationSpec extends SparkSpec {
       .toDF("doc_id", "band", "a", "b", "c")
       .selectExpr("doc_id", "band", "xxhash64(a, b, c) AS bs")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-    // 4. capped buckets → candidate pairs
-    val candidates: Set[(Long, Long)] = bandSigs.groupBy(t => (t._2, t._3)).values
+    bandSigs.groupBy(t => (t._2, t._3)).values
       .filter(g => g.size >= 2 && g.size <= 100)
       .flatMap { g =>
         val ids = g.map(_._1).sorted
         for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
       }.toSet
-    // 5. exact Jaccard verify + one-hop min assignment
-    val verified = candidates.filter { case (a, b) =>
-      val (sa, sb) = (sets(a), sets(b))
-      (sa & sb).size.toDouble / (sa | sb).size.toDouble >= threshold
+  }
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    (a & b).size.toDouble / (a | b).size.toDouble
+
+  test("q27 rows re-derived end-to-end from first principles") {
+    val threshold = 0.6
+    val engine = DedupOps.minHashDedupAssign(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // exact Jaccard verify + one-hop min assignment over the derived pairs
+    val verified = derivedCandidates.filter { case (a, b) =>
+      jaccard(sets(a), sets(b)) >= threshold
     }
     val nbrs: Map[Long, Set[Long]] = fixture.map { case (id, _) =>
       id -> verified.collect {
@@ -94,6 +110,128 @@ class GoldenDerivationSpec extends SparkSpec {
     // the fixture must be non-trivial: planted structure found
     assert(expected.exists { case (id, cl, n) => n > 0 && cl != id })
     assert(engine == expected)
+  }
+
+  test("q29 rows re-derived: best Jaccard + candidate count per doc") {
+    val engine = DedupOps.ngramJaccardStats(docsDf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val jac: Map[(Long, Long), Double] = derivedCandidates.iterator
+      .map { case (a, b) => (a, b) -> jaccard(sets(a), sets(b)) }.toMap
+    val expected = fixture.map { case (id, _) =>
+      val mine = jac.collect { case ((a, b), j) if a == id || b == id => j }.toSeq
+      (id, round6(if (mine.isEmpty) 0.0 else mine.max), mine.size.toLong)
+    }.toSet
+    assert(expected.exists(_._3 > 0))
+    assert(engine == expected)
+  }
+
+  test("q51 clusters re-derived: union-find over threshold-verified pairs") {
+    val threshold = 0.6
+    val engine = DedupOps.minHashDedupClusters(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // plain union-find over the derived, verified edges
+    val parent = scala.collection.mutable.Map(fixture.map(f => f._1 -> f._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    derivedCandidates.filter { case (a, b) => jaccard(sets(a), sets(b)) >= threshold }
+      .foreach { case (a, b) => parent(find(a)) = find(b) }
+    // canonical component label = min doc_id in the component
+    val byRoot = fixture.map(_._1).groupBy(find)
+    val expected = byRoot.values.flatMap { ids =>
+      val label = ids.min
+      ids.map(_ -> label)
+    }.toSet
+    // the planted chain 4~5~6 must collapse into ONE cluster transitively
+    // (on this fixture it closes even further, into the 0/1 exact-dup pair)
+    val labelOf = expected.toMap
+    assert(labelOf(6L) == labelOf(4L) && labelOf(6L) != 6L,
+      "chain must close transitively")
+    assert(engine == expected)
+  }
+
+  test("q24 winnow fingerprint counts + rolling hashes re-derived") {
+    val k = 8; val w = 4; val base = 1000003L
+    // engine side: the same projection q24 runs, over the fixture
+    val engine = docsDf.select(col("doc_id"),
+        size(graft.functions.WinnowFingerprints.winnow_fingerprints(col("text")))
+          .cast("bigint").as("n_fingerprints"),
+        graft.functions.RollingHash.rolling_hash(col("text")).as("roll_hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // derivation: naive polynomial hashes (no rolling update), naive
+    // sliding-window minima, first-seen dedup — plain Scala arithmetic
+    def poly(bytes: Seq[Byte]): Long =
+      bytes.foldLeft(0L)((h, b) => h * base + (b & 0xffL))
+    val expected = fixture.map { case (id, text) =>
+      val roll = poly(text.getBytes("UTF-8").toSeq)
+      val trimmed = text.replaceAll("^ +| +$", "").getBytes("UTF-8").toSeq
+      val grams =
+        if (trimmed.length <= k) Seq(poly(trimmed))
+        else trimmed.sliding(k).map(poly).toSeq
+      val mins =
+        if (grams.length < w) Seq(grams.min)
+        else grams.sliding(w).map(_.min).toSeq
+      (id, mins.distinct.size.toLong, roll)
+    }.toSet
+    assert(expected.exists(_._2 > 1))
+    assert(engine == expected)
+  }
+
+  test("q31/q33 rows re-derived: plain-Scala hyperplane LSH, cosines, tallies") {
+    val bands = 2; val bits = 4; val dim = 8
+    // deterministic vector fixture: planted same-direction pair (0,1), an
+    // antipode (2), and 21 spread-out vectors
+    val vecs: Seq[(Long, Seq[Float])] =
+      Seq(0L -> Seq.fill(dim)(1.0f),
+          1L -> Seq.fill(dim)(2.0f),
+          2L -> Seq.fill(dim)(-1.0f)) ++
+        (3L until 24L).map(i => i ->
+          Seq.tabulate(dim)(j => math.sin(i * 2.39996 + j * 1.618).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val engine31 = SimilarityOps.lshBucketStats(df, bands, bits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val engine33 = SimilarityOps.nearDupStats(df, minCos = 0.3,
+        bands = bands, bitsPerBand = bits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // 1. the engine's deterministic LCG hyperplanes, re-stated in plain Scala
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    val planes = Seq.fill(bands * bits)(Seq.fill(dim)(next()))
+    // 2. dot/norm exactly as zip_with+aggregate evaluate: elementwise
+    //    products, then a left fold — same FP op order, bit-identical
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    val dvecs: Map[Long, Seq[Double]] =
+      vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val norms: Map[Long, Double] = dvecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    // 3. banded sign signatures → capped buckets → pairs (vec_a < vec_b)
+    def sig(v: Seq[Double], band: Int): Long =
+      (0 until bits).foldLeft(0L)((acc, r) =>
+        if (dot(v, planes(band * bits + r)) > 0) acc | (1L << r) else acc)
+    val pairs: Set[(Long, Long)] = (0 until bands).flatMap { b =>
+      vecs.map(_._1).groupBy(id => sig(dvecs(id), b)).values
+        .filter(g => g.size >= 2 && g.size <= 100)
+        .flatMap { g =>
+          val ids = g.sorted
+          for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+        }
+    }.toSet
+    val cos: Map[(Long, Long), Double] = pairs.iterator.map { case (a, b) =>
+      (a, b) -> dot(dvecs(a), dvecs(b)) / (norms(a) * norms(b))
+    }.toMap
+    def tally(selected: Map[(Long, Long), Double]): Set[(Long, Long, Double)] =
+      vecs.map { case (id, _) =>
+        val mine = selected.collect { case ((a, b), c) if a == id || b == id => c }.toSeq
+        (id, mine.size.toLong, if (mine.isEmpty) -2.0 else round4(mine.max))
+      }.toSet
+    val expected31 = tally(cos)
+    val expected33 = tally(cos.filter(_._2 >= 0.3))
+    // the planted same-direction pair must collide in every band and score 1
+    assert(cos.get((0L, 1L)).exists(c => math.abs(c - 1.0) < 1e-12))
+    assert(engine31 == expected31)
+    assert(engine33 == expected33)
   }
 
   test("q28 simhash + hamming_prev re-derived from first principles") {
