@@ -1,22 +1,29 @@
 package graft.tools
 
 import graft.GraftSession
-import org.apache.spark.sql.functions._
+import graft.ext.SimilarityOps
 
-/** Throwaway probe: ANSI default + divide-by-zero semantics for the
-  * double-typed cosine (decides the zero-norm contract in SimilarityOps).
+/** Throwaway probe: exchange count + warm timing for the fused q31/q33
+  * tail (pair-dedup folded into the per-vector aggregation).
   */
 object KeyProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("keyprobe")
-    import spark.implicits._
-    println(s"[keyprobe] ansi=${spark.conf.get("spark.sql.ansi.enabled")}")
-    val df = Seq((1.0, 0.0)).toDF("a", "b").select((col("a") / col("b")).as("q"))
-    try println(s"[keyprobe] 1.0/0.0 = ${df.head().get(0)}")
-    catch { case e: Exception => println(s"[keyprobe] 1.0/0.0 threw ${e.getClass.getSimpleName}: ${e.getMessage.take(100)}") }
-    val df0 = Seq((0.0, 0.0)).toDF("a", "b").select((col("a") / col("b")).as("q"))
-    try println(s"[keyprobe] 0.0/0.0 = ${df0.head().get(0)}")
-    catch { case e: Exception => println(s"[keyprobe] 0.0/0.0 threw ${e.getClass.getSimpleName}: ${e.getMessage.take(100)}") }
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    def probe(name: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+      val q = df
+      q.write.format("noop").mode("overwrite").save() // warm
+      val plan = q.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[keyprobe] $name: exchanges=$exchanges median=${times.sorted.apply(1)}%.2f s")
+    }
+    probe("q31", SimilarityOps.qLshBuckets(spark, dir))
+    probe("q33", SimilarityOps.qEmbeddingNearDup(spark, dir))
     spark.stop()
   }
 }

@@ -45,6 +45,37 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.toSeq == Seq(0, 5, 10, 15, 20, 25))
   }
 
+  test("REAL video decode: animated-GIF roundtrip (frames, timestamps, pixels)") {
+    // three solid-color frames (GIF palettizes to 256 colors — solid
+    // rasters survive exactly), 40 ms apart
+    def solid(rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(6, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, 6, 4); g.dispose()
+      img
+    }
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff)
+    val gif = MultimodalOps.encodeAnimatedGif(colors.map(solid), delayMs = 40)
+    val frames = MultimodalOps.explodeGifFrames(
+        Seq((7L, gif)).toDF("id", "content"))
+      .orderBy("frame_index").collect()
+    assert(frames.length == 3)
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(frames.map(_.getLong(2)).toSeq == Seq(0L, 40L, 80L),
+      "cumulative ts from per-frame GraphicControlExtension delay")
+    frames.zip(colors).foreach { case (r, rgb) =>
+      val png = Imaging.decodePng(r.getAs[Array[Byte]](3))
+      assert(png.getWidth == 6 && png.getHeight == 4)
+      assert((png.getRGB(3, 2) & 0xffffff) == rgb, f"frame color $rgb%06x")
+    }
+    // a non-video blob must fail the decode, not fabricate frames
+    intercept[org.apache.spark.SparkException] {
+      MultimodalOps.explodeGifFrames(
+        Seq((8L, Array.fill[Byte](64)(3))).toDF("id", "content")).collect()
+    }
+  }
+
   test("audio features are deterministic and sane on synthetic PCM") {
     val tone = Array.tabulate(3200)(i =>
       (math.sin(i / 5.0) * 10000).toInt).flatMap(s =>
