@@ -62,6 +62,8 @@ object SparkEntry {
     "q34_bag_roundtrip" -> (PipelineQueries.qBagRoundtrip _),
     "q35_frame_pipeline" -> (PipelineQueries.qFramePipeline _),
     "q53_compressed_frames" -> (PipelineQueries.qCompressedFrames _),
+    "q54_video_frames" -> (ext.MultimodalOps.qVideoFrames _),
+    "q55_bag_connections" -> (PipelineQueries.qBagConnections _),
     "q36_asof_join" -> (CoreQueries.q36AsofJoin _),
     "q37_zip_join" -> (CoreQueries.q37ZipJoin _),
     "q38_sketches" -> (CoreQueries.q38Sketches _),
@@ -348,6 +350,17 @@ object SparkEntry {
       """SELECT CAST(epoch_us(ts) * 1000 AS BIGINT) AS rosbagTimestamp,
         | event_id, value
         |FROM events WHERE user_id % 4 = 0 ORDER BY event_id""".stripMargin,
+    // q55's staged bag is fully determined (3 connections, 24 msgs each at
+    // 67 ms spacing from a fixed epoch, per-topic +0/+1/+2 ns offsets), so
+    // the oracle is INDEPENDENT literal values, not a golden re-read
+    "q55_bag_connections" ->
+      """SELECT * FROM (VALUES
+        | ('/gps', '/gps_driver', CAST(NULL AS BOOLEAN), CAST(24 AS BIGINT),
+        |  CAST(1600000000000000001 AS BIGINT), CAST(1600000001541000001 AS BIGINT)),
+        | ('/imu', '/imu_driver', false, 24, 1600000000000000000, 1600000001541000000),
+        | ('/tf', CAST(NULL AS VARCHAR), true, 24, 1600000000000000002, 1600000001541000002)
+        |) AS t(topic, callerid, latching, n_messages, min_ts, max_ts)
+        |ORDER BY topic""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that
@@ -365,6 +378,7 @@ object SparkEntry {
     "q29_ngram_jaccard", "q31_ann_lsh", "q32_ann_ivf", "q33_embed_neardup",
     "q35_frame_pipeline", "q38_sketches",
     "q51_dedup_clusters", "q52_incremental_dedup", "q53_compressed_frames",
+    "q54_video_frames",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.pipeline.Imaging
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** [EXT] Multimodal columns: image/audio/video as opaque `binary` columns
@@ -131,6 +131,47 @@ object MultimodalOps {
         val d = kids.item(i).getAttributes.getNamedItem("delayTime")
         if (d == null) 0L else d.getNodeValue.toLong * 10L
     }.getOrElse(0L)
+  }
+
+  /** Deterministic solid raster for [[qVideoFrames]]' synthetic clips —
+    * color is pure arithmetic on (video id, frame), no RNG.
+    */
+  private def solidRaster(rgb: Int, w: Int = 16, h: Int = 12): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb & 0xffffff)); g.fillRect(0, 0, w, h); g.dispose()
+    img
+  }
+
+  /** q54: the video surface as a driver-checked query. Eight 3-frame
+    * clips are ENCODED executor-side (real JDK animated-GIF writer, solid
+    * palettized rasters so the codec is lossless here), then exploded
+    * back through the REAL decode path — per-frame PNG hash/length and
+    * the GraphicControlExtension-derived timestamps are the proof. The
+    * whole chain is a narrow mapPartitions pass per side: encode
+    * distributes with the id table, decode with the blob table — the
+    * 100 TB shape for per-clip video work.
+    */
+  def qVideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val vids = t.documents.select(col("doc_id")).filter(col("doc_id") < 8)
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val colors = (0 until 3).map(f =>
+            ((id * 2654435761L + f * 40503L) & 0xffffffL).toInt)
+          (id, encodeAnimatedGif(colors.map(c => solidRaster(c)), delayMs = 40))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("video_id", "content")
+    explodeGifFrames(vids, id = "video_id")
+      .select(col("id").as("video_id"),
+        col("frame_index").cast("bigint").as("frame_index"),
+        col("frame_ts_ms"),
+        xxhash64(col("content")).as("png_hash"),
+        length(col("content")).cast("bigint").as("png_len"))
+      .orderBy("video_id", "frame_index")
   }
 
   /** Animated-GIF encoder (JDK writer + per-frame GraphicControlExtension

@@ -228,6 +228,32 @@ object PipelineQueries {
     tmp.toString
   }
 
+  /** q55: connection-level metadata through the REAL container — a bag
+    * whose topics carry the optional `callerid`/`latching` connection
+    * header fields (multi-publisher recordings need them to tell
+    * publishers apart), summarized per connection. The aggregation runs
+    * over the chunk-pruned DSv2 scan; payloads are never deserialized
+    * (`fields` not projected).
+    */
+  def qBagConnections(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-connbag")
+    registerTempDir(tmp)
+    val rosMsgs = graft.sources.rosbag.RosMsgs
+    val topics = Seq(
+      rosMsgs.sampleTopics(0).copy(callerid = Some("/imu_driver"), latching = Some(false)),
+      rosMsgs.sampleTopics(1).copy(callerid = Some("/gps_driver")),
+      rosMsgs.sampleTopics(2).copy(latching = Some(true)))
+    Files.write(tmp.resolve("conn.bag"),
+      graft.sources.rosbag.RosBagWriter.build(topics,
+        rosMsgs.sampleRecords(24).iterator, compression = "lz4"))
+    spark.read.format("rosbag").load(tmp.toString)
+      .groupBy("topic", "callerid", "latching")
+      .agg(count(lit(1)).as("n_messages"),
+        min(col("rosbagTimestamp")).as("min_ts"),
+        max(col("rosbagTimestamp")).as("max_ts"))
+      .orderBy("topic")
+  }
+
   /** Stage the SAME four camera streams as [[stageImageBag]], but on
     * `sensor_msgs/CompressedImage` topics (png-compressed payloads of the
     * identical synthetic frames) — the reference's compressed republish
