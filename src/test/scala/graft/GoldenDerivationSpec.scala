@@ -60,30 +60,38 @@ class GoldenDerivationSpec extends SparkSpec {
   private lazy val sets: Map[Long, Set[String]] =
     fixture.map { case (id, t) => id -> bigramSet(t) }.toMap
 
+  /** Per-doc minhash signatures (k=15) from the stock hash oracle. */
+  private lazy val derivedSigs: Map[Long, Seq[Long]] = {
+    val k = 15
+    val hashes = stockShingleHashes(sets.values.flatten.toSeq.distinct.sorted, k)
+    sets.map { case (id, sh) =>
+      id -> (0 until k).map(i => sh.map(s => hashes(s)(i)).min)
+    }
+  }
+
+  /** (doc, band, band_sig) rows — band_sig = stock xxhash64 over the
+    * band's 3 sig longs.
+    */
+  private lazy val derivedBandSigs: Seq[(Long, Int, Long)] = {
+    val rowsPerBand = 3
+    derivedSigs.toSeq.sortBy(_._1).flatMap { case (id, hs) =>
+      (0 until hs.length / rowsPerBand)
+        .map(b => (id, b, hs(b * 3), hs(b * 3 + 1), hs(b * 3 + 2)))
+    }.toDF("doc_id", "band", "a", "b", "c")
+      .selectExpr("doc_id", "band", "xxhash64(a, b, c) AS bs")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+  }
+
   /** Capped-bucket candidate pairs (doc_a < doc_b), steps 1-4 of the q27
     * chain in plain Scala + the stock hash oracle.
     */
-  private lazy val derivedCandidates: Set[(Long, Long)] = {
-    val k = 15; val rowsPerBand = 3
-    val hashes = stockShingleHashes(sets.values.flatten.toSeq.distinct.sorted, k)
-    val sigs: Map[Long, Seq[Long]] = sets.map { case (id, sh) =>
-      id -> (0 until k).map(i => sh.map(s => hashes(s)(i)).min)
-    }
-    // banding: band_sig = stock xxhash64 over the band's 3 sig longs
-    val bandSigRows = sigs.toSeq.sortBy(_._1).flatMap { case (id, hs) =>
-      (0 until k / rowsPerBand).map(b => (id, b, hs(b * 3), hs(b * 3 + 1), hs(b * 3 + 2)))
-    }
-    val bandSigs: Seq[(Long, Int, Long)] = bandSigRows
-      .toDF("doc_id", "band", "a", "b", "c")
-      .selectExpr("doc_id", "band", "xxhash64(a, b, c) AS bs")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-    bandSigs.groupBy(t => (t._2, t._3)).values
+  private lazy val derivedCandidates: Set[(Long, Long)] =
+    derivedBandSigs.groupBy(t => (t._2, t._3)).values
       .filter(g => g.size >= 2 && g.size <= 100)
       .flatMap { g =>
         val ids = g.map(_._1).sorted
         for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
       }.toSet
-  }
 
   private def jaccard(a: Set[String], b: Set[String]): Double =
     (a & b).size.toDouble / (a | b).size.toDouble
@@ -232,6 +240,74 @@ class GoldenDerivationSpec extends SparkSpec {
     assert(cos.get((0L, 1L)).exists(c => math.abs(c - 1.0) < 1e-12))
     assert(engine31 == expected31)
     assert(engine33 == expected33)
+  }
+
+  test("q52 incremental matches re-derived: asymmetric banding + agreement estimator") {
+    // engine: index the 90% corpus, then match the {0, 10} new batch —
+    // exactly q52's split on this fixture
+    val state = java.nio.file.Files.createTempDirectory("graft-derive-sigs")
+    graft.queries.PipelineQueries.registerTempDirForCleanup(state)
+    val stateDir = state.resolve("sigs").toString
+    val corpus = docsDf.filter(col("doc_id") % 10 =!= 0)
+    val newBatch = docsDf.filter(col("doc_id") % 10 === 0)
+    DedupOps.indexSignatures(corpus, stateDir)
+    val engine = DedupOps.incrementalMinHashDedup(newBatch, stateDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // derivation: corpus+new buckets (cap only — the asymmetric path has
+    // no >=2 floor), query bands of the new docs probe them, pairs score
+    // by the MinHash agreement fraction, threshold 0.6
+    val newIds = Set(0L, 10L)
+    val buckets: Map[(Int, Long), Seq[Long]] = derivedBandSigs
+      .groupBy(t => (t._2, t._3)).view
+      .mapValues(_.map(_._1)).filter(_._2.size <= 100).toMap
+    val pairs: Set[(Long, Long)] = derivedBandSigs
+      .filter(t => newIds(t._1))
+      .flatMap { case (qid, band, bs) =>
+        buckets.getOrElse((band, bs), Seq.empty)
+          .filter(_ != qid)
+          .map(other => (math.min(qid, other), math.max(qid, other)))
+      }.toSet
+    val k = 15
+    val expected = pairs.iterator.map { case (a, b) =>
+      val agree = (0 until k).count(i => derivedSigs(a)(i) == derivedSigs(b)(i))
+      (a, b, agree.toDouble / k)
+    }.filter(_._3 >= 0.6).toSet
+    // planted: new doc 0 must rediscover its exact dup 1 in the corpus
+    assert(expected.exists { case (a, b, e) => a == 0L && b == 1L && e == 1.0 })
+    assert(engine == expected)
+  }
+
+  test("q25 lang-id re-derived: plain java.util.regex marker scoring") {
+    // multilingual fixture — exercises every marker profile and the
+    // und fallback; engine side is the exact langId expression chain
+    val langFixture: Seq[(Long, String)] = Seq(
+      0L -> "the cat and the dog ran to the house that it saw",
+      1L -> "el perro y la casa es un lugar que los gatos aman",
+      2L -> "le chat et la maison est un endroit que les chiens",
+      3L -> "你好世界这是中文文本",
+      4L -> "zzz qqq xxx www",
+      5L -> "the and is la le est un of to in")
+    val df = langFixture.toDF("doc_id", "text")
+    val engine = df.select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val markers = Seq( // same public profiles as TextOps.langMarkers
+      "en" -> "\\b(the|and|of|to|is|in|that|it)\\b",
+      "es" -> "\\b(el|la|los|las|es|y|que|un)\\b",
+      "fr" -> "\\b(le|la|les|et|est|que|des|un)\\b",
+      "zh" -> "[\\u4e00-\\u9fff]")
+    val expected = langFixture.map { case (id, text) =>
+      val scores = markers.map { case (lang, pat) =>
+        (pat.r.findAllMatchIn(text).size, lang)
+      }
+      // lexicographic max over (score, lang): highest count, ties to the
+      // lexicographically-last language — array_max's documented tie rule
+      val best = scores.max
+      id -> (if (best._1 > 0) best._2 else "und")
+    }.toMap
+    assert(expected.values.toSet == Set("en", "es", "fr", "zh", "und"),
+      "fixture must exercise every profile and the fallback")
+    assert(engine == expected)
   }
 
   test("q28 simhash + hamming_prev re-derived from first principles") {
