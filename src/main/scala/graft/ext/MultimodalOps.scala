@@ -99,24 +99,29 @@ object MultimodalOps {
       .as[ImageRow](Encoders.product[ImageRow])
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          // memory-cache stream: never spills an executor temp file, and
+          // the try/finally covers the validation requires too (a failing
+          // non-GIF row — times task retries — must not leak handles)
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(r.content))
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          require(readers.hasNext, s"blob ${r.id}: no JDK reader for container")
-          val reader = readers.next()
-          require(reader.getFormatName.equalsIgnoreCase("gif"),
-            s"blob ${r.id}: ${reader.getFormatName} is not a decodable video container")
-          reader.setInput(iis)
           try {
-            val n = reader.getNumImages(true)
-            var tsMs = 0L
-            (0 until n).map { i =>
-              val img = reader.read(i)
-              val row = VideoFrameRow(r.id, i, tsMs, Imaging.encodePng(img))
-              tsMs += gifFrameDelayMs(reader.getImageMetadata(i))
-              row
-            }
-          } finally { reader.dispose(); iis.close() }
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            require(readers.hasNext, s"blob ${r.id}: no JDK reader for container")
+            val reader = readers.next()
+            try {
+              require(reader.getFormatName.equalsIgnoreCase("gif"),
+                s"blob ${r.id}: ${reader.getFormatName} is not a decodable video container")
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              var tsMs = 0L
+              (0 until n).map { i =>
+                val img = reader.read(i)
+                val row = VideoFrameRow(r.id, i, tsMs, Imaging.encodePng(img))
+                tsMs += gifFrameDelayMs(reader.getImageMetadata(i))
+                row
+              }
+            } finally reader.dispose()
+          } finally iis.close()
         }
       }(Encoders.product[VideoFrameRow])
       .toDF("id", "frame_index", "frame_ts_ms", "content")

@@ -104,18 +104,31 @@ object SimilarityOps {
   private def planKey(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed.canonicalized
 
+  /** Bounded memoization: keys strongly reference whole canonicalized
+    * plan trees (LocalRelation rows, file indexes), so an unbounded map
+    * would pin them for JVM lifetime in a long-lived driver that keeps
+    * deriving new frames. 64 distinct datasets ≫ any realistic working
+    * set here; past it, dropping the whole memo just re-runs two tiny
+    * jobs per dataset.
+    */
+  private def memo[V](m: java.util.concurrent.ConcurrentHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, V],
+      df: DataFrame, f: DataFrame => V): V = {
+    if (m.size > 64) m.clear()
+    m.computeIfAbsent(planKey(df), _ => f(df))
+  }
+
   /** Embedding dimensionality measured from the data — hardcoding it would
     * make zip_with null-pad against the hyperplanes and silently produce
     * all-zero signatures (one giant bucket = the O(n²) blowup LSH exists to
     * avoid).
     */
   private def embeddingDim(embeddings: DataFrame): Int =
-    dimCache.computeIfAbsent(planKey(embeddings),
-      _ => embeddings.select(size(col("embedding"))).head().getInt(0)).toInt
+    memo(dimCache, embeddings,
+      (df: DataFrame) => Int.box(df.select(size(col("embedding"))).head().getInt(0))).toInt
 
   private def tableCount(embeddings: DataFrame): Long =
-    countCache.computeIfAbsent(planKey(embeddings),
-      _ => embeddings.count()).toLong
+    memo(countCache, embeddings, (df: DataFrame) => Long.box(df.count())).toLong
 
   /** Banded hyperplane signatures: `bands` independent sigs of `bits` sign
     * bits each, as an array of (band, sig) structs for a single explode.

@@ -44,7 +44,7 @@ class RosBagDataSource extends TableProvider with DataSourceRegister {
     // multi-path load(a, b, ...) arrives as a JSON string array under
     // "paths"; a single load(dir) as "path" — accept both, plus globs
     val multi = Option(properties.get("paths"))
-      .map(RosBagSourceOffset.fromJson(_).seen).getOrElse(Seq.empty)
+      .map(RosBagPaths.parseJsonStringArray).getOrElse(Seq.empty)
     val single = Option(properties.get("path")).toSeq
     val paths = (multi ++ single).distinct
     require(paths.nonEmpty,
@@ -77,20 +77,33 @@ object RosBagTable {
 /** Path resolution shared by the batch scan and the streaming source:
   * every load path may be a single .bag file, a directory (its *.bag
   * children), or a Hadoop glob pattern (each match expanded the same
-  * way). Missing paths list as empty — the streaming contract (a landing
-  * directory that doesn't exist yet is just "no files so far").
+  * way — the same metacharacter convention as Spark's own file sources).
+  *
+  * `strict` (the BATCH contract, matching Spark's "Path does not exist"):
+  * a missing plain path or a glob with zero matches THROWS instead of
+  * silently producing an empty table — a typo'd path must not read as
+  * "zero rows". Streaming passes strict=false: a landing directory that
+  * doesn't exist yet is just "no files so far".
   */
 object RosBagPaths {
   def hasGlob(p: String): Boolean = p.exists("{}[]*?".contains(_))
 
   def listBagFiles(paths: Seq[String],
-      conf: org.apache.hadoop.conf.Configuration): Seq[org.apache.hadoop.fs.FileStatus] =
+      conf: org.apache.hadoop.conf.Configuration,
+      strict: Boolean = false): Seq[org.apache.hadoop.fs.FileStatus] =
     paths.flatMap { raw =>
       val p = new Path(raw)
       val fs = p.getFileSystem(conf)
       val roots =
-        if (hasGlob(raw)) Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-        else if (fs.exists(p)) Seq(fs.getFileStatus(p))
+        if (hasGlob(raw)) {
+          val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+          if (strict && matches.isEmpty)
+            throw new java.io.FileNotFoundException(
+              s"rosbag: glob pattern matched no paths: $raw")
+          matches
+        } else if (fs.exists(p)) Seq(fs.getFileStatus(p))
+        else if (strict)
+          throw new java.io.FileNotFoundException(s"rosbag: path does not exist: $raw")
         else Seq.empty
       roots.flatMap { st =>
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
@@ -98,6 +111,41 @@ object RosBagPaths {
     }.filter(_.getPath.getName.endsWith(".bag"))
       .distinctBy(_.getPath.toString)
       .sortBy(_.getPath.toString)
+
+  /** Minimal but COMPLETE JSON string-array parse for Spark's multi-path
+    * `paths` property (Jackson-written, so the full escape set can
+    * appear — a tab in a filename arrives as `\t` and must not keep a
+    * literal backslash).
+    */
+  def parseJsonStringArray(json: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < json.length) {
+      val c = json.charAt(i)
+      if (!inStr) {
+        if (c == '"') { inStr = true; sb.clear() }
+        i += 1
+      } else c match {
+        case '"' => out += sb.toString; inStr = false; i += 1
+        case '\\' =>
+          json.charAt(i + 1) match {
+            case 'u' =>
+              sb.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case 'n' => sb.append('\n'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case other => sb.append(other); i += 2 // \" \\ \/
+          }
+        case other => sb.append(other); i += 1
+      }
+    }
+    out.result()
+  }
 }
 
 class RosBagTable(paths: Seq[String], tableSchema: StructType = RosBagTable.fullSchema)
@@ -236,7 +284,8 @@ class RosBagScan(paths: Seq[String], required: StructType,
   }
 
   private def listBagFiles(): Seq[org.apache.hadoop.fs.FileStatus] =
-    RosBagPaths.listBagFiles(paths, SparkSession.active.sessionState.newHadoopConf())
+    RosBagPaths.listBagFiles(paths, SparkSession.active.sessionState.newHadoopConf(),
+      strict = true)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()

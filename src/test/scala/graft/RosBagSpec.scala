@@ -204,6 +204,33 @@ class RosBagSpec extends SparkSpec {
     assert(overlap == all, "a file matched twice must be read once")
   }
 
+  test("batch read of a missing path or zero-match glob fails loudly") {
+    // a typo'd path must not read as "zero rows" (stock Spark's
+    // Path-does-not-exist contract); streaming stays lenient (covered by
+    // the landing-dir test)
+    val missing = intercept[Exception] {
+      spark.read.format("rosbag").load("/no/such/bagdir").count()
+    }
+    assert(missing.getMessage.contains("does not exist") ||
+      Option(missing.getCause).exists(_.getMessage.contains("does not exist")))
+    val emptyGlob = intercept[Exception] {
+      spark.read.format("rosbag").load(s"$bagDir/nomatch*.bag").count()
+    }
+    assert(emptyGlob.getMessage.contains("matched no paths") ||
+      Option(emptyGlob.getCause).exists(_.getMessage.contains("matched no paths")))
+  }
+
+  test("multi-path 'paths' JSON parse handles the full escape set") {
+    import graft.sources.rosbag.RosBagPaths
+    assert(RosBagPaths.parseJsonStringArray("""["/a/b.bag","/c d/e.bag"]""") ==
+      Seq("/a/b.bag", "/c d/e.bag"))
+    // Jackson-written escapes: tab, quote, backslash, unicode
+    assert(RosBagPaths.parseJsonStringArray(
+      "[\"/a\\tb.bag\",\"/q\\\"x.bag\",\"/w\\\\y.bag\",\"/u\\u0041.bag\"]") ==
+      Seq("/a\tb.bag", "/q\"x.bag", "/w\\y.bag", "/uA.bag"))
+    assert(RosBagPaths.parseJsonStringArray("[]") == Seq.empty)
+  }
+
   test("foreign chunk-info version: bag treated as unindexed, sequential scan succeeds") {
     val d = Files.createTempDirectory("rosbag-foreignci").toString
     Files.write(Paths.get(s"$d/rec.bag"),
