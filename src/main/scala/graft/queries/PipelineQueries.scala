@@ -235,7 +235,11 @@ object PipelineQueries {
     * over the chunk-pruned DSv2 scan; payloads are never deserialized
     * (`fields` not projected).
     */
-  def qBagConnections(spark: SparkSession, dir: String): DataFrame = {
+  /** Stage the callerid/latching-stamped recording [[qBagConnections]]
+    * and its SQL twin both read — content is fully deterministic, so two
+    * stagings produce value-identical tables.
+    */
+  def stageConnBag(spark: SparkSession): String = {
     val tmp = Files.createTempDirectory("graft-connbag")
     registerTempDir(tmp)
     val rosMsgs = graft.sources.rosbag.RosMsgs
@@ -246,7 +250,11 @@ object PipelineQueries {
     Files.write(tmp.resolve("conn.bag"),
       graft.sources.rosbag.RosBagWriter.build(topics,
         rosMsgs.sampleRecords(24).iterator, compression = "lz4"))
-    spark.read.format("rosbag").load(tmp.toString)
+    tmp.toString
+  }
+
+  def qBagConnections(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.format("rosbag").load(stageConnBag(spark))
       .groupBy("topic", "callerid", "latching")
       .agg(count(lit(1)).as("n_messages"),
         min(col("rosbagTimestamp")).as("min_ts"),

@@ -39,6 +39,13 @@ object SqlQueries {
       .select("content")
       .createOrReplaceTempView("bag_files")
 
+  /** The real-container DSv2 read as a view — input for the q55 twin
+    * (fresh staging, but the bag's content is fully deterministic).
+    */
+  def registerConnBagView(spark: SparkSession): Unit =
+    spark.read.format("rosbag").load(PipelineQueries.stageConnBag(spark))
+      .createOrReplaceTempView("rosbag_conn")
+
   /** name (matching SparkEntry.queries) → Spark SQL text. */
   val twins: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -219,6 +226,13 @@ object SqlQueries {
         | min(b.rosbagTimestamp) AS min_ts, max(b.rosbagTimestamp) AS max_ts
         |FROM bag_files LATERAL VIEW bag_explode(content) b AS topic, rosbagTimestamp, fields
         |GROUP BY b.topic ORDER BY topic""".stripMargin,
+    // connection-metadata columns of the real-container source from pure
+    // SQL (view over the DSv2 read)
+    "q55_bag_connections" ->
+      """SELECT topic, callerid, latching, count(*) AS n_messages,
+        | min(rosbagTimestamp) AS min_ts, max(rosbagTimestamp) AS max_ts
+        |FROM rosbag_conn
+        |GROUP BY topic, callerid, latching ORDER BY topic""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs

@@ -17,6 +17,7 @@ class SqlTwinsSpec extends SparkSpec {
     test(s"SQL twin $name ≡ DataFrame query") {
       SqlQueries.registerViews(spark, SF)
       if (name == "q34_bag_roundtrip") SqlQueries.registerBagView(spark, SF)
+      if (name == "q55_bag_connections") SqlQueries.registerConnBagView(spark)
       val df = SparkEntry.queries(name)(spark, SF)
       val sql = SqlQueries.run(spark, name)
       assert(sql.schema.fieldNames.toSeq == df.schema.fieldNames.toSeq,
