@@ -65,5 +65,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, k) => graft.functions.MinHashSigs(c, intArg(k, "k"))
         case _ => throw new IllegalArgumentException("minhash_sigs(shingles, k)")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[graft.functions.LangIdExpr].getName, "lang_id"),
+      (exprs: Seq[Expression]) => graft.functions.LangIdExpr(exprs.head)))
   }
 }

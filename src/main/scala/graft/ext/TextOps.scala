@@ -142,7 +142,11 @@ object TextOps {
     "fr" -> "\\b(le|la|les|et|est|que|des|un)\\b",
     "zh" -> "[\\u4e00-\\u9fff]")
 
-  def langId(text: Column): Column = {
+  /** Reference formulation: five regexp_extract_all scans per document.
+    * Kept as the independent cross-check for the native expression
+    * (TextSpec asserts both agree on the whole documents table).
+    */
+  def langIdRegex(text: Column): Column = {
     val scores = langMarkers.map { case (lang, pat) =>
       struct(size(regexp_extract_all(text, lit(pat), lit(0))).as("score"),
         lit(lang).as("lang"))
@@ -152,6 +156,11 @@ object TextOps {
     val best = array_max(array(scores: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** One O(len) tokenizing pass (native [[graft.functions.LangIdExpr]])
+    * — same scores, same tie rule, ~3× cheaper than the five regex scans.
+    */
+  def langId(text: Column): Column = graft.functions.LangIdExpr.lang_id(text)
 
   /** q25: heuristic language-ID over documents (no oracle — heuristic). */
   def qLangId(spark: SparkSession, dir: String): DataFrame = {

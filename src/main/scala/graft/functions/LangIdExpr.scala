@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Heuristic language-ID in ONE O(len) per-row pass — replaces five
+  * `regexp_extract_all` scans of every document (one per marker profile)
+  * with a single tokenizing walk.
+  *
+  * Semantics are EXACTLY those of the marker regexes in
+  * `TextOps.langMarkers` (kept there as `langIdRegex` and asserted equal
+  * on the whole documents table in TextSpec):
+  *  - a stopword scores iff it is a maximal ASCII word-char run — Java's
+  *    `\b(w1|w2|…)\b` with ASCII `\w` = [A-Za-z0-9_] boundaries, matched
+  *    case-sensitively;
+  *  - the zh profile scores one per CJK char (`[一-鿿]`, a BMP
+  *    char-class — per UTF-16 unit, same as the regex);
+  *  - winner = lexicographic max over (score, lang) with ties to the
+  *    lexicographically-LAST language code; 'und' when every score is 0.
+  */
+case class LangIdExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lang_id requires STRING input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override def nullSafeEval(input: Any): Any = {
+    import LangIdExpr._
+    val s = input.asInstanceOf[UTF8String].toString
+    val scores = new Array[Int](langs.length)
+    val zhIdx = langs.length - 1 // "zh" is last
+    val sb = new java.lang.StringBuilder(8)
+    def flush(): Unit = {
+      if (sb.length > 0) {
+        val t = sb.toString
+        var j = 0
+        while (j < keywordSets.length) {
+          if (keywordSets(j).contains(t)) scores(j) += 1
+          j += 1
+        }
+        sb.setLength(0)
+      }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '_') sb.append(c)
+      else {
+        flush()
+        if (c >= '一' && c <= '鿿') scores(zhIdx) += 1
+      }
+      i += 1
+    }
+    flush()
+    var best = 0
+    var j = 1
+    while (j < langs.length) {
+      // langs is sorted ascending, so on a score tie the LATER (larger)
+      // code wins — array_max's struct(score, lang) rule
+      if (scores(j) >= scores(best)) best = j
+      j += 1
+    }
+    if (scores(best) > 0) UTF8String.fromString(langs(best)) else Und
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
+object LangIdExpr {
+  /** Profiles MUST stay in ascending code order (the tie rule relies on
+    * it) and in lockstep with `TextOps.langMarkers`.
+    */
+  val langs: Array[String] = Array("de", "en", "es", "fr", "zh")
+  val keywordSets: Array[Set[String]] = Array(
+    Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein"), // de
+    Set("the", "and", "of", "to", "is", "in", "that", "it"),       // en
+    Set("el", "la", "los", "las", "es", "y", "que", "un"),         // es
+    Set("le", "la", "les", "et", "est", "que", "des", "un"))       // fr
+  private val Und = UTF8String.fromString("und")
+
+  def lang_id(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      LangIdExpr(org.apache.spark.sql.graft.Bridge.expression(c)))
+}

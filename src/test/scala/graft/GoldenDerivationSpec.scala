@@ -287,11 +287,13 @@ class GoldenDerivationSpec extends SparkSpec {
       2L -> "le chat et la maison est un endroit que les chiens",
       3L -> "你好世界这是中文文本",
       4L -> "zzz qqq xxx www",
-      5L -> "the and is la le est un of to in")
+      5L -> "the and is la le est un of to in",
+      6L -> "der hund ist nicht mit der katze und das haus")
     val df = langFixture.toDF("doc_id", "text")
     val engine = df.select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val markers = Seq( // same public profiles as TextOps.langMarkers
+    val markers = Seq( // ALL FIVE public profiles of TextOps.langMarkers
+      "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein)\\b",
       "en" -> "\\b(the|and|of|to|is|in|that|it)\\b",
       "es" -> "\\b(el|la|los|las|es|y|que|un)\\b",
       "fr" -> "\\b(le|la|les|et|est|que|des|un)\\b",
@@ -305,7 +307,7 @@ class GoldenDerivationSpec extends SparkSpec {
       val best = scores.max
       id -> (if (best._1 > 0) best._2 else "und")
     }.toMap
-    assert(expected.values.toSet == Set("en", "es", "fr", "zh", "und"),
+    assert(expected.values.toSet == Set("de", "en", "es", "fr", "zh", "und"),
       "fixture must exercise every profile and the fallback")
     assert(engine == expected)
   }

@@ -70,6 +70,23 @@ class TextSpec extends SparkSpec {
       s"want ${r.getString(1)} got ${r.getString(0)}"))
   }
 
+  test("native lang_id ≡ five-regex formulation on the whole documents table") {
+    // the native O(len) expression must reproduce the regex semantics
+    // (ASCII \b word boundaries, case-sensitive, CJK per-char, the
+    // lexicographic tie rule) on every real document
+    val both = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), TextOps.langId(col("text")).as("native"),
+        TextOps.langIdRegex(col("text")).as("regex"))
+    assert(both.filter(col("native") =!= col("regex")).count() == 0)
+    // boundary cases: keyword inside a word-char run must NOT score
+    val edge = Seq("theory lesson", "the_cat und_ich", "估 the", "THE the")
+      .toDF("text")
+      .select(TextOps.langId(col("text")).as("native"),
+        TextOps.langIdRegex(col("text")).as("regex"))
+      .collect()
+    edge.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("token stats invariants: unique <= total, subword >= whitespace tokens") {
     val bad = TextOps.qTokenStats(spark, SF)
       .filter(col("n_unique_tokens") > col("n_tokens") ||
