@@ -242,6 +242,52 @@ class GoldenDerivationSpec extends SparkSpec {
     assert(engine33 == expected33)
   }
 
+  test("q32 IVF assignment/probe/rank re-derived given the trained quantizer") {
+    // the quantizer itself is deterministic driver Scala (trainCentroids);
+    // what this de-risks is the SPARK side — multi-assignment, probe
+    // selection, cluster-join candidate set, dedup, cosine ranking —
+    // rebuilt here in plain Scala from the same centroids
+    val dim = 8; val c = 8; val p = 3; val a = 2; val nQ = 4; val k = 3
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 40L).map(i => i ->
+      Seq.tabulate(dim)(j => math.sin(i * 1.113 + j * 2.71).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val engine = SimilarityOps.ivfTopK(df, nQueries = nQ, k = k,
+        nCentroids = c, nProbe = p, assignReplication = a)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    def dot(x: Seq[Double], y: Seq[Double]): Double =
+      x.zip(y).map { case (u, v) => u * v }.foldLeft(0.0)(_ + _)
+    val dvecs: Map[Long, Seq[Double]] =
+      vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val norms: Map[Long, Double] = dvecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    // identical training call → identical centroids (deterministic)
+    val base = df.select(col("vec_id"),
+      SimilarityOps.toDouble(col("embedding")).as("v"))
+    val cents = SimilarityOps.trainCentroids(base, c,
+      sampleSize = math.max(20 * c, 2048)).map(_.toSeq)
+    val cnorm = cents.map(cv => math.sqrt(dot(cv, cv)))
+    def topCells(v: Seq[Double], nrm: Double, n: Int): Seq[Int] =
+      cents.indices
+        .map(ci => (ci, dot(v, cents(ci)) / (nrm * cnorm(ci))))
+        .sortBy { case (ci, ccos) => (-ccos, ci) } // desc(ccos), cid tie
+        .take(n).map(_._1)
+    val assigned: Map[Long, Seq[Int]] =
+      vecs.map { case (id, _) => id -> topCells(dvecs(id), norms(id), a) }.toMap
+    val expected = (0L until nQ.toLong).flatMap { qid =>
+      val probes = topCells(dvecs(qid), norms(qid), p).toSet
+      val cands = vecs.map(_._1)
+        .filter(id => id != qid && assigned(id).exists(probes))
+      cands
+        .map(id => (id, dot(dvecs(id), dvecs(qid)) / (norms(id) * norms(qid))))
+        .sortBy { case (id, cos) => (-cos, id) } // desc(cos), vec_id tie
+        .take(k).zipWithIndex
+        .map { case ((id, cos), r) => (qid, (r + 1).toLong, id, round4(cos)) }
+    }
+    assert(expected.nonEmpty && expected.size == nQ * k)
+    assert(engine == expected)
+  }
+
   test("q52 incremental matches re-derived: asymmetric banding + agreement estimator") {
     // engine: index the 90% corpus, then match the {0, 10} new batch —
     // exactly q52's split on this fixture
