@@ -69,5 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[graft.functions.LangIdExpr].getName, "lang_id"),
       (exprs: Seq[Expression]) => graft.functions.LangIdExpr(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("repetition_signals"),
+      new ExpressionInfo(classOf[graft.functions.RepetitionSignals].getName,
+        "repetition_signals"),
+      (exprs: Seq[Expression]) => graft.functions.RepetitionSignals(exprs.head)))
   }
 }

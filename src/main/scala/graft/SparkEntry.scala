@@ -64,6 +64,7 @@ object SparkEntry {
     "q53_compressed_frames" -> (PipelineQueries.qCompressedFrames _),
     "q54_video_frames" -> (ext.MultimodalOps.qVideoFrames _),
     "q55_bag_connections" -> (PipelineQueries.qBagConnections _),
+    "q56_repetition" -> (ext.TextOps.qRepetition _),
     "q36_asof_join" -> (CoreQueries.q36AsofJoin _),
     "q37_zip_join" -> (CoreQueries.q37ZipJoin _),
     "q38_sketches" -> (CoreQueries.q38Sketches _),
@@ -350,6 +351,22 @@ object SparkEntry {
       """SELECT CAST(epoch_us(ts) * 1000 AS BIGINT) AS rosbagTimestamp,
         | event_id, value
         |FROM events WHERE user_id % 4 = 0 ORDER BY event_id""".stripMargin,
+    "q56_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM t),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, max(c) AS topw,
+        |       count(*) AS d FROM wc GROUP BY 1),
+        |bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bw FROM w a
+        |       JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |bc AS (SELECT doc_id, bw, count(*) AS c FROM bg GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, max(c) AS topb FROM bc GROUP BY 1)
+        |SELECT wa.doc_id, n AS n_words,
+        | round(topw / CAST(n AS DOUBLE), 6) AS top_word_frac,
+        | round(topb / CAST(n - 1 AS DOUBLE), 6) AS top_bigram_frac,
+        | round(1 - d / CAST(n AS DOUBLE), 6) AS dup_word_frac
+        |FROM wa JOIN ba USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q55's staged bag is fully determined (3 connections, 24 msgs each at
     // 67 ms spacing from a fixed epoch, per-topic +0/+1/+2 ns offsets), so
     // the oracle is INDEPENDENT literal values, not a golden re-read

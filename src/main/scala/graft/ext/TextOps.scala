@@ -162,6 +162,27 @@ object TextOps {
     */
   def langId(text: Column): Column = graft.functions.LangIdExpr.lang_id(text)
 
+  /** q56: Gopher-style repetition signals (top-word / top-bigram /
+    * duplicate-word fractions) — the boilerplate/spam filter family from
+    * MassiveText, one narrow native-expression pass per document (the
+    * relational formulation would shuffle one row per corpus token
+    * TWICE). Direct DuckDB oracle.
+    */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        graft.functions.RepetitionSignals.repetition_signals(col("ws")).as("r"))
+      .select(col("doc_id"),
+        col("r.n_words").as("n_words"),
+        round(col("r.top_word_frac"), 6).as("top_word_frac"),
+        round(col("r.top_bigram_frac"), 6).as("top_bigram_frac"),
+        round(col("r.dup_word_frac"), 6).as("dup_word_frac"))
+      .orderBy("doc_id")
+  }
+
   /** q25: heuristic language-ID over documents (no oracle — heuristic). */
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

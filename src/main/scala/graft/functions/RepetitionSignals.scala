@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Gopher/MassiveText-style repetition signals for training-data quality
+  * filtering (Rae et al. 2021 §A1.1: documents dominated by one word or
+  * one n-gram are boilerplate/spam and get dropped before LM training):
+  *
+  *   struct<n_words, top_word_frac, top_bigram_frac, dup_word_frac>
+  *
+  * computed in ONE O(len) per-row pass over the token array. The
+  * alternative relational formulation (explode → groupBy(doc, token) →
+  * groupBy(doc)) shuffles one row per corpus TOKEN twice — at 100 TB
+  * that is two corpus-sized exchanges for values every row can produce
+  * locally (the same argument as BigramEntropy/SimHash64).
+  *
+  * Fractions: top_word_frac = max word count / n_words; top_bigram_frac =
+  * max adjacent-pair count / (n_words − 1); dup_word_frac = 1 − distinct
+  * words / n_words. Requires ≥ 2 tokens (callers filter; division by the
+  * bigram denominator must not hit zero).
+  */
+case class RepetitionSignals(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_signals requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("top_word_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false),
+    StructField("dup_word_frac", DoubleType, nullable = false)))
+  override def prettyName: String = "repetition_signals"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    require(n >= 2, s"repetition_signals requires >= 2 tokens, got $n")
+    val wordCounts = new java.util.HashMap[UTF8String, Array[Int]](n * 2)
+    val bigramCounts = new java.util.HashMap[UTF8String, Array[Int]](n * 2)
+    var topWord = 0
+    var topBigram = 0
+    var prev: UTF8String = null
+    var i = 0
+    while (i < n) {
+      val w = arr.getUTF8String(i)
+      val wc = wordCounts.computeIfAbsent(w, _ => new Array[Int](1))
+      wc(0) += 1
+      if (wc(0) > topWord) topWord = wc(0)
+      if (prev != null) {
+        val bg = UTF8String.concatWs(UTF8String.fromString(" "), prev, w)
+        val bc = bigramCounts.computeIfAbsent(bg, _ => new Array[Int](1))
+        bc(0) += 1
+        if (bc(0) > topBigram) topBigram = bc(0)
+      }
+      prev = w
+      i += 1
+    }
+    InternalRow(n.toLong,
+      topWord.toDouble / n,
+      topBigram.toDouble / (n - 1),
+      1.0 - wordCounts.size.toDouble / n)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionSignals =
+    copy(child = newChild)
+}
+
+object RepetitionSignals {
+  def repetition_signals(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      RepetitionSignals(org.apache.spark.sql.graft.Bridge.expression(c)))
+}

@@ -70,6 +70,27 @@ class TextSpec extends SparkSpec {
       s"want ${r.getString(1)} got ${r.getString(0)}"))
   }
 
+  test("repetition signals match hand computation (Gopher boilerplate filter)") {
+    // "a b a b a": words {a:3, b:2} → top 3/5, distinct 2 → dup 1-2/5;
+    // bigrams {"a b":2, "b a":2} → top 2/4
+    val df = Seq((1L, "a b a b a"), (2L, "x y z w"), (3L, "spam spam spam spam"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.RepetitionSignals.repetition_signals(
+          split(col("text"), " ")).as("r"))
+      .select(col("doc_id"), col("r.n_words"), col("r.top_word_frac"),
+        col("r.top_bigram_frac"), col("r.dup_word_frac"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(df(1L) == ((5L, 3.0 / 5, 2.0 / 4, 1.0 - 2.0 / 5)))
+    assert(df(2L) == ((4L, 1.0 / 4, 1.0 / 3, 0.0)))
+    assert(df(3L) == ((4L, 1.0, 1.0, 1.0 - 1.0 / 4)))
+    // the SQL registration works inside expressions
+    val viaSql = spark.sql(
+      "SELECT repetition_signals(array('a','b','a')).top_word_frac").head().getDouble(0)
+    assert(viaSql == 2.0 / 3)
+  }
+
   test("native lang_id ≡ five-regex formulation on the whole documents table") {
     // the native O(len) expression must reproduce the regex semantics
     // (ASCII \b word boundaries, case-sensitive, CJK per-char, the
