@@ -65,6 +65,7 @@ object SparkEntry {
     "q54_video_frames" -> (ext.MultimodalOps.qVideoFrames _),
     "q55_bag_connections" -> (PipelineQueries.qBagConnections _),
     "q56_repetition" -> (ext.TextOps.qRepetition _),
+    "q57_ann_pq" -> (SimilarityOps.qPqTopK _),
     "q36_asof_join" -> (CoreQueries.q36AsofJoin _),
     "q37_zip_join" -> (CoreQueries.q37ZipJoin _),
     "q38_sketches" -> (CoreQueries.q38Sketches _),
@@ -395,7 +396,7 @@ object SparkEntry {
     "q29_ngram_jaccard", "q31_ann_lsh", "q32_ann_ivf", "q33_embed_neardup",
     "q35_frame_pipeline", "q38_sketches",
     "q51_dedup_clusters", "q52_incremental_dedup", "q53_compressed_frames",
-    "q54_video_frames",
+    "q54_video_frames", "q57_ann_pq",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

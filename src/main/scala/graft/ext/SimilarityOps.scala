@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -305,13 +305,10 @@ object SimilarityOps {
     seeds.toArray
   }
 
-  /** Small-sample path: one collect, then pure driver Lloyd. Bounded by the
-    * 8192-row threshold × dim — microseconds of transfer, no per-iteration
-    * Spark jobs.
+  /** Pure driver Lloyd over an in-memory pool: deterministic maximin
+    * seeding + `iters` refinements, empty clusters keep their centroid.
     */
-  private def trainDriver(sampleDf: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
-    val sample = sampleDf.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
+  private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     var centroids = maximinSeeds(sample, k)
     val kk = centroids.length
     var it = 0
@@ -336,6 +333,14 @@ object SimilarityOps {
     }
     centroids
   }
+
+  /** Small-sample path: one collect, then pure driver Lloyd. Bounded by the
+    * 8192-row threshold × dim — microseconds of transfer, no per-iteration
+    * Spark jobs.
+    */
+  private def trainDriver(sampleDf: DataFrame, k: Int, iters: Int): Array[Array[Double]] =
+    lloyd(sampleDf.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .select("v").collect().map(_.getSeq[Double](0).toArray), k, iters)
 
   /** Large-sample path: the sample never leaves the cluster; each Lloyd
     * iteration is a broadcast-centroid assignment + ONE hash aggregation,
@@ -457,6 +462,159 @@ object SimilarityOps {
     sims.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  // ------------------------- product quantization (PQ) -------------------
+
+  // not private: encoder-generated deserializers are separate classes and
+  // cannot access private members
+  case class VecRow(vec_id: Long, v: Seq[Double])
+  case class CodeRow(vec_id: Long, codes: Array[Byte])
+  case class ScoreRow(qid: Long, vec_id: Long, cos: Double)
+  case class RerankRow(qid: Long, vec_id: Long, v: Seq[Double])
+
+  /** Train per-subspace PQ codebooks (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011) over a bounded
+    * deterministic sample: the dim is split into `m` subspaces and each
+    * gets an independent `ksub`-centroid quantizer. Every cost is capped
+    * by constants (sample ≤ `sampleSize` rows; driver Lloyd per subspace
+    * is O(sample·ksub·dsub)) — independent of N.
+    */
+  def trainPqCodebooks(base: DataFrame, m: Int, ksub: Int,
+      sampleSize: Int = 4096, iters: Int = 5): Array[Array[Array[Double]]] = {
+    val sample = base.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      lloyd(sub, ksub, iters)
+    }
+  }
+
+  /** PQ-compressed exhaustive cosine top-k (ADC — asymmetric distance
+    * computation: queries stay exact, the corpus is m bytes per vector).
+    *
+    * THE memory story for 100 TB of embeddings: a 64-dim float32 corpus
+    * is 256 B/vector; at m=8 the scanned index is 8 B/vector — 32× less
+    * I/O — and scoring a candidate is m table lookups instead of dim
+    * multiplies. Both passes (encode, score) are narrow mapPartitions
+    * over N with only codebooks/LUTs (a few KB) in the closure; the only
+    * shuffle is the final per-query top-k window. Compose with the IVF
+    * coarse quantizer for sublinear probes; this operator is the
+    * compressed SCAN half.
+    */
+  /** `rerank`: ADC scores rank a per-query SHORTLIST of this size, whose
+    * exact cosines are then recomputed from the full vectors — the
+    * standard PQ pipeline (compressed scan prunes N → rerank, exact math
+    * touches only the shortlist). 0 disables re-ranking (raw ADC order).
+    */
+  def pqTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+      m: Int = 8, ksub: Int = 256, rerank: Int = 128): DataFrame = {
+    val spark = embeddings.sparkSession
+    val base = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val books = trainPqCodebooks(base, m, ksub)
+    val dsub = books(0)(0).length
+    // squared norms of every codebook entry — reconstructed |v̂|² is a
+    // sum of per-subspace terms because subspaces are disjoint
+    val cNormSq: Array[Array[Double]] =
+      books.map(_.map(cv => cv.map(x => x * x).sum))
+    // encode: one narrow pass, nearest codebook entry per subspace
+    // (ties → lower code, deterministic)
+    val codes = base.as[VecRow](Encoders.product[VecRow]).mapPartitions { rows =>
+      rows.map { r =>
+        val cs = new Array[Byte](m)
+        var j = 0
+        while (j < m) {
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < books(j).length) {
+            var s = 0.0; var t = 0
+            while (t < dsub) {
+              val d = r.v(j * dsub + t) - books(j)(c)(t); s += d * d; t += 1
+            }
+            if (s < bd) { bd = s; best = c }
+            c += 1
+          }
+          cs(j) = best.toByte
+          j += 1
+        }
+        CodeRow(r.vec_id, cs)
+      }
+    }(Encoders.product[CodeRow])
+    // per-query ADC lookup tables: LUT(q)(j)(c) = dot(q_subⱼ, bookⱼ[c]) —
+    // nQueries · m · ksub doubles, built from the (bounded) exact query
+    // vectors
+    val qRows = base.filter(col("vec_id") < nQueries)
+      .as[VecRow](Encoders.product[VecRow]).collect().sortBy(_.vec_id)
+    val qLuts = qRows.map { q =>
+      val qv = q.v.toArray
+      val nrm = math.sqrt(qv.map(x => x * x).sum)
+      val lut = Array.tabulate(m, books(0).length) { (j, c) =>
+        var s = 0.0; var t = 0
+        while (t < dsub) { s += qv(j * dsub + t) * books(j)(c)(t); t += 1 }
+        s
+      }
+      (q.vec_id, nrm, lut)
+    }
+    val sims = codes.mapPartitions { rows =>
+      rows.flatMap { cr =>
+        qLuts.iterator.filter(_._1 != cr.vec_id).map { case (qid, qnrm, lut) =>
+          var d = 0.0; var n2 = 0.0
+          var j = 0
+          while (j < m) {
+            val c = cr.codes(j) & 0xff
+            d += lut(j)(c); n2 += cNormSq(j)(c); j += 1
+          }
+          val denom = math.sqrt(n2) * qnrm
+          ScoreRow(qid, cr.vec_id, if (denom == 0) -2.0 else d / denom)
+        }
+      }
+    }(Encoders.product[ScoreRow]).toDF("qid", "vec_id", "cos")
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    val ranked =
+      if (rerank <= 0) sims
+      else {
+        // exact re-rank of the ADC shortlist: the full vectors of
+        // nQueries·rerank rows (tiny) are re-read via an equi-join and
+        // scored against the exact query vectors
+        val shortlist = sims
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") <= rerank)
+          .select("qid", "vec_id")
+        val qMap: Map[Long, (Array[Double], Double)] = qRows.map { q =>
+          val a = q.v.toArray
+          q.vec_id -> ((a, math.sqrt(a.map(x => x * x).sum)))
+        }.toMap
+        shortlist.join(base, Seq("vec_id"))
+          .select(col("qid"), col("vec_id"), col("v"))
+          .as[RerankRow](Encoders.product[RerankRow])
+          .mapPartitions { rows =>
+            rows.map { r =>
+              val (qv, qnrm) = qMap(r.qid)
+              var d = 0.0; var n2 = 0.0
+              var t = 0
+              while (t < qv.length) {
+                val x = r.v(t); d += x * qv(t); n2 += x * x; t += 1
+              }
+              val denom = math.sqrt(n2) * qnrm
+              ScoreRow(r.qid, r.vec_id, if (denom == 0) -2.0 else d / denom)
+            }
+          }(Encoders.product[ScoreRow]).toDF("qid", "vec_id", "cos")
+      }
+    ranked.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** q57: PQ-compressed ANN — same output shape as the exact baseline so
+    * recall is directly measurable (SimilaritySpec).
+    */
+  def qPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    pqTopK(t.embeddings, nQueries = 8, k = 5).orderBy("qid", "rank")
   }
 
   /** q33: embedding near-dup counts above a cosine threshold from the same

@@ -1,0 +1,26 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.ext.SimilarityOps
+
+/** Recall probe for the PQ scan vs the exact baseline at both SFs. */
+object PqProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("pqprobe")
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val t = Tables(spark, dir)
+      val exact = SimilarityOps.bruteForceTopK(t.embeddings, 8, 5).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      for ((m, ksub, rr) <- Seq((8, 256, 0), (8, 256, 64), (16, 256, 64), (8, 256, 128))) {
+        val t0 = System.nanoTime()
+        val approx = SimilarityOps.pqTopK(t.embeddings, 8, 5, m, ksub, rr).collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+        val recalls = exact.keys.toSeq.map(q =>
+          (exact(q) intersect approx.getOrElse(q, Set.empty)).size.toDouble / exact(q).size)
+        println(f"[pqprobe] $dir m=$m ksub=$ksub rerank=$rr recall@5=${recalls.sum / recalls.size}%.3f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      }
+    }
+    spark.stop()
+  }
+}

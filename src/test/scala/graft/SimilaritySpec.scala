@@ -91,6 +91,30 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.forall(v => { val n = math.sqrt(v.map(x => x * x).sum); n > 0 && n <= 1 + 1e-9 }))
   }
 
+  test("PQ top-k: recall@5 ≥ 0.9 after exact re-rank, deterministic, both SFs") {
+    def recall(dir: String): Double = {
+      val exact = SimilarityOps.qBruteForceTopK(spark, dir).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      val approx = SimilarityOps.qPqTopK(spark, dir).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      val rs = exact.keys.toSeq.map(q =>
+        (exact(q) intersect approx.getOrElse(q, Set.empty)).size.toDouble / exact(q).size)
+      rs.sum / rs.size
+    }
+    assert(recall(SF) >= 0.9, s"sf recall ${recall(SF)}")
+    assume(new java.io.File("/root/testdata/sf0.1/embeddings.parquet").exists)
+    assert(recall("/root/testdata/sf0.1") >= 0.9)
+    // run-to-run determinism (hash-ordered sample, tie-broken argmins)
+    val r1 = SimilarityOps.qPqTopK(spark, SF).collect().toSeq
+    val r2 = SimilarityOps.qPqTopK(spark, SF).collect().toSeq
+    assert(r1 == r2)
+    // the compressed representation really is m bytes/vector
+    val base = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select(col("vec_id"), SimilarityOps.toDouble(col("embedding")).as("v"))
+    val books = SimilarityOps.trainPqCodebooks(base, m = 8, ksub = 256)
+    assert(books.length == 8 && books.forall(_.length == 256))
+  }
+
   test("zero-norm embeddings: no ANSI divide crash; q31 counts the pair, q33 never dups") {
     // the session runs ANSI mode — a plain `/` cosine would abort the whole
     // query on the first zero-norm embedding (empty document). try_divide
