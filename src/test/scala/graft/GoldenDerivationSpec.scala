@@ -288,6 +288,67 @@ class GoldenDerivationSpec extends SparkSpec {
     assert(engine == expected)
   }
 
+  test("q57 PQ encode/ADC/rerank re-derived given the codebooks") {
+    // codebook training is deterministic driver Scala; the Spark side —
+    // per-subspace argmin encoding, ADC lookup-table scoring, shortlist
+    // window, join-back exact re-rank — is rebuilt here in plain Scala
+    val dim = 8; val m = 4; val ksub = 8; val nQ = 3; val k = 3; val rr = 10
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 30L).map(i => i ->
+      Seq.tabulate(dim)(j => math.sin(i * 0.77 + j * 1.93).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val engine = SimilarityOps.pqTopK(df, nQueries = nQ, k = k,
+        m = m, ksub = ksub, rerank = rr)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    val base = df.select(col("vec_id"),
+      SimilarityOps.toDouble(col("embedding")).as("v"))
+    val books = SimilarityOps.trainPqCodebooks(base, m, ksub)
+    val dsub = dim / m
+    val dvecs: Map[Long, Array[Double]] =
+      vecs.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    // encode: nearest codebook entry per subspace, ties to the lower code
+    def encode(v: Array[Double]): Array[Int] = Array.tabulate(m) { j =>
+      var best = 0; var bd = Double.MaxValue
+      for (c <- books(j).indices) {
+        var s = 0.0
+        for (t <- 0 until dsub) { val d = v(j * dsub + t) - books(j)(c)(t); s += d * d }
+        if (s < bd) { bd = s; best = c }
+      }
+      best
+    }
+    val codes: Map[Long, Array[Int]] = dvecs.map { case (id, v) => id -> encode(v) }
+    val cNormSq = books.map(_.map(cv => cv.map(x => x * x).sum))
+    val expected = (0L until nQ.toLong).flatMap { qid =>
+      val qv = dvecs(qid)
+      val qnrm = math.sqrt(qv.map(x => x * x).sum)
+      val lut = Array.tabulate(m, ksub) { (j, c) =>
+        var s = 0.0
+        for (t <- 0 until dsub) s += qv(j * dsub + t) * books(j)(c)(t)
+        s
+      }
+      def adc(id: Long): Double = {
+        var d = 0.0; var n2 = 0.0
+        for (j <- 0 until m) { val c = codes(id)(j); d += lut(j)(c); n2 += cNormSq(j)(c) }
+        d / (math.sqrt(n2) * qnrm)
+      }
+      val shortlist = vecs.map(_._1).filter(_ != qid)
+        .map(id => (id, adc(id))).sortBy { case (id, s) => (-s, id) }
+        .take(rr).map(_._1)
+      def exact(id: Long): Double = {
+        val v = dvecs(id)
+        var d = 0.0; var n2 = 0.0
+        for (t <- 0 until dim) { d += v(t) * qv(t); n2 += v(t) * v(t) }
+        d / (math.sqrt(n2) * qnrm)
+      }
+      shortlist.map(id => (id, exact(id))).sortBy { case (id, s) => (-s, id) }
+        .take(k).zipWithIndex
+        .map { case ((id, s), r) => (qid, (r + 1).toLong, id, round4(s)) }
+    }
+    assert(expected.size == nQ * k)
+    assert(engine == expected)
+  }
+
   test("q52 incremental matches re-derived: asymmetric banding + agreement estimator") {
     // engine: index the 90% corpus, then match the {0, 10} new batch —
     // exactly q52's split on this fixture
