@@ -599,7 +599,11 @@ object SimilarityOps {
           val a = q.v.toArray
           q.vec_id -> ((a, math.sqrt(a.map(x => x * x).sum)))
         }.toMap
-        shortlist.join(base, Seq("vec_id"))
+        // the SHORTLIST is the broadcast side: nQueries·rerank rows vs a
+        // corpus of N — at scale this join must stream over base without
+        // shuffling it (left to AQE at test scale it would broadcast base,
+        // exactly backwards)
+        base.join(broadcast(shortlist), Seq("vec_id"))
           .select(col("qid"), col("vec_id"), col("v"))
           .as[RerankRow](Encoders.product[RerankRow])
           .mapPartitions { rows =>
