@@ -524,7 +524,12 @@ object SimilarityOps {
     */
   def pqTopK(embeddings: DataFrame, nQueries: Int, k: Int,
       m: Int = 8, ksub: Int = 256, rerank: Int = 128): DataFrame = {
-    val spark = embeddings.sparkSession
+    // codes are stored as one BYTE per subspace — a larger ksub would wrap
+    // silently ((best.toByte & 0xff) aliases 256..511 onto 0..255)
+    require(ksub >= 2 && ksub <= 256, s"ksub must be in [2, 256], got $ksub")
+    // a shortlist smaller than k would silently return < k rows per query
+    require(rerank <= 0 || rerank >= k,
+      s"rerank ($rerank) must be 0 (off) or >= k ($k)")
     val base = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val books = trainPqCodebooks(base, m, ksub)
     val dsub = books(0)(0).length

@@ -14,11 +14,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics are EXACTLY those of the marker regexes in
   * `TextOps.langMarkers` (kept there as `langIdRegex` and asserted equal
   * on the whole documents table in TextSpec):
-  *  - a stopword scores iff it is a maximal ASCII word-char run — Java's
-  *    `\b(w1|w2|…)\b` with ASCII `\w` = [A-Za-z0-9_] boundaries, matched
-  *    case-sensitively;
-  *  - the zh profile scores one per CJK char (`[一-鿿]`, a BMP
-  *    char-class — per UTF-16 unit, same as the regex);
+  *  - a stopword scores iff it is a maximal run of `\b` WORD CODEPOINTS,
+  *    matched case-sensitively. Java's default-mode `\b` word set is NOT
+  *    ASCII `\w`: measured exhaustively over the BMP (JDK 17), it is
+  *    `_` ∪ `Character.isLetterOrDigit` ∪ NON_SPACING_MARK (Mn) — so
+  *    "estética" is ONE token (é and combining marks glue runs together)
+  *    and scores nothing, while "est²" does score (² is No, a boundary);
+  *  - the zh profile scores one per CJK codepoint (`[一-鿿]` is a plain
+  *    char class, counted independent of word context);
   *  - winner = lexicographic max over (score, lang) with ties to the
   *    lexicographically-LAST language code; 'und' when every score is 0.
   */
@@ -31,6 +34,11 @@ case class LangIdExpr(child: Expression)
       s"lang_id requires STRING input, got ${child.dataType.catalogString}")
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
+
+  /** The `\b` word predicate, established empirically (see scaladoc). */
+  private def isWordCp(cp: Int): Boolean =
+    cp == '_' || Character.isLetterOrDigit(cp) ||
+      Character.getType(cp) == Character.NON_SPACING_MARK
 
   override def nullSafeEval(input: Any): Any = {
     import LangIdExpr._
@@ -51,14 +59,11 @@ case class LangIdExpr(child: Expression)
     }
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-          (c >= '0' && c <= '9') || c == '_') sb.append(c)
-      else {
-        flush()
-        if (c >= '一' && c <= '鿿') scores(zhIdx) += 1
-      }
-      i += 1
+      val cp = s.codePointAt(i)
+      if (isWordCp(cp)) sb.appendCodePoint(cp)
+      else flush()
+      if (cp >= 0x4e00 && cp <= 0x9fff) scores(zhIdx) += 1
+      i += Character.charCount(cp)
     }
     flush()
     var best = 0

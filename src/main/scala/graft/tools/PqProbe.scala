@@ -7,7 +7,8 @@ import graft.ext.SimilarityOps
 object PqProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("pqprobe")
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")
+         if new java.io.File(s"$dir/embeddings.parquet").exists) {
       val t = Tables(spark, dir)
       val exact = SimilarityOps.bruteForceTopK(t.embeddings, 8, 5).collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap

@@ -101,9 +101,11 @@ class SimilaritySpec extends SparkSpec {
         (exact(q) intersect approx.getOrElse(q, Set.empty)).size.toDouble / exact(q).size)
       rs.sum / rs.size
     }
-    assert(recall(SF) >= 0.9, s"sf recall ${recall(SF)}")
+    val rSmall = recall(SF)
+    assert(rSmall >= 0.9, s"sf recall $rSmall")
     assume(new java.io.File("/root/testdata/sf0.1/embeddings.parquet").exists)
-    assert(recall("/root/testdata/sf0.1") >= 0.9)
+    val rBig = recall("/root/testdata/sf0.1")
+    assert(rBig >= 0.9, s"sf0.1 recall $rBig")
     // run-to-run determinism (hash-ordered sample, tie-broken argmins)
     val r1 = SimilarityOps.qPqTopK(spark, SF).collect().toSeq
     val r2 = SimilarityOps.qPqTopK(spark, SF).collect().toSeq

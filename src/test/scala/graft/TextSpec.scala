@@ -99,8 +99,13 @@ class TextSpec extends SparkSpec {
       .select(col("doc_id"), TextOps.langId(col("text")).as("native"),
         TextOps.langIdRegex(col("text")).as("regex"))
     assert(both.filter(col("native") =!= col("regex")).count() == 0)
-    // boundary cases: keyword inside a word-char run must NOT score
-    val edge = Seq("theory lesson", "the_cat und_ich", "估 the", "THE the")
+    // boundary cases: keyword inside a word-char run must NOT score.
+    // Java's default \b word set is Unicode (letters/digits/Mn glue runs
+    // together), so "estética" is one token and "the中文" never matches —
+    // while ² (No category) IS a boundary and "est²" scores fr
+    val edge = Seq("theory lesson", "the_cat und_ich", "估 the", "THE the",
+        "estética bonita", "the中文", "эthe west", "est² quoi",
+        "est́ combining", "the‌the joiner")
       .toDF("text")
       .select(TextOps.langId(col("text")).as("native"),
         TextOps.langIdRegex(col("text")).as("regex"))
