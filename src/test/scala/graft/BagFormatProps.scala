@@ -49,4 +49,58 @@ object BagFormatProps extends Properties("graft") {
         .map(i => refHash(t.substring(i, math.min(i + 4, t.length)))).toSet
       fp.nonEmpty && (t.isEmpty || fp.subsetOf(all + refHash(t)))
     }
+
+  // ---- native lang_id ≡ the five-regex reference on adversarial text ----
+
+  private val langMarkers = Seq(
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein)\\b",
+    "en" -> "\\b(the|and|of|to|is|in|that|it)\\b",
+    "es" -> "\\b(el|la|los|las|es|y|que|un)\\b",
+    "fr" -> "\\b(le|la|les|et|est|que|des|un)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]")
+
+  private def regexLangId(s: String): String = {
+    val best = langMarkers.map { case (lang, pat) =>
+      (pat.r.findAllMatchIn(s).size, lang)
+    }.max
+    if (best._1 > 0) best._2 else "und"
+  }
+
+  /** Fragments chosen to stress the \b word-set subtleties: stopwords,
+    * accented/Cyrillic/CJK letters and combining marks that GLUE runs
+    * together, and true boundaries (space, ², punctuation, ZWNJ).
+    */
+  private val genLangText: Gen[String] = Gen.listOf(Gen.oneOf(
+      "the", "la", "est", "und", "ist", "y", "it", "xq", "é", "中", "э",
+      " ", ".", "²", "_", "9", "́", "‌", "-")).map(_.mkString)
+
+  property("lang_id eval ≡ regex marker scoring on random unicode text") =
+    Prop.forAll(genLangText) { s =>
+      val native = graft.functions.LangIdExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal(s))
+        .eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      native == regexLangId(s)
+    }
+
+  // ---- native repetition_signals ≡ naive counting on random tokens ----
+
+  property("repetition_signals eval ≡ naive counts on random token arrays") = {
+    val genTokens = Gen.chooseNum(2, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "x", "yz", "", "a b")))
+    Prop.forAll(genTokens) { tokens =>
+      val row = graft.functions.RepetitionSignals(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(tokens,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val n = tokens.size
+      val wc = tokens.groupBy(identity).view.mapValues(_.size)
+      val bigrams = tokens.sliding(2).map(_.mkString(" ")).toSeq
+      val bc = bigrams.groupBy(identity).view.mapValues(_.size)
+      row.getLong(0) == n.toLong &&
+        row.getDouble(1) == wc.values.max.toDouble / n &&
+        row.getDouble(2) == bc.values.max.toDouble / (n - 1) &&
+        row.getDouble(3) == 1.0 - wc.size.toDouble / n
+    }
+  }
 }
