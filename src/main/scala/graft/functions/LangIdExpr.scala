@@ -16,10 +16,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * on the whole documents table in TextSpec):
   *  - a stopword scores iff it is a maximal run of `\b` WORD CODEPOINTS,
   *    matched case-sensitively. Java's default-mode `\b` word set is NOT
-  *    ASCII `\w`: measured exhaustively over the BMP (JDK 17), it is
-  *    `_` ∪ `Character.isLetterOrDigit` ∪ NON_SPACING_MARK (Mn) — so
-  *    "estética" is ONE token (é and combining marks glue runs together)
-  *    and scores nothing, while "est²" does score (² is No, a boundary);
+  *    ASCII `\w`: measured exhaustively over the BMP (JDK 17) plus
+  *    positional probes, it is `_` ∪ `Character.isLetterOrDigit`, with
+  *    NON_SPACING_MARK (Mn) counting as word ONLY when its backward scan
+  *    through other marks reaches a letterOrDigit base (OpenJDK
+  *    `Pattern.Bound`/`hasBaseCharacter`) — so "estética" is ONE token
+  *    and scores nothing, "est²" does score (² is No, a boundary), and
+  *    an orphan combining mark (string start, after punctuation, or
+  *    based on `_`) is itself a boundary;
   *  - the zh profile scores one per CJK codepoint (`[一-鿿]` is a plain
   *    char class, counted independent of word context);
   *  - winner = lexicographic max over (score, lang) with ties to the
@@ -35,17 +39,17 @@ case class LangIdExpr(child: Expression)
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
 
-  /** The `\b` word predicate, established empirically (see scaladoc). */
-  private def isWordCp(cp: Int): Boolean =
-    cp == '_' || Character.isLetterOrDigit(cp) ||
-      Character.getType(cp) == Character.NON_SPACING_MARK
-
   override def nullSafeEval(input: Any): Any = {
     import LangIdExpr._
     val s = input.asInstanceOf[UTF8String].toString
     val scores = new Array[Int](langs.length)
     val zhIdx = langs.length - 1 // "zh" is last
     val sb = new java.lang.StringBuilder(8)
+    // whether the current token's most recent non-mark codepoint is a
+    // letterOrDigit — the "base character" an Mn needs to count as word
+    // (an Mn based on '_' or with no base is a boundary, per OpenJDK
+    // Pattern.Bound.hasBaseCharacter)
+    var baseLetterOrDigit = false
     def flush(): Unit = {
       if (sb.length > 0) {
         val t = sb.toString
@@ -56,12 +60,19 @@ case class LangIdExpr(child: Expression)
         }
         sb.setLength(0)
       }
+      baseLetterOrDigit = false
     }
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      if (isWordCp(cp)) sb.appendCodePoint(cp)
-      else flush()
+      if (Character.isLetterOrDigit(cp)) {
+        sb.appendCodePoint(cp); baseLetterOrDigit = true
+      } else if (cp == '_') {
+        sb.appendCodePoint(cp); baseLetterOrDigit = false
+      } else if (Character.getType(cp) == Character.NON_SPACING_MARK &&
+          baseLetterOrDigit) {
+        sb.appendCodePoint(cp) // mark glued to a letterOrDigit base
+      } else flush()
       if (cp >= 0x4e00 && cp <= 0x9fff) scores(zhIdx) += 1
       i += Character.charCount(cp)
     }

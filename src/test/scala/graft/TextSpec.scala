@@ -105,7 +105,10 @@ class TextSpec extends SparkSpec {
     // while ² (No category) IS a boundary and "est²" scores fr
     val edge = Seq("theory lesson", "the_cat und_ich", "估 the", "THE the",
         "estética bonita", "the中文", "эthe west", "est² quoi",
-        "est́ combining", "the‌the joiner")
+        "est́ combining", "the‌the joiner",
+        // orphan combining marks ARE boundaries (no letterOrDigit base):
+        // string start, after punctuation, and based on underscore
+        "́la start", ".́la after punct", "_́la after underscore", "x́la based")
       .toDF("text")
       .select(TextOps.langId(col("text")).as("native"),
         TextOps.langIdRegex(col("text")).as("regex"))
