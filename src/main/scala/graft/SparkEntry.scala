@@ -83,6 +83,9 @@ object SparkEntry {
     "q50_rosbag_topic_view" -> (PipelineQueries.qRosbagTopicView _),
     "q51_dedup_clusters" -> (DedupOps.qDedupClusters _),
     "q52_incremental_dedup" -> (DedupOps.qIncrementalDedup _),
+    "q58_decontaminate" -> (DedupOps.qDecontaminate _),
+    "q59_ngram_topk" -> (TextOps.qNgramTopK _),
+    "q60_pii_scrub" -> (TextOps.qPiiScrub _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -371,6 +374,52 @@ object SparkEntry {
     // q55's staged bag is fully determined (3 connections, 24 msgs each at
     // 67 ms spacing from a fixed epoch, per-topic +0/+1/+2 ns offsets), so
     // the oracle is INDEPENDENT literal values, not a golden re-read
+    "q58_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT DISTINCT doc_id,
+        |        array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS sh
+        |      FROM t, unnest(range(1, len(ws) - 1)) AS r(i)),
+        |ev AS (SELECT DISTINCT sh FROM s WHERE doc_id % 41 = 0),
+        |c AS (SELECT doc_id, sh FROM s WHERE doc_id % 41 <> 0)
+        |SELECT c.doc_id, count(*) AS n_shingles, count(ev.sh) AS n_overlap,
+        | count(ev.sh) > 0 AS contaminated
+        |FROM c LEFT JOIN ev ON c.sh = ev.sh
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "q59_ngram_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id,
+        |        array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS ngram
+        |      FROM t, unnest(range(1, len(ws) - 1)) AS r(i))
+        |SELECT ngram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |FROM s GROUP BY ngram
+        |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
+    "q60_pii_scrub" ->
+      """WITH aug AS (
+        | SELECT doc_id,
+        |  text ||
+        |   CASE WHEN doc_id % 2 = 0
+        |     THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END ||
+        |   CASE WHEN doc_id % 3 = 0
+        |     THEN ' see http://site' || (doc_id % 7) || '.example.org/page' || doc_id
+        |     ELSE '' END ||
+        |   CASE WHEN doc_id % 5 = 0
+        |     THEN ' ref ' || printf('%012d', doc_id) ELSE '' END AS t
+        | FROM documents),
+        |scrub AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, 'https?://[A-Za-z0-9./_-]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{9,}\b')) AS BIGINT) AS n_ids,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[A-Za-z0-9./_-]+', '<URL>', 'g'),
+        |    '\b[0-9]{9,}\b', '<ID>', 'g') AS clean
+        | FROM aug)
+        |SELECT doc_id, n_emails, n_urls, n_ids,
+        | CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_hash
+        |FROM scrub ORDER BY doc_id""".stripMargin,
     "q55_bag_connections" ->
       """SELECT * FROM (VALUES
         | ('/gps', '/gps_driver', CAST(NULL AS BOOLEAN), CAST(24 AS BIGINT),

@@ -466,4 +466,81 @@ object DedupOps {
     */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardStats(Tables(spark, dir).documents)
+
+  // ------------------------------------------------------------------
+  // Benchmark decontamination (train/eval n-gram overlap)
+  // ------------------------------------------------------------------
+
+  /** Distinct word-n-gram rows (doc_id, sh) for docs with ≥ n tokens.
+    * Tokenization is a plain single-space split (mirrored by the oracle's
+    * `string_split(text, ' ')`); the ≥ n filter keeps the whole-text
+    * fallback of [[graft.functions.WordShingles]] out of play so both
+    * engines enumerate exactly the same shingle positions.
+    */
+  def distinctShingleRows(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(shingleExpr("__ws", n))).as("sh"))
+
+  /** Train-vs-eval decontamination: per training doc, how many of its
+    * distinct word n-grams also occur in the eval/benchmark corpus.
+    * This is the standard pre-training hygiene pass (eval-set n-gram
+    * overlap — e.g. GPT-3 appendix C / PaLM's 13-gram rule, scaled down
+    * to n=3 for the synthetic vocabulary).
+    *
+    * Scale shape: the eval side of any real decontamination run is tiny
+    * (benchmark suites, ~10⁶ shingles) next to the 100 TB train corpus —
+    * so the eval shingle set is broadcast and the train side needs ONE
+    * narrow explode + ONE groupBy(doc_id). The groupBy is partial-agg
+    * friendly and a document's shingles are co-located with their source
+    * row, so the map-side combine collapses to ~one row per doc before
+    * the shuffle. No train-side self-join, no eval-side fan-out.
+    * For an even cheaper first pass at scale, see
+    * [[decontaminateBloom]] (bit-array probe, no join at all).
+    */
+  def decontaminate(train: DataFrame, eval_ : DataFrame, n: Int = 3): DataFrame = {
+    val evalSet = eval_.select(col("sh")).distinct().withColumn("__hit", lit(1))
+    train
+      .join(broadcast(evalSet), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** q58: decontamination over the documents table. Docs with
+    * doc_id % 41 == 0 play the benchmark/eval corpus; every other doc is
+    * training data scored for eval overlap. Direct DuckDB oracle.
+    */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val rows = graft.CacheRegistry.persist(
+      distinctShingleRows(Tables(spark, dir).documents, 3))
+    val eval_ = rows.filter(col("doc_id") % 41 === 0)
+    val train = rows.filter(col("doc_id") % 41 =!= 0)
+    decontaminate(train, eval_).orderBy("doc_id")
+  }
+
+  /** Bloom-filter decontamination pre-pass: same contract as
+    * [[decontaminate]] but the eval set is collapsed into a Bloom filter
+    * (built distributed via `stat.bloomFilter`'s treeAggregate) and the
+    * train side probes it with the native
+    * [[graft.functions.BloomMightContain]] expression — a narrow bit test
+    * per shingle, no join. Guarantees: no false negatives (a doc reported
+    * clean IS clean), overlap counts are an upper bound with fp-rate
+    * `fpp`; route the flagged minority through [[decontaminate]] for
+    * exact counts. DedupSpec asserts both properties.
+    */
+  def decontaminateBloom(train: DataFrame, eval_ : DataFrame,
+      expectedShingles: Long, fpp: Double = 0.01): DataFrame = {
+    val filter = eval_.stat.bloomFilter(col("sh"), expectedShingles, fpp)
+    val hit = graft.functions.BloomMightContain.bloom_might_contain(col("sh"), filter)
+    train
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
 }

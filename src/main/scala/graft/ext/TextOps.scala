@@ -190,4 +190,78 @@ object TextOps {
       langId(col("text")).as("lang_guess"))
       .orderBy("doc_id")
   }
+
+  /** q59: corpus-level most-frequent word n-grams — the boilerplate
+    * discovery pass (the top entries of this table are what a cleaning
+    * pipeline strips as template text). One explode + one hash aggregate;
+    * the per-ngram partial counts combine map-side, so the shuffle carries
+    * one row per DISTINCT ngram per partition, not per occurrence, and
+    * the global top-k is a TakeOrderedAndProject (per-partition heaps +
+    * a k-row driver merge — no full sort) — the shape that survives 100 TB.
+    * Direct DuckDB oracle.
+    */
+  def ngramTopK(docs: DataFrame, n: Int, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles.word_shingles(col("__ws"), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("n_occurrences"), asc("ngram"))
+      .limit(k)
+
+  def qNgramTopK(spark: SparkSession, dir: String): DataFrame =
+    ngramTopK(Tables(spark, dir).documents, 3, 20)
+
+  // PII scrubbing patterns — the RE2/Java-regex common subset (no
+  // lookaround, no backrefs), so the DuckDB oracle runs them verbatim.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe = "https?://[A-Za-z0-9./_-]+"
+  private val longIdRe = "\\b[0-9]{9,}\\b"
+
+  /** Scrub emails / URLs / long digit runs (ids, phone numbers) from a
+    * text column — the standard pre-training PII redaction pass. Email
+    * first: its local part may contain digit runs that the id pattern
+    * would otherwise split. Narrow, codegen'd, shuffle-free.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        urlRe, "<URL>"),
+      longIdRe, "<ID>")
+
+  /** q60: PII scrubbing over documents. The synthetic corpus carries no
+    * PII, so deterministic entities are first INJECTED from doc_id (the
+    * oracle rebuilds the identical augmented text with `||` and printf),
+    * then counted and scrubbed. Output proves both the counting and the
+    * replacement (md5 of the scrubbed text). Direct DuckDB oracle.
+    */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val id = col("doc_id")
+    val aug = concat(
+      col("text"),
+      when(id % 2 === 0,
+        concat(lit(" contact user"), id.cast("string"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(id % 3 === 0,
+        concat(lit(" see http://site"), (id % 7).cast("string"),
+          lit(".example.org/page"), id.cast("string")))
+        .otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" ref "), format_string("%012d", id)))
+        .otherwise(lit("")))
+    t.documents
+      .select(id, aug.as("__t"))
+      .select(id,
+        size(regexp_extract_all(col("__t"), lit(emailRe), lit(0))).cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("__t"), lit(urlRe), lit(0))).cast("bigint").as("n_urls"),
+        size(regexp_extract_all(col("__t"), lit(longIdRe), lit(0))).cast("bigint").as("n_ids"),
+        length(scrubPii(col("__t"))).cast("bigint").as("clean_len"),
+        md5(scrubPii(col("__t"))).as("clean_hash"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,64 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Membership probe against a pre-built Bloom filter, as a native scalar
+  * expression. This is the 100 TB decontamination shape: the benchmark/eval
+  * shingle set is aggregated once into a fixed-size bit array (a few MB for
+  * ~10⁷ shingles at 1% fpp), the serialized filter ships to every executor
+  * inside the plan (task-broadcast like any literal), and the corpus-side
+  * probe is a narrow per-row bit test — no join, no shuffle, no eval-side
+  * row fan-out at all. Compare [[graft.ext.DedupOps.qDecontaminate]]'s
+  * exact broadcast-join formulation: that one is the oracle-checkable
+  * semantics; this one is what you run first at scale to skip the join for
+  * the overwhelmingly-clean majority of documents (no false negatives, so
+  * a "clean" verdict is final; "hit" candidates go to the exact pass).
+  *
+  * The probe replicates the filter's own `putString` hashing: UTF-8 bytes →
+  * `mightContainBinary`, bit-identical to `mightContainString`.
+  */
+case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain requires STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  // deserialized once per task (the expression object is serialized into
+  // the task binary; the lazy val re-materializes executor-side)
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+
+  override def nullSafeEval(input: Any): Any =
+    filter.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
+object BloomMightContain {
+  def bloom_might_contain(c: Column, filter: BloomFilter): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    org.apache.spark.sql.graft.Bridge.column(
+      BloomMightContain(org.apache.spark.sql.graft.Bridge.expression(c), bos.toByteArray))
+  }
+}

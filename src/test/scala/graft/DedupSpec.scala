@@ -147,4 +147,57 @@ class DedupSpec extends SparkSpec {
       .select("s").head().getSeq[String](0)
     assert(one == Seq("single word"))
   }
+
+  // train doc 1 shares exactly the trigrams "b c d" and "c d e" with eval
+  // doc 0 (from the common run "b c d e"); train doc 2 shares none; doc 3
+  // repeats a trigram ("x y z" twice) but distinct-shingle counting must
+  // count it once
+  private def decontCorpus = Seq(
+    (0L, "a b c d e f"),     // eval (0 % 41 == 0)
+    (1L, "q b c d e r"),     // contaminated: 2 overlapping trigrams
+    (2L, "u v w u v w u"),   // clean
+    (3L, "x y z x y z"),     // clean; dup trigram counted once
+  ).toDF("doc_id", "text")
+
+  test("decontaminate counts eval-overlap trigrams per train doc") {
+    val rows = DedupOps.distinctShingleRows(decontCorpus, 3)
+    val got = DedupOps.decontaminate(
+        rows.filter(col("doc_id") % 41 === 0),
+        eval_ = rows.filter(col("doc_id") % 41 === 0))
+    // self-check: eval vs itself is fully contaminated
+    assert(got.filter(col("n_shingles") === col("n_overlap")).count() == 1)
+    val out = DedupOps.decontaminate(
+        rows.filter(col("doc_id") % 41 =!= 0),
+        rows.filter(col("doc_id") % 41 === 0))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // doc 1: trigrams {q b c, b c d, c d e, d e r} → 4 distinct, 2 overlap
+    // doc 2: {u v w, v w u, w u v} → 3 distinct, 0 overlap
+    // doc 3: {x y z, y z x, z x y} → 3 distinct (dup "x y z" once), 0
+    assert(out.toSeq == Seq(
+      (1L, 4L, 2L, true), (2L, 3L, 0L, false), (3L, 3L, 0L, false)))
+  }
+
+  test("bloom decontamination: no false negatives, counts upper-bound exact") {
+    val docs = Tables(spark, SF).documents.select(col("doc_id"), col("text"))
+    val rows = graft.CacheRegistry.persist(DedupOps.distinctShingleRows(docs, 3))
+    val eval_ = rows.filter(col("doc_id") % 41 === 0)
+    val train = rows.filter(col("doc_id") % 41 =!= 0)
+    val exact = DedupOps.decontaminate(train, eval_)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bloom = DedupOps.decontaminateBloom(train, eval_, expectedShingles = 4096)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bloom.keySet == exact.keySet)
+    var fp = 0L
+    bloom.foreach { case (id, (nSh, nOv)) =>
+      val (eSh, eOv) = exact(id)
+      assert(nSh == eSh, s"doc $id shingle count differs")
+      assert(nOv >= eOv, s"doc $id bloom dropped a true overlap (false negative)")
+      fp += nOv - eOv
+    }
+    val totalShingles = exact.values.map(_._1).sum
+    // 1% configured fpp over ~29k probes → expect ~290; allow generous slack
+    assert(fp <= totalShingles / 20, s"bloom fp count $fp of $totalShingles probes")
+  }
 }

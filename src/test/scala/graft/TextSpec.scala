@@ -123,4 +123,45 @@ class TextSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("ngramTopK ranks by frequency with lexicographic tie-break") {
+    // "a b c" occurs 3× in 2 docs; "b c a" 2× in 2 docs; "c a b" 1×;
+    // doc 3 (2 tokens) is below the n=3 cutoff and must not contribute
+    val docs = Seq(
+      (1L, "a b c a b c"),   // a b c ×2, b c a ×1, c a b ×1
+      (2L, "a b c x y z"),   // a b c, b c x, c x y, x y z
+      (3L, "b c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.ngramTopK(docs, 3, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // five trigrams tie at 1 occurrence; lexicographic tie-break keeps
+    // "b c a" and "b c x"
+    assert(got.toSeq == Seq(
+      ("a b c", 3L, 2L), ("b c a", 1L, 1L), ("b c x", 1L, 1L)))
+  }
+
+  test("scrubPii redacts emails, urls, and long ids with correct precedence") {
+    val got = Seq(
+      "mail a.b_c%x+1@host-2.example.com now",
+      "go to https://ex.org/a/b_c-d.html today",
+      "ref 123456789012 and short 12345",
+      "mixed x@y.io http://a.b/c 999999999")
+      .toDF("text")
+      .select(TextOps.scrubPii(col("text")).as("s"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "go to <URL> today")
+    assert(got(2) == "ref <ID> and short 12345")
+    assert(got(3) == "mixed <EMAIL> <URL> <ID>")
+  }
+
+  test("qPiiScrub counts follow the deterministic injection schedule") {
+    val rows = TextOps.qPiiScrub(spark, SF).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == (if (id % 2 == 0) 1L else 0L), s"doc $id emails")
+      assert(r.getLong(2) == (if (id % 3 == 0) 1L else 0L), s"doc $id urls")
+      assert(r.getLong(3) == (if (id % 5 == 0) 1L else 0L), s"doc $id ids")
+    }
+  }
 }
