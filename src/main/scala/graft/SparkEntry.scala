@@ -86,6 +86,7 @@ object SparkEntry {
     "q58_decontaminate" -> (DedupOps.qDecontaminate _),
     "q59_ngram_topk" -> (TextOps.qNgramTopK _),
     "q60_pii_scrub" -> (TextOps.qPiiScrub _),
+    "q61_tfidf_top" -> (TextOps.qTfidfTop _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -420,6 +421,20 @@ object SparkEntry {
         |SELECT doc_id, n_emails, n_urls, n_ids,
         | CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_hash
         |FROM scrub ORDER BY doc_id""".stripMargin,
+    "q61_tfidf_top" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, tf.term AS term,
+        |        round(c * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY tfidf DESC, term) AS rank FROM s)
+        |SELECT doc_id, rank, term, tfidf FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q55_bag_connections" ->
       """SELECT * FROM (VALUES
         | ('/gps', '/gps_driver', CAST(NULL AS BOOLEAN), CAST(24 AS BIGINT),

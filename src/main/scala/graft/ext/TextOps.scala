@@ -215,6 +215,52 @@ object TextOps {
   def qNgramTopK(spark: SparkSession, dir: String): DataFrame =
     ngramTopK(Tables(spark, dir).documents, 3, 20)
 
+  /** q61: TF-IDF top-3 terms per document — keyword extraction, the
+    * classic text-analysis op. Shapes for 100 TB:
+    *  - term frequencies come from the native [[graft.functions.WordCounts]]
+    *    expression, ONE narrow O(len) pass per doc — the relational
+    *    `explode → groupBy(doc, term)` would shuffle one row per corpus
+    *    token just to count locally-countable values;
+    *  - document frequency aggregates the per-doc DISTINCT-term rows
+    *    (vocabulary-bounded output) and comes back as a broadcast join;
+    *  - corpus size joins in as a broadcast 1-row aggregate — NO eager
+    *    `count()` on the driver (query builders stay action-free);
+    *  - top-3 per doc is a window over each doc's own terms, ranked on the
+    *    ROUNDED tfidf: both engines rank the same 6-decimal value, so an
+    *    ulp-level ln() divergence can't flip the selected rows (e.g.
+    *    4·ln(5) vs 2·ln(25) are equal in ℝ but may differ in floating
+    *    point), and exact ties break lexicographically.
+    * Direct DuckDB oracle.
+    */
+  def qTfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    // persisted: tf feeds both the df aggregation and the scored join —
+    // without it Spark re-scans + re-tokenizes documents per branch (the
+    // q38 double-scan lesson)
+    val tf = graft.CacheRegistry.persist(t.documents
+      .select(col("doc_id"),
+        explode(graft.functions.WordCounts.word_counts(
+          split(col("text"), " "))).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"), col("e.c").as("c")))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("c") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("doc_id")
+          .orderBy(desc("tfidf"), asc("term"))))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("bigint").as("rank"),
+        col("term"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   // PII scrubbing patterns — the RE2/Java-regex common subset (no
   // lookaround, no backrefs), so the DuckDB oracle runs them verbatim.
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document term frequencies in ONE O(len) per-row pass:
+  * ARRAY<STRING> tokens → ARRAY<STRUCT<term, c>> sorted by term (binary
+  * UTF-8 order, matching Spark/DuckDB string comparison) for deterministic
+  * downstream ordering.
+  *
+  * This is the map side of TF-IDF done narrowly: the relational
+  * `explode → groupBy(doc_id, term)` formulation shuffles one row per
+  * corpus TOKEN to count what each row can count locally — at 100 TB
+  * that exchange dwarfs everything downstream of it (document frequency
+  * and the top-k window both operate on the much smaller per-doc
+  * DISTINCT-term rows this expression emits). Same argument as
+  * [[RepetitionSignals]] / [[BigramEntropy]].
+  */
+case class WordCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_counts requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "word_counts"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new java.util.TreeMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < n) {
+      // clone: getUTF8String can return a view into a reused unsafe buffer,
+      // and these keys outlive the call as the returned array's contents
+      val w = arr.getUTF8String(i).clone()
+      val c = counts.computeIfAbsent(w, _ => new Array[Long](1))
+      c(0) += 1
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    var j = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue()(0))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordCounts =
+    copy(child = newChild)
+}
+
+object WordCounts {
+  def word_counts(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      WordCounts(org.apache.spark.sql.graft.Bridge.expression(c)))
+}

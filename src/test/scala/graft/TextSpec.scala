@@ -155,6 +155,37 @@ class TextSpec extends SparkSpec {
     assert(got(3) == "mixed <EMAIL> <URL> <ID>")
   }
 
+  test("word_counts emits term-sorted exact frequencies") {
+    val got = Seq("b a b c b a", "solo", "")
+      .toDF("text")
+      .select(graft.functions.WordCounts.word_counts(split(col("text"), " ")).as("wc"))
+      .collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getLong(1))))
+    assert(got(0) == Seq(("a", 2L), ("b", 3L), ("c", 1L)))
+    assert(got(1) == Seq(("solo", 1L)))
+    assert(got(2) == Seq(("", 1L))) // split("") = [""] — one empty token
+  }
+
+  test("tfidf ranks a doc's distinguishing term first") {
+    // "rare" appears only in doc 1 (df=1, N=3 → ln 3 ≈ 1.0986); "common"
+    // is in all docs (ln 1 = 0). Hand: doc 1 tfidf(rare) = 2·ln 3 ≈ 2.197225
+    val docs = Seq(
+      (1L, "common rare rare common"),
+      (2L, "common other common"),
+      (3L, "common third"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("tfidf").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val top = TextOps.qTfidfTop(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(top.filter(_._1 == 1L).head == (1L, 1L, "rare", 2.197225))
+    // doc 2: other (df=1) → ln 3 ≈ 1.098612 ranks above common (0)
+    assert(top.filter(_._1 == 2L).head == (2L, 1L, "other", 1.098612))
+    // exact tie at 0.0 breaks lexicographically
+    val doc3 = top.filter(_._1 == 3L).map(t => (t._3, t._4)).toSeq
+    assert(doc3 == Seq(("third", 1.098612), ("common", 0.0)))
+  }
+
   test("qPiiScrub counts follow the deterministic injection schedule") {
     val rows = TextOps.qPiiScrub(spark, SF).collect()
     rows.foreach { r =>
