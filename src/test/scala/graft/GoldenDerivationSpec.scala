@@ -288,6 +288,60 @@ class GoldenDerivationSpec extends SparkSpec {
     assert(engine == expected)
   }
 
+  test("q32 quantizer re-derived: hash-ordered sample, maximin seeds, Lloyd") {
+    // closes the "given the trained quantizer" caveat of the q32 test
+    // above: the training chain itself — deterministic sample order,
+    // unit-normalization, maximin seeding, 5 Lloyd refinements with
+    // first-min tie-breaks and empty-cluster carry-over — rebuilt in
+    // plain Scala (stock xxhash64 is the only Spark ingredient) and
+    // asserted bit-equal against trainCentroids' output
+    val dim = 8; val c = 8
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 40L).map(i => i ->
+      Seq.tabulate(dim)(j => math.sin(i * 1.113 + j * 2.71).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val base = df.select(col("vec_id"),
+      SimilarityOps.toDouble(col("embedding")).as("v"))
+    val engine = SimilarityOps.trainCentroids(base, c,
+      sampleSize = math.max(20 * c, 2048)).map(_.toSeq).toSeq
+
+    val hashes: Map[Long, Long] = vecs.map(_._1).toDF("vec_id")
+      .selectExpr("vec_id", "xxhash64(vec_id) AS h").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byId = vecs.toMap
+    // sample = whole fixture (40 < 2048) in (xxhash64, id) order, each
+    // vector unit-normalized with left-fold norm like the engine's
+    // aggregate(zip_with(...)) chain
+    val sample: IndexedSeq[Array[Double]] = vecs.map(_._1)
+      .sortBy(id => (hashes(id), id))
+      .map { id =>
+        val v = byId(id).map(_.toDouble)
+        val nn = math.sqrt(v.map(x => x * x).foldLeft(0.0)(_ + _))
+        (if (nn == 0.0) v else v.map(_ / nn)).toArray
+      }.toIndexedSeq
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + (a(i) - b(i)) * (a(i) - b(i)))
+    // maximin: start from the hash-first vector; repeatedly take the
+    // point farthest from its nearest chosen seed (first index on ties)
+    var cents: IndexedSeq[Array[Double]] = IndexedSeq(sample(0))
+    while (cents.size < c) {
+      val far = sample.indices.maxBy(i => cents.map(s => d2(sample(i), s)).min)
+      cents = cents :+ sample(far)
+    }
+    for (_ <- 0 until 5) {
+      val assign = sample.map(v => cents.indices.minBy(ci => (d2(v, cents(ci)), ci)))
+      cents = cents.indices.map { ci =>
+        val members = sample.indices.filter(assign(_) == ci)
+        if (members.isEmpty) cents(ci)
+        else {
+          val s = new Array[Double](dim)
+          members.foreach(mi => (0 until dim).foreach(j => s(j) += sample(mi)(j)))
+          s.map(_ / members.length)
+        }
+      }
+    }
+    assert(engine == cents.map(_.toSeq))
+  }
+
   test("q57 PQ encode/ADC/rerank re-derived given the codebooks") {
     // codebook training is deterministic driver Scala; the Spark side —
     // per-subspace argmin encoding, ADC lookup-table scoring, shortlist
