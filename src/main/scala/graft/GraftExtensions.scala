@@ -74,5 +74,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.RepetitionSignals].getName,
         "repetition_signals"),
       (exprs: Seq[Expression]) => graft.functions.RepetitionSignals(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("word_counts"),
+      new ExpressionInfo(classOf[graft.functions.WordCounts].getName, "word_counts"),
+      (exprs: Seq[Expression]) => graft.functions.WordCounts(exprs.head)))
   }
 }

@@ -233,6 +233,66 @@ object SqlQueries {
         | min(rosbagTimestamp) AS min_ts, max(rosbagTimestamp) AS max_ts
         |FROM rosbag_conn
         |GROUP BY topic, callerid, latching ORDER BY topic""".stripMargin,
+    // decontamination via the registered word_shingles generator chain
+    "q58_decontaminate" ->
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS ws FROM documents
+        |           WHERE size(split(text, ' ')) >= 3),
+        |s AS (SELECT DISTINCT doc_id, sh
+        |      FROM t LATERAL VIEW explode(word_shingles(ws, 3)) x AS sh),
+        |ev AS (SELECT DISTINCT sh FROM s WHERE doc_id % 41 = 0),
+        |c AS (SELECT doc_id, sh FROM s WHERE doc_id % 41 != 0)
+        |SELECT c.doc_id, count(*) AS n_shingles, count(ev.sh) AS n_overlap,
+        | count(ev.sh) > 0 AS contaminated
+        |FROM c LEFT JOIN ev ON c.sh = ev.sh
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+    "q59_ngram_topk" ->
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS ws FROM documents
+        |           WHERE size(split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, ngram
+        |      FROM t LATERAL VIEW explode(word_shingles(ws, 3)) x AS ngram)
+        |SELECT ngram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |FROM s GROUP BY ngram
+        |ORDER BY n_occurrences DESC, ngram LIMIT 20""".stripMargin,
+    "q60_pii_scrub" ->
+      """WITH aug AS (
+        | SELECT doc_id,
+        |  concat(text,
+        |   CASE WHEN doc_id % 2 = 0
+        |     THEN concat(' contact user', doc_id, '@mail.example.com') ELSE '' END,
+        |   CASE WHEN doc_id % 3 = 0
+        |     THEN concat(' see http://site', doc_id % 7, '.example.org/page', doc_id)
+        |     ELSE '' END,
+        |   CASE WHEN doc_id % 5 = 0
+        |     THEN concat(' ref ', format_string('%012d', doc_id)) ELSE '' END) AS t
+        | FROM documents),
+        |scrub AS (
+        | SELECT doc_id,
+        |  CAST(size(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS BIGINT) AS n_emails,
+        |  CAST(size(regexp_extract_all(t, 'https?://[A-Za-z0-9./_-]+', 0)) AS BIGINT) AS n_urls,
+        |  CAST(size(regexp_extract_all(t, '\\b[0-9]{9,}\\b', 0)) AS BIGINT) AS n_ids,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>'),
+        |    'https?://[A-Za-z0-9./_-]+', '<URL>'),
+        |    '\\b[0-9]{9,}\\b', '<ID>') AS clean
+        | FROM aug)
+        |SELECT doc_id, n_emails, n_urls, n_ids,
+        | CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_hash
+        |FROM scrub ORDER BY doc_id""".stripMargin,
+    // tf-idf through the registered word_counts expression
+    "q61_tfidf_top" ->
+      """WITH tf AS (SELECT doc_id, e.term AS term, e.c AS c
+        |            FROM documents
+        |            LATERAL VIEW explode(word_counts(split(text, ' '))) x AS e),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, tf.term AS term,
+        |        round(c * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY tfidf DESC, term) AS rank FROM s)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs
