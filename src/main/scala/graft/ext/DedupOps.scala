@@ -543,4 +543,20 @@ object DedupOps {
         sum(when(hit, 1L).otherwise(0L)).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
   }
+
+  /** Per-row contamination flag: true iff ANY word n-gram of `text` hits
+    * the Bloom filter. Completely stateless and narrow (shingle + probe
+    * inside one `exists` — no explode, no aggregation), so it composes
+    * directly with `readStream` for ingest-time filtering: the 100 TB
+    * streaming-ingest shape is "drop/flag contaminated docs as they
+    * arrive", with the eval filter rebuilt only when the benchmark suite
+    * changes. Docs shorter than `n` tokens are checked as their whole
+    * text (the WordShingles fallback). Same no-false-negative guarantee
+    * as [[decontaminateBloom]]; StreamingSpec asserts streaming ≡ batch.
+    */
+  def bloomContaminatedFlag(text: Column,
+      filter: org.apache.spark.util.sketch.BloomFilter, n: Int = 3): Column =
+    exists(
+      graft.functions.WordShingles.word_shingles(split(text, " "), n),
+      sh => graft.functions.BloomMightContain.bloom_might_contain(sh, filter))
 }

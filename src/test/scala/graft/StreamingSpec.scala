@@ -265,4 +265,39 @@ class StreamingSpec extends SparkSpec {
     assert(totalEvents == 1000)
     assert(sessions.count() > 0)
   }
+
+  test("streaming decontamination flag equals the batch bloom verdict") {
+    import graft.ext.DedupOps
+    val docsDir = java.nio.file.Files.createTempDirectory("docs-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SF/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val docs = spark.read.parquet(docsDir.toString)
+    // eval filter built batch-side (it changes only when the benchmark
+    // suite does); the flag itself is a stateless narrow expression, so
+    // the streaming plan needs no state store and runs in append mode
+    val evalShingles = DedupOps.distinctShingleRows(
+      docs.filter(col("doc_id") % 41 === 0), 3)
+    val filter = evalShingles.stat.bloomFilter(col("sh"), 4096, 0.01)
+    def flagged(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("doc_id") % 41 =!= 0)
+      .select(col("doc_id"),
+        DedupOps.bloomContaminatedFlag(col("text"), filter).as("contaminated"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir.toString)
+    val got = EventStreaming.runToMemory(flagged(stream), "stream_decontam")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val want = flagged(docs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == want)
+    // and the bloom verdict is a superset of the exact one (no false negatives)
+    val rows = DedupOps.distinctShingleRows(docs, 3)
+    val exact = DedupOps.decontaminate(
+        rows.filter(col("doc_id") % 41 =!= 0),
+        rows.filter(col("doc_id") % 41 === 0))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    exact.foreach { case (id, isContaminated) =>
+      if (isContaminated) assert(got(id), s"doc $id: streaming flag dropped a true hit")
+    }
+  }
 }
