@@ -87,6 +87,10 @@ object SparkEntry {
     "q59_ngram_topk" -> (TextOps.qNgramTopK _),
     "q60_pii_scrub" -> (TextOps.qPiiScrub _),
     "q61_tfidf_top" -> (TextOps.qTfidfTop _),
+    "q62_url_filter" -> (ext.WebOps.qUrlFilter _),
+    "q63_substring_dedup" -> (DedupOps.qSubstringDedup _),
+    "q64_gopher_filter" -> (TextOps.qGopherFilter _),
+    "q65_vocab_coverage" -> (TextOps.qVocabCoverage _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -435,6 +439,74 @@ object SparkEntry {
         |          ORDER BY tfidf DESC, term) AS rank FROM s)
         |SELECT doc_id, rank, term, tfidf FROM r
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q62_url_filter" ->
+      """WITH u AS (
+        | SELECT doc_id, n_chars,
+        |  'https://' || source || '.example.' ||
+        |    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END ||
+        |    '/doc/' || doc_id AS url
+        | FROM documents),
+        |h AS (SELECT doc_id, n_chars, url,
+        |  regexp_extract(url, 'https?://([^/]+)', 1) AS host FROM u),
+        |b AS (SELECT *,
+        |  regexp_extract(host, '([A-Za-z0-9-]+\.[A-Za-z]+)$', 1) AS domain FROM h),
+        |b2 AS (SELECT *,
+        |  (domain = 'example.net' OR host LIKE 'src13.%') AS blocked FROM b),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY host
+        |        ORDER BY n_chars DESC, doc_id) AS rn FROM b2)
+        |SELECT doc_id, url, host, domain, blocked,
+        | CASE WHEN NOT blocked THEN rn END AS host_rank,
+        | (NOT blocked AND rn <= 5) AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q63_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
+        |w AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 20) AS w
+        |      FROM d, unnest(range(1, length(text) - 18)) AS r(i)),
+        |a AS (SELECT doc_id, w FROM w
+        |      WHERE substr(md5(w), 1, 1) IN ('0', '1', '2', '3')),
+        |g AS (SELECT w, doc_id, count(*) AS c FROM a GROUP BY 1, 2),
+        |x AS (SELECT w, doc_id, c,
+        |      count(*) OVER (PARTITION BY w) AS n_docs_w FROM g)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_anchors,
+        | CAST(sum(CASE WHEN n_docs_w >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_anchors,
+        | round(sum(CASE WHEN n_docs_w >= 2 THEN c ELSE 0 END)
+        |   / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q64_gopher_filter" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |w AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, max(c) AS topw
+        |       FROM wc GROUP BY 1),
+        |s AS (SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws), 6) AS mean_word_len,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS BIGINT) AS stop_hits,
+        |  round(topw / CAST(n AS DOUBLE), 6) AS top_word_frac
+        | FROM t JOIN wa ON t.doc_id = wa.doc_id)
+        |SELECT doc_id, n_words, mean_word_len, stop_hits, top_word_frac,
+        | NOT (n_words < 30 OR n_words > 10000
+        |   OR mean_word_len < 2.0 OR mean_word_len > 12.0
+        |   OR stop_hits < 2 OR top_word_frac > 0.15) AS keep,
+        | concat_ws(',',
+        |   CASE WHEN n_words < 30 THEN 'too_short' END,
+        |   CASE WHEN n_words > 10000 THEN 'too_long' END,
+        |   CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 'word_len' END,
+        |   CASE WHEN stop_hits < 2 THEN 'low_stopword' END,
+        |   CASE WHEN top_word_frac > 0.15 THEN 'repetitive' END) AS reasons
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q65_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM tf),
+        |top AS (SELECT term, c FROM tf ORDER BY c DESC, term LIMIT 30),
+        |r AS (SELECT term, c,
+        |  row_number() OVER (ORDER BY c DESC, term) AS rank,
+        |  sum(c) OVER (ORDER BY c DESC, term
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM top)
+        |SELECT rank, term, c AS n_occurrences, round(cum / total, 6) AS cum_frac
+        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
     "q55_bag_connections" ->
       """SELECT * FROM (VALUES
         | ('/gps', '/gps_driver', CAST(NULL AS BOOLEAN), CAST(24 AS BIGINT),

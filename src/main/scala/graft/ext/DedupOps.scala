@@ -559,4 +559,52 @@ object DedupOps {
     exists(
       graft.functions.WordShingles.word_shingles(split(text, " "), n),
       sh => graft.functions.BloomMightContain.bloom_might_contain(sh, filter))
+
+  /** Exact-substring duplication via content-defined anchor windows — the
+    * Spark-native answer to suffix-array substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): instead
+    * of a corpus-wide suffix array, take every length-`winLen` character
+    * window, keep the content-defined subset whose md5 starts with
+    * '0'-'3' (a 1-in-4 winnowing-style selection — selection depends only
+    * on window CONTENT, so a span shared by two documents selects the
+    * same anchors in both; a positional stride would not align), and per
+    * document report how many anchor positions land in windows that occur
+    * in ≥ 2 distinct documents.
+    *
+    * Scale shape: window expansion + anchor selection are narrow (the
+    * shuffle sees only the ~1/4 selected anchors); counting documents per
+    * window is ONE hash aggregate on (window, doc) followed by a window
+    * count over `window` — aggregations, never pair-joins, so a
+    * boilerplate window shared by a million docs costs a million
+    * aggregation rows, not a million² pairs. At 100 TB the join key
+    * becomes xxhash64(window) (8-byte keys, same alignment) and the
+    * selection modulus grows with corpus size; the raw-string key here
+    * keeps the DuckDB oracle byte-exact.
+    */
+  def substringDupStats(docs: DataFrame, winLen: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = docs
+      .filter(length(col("text")) >= winLen)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${winLen - 1}), " +
+          s"i -> substring(text, i, $winLen))")).as("w"))
+      .filter(substring(md5(col("w")), 1, 1).isin("0", "1", "2", "3"))
+    anchors
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+      .withColumn("n_docs_w", count(lit(1)).over(Window.partitionBy("w")))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_anchors"),
+        sum(when(col("n_docs_w") >= 2, col("c")).otherwise(0L)).as("n_dup_anchors"))
+      .select(col("doc_id"), col("n_anchors"), col("n_dup_anchors"),
+        round(col("n_dup_anchors").cast("double") / col("n_anchors"), 6)
+          .as("dup_frac"))
+  }
+
+  /** q63: per-document exact-substring duplication fractions over the
+    * documents table. Direct DuckDB oracle (same windows, same md5
+    * anchor rule).
+    */
+  def qSubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDupStats(Tables(spark, dir).documents).orderBy("doc_id")
 }

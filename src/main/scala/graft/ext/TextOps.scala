@@ -279,6 +279,78 @@ object TextOps {
         urlRe, "<URL>"),
       longIdRe, "<ID>")
 
+  /** q64: composite document-filter verdict — the Gopher/MassiveText rule
+    * family (word-count bounds, mean-word-length bounds, minimum stopword
+    * evidence, repetition cap) evaluated per document into a keep/drop
+    * decision plus the list of failed rules. Every signal is either a
+    * built-in string function or the native
+    * [[graft.functions.RepetitionSignals]] expression, so the whole filter
+    * is one narrow codegen'd pass — zero shuffle, the shape a 100 TB
+    * cleaning job needs (the ORDER BY is presentation-only). Rules compare
+    * the ROUNDED signal values so both engines threshold the identical
+    * 6-decimal number. Direct DuckDB oracle.
+    */
+  def qGopherFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sig = t.documents
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        size(col("ws")).cast("bigint").as("n_words"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(col("ws")), 6).as("mean_word_len"),
+        size(regexp_extract_all(col("text"),
+          lit("\\b(the|a|of|and|to|in)\\b"), lit(0))).cast("bigint").as("stop_hits"),
+        round(graft.functions.RepetitionSignals.repetition_signals(col("ws"))
+          .getField("top_word_frac"), 6).as("top_word_frac"))
+    val fail = Seq(
+      "too_short" -> (col("n_words") < 30),
+      "too_long" -> (col("n_words") > 10000),
+      "word_len" -> (col("mean_word_len") < 2.0 || col("mean_word_len") > 12.0),
+      "low_stopword" -> (col("stop_hits") < 2),
+      "repetitive" -> (col("top_word_frac") > 0.15))
+    sig
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("stop_hits"), col("top_word_frac"),
+        !fail.map(_._2).reduce(_ || _) as "keep",
+        concat_ws(",", fail.map { case (name, cond) =>
+          when(cond, lit(name))
+        }: _*).as("reasons"))
+      .orderBy("doc_id")
+  }
+
+  /** q65: vocabulary coverage curve — the tokenizer-design / corpus-audit
+    * query: rank terms by corpus frequency and report each top term's
+    * cumulative share of all tokens. Shapes for 100 TB: term counting is
+    * one explode + map-side-combined hash aggregate (the shuffle carries
+    * one row per distinct term per partition); the global top-k is a
+    * TakeOrderedAndProject (per-partition heaps, no full sort); the
+    * rank/cumulative window then runs over exactly k rows, and the corpus
+    * total joins in as a broadcast 1-row aggregate — no driver action.
+    * `tf` is persisted because both the top-k and the total derive from it
+    * (the q38 double-scan lesson). Direct DuckDB oracle.
+    */
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 30
+    val t = Tables(spark, dir)
+    val tf = graft.CacheRegistry.persist(
+      t.documents
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("c")))
+    val total = tf.agg(sum(col("c")).cast("double").as("total"))
+    val w = Window.orderBy(desc("c"), asc("term"))
+    tf.orderBy(desc("c"), asc("term")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .withColumn("cum",
+        sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("term"), col("c").as("n_occurrences"),
+        round(col("cum") / col("total"), 6).as("cum_frac"))
+      .orderBy("rank")
+  }
+
   /** q60: PII scrubbing over documents. The synthetic corpus carries no
     * PII, so deterministic entities are first INJECTED from doc_id (the
     * oracle rebuilds the identical augmented text with `||` and printf),

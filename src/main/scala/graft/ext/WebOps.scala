@@ -1,0 +1,72 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] URL / domain-level filtering — the web-corpus curation pass every
+  * large-scale training pipeline runs before content-level cleaning (C4's
+  * blocklist filtering, CCNet's per-domain grouping, Gopher/MassiveText's
+  * domain caps): parse the URL, extract host + registrable domain, drop
+  * blocklisted domains, and cap the number of documents kept per host so a
+  * single crawler-friendly site cannot dominate the corpus.
+  *
+  * Scale shape: URL parsing, domain extraction, and blocklist checks are
+  * narrow codegen'd string expressions (zero shuffle). The per-host cap is
+  * the one intrinsically grouped step — a single window over `host`, which
+  * hash-partitions by host; hosts number in the millions in a real crawl,
+  * so the shuffle is well spread and each partition's group fits easily
+  * (cap candidates per host are bounded by the crawl frontier, and a
+  * pathological mega-host degrades to one ordered group, not a cartesian).
+  * A real blocklist of millions of domains would arrive as a broadcast
+  * semi-join on `domain` instead of the inline predicate; the inline form
+  * keeps the oracle exact.
+  */
+object WebOps {
+
+  /** Host part of an URL (`https://HOST/...`) — regex rather than
+    * `parse_url` so the DuckDB oracle runs the identical extraction.
+    */
+  def urlHost(url: Column): Column = regexp_extract(url, "https?://([^/]+)", 1)
+
+  /** Registrable domain = last two dot-labels of the host (public-suffix
+    * lists are a lookup-table refinement of the same shape).
+    */
+  def registrableDomain(host: Column): Column =
+    regexp_extract(host, "([A-Za-z0-9-]+\\.[A-Za-z]+)$", 1)
+
+  /** q62: URL filtering + per-host document caps over `documents`. The
+    * synthetic corpus has no URL column, so a deterministic URL is first
+    * derived from (source, doc_id) — the oracle rebuilds the identical
+    * string — then parsed back, blocklist-filtered (one bad TLD-domain +
+    * one bad host prefix), and capped at `maxPerHost` docs per host,
+    * keeping the longest documents first (a quality proxy; ties by
+    * doc_id). Blocked hosts get a NULL rank. Direct DuckDB oracle.
+    */
+  def qUrlFilter(spark: SparkSession, dir: String): DataFrame = {
+    val maxPerHost = 5
+    val t = Tables(spark, dir)
+    val id = col("doc_id")
+    val tld = when(id % 3 === 0, "com").when(id % 3 === 1, "org").otherwise("net")
+    val url = concat(lit("https://"), col("source"), lit(".example."), tld,
+      lit("/doc/"), id.cast("string"))
+    val base = t.documents
+      .select(id, col("n_chars"), url.as("url"))
+      .withColumn("host", urlHost(col("url")))
+      .withColumn("domain", registrableDomain(col("host")))
+      // blocklist: one bad registrable domain, one bad host prefix
+      .withColumn("blocked",
+        col("domain") === "example.net" || col("host").startsWith("src13."))
+    // `blocked` is a function of host alone, so ranking within host ranks
+    // each host's docs among peers with the same blocked status
+    base
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("host")
+          .orderBy(desc("n_chars"), asc("doc_id"))))
+      .select(id, col("url"), col("host"), col("domain"), col("blocked"),
+        when(!col("blocked"), col("__rn").cast("bigint")).as("host_rank"),
+        (!col("blocked") && col("__rn") <= maxPerHost).as("kept"))
+      .orderBy("doc_id")
+  }
+}

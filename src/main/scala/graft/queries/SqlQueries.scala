@@ -293,6 +293,75 @@ object SqlQueries {
         |          ORDER BY tfidf DESC, term) AS rank FROM s)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf FROM r
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q62_url_filter" ->
+      """WITH u AS (
+        | SELECT doc_id, n_chars,
+        |  concat('https://', source, '.example.',
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |      ELSE 'net' END,
+        |    '/doc/', doc_id) AS url
+        | FROM documents),
+        |h AS (SELECT doc_id, n_chars, url,
+        |  regexp_extract(url, 'https?://([^/]+)', 1) AS host FROM u),
+        |b AS (SELECT *,
+        |  regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z]+)$', 1) AS domain FROM h),
+        |b2 AS (SELECT *,
+        |  (domain = 'example.net' OR host LIKE 'src13.%') AS blocked FROM b),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY host
+        |        ORDER BY n_chars DESC, doc_id) AS rn FROM b2)
+        |SELECT doc_id, url, host, domain, blocked,
+        | CASE WHEN NOT blocked THEN CAST(rn AS BIGINT) END AS host_rank,
+        | (NOT blocked AND rn <= 5) AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q63_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
+        |wnd AS (SELECT doc_id, substring(text, i, 20) AS w
+        |      FROM d LATERAL VIEW explode(sequence(1, length(text) - 19)) x AS i),
+        |a AS (SELECT doc_id, w FROM wnd
+        |      WHERE substring(md5(w), 1, 1) IN ('0', '1', '2', '3')),
+        |g AS (SELECT w, doc_id, count(*) AS c FROM a GROUP BY w, doc_id),
+        |x AS (SELECT w, doc_id, c,
+        |      count(*) OVER (PARTITION BY w) AS n_docs_w FROM g)
+        |SELECT doc_id, sum(c) AS n_anchors,
+        | sum(CASE WHEN n_docs_w >= 2 THEN c ELSE 0L END) AS n_dup_anchors,
+        | round(CAST(sum(CASE WHEN n_docs_w >= 2 THEN c ELSE 0L END) AS DOUBLE)
+        |   / sum(c), 6) AS dup_frac
+        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q64_gopher_filter" ->
+      """WITH t AS (SELECT doc_id, text, split(text, ' ') AS ws FROM documents
+        |           WHERE size(split(text, ' ')) >= 2),
+        |s AS (SELECT doc_id,
+        |  CAST(size(ws) AS BIGINT) AS n_words,
+        |  round(CAST(length(regexp_replace(text, ' ', '')) AS DOUBLE) / size(ws), 6)
+        |    AS mean_word_len,
+        |  CAST(size(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b', 0)) AS BIGINT)
+        |    AS stop_hits,
+        |  round(repetition_signals(ws).top_word_frac, 6) AS top_word_frac
+        | FROM t)
+        |SELECT doc_id, n_words, mean_word_len, stop_hits, top_word_frac,
+        | NOT (n_words < 30 OR n_words > 10000
+        |   OR mean_word_len < 2.0 OR mean_word_len > 12.0
+        |   OR stop_hits < 2 OR top_word_frac > 0.15) AS keep,
+        | concat_ws(',',
+        |  CASE WHEN n_words < 30 THEN 'too_short' END,
+        |  CASE WHEN n_words > 10000 THEN 'too_long' END,
+        |  CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 'word_len' END,
+        |  CASE WHEN stop_hits < 2 THEN 'low_stopword' END,
+        |  CASE WHEN top_word_frac > 0.15 THEN 'repetitive' END) AS reasons
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q65_vocab_coverage" ->
+      """WITH tf AS (SELECT term, count(*) AS c FROM documents
+        |            LATERAL VIEW explode(split(text, ' ')) x AS term
+        |            GROUP BY term),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM tf),
+        |top AS (SELECT term, c FROM tf ORDER BY c DESC, term LIMIT 30),
+        |r AS (SELECT term, c,
+        |  CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT) AS rank,
+        |  sum(c) OVER (ORDER BY c DESC, term
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM top)
+        |SELECT rank, term, c AS n_occurrences, round(cum / total, 6) AS cum_frac
+        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs

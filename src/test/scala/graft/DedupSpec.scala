@@ -179,6 +179,31 @@ class DedupSpec extends SparkSpec {
       (1L, 4L, 2L, true), (2L, 3L, 0L, false), (3L, 3L, 0L, false)))
   }
 
+  test("substring dup stats: planted shared span detected, unique doc clean") {
+    import spark.implicits._
+    // docs 0/1 share a 62-char span at DIFFERENT offsets (content-defined
+    // anchor selection must still align); doc 2 shares nothing
+    val shared = "the quick brown fox jumps over the lazy dog again and again!!"
+    val corpus = Seq(
+      (0L, s"AAAA $shared zzzz unique tail zero"),
+      (1L, s"BBBB a different head here $shared other tail one"),
+      (2L, "completely unrelated text with no overlap whatsoever in anything"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.substringDupStats(corpus).orderBy("doc_id").collect()
+    assert(out.length == 3)
+    val dup = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dup(0L) > 0 && dup(1L) > 0, s"shared span not detected: $dup")
+    // the only cross-doc windows are inside the shared span, which selects
+    // the same anchor set in both docs
+    assert(dup(0L) == dup(1L), s"sharers disagree: $dup")
+    assert(dup(2L) == 0, s"clean doc flagged: $dup")
+    out.foreach { r =>
+      assert(r.getLong(1) > 0, "no anchors selected")
+      assert(math.abs(r.getDouble(3) -
+        r.getLong(2).toDouble / r.getLong(1)) < 1e-6 + 1e-9)
+    }
+  }
+
   test("bloom decontamination: no false negatives, counts upper-bound exact") {
     val docs = Tables(spark, SF).documents.select(col("doc_id"), col("text"))
     val rows = graft.CacheRegistry.persist(DedupOps.distinctShingleRows(docs, 3))

@@ -195,4 +195,38 @@ class TextSpec extends SparkSpec {
       assert(r.getLong(3) == (if (id % 5 == 0) 1L else 0L), s"doc $id ids")
     }
   }
+
+  test("q64 gopher filter: verdict ≡ reasons ≡ emitted signals; both classes occur") {
+    val ruleNames = Set("too_short", "too_long", "word_len", "low_stopword", "repetitive")
+    val out = TextOps.qGopherFilter(spark, SF).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (nWords, mwl, stops, twf) =
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      val keep = r.getBoolean(5)
+      val reasons = r.getString(6)
+      assert(keep == reasons.isEmpty, s"doc ${r.getLong(0)}: keep=$keep reasons='$reasons'")
+      if (reasons.nonEmpty)
+        reasons.split(",").foreach(x => assert(ruleNames(x), s"unknown rule '$x'"))
+      // the verdict must be re-derivable from the row's own signal columns
+      val fails = nWords < 30 || nWords > 10000 || mwl < 2.0 || mwl > 12.0 ||
+        stops < 2 || twf > 0.15
+      assert(keep == !fails, s"doc ${r.getLong(0)} verdict inconsistent with signals")
+    }
+    assert(out.exists(_.getBoolean(5)) && out.exists(!_.getBoolean(5)),
+      "thresholds degenerate: only one verdict class at this SF")
+  }
+
+  test("q65 vocab coverage: dense ranks, nonincreasing counts, monotone cum_frac ≤ 1") {
+    val out = TextOps.qVocabCoverage(spark, SF).collect()
+    graft.CacheRegistry.release()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 30L))
+    val counts = out.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, "counts not sorted")
+    val cum = out.map(_.getDouble(3))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b + 1e-9 }, "cum_frac not monotone")
+    assert(cum.head > 0 && cum.last <= 1.0 + 1e-9)
+    // the synthetic vocabulary is small, so 30 terms must cover most tokens
+    assert(cum.last > 0.5, s"top-30 covers only ${cum.last}")
+  }
 }

@@ -1,0 +1,38 @@
+package graft
+
+import graft.ext.WebOps
+
+class WebOpsSpec extends SparkSpec {
+
+  test("q62: URL parse roundtrip, blocklist semantics, per-host cap binds") {
+    val out = WebOps.qUrlFilter(spark, SF).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (url, host, domain) = (r.getString(1), r.getString(2), r.getString(3))
+      assert(url.startsWith(s"https://$host/"), s"host '$host' not the URL authority of '$url'")
+      assert(host.endsWith(domain), s"domain '$domain' not a suffix of host '$host'")
+      assert(domain.count(_ == '.') == 1, s"'$domain' is not a registrable domain")
+      val blocked = r.getBoolean(4)
+      assert(blocked == (domain == "example.net" || host.startsWith("src13.")),
+        s"blocklist verdict wrong for $host")
+      if (blocked) {
+        assert(r.isNullAt(5), s"blocked $host has a rank")
+        assert(!r.getBoolean(6), s"blocked $host kept")
+      } else {
+        assert(r.getLong(5) >= 1)
+        assert(r.getBoolean(6) == (r.getLong(5) <= 5), s"kept ≠ rank≤cap for $host")
+      }
+    }
+    // both blocklist classes occur, and the per-host cap actually binds
+    assert(out.exists(_.getBoolean(4)) && out.exists(r => !r.getBoolean(4)))
+    val unblockedByHost = out.filter(r => !r.getBoolean(4)).groupBy(_.getString(2))
+    assert(unblockedByHost.values.exists(rows =>
+      rows.count(_.getBoolean(6)) == 5 && rows.exists(r => !r.getBoolean(6))),
+      "cap never binds at this SF — no host exceeds 5 unblocked docs")
+    // ranks are dense 1..n within each host
+    unblockedByHost.values.foreach { rows =>
+      assert(rows.map(_.getLong(5)).sorted.toSeq == (1L to rows.length).toSeq,
+        "host ranks not dense")
+    }
+  }
+}
