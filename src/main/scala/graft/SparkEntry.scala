@@ -91,6 +91,8 @@ object SparkEntry {
     "q63_substring_dedup" -> (DedupOps.qSubstringDedup _),
     "q64_gopher_filter" -> (TextOps.qGopherFilter _),
     "q65_vocab_coverage" -> (TextOps.qVocabCoverage _),
+    "q66_lm_perplexity" -> (TextOps.qLmPerplexity _),
+    "q67_shard_assign" -> (SamplingOps.qShardAssign _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -507,6 +509,32 @@ object SparkEntry {
         | FROM top)
         |SELECT rank, term, c AS n_occurrences, round(cum / total, 6) AS cum_frac
         |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+    "q66_lm_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id,
+        |        ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] AS bg,
+        |        ws[CAST(i AS INTEGER)] AS w1
+        |       FROM t, unnest(range(1, len(ws))) AS r(i)),
+        |rbg AS (SELECT bg, count(*) AS c12 FROM bg WHERE doc_id % 7 = 0 GROUP BY 1),
+        |ru AS (SELECT w1, count(*) AS c1
+        |       FROM (SELECT doc_id, unnest(ws) AS w1 FROM t)
+        |       WHERE doc_id % 7 = 0 GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ru),
+        |s AS (SELECT e.doc_id,
+        |        -ln((coalesce(c12, 0) + 1) / (coalesce(c1, 0) + v)) AS nll
+        |      FROM bg e LEFT JOIN rbg USING (bg) LEFT JOIN ru USING (w1)
+        |      CROSS JOIN v
+        |      WHERE e.doc_id % 7 <> 0)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll,
+        | round(exp(avg(nll)), 4) AS ppl
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q67_shard_assign" ->
+      """SELECT (doc_id * 1103515245 + 12345) % 2147483648 % 8 AS shard,
+        | count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        | min(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     "q55_bag_connections" ->
       """SELECT * FROM (VALUES
         | ('/gps', '/gps_driver', CAST(NULL AS BOOLEAN), CAST(24 AS BIGINT),

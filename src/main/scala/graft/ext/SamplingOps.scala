@@ -53,4 +53,41 @@ object SamplingOps {
     stratifiedSample(t.documents.select("doc_id", "lang"), "lang", "doc_id", 10)
       .orderBy("doc_id")
   }
+
+  /** Deterministic engine-portable "hash" shard: an LCG over the id (the
+    * same generator the detection queries use), so DuckDB reproduces the
+    * assignment bit-for-bit — a stand-in for xxhash64(id) % n, which is
+    * what production would use.
+    */
+  def lcgShard(id: Column, nShards: Int): Column =
+    (id * 1103515245L + 12345L) % 2147483648L % nShards
+
+  /** q67: training-shard assignment with balanced token budgets — the
+    * last step of a curation pipeline (write the cleaned corpus as N
+    * shards a trainer streams). Docs are assigned by deterministic hash
+    * and the query reports each shard's document count and token budget.
+    *
+    * Scale design: hash assignment is a NARROW per-row expression — no
+    * global sort, no coordination — and shard token totals concentrate
+    * within O(1/√docs-per-shard) of the mean by law of large numbers
+    * (the spec asserts the realized spread). The tempting alternative —
+    * longest-first round-robin over a global token-count ranking — needs
+    * a corpus-wide sort and a single-partition window, the exact shape
+    * that dies at 100 TB, and buys nothing once shards hold millions of
+    * docs. One map-side-combined groupBy(shard) produces the report.
+    * Direct DuckDB oracle.
+    */
+  def qShardAssign(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 8
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"),
+        lcgShard(col("doc_id"), nShards).as("shard"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy("shard")
+  }
 }

@@ -261,6 +261,56 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** q66: bigram-LM perplexity scoring — the CCNet-style quality filter:
+    * train an add-one-smoothed word-bigram language model on a REFERENCE
+    * slice of the corpus (docs with doc_id % 7 == 0 play the clean
+    * reference, as Wikipedia does for CCNet's KenLM), then score every
+    * other document by average negative log-likelihood and perplexity
+    * under that model. P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V).
+    *
+    * Scale shape: the model is vocabulary-bounded (unigram + observed-
+    * bigram tables), exactly like a shipped KenLM binary — both sides
+    * arrive as BROADCAST hash joins, so scoring is one narrow explode +
+    * two broadcast joins + one partial-agg-friendly groupBy(doc_id)
+    * whose map-side combine collapses to ~one row per doc before the
+    * shuffle (a doc's bigrams are co-located with its source row). V and
+    * the model tables are plan-side aggregates — no driver action.
+    * Direct DuckDB oracle (same smoothing arithmetic, rounded outputs).
+    */
+  def qLmPerplexity(spark: SparkSession, dir: String): DataFrame =
+    lmPerplexity(Tables(spark, dir).documents, col("doc_id") % 7 === 0)
+      .orderBy("doc_id")
+
+  /** See [[qLmPerplexity]]. `refPred` selects the reference (model-
+    * training) documents; every other doc with ≥ 2 tokens is scored.
+    */
+  def lmPerplexity(docs: DataFrame, refPred: Column): DataFrame = {
+    val toks = graft.CacheRegistry.persist(
+      docs
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2))
+    val isRef = refPred
+    val bigr = toks.select(col("doc_id"),
+      explode(graft.functions.WordShingles.word_shingles(col("ws"), 2)).as("bg"))
+    val refBg = bigr.filter(isRef).groupBy("bg").agg(count(lit(1)).as("c12"))
+    val refUni = toks.filter(isRef)
+      .select(explode(col("ws")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = refUni.agg(count(lit(1)).cast("double").as("v"))
+    val nll = -log((coalesce(col("c12"), lit(0L)) + 1) /
+      (coalesce(col("c1"), lit(0L)) + col("v")))
+    bigr.filter(!isRef)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(broadcast(refBg), Seq("bg"), "left")
+      .join(broadcast(refUni), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), avg(nll).as("__avg_nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__avg_nll"), 6).as("avg_nll"),
+        round(exp(col("__avg_nll")), 4).as("ppl"))
+  }
+
   // PII scrubbing patterns — the RE2/Java-regex common subset (no
   // lookaround, no backrefs), so the DuckDB oracle runs them verbatim.
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -362,6 +362,32 @@ object SqlQueries {
         | FROM top)
         |SELECT rank, term, c AS n_occurrences, round(cum / total, 6) AS cum_frac
         |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+    // bigram LM through the registered word_shingles expression
+    "q66_lm_perplexity" ->
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS ws FROM documents
+        |           WHERE size(split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, bg, substring_index(bg, ' ', 1) AS w1
+        |       FROM t LATERAL VIEW explode(word_shingles(ws, 2)) x AS bg),
+        |rbg AS (SELECT bg, count(*) AS c12 FROM bg WHERE doc_id % 7 = 0
+        |        GROUP BY bg),
+        |ru AS (SELECT w1, count(*) AS c1
+        |       FROM (SELECT doc_id, w1 FROM t LATERAL VIEW explode(ws) y AS w1)
+        |       WHERE doc_id % 7 = 0 GROUP BY w1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ru),
+        |s AS (SELECT e.doc_id,
+        |        -ln((coalesce(c12, 0L) + 1) / (coalesce(c1, 0L) + v)) AS nll
+        |      FROM bg e LEFT JOIN rbg USING (bg) LEFT JOIN ru USING (w1)
+        |      CROSS JOIN v
+        |      WHERE e.doc_id % 7 != 0)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll,
+        | round(exp(avg(nll)), 4) AS ppl
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q67_shard_assign" ->
+      """SELECT (doc_id * 1103515245 + 12345) % 2147483648 % 8 AS shard,
+        | count(*) AS n_docs,
+        | CAST(sum(size(split(text, ' '))) AS BIGINT) AS sum_tokens,
+        | min(doc_id) AS min_doc_id
+        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs

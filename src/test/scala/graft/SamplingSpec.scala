@@ -1,0 +1,35 @@
+package graft
+
+import graft.ext.SamplingOps
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("q67 shard assignment: deterministic, complete, and token-balanced") {
+    val out = SamplingOps.qShardAssign(spark, SF).collect()
+    assert(out.map(_.getLong(0)).toSeq == (0L until 8L))
+    val totalDocs = out.map(_.getLong(1)).sum
+    assert(totalDocs == Tables(spark, SF).documents.count())
+    // the LCG shard is a pure function of doc_id → re-running yields the
+    // identical report
+    val again = SamplingOps.qShardAssign(spark, SF).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // balance: with ~60 docs/shard the token totals concentrate; allow a
+    // generous but meaningful envelope around the mean
+    val tokens = out.map(_.getLong(2).toDouble)
+    val mean = tokens.sum / tokens.length
+    tokens.foreach { s =>
+      assert(math.abs(s - mean) / mean < 0.5, s"shard budget $s vs mean $mean")
+    }
+  }
+
+  test("shard function matches its own definition") {
+    val rows = Tables(spark, SF).documents
+      .select(col("doc_id"), SamplingOps.lcgShard(col("doc_id"), 8).as("shard"))
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == (id * 1103515245L + 12345L) % 2147483648L % 8)
+    }
+  }
+}

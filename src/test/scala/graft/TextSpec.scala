@@ -217,6 +217,38 @@ class TextSpec extends SparkSpec {
       "thresholds degenerate: only one verdict class at this SF")
   }
 
+  test("q66 LM perplexity: hand-computed add-one-smoothed bigram scores") {
+    import spark.implicits._
+    // reference doc 0: "a b a b" → bigram counts {a b: 2, b a: 1},
+    // unigram counts {a: 2, b: 2}, V = 2
+    val corpus = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val out = TextOps.lmPerplexity(corpus, col("doc_id") === 0).collect()
+    graft.CacheRegistry.release()
+    assert(out.length == 1)
+    val r = out.head
+    // "a b": -ln((2+1)/(2+2)); "b c": unseen bigram, seen w1 → -ln((0+1)/(2+2))
+    val nll = Seq(-math.log(3.0 / 4.0), -math.log(1.0 / 4.0))
+    val avg = nll.sum / nll.size
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == BigDecimal(avg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(3) == BigDecimal(math.exp(avg)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("q66 on real docs: every non-reference doc scored, ppl consistent with avg_nll") {
+    val out = TextOps.qLmPerplexity(spark, SF).collect()
+    graft.CacheRegistry.release()
+    val expected = Tables(spark, SF).documents
+      .filter(col("doc_id") % 7 =!= 0 && size(split(col("text"), " ")) >= 2).count()
+    assert(out.length == expected)
+    out.foreach { r =>
+      assert(r.getLong(0) % 7 != 0)
+      assert(r.getDouble(2) > 0, "smoothed LM cannot assign certainty")
+      // ppl ≈ exp(avg_nll) — both rounded from the same unrounded value
+      assert(math.abs(r.getDouble(3) - math.exp(r.getDouble(2))) <
+        math.exp(r.getDouble(2)) * 1e-5 + 1e-3)
+    }
+  }
+
   test("q65 vocab coverage: dense ranks, nonincreasing counts, monotone cum_frac ≤ 1") {
     val out = TextOps.qVocabCoverage(spark, SF).collect()
     graft.CacheRegistry.release()
