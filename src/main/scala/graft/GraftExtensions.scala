@@ -75,6 +75,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "repetition_signals"),
       (exprs: Seq[Expression]) => graft.functions.RepetitionSignals(exprs.head)))
     ext.injectFunction((
+      new FunctionIdentifier("char_windows"),
+      new ExpressionInfo(classOf[graft.functions.CharWindows].getName, "char_windows"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, n) => graft.functions.CharWindows(c, intArg(n, "n"))
+        case _ => throw new IllegalArgumentException("char_windows(text, n)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("word_counts"),
       new ExpressionInfo(classOf[graft.functions.WordCounts].getName, "word_counts"),
       (exprs: Seq[Expression]) => graft.functions.WordCounts(exprs.head)))

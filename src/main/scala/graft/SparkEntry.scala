@@ -93,6 +93,7 @@ object SparkEntry {
     "q65_vocab_coverage" -> (TextOps.qVocabCoverage _),
     "q66_lm_perplexity" -> (TextOps.qLmPerplexity _),
     "q67_shard_assign" -> (SamplingOps.qShardAssign _),
+    "q68_mixture_sample" -> (SamplingOps.qMixtureSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -535,6 +536,18 @@ object SparkEntry {
         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
         | min(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    "q68_mixture_sample" ->
+      """WITH b AS (SELECT DISTINCT source,
+        |  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 3
+        |       WHEN source LIKE 'src1%' THEN 2 ELSE 1 END AS weight
+        | FROM documents),
+        |r AS (SELECT doc_id, d.source AS source, weight,
+        |  row_number() OVER (PARTITION BY d.source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents d JOIN b ON d.source = b.source)
+        |SELECT doc_id, source, CAST(weight AS BIGINT) AS weight,
+        | CAST(rk AS BIGINT) AS sample_rank
+        |FROM r WHERE rk <= weight * 5 ORDER BY doc_id""".stripMargin,
     "q55_bag_connections" ->
       """SELECT * FROM (VALUES
         | ('/gps', '/gps_driver', CAST(NULL AS BOOLEAN), CAST(24 AS BIGINT),

@@ -585,9 +585,8 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     val anchors = docs
       .filter(length(col("text")) >= winLen)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, length(text) - ${winLen - 1}), " +
-          s"i -> substring(text, i, $winLen))")).as("w"))
+      .select(col("doc_id"), explode(
+        graft.functions.CharWindows.char_windows(col("text"), winLen)).as("w"))
       .filter(substring(md5(col("w")), 1, 1).isin("0", "1", "2", "3"))
     anchors
       .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))

@@ -54,6 +54,44 @@ object SamplingOps {
       .orderBy("doc_id")
   }
 
+  /** Per-stratum budgeted sampling: like [[stratifiedSample]] but each
+    * stratum gets its OWN row budget from a (stratum, budget) table —
+    * the mixture-construction primitive (Pile/Dolma-style source
+    * weighting: upsample curated sources, downsample crawl). Budgets
+    * arrive as a broadcast join (the mixture config is tiny); the only
+    * shuffle is the per-stratum window, keyed by stratum.
+    */
+  def mixtureSample(df: DataFrame, stratum: String, key: String,
+      budgets: DataFrame): DataFrame = {
+    val rk = "__graft_mix_rk"
+    require(!df.columns.contains(rk), s"input already has a $rk column")
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(hashRank(col(key)), col(key))
+    df.join(broadcast(budgets), Seq(stratum))
+      .withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= col("budget"))
+      .withColumnRenamed(rk, "sample_rank")
+  }
+
+  /** q68: mixture sampling over documents — weights are a deterministic
+    * function of the source name (3× for the "curated" sources, 2× for
+    * the teens, 1× for the rest; budget = weight · 5 docs), so the
+    * DuckDB oracle rebuilds the identical config. Direct oracle.
+    */
+  def qMixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val budgets = t.documents.select(col("source")).distinct()
+      .withColumn("weight",
+        when(col("source").isin("src0", "src1", "src2"), 3L)
+          .when(col("source").startsWith("src1"), 2L)
+          .otherwise(1L))
+      .withColumn("budget", col("weight") * 5)
+    mixtureSample(t.documents.select("doc_id", "source"), "source", "doc_id", budgets)
+      .select(col("doc_id"), col("source"), col("weight"),
+        col("sample_rank").cast("bigint").as("sample_rank"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic engine-portable "hash" shard: an LCG over the id (the
     * same generator the detection queries use), so DuckDB reproduces the
     * assignment bit-for-bit — a stand-in for xxhash64(id) % n, which is

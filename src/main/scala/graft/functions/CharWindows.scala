@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Every length-`n` CHARACTER window of a string in one native pass —
+  * the expansion step of substring-level dedup (q63). Replaces the
+  * `transform(sequence(1, length - n + 1), i -> substring(text, i, n))`
+  * higher-order pipeline, whose lambda is evaluated INTERPRETED per
+  * element and — on UTF-8 data — re-scans the string from the start for
+  * every window (substring by codepoint is O(position)). Semantics match
+  * the HOF form exactly for strings of ≥ n chars (windows at positions
+  * 1..len-n+1, by code points); SHORTER strings yield an empty array
+  * (the HOF's descending-`sequence` artifact is never relied on —
+  * callers filter `length(text) >= n` first).
+  *
+  * ASCII fast path: when numBytes == numChars the windows are direct
+  * byte slices of one materialized copy — O(len) scan, O(n) per window
+  * copy. Non-ASCII falls back to per-window codepoint substring.
+  */
+case class CharWindows(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"char_windows window length must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_windows requires STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_windows"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val chars = s.numChars()
+    if (chars < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](chars - n + 1)
+    if (s.numBytes() == chars) {
+      val b = s.getBytes
+      var i = 0
+      while (i <= chars - n) { out(i) = UTF8String.fromBytes(b, i, n); i += 1 }
+    } else {
+      var i = 0
+      while (i <= chars - n) { out(i) = s.substringSQL(i + 1, n); i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharWindows =
+    copy(child = newChild)
+}
+
+object CharWindows {
+  def char_windows(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      CharWindows(org.apache.spark.sql.graft.Bridge.expression(c), n))
+}

@@ -388,6 +388,17 @@ object SqlQueries {
         | CAST(sum(size(split(text, ' '))) AS BIGINT) AS sum_tokens,
         | min(doc_id) AS min_doc_id
         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
+    "q68_mixture_sample" ->
+      """WITH b AS (SELECT DISTINCT source,
+        |  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 3L
+        |       WHEN source LIKE 'src1%' THEN 2L ELSE 1L END AS weight
+        | FROM documents),
+        |r AS (SELECT doc_id, d.source AS source, weight,
+        |  row_number() OVER (PARTITION BY d.source
+        |    ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+        | FROM documents d JOIN b ON d.source = b.source)
+        |SELECT doc_id, source, weight, CAST(rk AS BIGINT) AS sample_rank
+        |FROM r WHERE rk <= weight * 5 ORDER BY doc_id""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs

@@ -179,6 +179,30 @@ class DedupSpec extends SparkSpec {
       (1L, 4L, 2L, true), (2L, 3L, 0L, false), (3L, 3L, 0L, false)))
   }
 
+  test("char_windows native ≡ HOF substring formulation, incl. unicode") {
+    import spark.implicits._
+    val docs = Tables(spark, SF).documents.select(col("text"))
+      .limit(50)
+      .union(Seq("café déjà vu encore une fois répété café déjà",
+        "深度学习模型的训练数据去重与质量分析流水线测试", "exactly twenty chars.", "short").toDF("text"))
+      .filter(length(col("text")) >= 20)
+    val native = docs.select(
+      graft.functions.CharWindows.char_windows(col("text"), 20).as("w")).collect()
+    val hof = docs.select(expr(
+      "transform(sequence(1, length(text) - 19), i -> substring(text, i, 20))").as("w"))
+      .collect()
+    assert(native.length == hof.length)
+    native.zip(hof).foreach { case (n, h) =>
+      assert(n.getSeq[String](0) == h.getSeq[String](0))
+    }
+    // below-window-length strings yield an empty array, not a descending
+    // sequence artifact
+    val short = Seq("tiny").toDF("text")
+      .select(graft.functions.CharWindows.char_windows(col("text"), 20).as("w"))
+      .collect()
+    assert(short.head.getSeq[String](0).isEmpty)
+  }
+
   test("substring dup stats: planted shared span detected, unique doc clean") {
     import spark.implicits._
     // docs 0/1 share a 62-char span at DIFFERENT offsets (content-defined

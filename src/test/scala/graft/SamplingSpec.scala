@@ -23,6 +23,25 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("q68 mixture sample: per-source budgets honored, ranks dense, deterministic") {
+    val out = SamplingOps.qMixtureSample(spark, SF).collect()
+    val bySource = out.groupBy(_.getString(1))
+    bySource.foreach { case (src, rows) =>
+      val weight = rows.head.getLong(2)
+      val expectedW: Long =
+        if (Set("src0", "src1", "src2")(src)) 3L
+        else if (src.startsWith("src1")) 2L else 1L
+      assert(weight == expectedW, s"$src weight")
+      assert(rows.length <= weight * 5, s"$src over budget")
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq,
+        s"$src ranks not dense")
+    }
+    // every source is populous enough at this SF for its budget to fill
+    assert(bySource.forall { case (_, rows) => rows.length == rows.head.getLong(2) * 5 })
+    val again = SamplingOps.qMixtureSample(spark, SF).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("shard function matches its own definition") {
     val rows = Tables(spark, SF).documents
       .select(col("doc_id"), SamplingOps.lcgShard(col("doc_id"), 8).as("shard"))
