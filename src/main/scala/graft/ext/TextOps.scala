@@ -340,9 +340,16 @@ object TextOps {
     * the ROUNDED signal values so both engines threshold the identical
     * 6-decimal number. Direct DuckDB oracle.
     */
-  def qGopherFilter(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val sig = t.documents
+  def qGopherFilter(spark: SparkSession, dir: String): DataFrame =
+    gopherVerdict(Tables(spark, dir).documents).orderBy("doc_id")
+
+  /** See [[qGopherFilter]]. Entirely stateless and narrow (no
+    * aggregation, no window), so it composes directly with `readStream`
+    * for ingest-time filtering — StreamingSpec asserts streaming ≡
+    * batch.
+    */
+  def gopherVerdict(docs: DataFrame): DataFrame = {
+    val sig = docs
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"),
@@ -366,7 +373,6 @@ object TextOps {
         concat_ws(",", fail.map { case (name, cond) =>
           when(cond, lit(name))
         }: _*).as("reasons"))
-      .orderBy("doc_id")
   }
 
   /** q65: vocabulary coverage curve — the tokenizer-design / corpus-audit

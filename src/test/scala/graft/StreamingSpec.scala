@@ -300,4 +300,28 @@ class StreamingSpec extends SparkSpec {
       if (isContaminated) assert(got(id), s"doc $id: streaming flag dropped a true hit")
     }
   }
+
+  test("streaming Gopher verdict + PII scrub equal their batch results") {
+    import graft.ext.TextOps
+    val docsDir = java.nio.file.Files.createTempDirectory("docs-gopher-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SF/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val docs = spark.read.parquet(docsDir.toString)
+    // both ops are stateless narrow column transforms, so the streaming
+    // plan is append-mode with no state store — the ingest-time shape
+    def clean(df: org.apache.spark.sql.DataFrame) =
+      TextOps.gopherVerdict(df)
+        .select(col("doc_id"), col("keep"), col("reasons"))
+        .withColumn("scrub_probe",
+          TextOps.scrubPii(concat(lit("x 123456789012 y "), col("reasons"))))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir.toString)
+    val got = EventStreaming.runToMemory(clean(stream), "stream_gopher")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2), r.getString(3))).toMap
+    val want = clean(docs)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2), r.getString(3))).toMap
+    assert(got == want)
+    assert(got.values.forall(_._3.startsWith("x <ID> y")), "scrub not applied in-stream")
+  }
 }
