@@ -38,6 +38,27 @@ object BagFormatProps extends Properties("graft") {
         .eval(null) == refHash(s)
     }
 
+  // char_windows: code-point sliding reference (exercises the ASCII byte
+  // fast path, the multi-byte fallback, and supplementary-plane pairs)
+  private val genText: Gen[String] = Gen.listOf(
+    Gen.oneOf("a", "b", "z9", " ", "é", "ß", "深", "日本", "😀"))
+    .map(_.mkString)
+
+  private def refCharWindows(s: String, n: Int): Seq[String] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < n) Seq.empty
+    else (0 to cps.length - n).map(i => new String(cps, i, n))
+  }
+
+  property("char_windows eval matches the codepoint-sliding reference") =
+    Prop.forAll(genText, Gen.chooseNum(1, 25)) { (s, n) =>
+      val out = graft.functions.CharWindows(
+        org.apache.spark.sql.catalyst.expressions.Literal(s), n)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until out.numElements()).map(i => out.getUTF8String(i).toString) ==
+        refCharWindows(s, n)
+    }
+
   property("winnow: nonempty, subset of all k-gram hashes, shift-stable tail") =
     Prop.forAll(Gen.asciiPrintableStr.suchThat(_.length > 12)) { s =>
       val fp = WinnowFingerprints(
