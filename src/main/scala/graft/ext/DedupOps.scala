@@ -581,13 +581,22 @@ object DedupOps {
     * selection modulus grows with corpus size; the raw-string key here
     * keeps the DuckDB oracle byte-exact.
     */
-  def substringDupStats(docs: DataFrame, winLen: Int = 20): DataFrame = {
+  def substringDupStats(docs: DataFrame, winLen: Int = 20,
+      keyByHash: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val anchors = docs
+    val raw = docs
       .filter(length(col("text")) >= winLen)
       .select(col("doc_id"), explode(
         graft.functions.CharWindows.char_windows(col("text"), winLen)).as("w"))
       .filter(substring(md5(col("w")), 1, 1).isin("0", "1", "2", "3"))
+    // the 100 TB form: group/shuffle on an 8-byte xxhash64 of the window
+    // instead of the raw winLen-char string (same alignment, ~winLen/8×
+    // smaller shuffle keys; counts identical absent 64-bit collisions).
+    // The oracle query keeps raw strings so DuckDB reproduces it exactly;
+    // DedupSpec asserts both keyings agree.
+    val anchors =
+      if (keyByHash) raw.select(col("doc_id"), xxhash64(col("w")).as("w"))
+      else raw
     anchors
       .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
       .withColumn("n_docs_w", count(lit(1)).over(Window.partitionBy("w")))

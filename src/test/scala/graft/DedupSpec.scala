@@ -228,6 +228,14 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substring dup stats: hashed 8-byte keys reproduce the raw-string result") {
+    val docs = Tables(spark, SF).documents.select(col("doc_id"), col("text"))
+    val raw = DedupOps.substringDupStats(docs).orderBy("doc_id").collect()
+    val hashed = DedupOps.substringDupStats(docs, keyByHash = true)
+      .orderBy("doc_id").collect()
+    assert(raw.map(_.toSeq).toSeq == hashed.map(_.toSeq).toSeq)
+  }
+
   test("bloom decontamination: no false negatives, counts upper-bound exact") {
     val docs = Tables(spark, SF).documents.select(col("doc_id"), col("text"))
     val rows = graft.CacheRegistry.persist(DedupOps.distinctShingleRows(docs, 3))
