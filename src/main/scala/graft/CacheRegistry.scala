@@ -7,24 +7,41 @@ import org.apache.spark.sql.DataFrame
   * query's action has materialized. Without this, each invocation
   * re-persists a plan-identical frame and the CacheManager both warns
   * ("already cached") and retains blocks until JVM exit.
+  *
+  * Registration is THREAD-scoped: `release()` drops only what the
+  * current thread registered. Verify runs queries on a concurrent pool
+  * with a `release()` in each task's `finally`; with one global queue a
+  * finishing query unpersisted frames a DIFFERENT in-flight query had
+  * just persisted — a correctness hazard under AQE (a racing unpersist
+  * while the owning query is still planning/materializing its stages
+  * produced an observed transient 0-row output). Builders persist and
+  * runners release on the same thread in every call path (Verify's
+  * per-query future, Bench's timed loop, each ScalaTest), so
+  * thread-scoping frees exactly the right blocks.
   */
 object CacheRegistry {
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val live = new ThreadLocal[java.util.ArrayDeque[DataFrame]] {
+    override def initialValue(): java.util.ArrayDeque[DataFrame] =
+      new java.util.ArrayDeque[DataFrame]()
+  }
 
   /** Persist `df` at MEMORY_AND_DISK and remember it for [[release]]. */
   def persist(df: DataFrame): DataFrame = {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    live.add(df)
+    live.get().add(df)
     df
   }
 
-  /** Unpersist (non-blocking) everything registered since the last call. */
+  /** Unpersist (non-blocking) everything THIS thread registered since its
+    * last call.
+    */
   def release(): Unit = {
-    var df = live.poll()
+    val q = live.get()
+    var df = q.poll()
     while (df != null) {
       try df.unpersist(blocking = false)
       catch { case _: Throwable => () } // session may already be stopped
-      df = live.poll()
+      df = q.poll()
     }
   }
 }

@@ -94,6 +94,7 @@ object SparkEntry {
     "q66_lm_perplexity" -> (TextOps.qLmPerplexity _),
     "q67_shard_assign" -> (SamplingOps.qShardAssign _),
     "q68_mixture_sample" -> (SamplingOps.qMixtureSample _),
+    "q69_source_report" -> (TextOps.qSourceReport _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -548,6 +549,33 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(weight AS BIGINT) AS weight,
         | CAST(rk AS BIGINT) AS sample_rank
         |FROM r WHERE rk <= weight * 5 ORDER BY doc_id""".stripMargin,
+    "q69_source_report" ->
+      """WITH t AS (SELECT doc_id, text, source, lang, n_chars,
+        |             string_split(text, ' ') AS ws
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |w AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, max(c) AS topw
+        |       FROM wc GROUP BY 1),
+        |s AS (SELECT t.doc_id, t.source, t.lang, t.n_chars,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws), 6) AS mean_word_len,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS BIGINT) AS stop_hits,
+        |  round(topw / CAST(n AS DOUBLE), 6) AS top_word_frac
+        | FROM t JOIN wa ON t.doc_id = wa.doc_id),
+        |v AS (SELECT *,
+        |  NOT (n_words < 30 OR n_words > 10000
+        |    OR mean_word_len < 2.0 OR mean_word_len > 12.0
+        |    OR stop_hits < 2 OR top_word_frac > 0.15) AS keep
+        | FROM s)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_words) AS BIGINT) AS sum_tokens,
+        | round(avg(n_chars), 4) AS avg_chars,
+        | count(DISTINCT lang) AS n_langs,
+        | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        | round(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+        |   / CAST(count(*) AS DOUBLE), 6) AS kept_frac
+        |FROM v GROUP BY source ORDER BY source""".stripMargin,
     "q55_bag_connections" ->
       """SELECT * FROM (VALUES
         | ('/gps', '/gps_driver', CAST(NULL AS BOOLEAN), CAST(24 AS BIGINT),

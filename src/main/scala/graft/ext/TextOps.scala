@@ -348,18 +348,19 @@ object TextOps {
     * for ingest-time filtering — StreamingSpec asserts streaming ≡
     * batch.
     */
-  def gopherVerdict(docs: DataFrame): DataFrame = {
+  def gopherVerdict(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+    val keep = passthrough.map(col)
     val sig = docs
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+      .select(Seq(col("doc_id"), col("text"), split(col("text"), " ").as("ws")) ++ keep: _*)
       .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id"),
         size(col("ws")).cast("bigint").as("n_words"),
         round(length(regexp_replace(col("text"), " ", "")).cast("double") /
           size(col("ws")), 6).as("mean_word_len"),
         size(regexp_extract_all(col("text"),
           lit("\\b(the|a|of|and|to|in)\\b"), lit(0))).cast("bigint").as("stop_hits"),
         round(graft.functions.RepetitionSignals.repetition_signals(col("ws"))
-          .getField("top_word_frac"), 6).as("top_word_frac"))
+          .getField("top_word_frac"), 6).as("top_word_frac")) ++ keep: _*)
     val fail = Seq(
       "too_short" -> (col("n_words") < 30),
       "too_long" -> (col("n_words") > 10000),
@@ -367,12 +368,35 @@ object TextOps {
       "low_stopword" -> (col("stop_hits") < 2),
       "repetitive" -> (col("top_word_frac") > 0.15))
     sig
-      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+      .select(Seq(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("stop_hits"), col("top_word_frac"),
         !fail.map(_._2).reduce(_ || _) as "keep",
         concat_ws(",", fail.map { case (name, cond) =>
           when(cond, lit(name))
-        }: _*).as("reasons"))
+        }: _*).as("reasons")) ++ keep: _*)
+  }
+
+  /** q69: per-source corpus report — the "dataset datasheet" query every
+    * curation pipeline publishes: for each source, document/token
+    * volumes, language spread, and the realized keep rate under the
+    * Gopher rules. One narrow signal pass ([[gopherVerdict]] with
+    * passthrough columns — no join back to the table) + one map-side-
+    * combined groupBy(source); a real crawl has millions of sources, so
+    * the aggregation keys spread well. Direct DuckDB oracle.
+    */
+  def qSourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    gopherVerdict(t.documents, passthrough = Seq("source", "lang", "n_chars"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"))
+      .withColumn("kept_frac",
+        round(col("kept_docs").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
   }
 
   /** q65: vocabulary coverage curve — the tokenizer-design / corpus-audit

@@ -399,6 +399,30 @@ object SqlQueries {
         | FROM documents d JOIN b ON d.source = b.source)
         |SELECT doc_id, source, weight, CAST(rk AS BIGINT) AS sample_rank
         |FROM r WHERE rk <= weight * 5 ORDER BY doc_id""".stripMargin,
+    "q69_source_report" ->
+      """WITH t AS (SELECT doc_id, text, source, lang, n_chars,
+        |             split(text, ' ') AS ws
+        |           FROM documents WHERE size(split(text, ' ')) >= 2),
+        |s AS (SELECT doc_id, source, lang, n_chars,
+        |  CAST(size(ws) AS BIGINT) AS n_words,
+        |  round(CAST(length(regexp_replace(text, ' ', '')) AS DOUBLE) / size(ws), 6)
+        |    AS mean_word_len,
+        |  CAST(size(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b', 0)) AS BIGINT)
+        |    AS stop_hits,
+        |  round(repetition_signals(ws).top_word_frac, 6) AS top_word_frac
+        | FROM t),
+        |v AS (SELECT *,
+        |  NOT (n_words < 30 OR n_words > 10000
+        |    OR mean_word_len < 2.0 OR mean_word_len > 12.0
+        |    OR stop_hits < 2 OR top_word_frac > 0.15) AS keep
+        | FROM s)
+        |SELECT source, count(*) AS n_docs, sum(n_words) AS sum_tokens,
+        | round(avg(n_chars), 4) AS avg_chars,
+        | count(DISTINCT lang) AS n_langs,
+        | sum(CASE WHEN keep THEN 1L ELSE 0L END) AS kept_docs,
+        | round(sum(CASE WHEN keep THEN 1L ELSE 0L END)
+        |   / CAST(count(*) AS DOUBLE), 6) AS kept_frac
+        |FROM v GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs

@@ -249,6 +249,32 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("q69 source report equals an independent per-source rollup of q64 + documents") {
+    val verdicts = TextOps.qGopherFilter(spark, SF).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(5))).toMap
+    val meta = Tables(spark, SF).documents
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    val expected = meta.toSeq
+      .filter { case (id, _) => verdicts.contains(id) }
+      .groupBy(_._2._1)
+      .map { case (src, rows) =>
+        val ids = rows.map(_._1)
+        val nDocs = ids.size.toLong
+        val kept = ids.count(id => verdicts(id)._2).toLong
+        (src, nDocs, ids.map(id => verdicts(id)._1).sum,
+          BigDecimal(rows.map(_._2._3).sum.toDouble / nDocs)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          rows.map(_._2._2).distinct.size.toLong, kept,
+          BigDecimal(kept.toDouble / nDocs)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.sortBy(_._1)
+    val got = TextOps.qSourceReport(spark, SF).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == expected)
+  }
+
   test("q65 vocab coverage: dense ranks, nonincreasing counts, monotone cum_frac ≤ 1") {
     val out = TextOps.qVocabCoverage(spark, SF).collect()
     graft.CacheRegistry.release()
