@@ -95,6 +95,8 @@ object SparkEntry {
     "q67_shard_assign" -> (SamplingOps.qShardAssign _),
     "q68_mixture_sample" -> (SamplingOps.qMixtureSample _),
     "q69_source_report" -> (TextOps.qSourceReport _),
+    "q70_html_extract" -> (TextOps.qHtmlExtract _),
+    "q71_sequence_pack" -> (SamplingOps.qSequencePack _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -576,6 +578,39 @@ object SparkEntry {
         | round(sum(CASE WHEN keep THEN 1 ELSE 0 END)
         |   / CAST(count(*) AS DOUBLE), 6) AS kept_frac
         |FROM v GROUP BY source ORDER BY source""".stripMargin,
+    "q70_html_extract" ->
+      """WITH aug AS (
+        | SELECT doc_id,
+        |  '<html><body><h1>doc ' || doc_id || '</h1><p>' ||
+        |  regexp_replace(regexp_replace(text, ' fast ', ' <b>fast</b> ', 'g'),
+        |                 ' table ', ' <i>table</i> ', 'g') ||
+        |  '</p><div class="footer">&copy; 2026 &amp; ' || source ||
+        |  '</div></body></html>' AS h
+        | FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(h, '<[^>]+>')) AS BIGINT) AS n_tags,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(h, '<[^>]+>', ' ', 'g'),
+        |    '&amp;', '&', 'g'), '&lt;', '<', 'g'),
+        |    '&copy;', '(c)', 'g'), '\s+', ' ', 'g')) AS clean
+        | FROM aug)
+        |SELECT doc_id, n_tags, CAST(length(clean) AS BIGINT) AS clean_len,
+        | md5(clean) AS clean_hash
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q71_sequence_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |  (doc_id * 1103515245 + 12345) % 2147483648 % 4 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |w AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    - n_tokens AS tok_offset
+        | FROM d)
+        |SELECT doc_id, shard, n_tokens, tok_offset,
+        | tok_offset // 4096 AS seq_id
+        |FROM w ORDER BY doc_id""".stripMargin,
     "q55_bag_connections" ->
       """SELECT * FROM (VALUES
         | ('/gps', '/gps_driver', CAST(NULL AS BOOLEAN), CAST(24 AS BIGINT),

@@ -100,6 +100,37 @@ object SamplingOps {
   def lcgShard(id: Column, nShards: Int): Column =
     (id * 1103515245L + 12345L) % 2147483648L % nShards
 
+  /** q71: token-budget sequence packing — turn the cleaned corpus into
+    * fixed-budget training sequences: docs are hash-sharded, ordered
+    * deterministically within each shard, concatenated into a token
+    * stream, and the stream is cut every `budget` tokens (the standard
+    * pack-by-concatenation scheme; a doc straddling a boundary belongs
+    * to the sequence it STARTS in, exactly like the token stream a
+    * trainer chunks). Output per doc: shard, stream offset, sequence id.
+    *
+    * Scale shape: one shuffle keyed by shard (thousands of shards →
+    * well-spread windows); the running token offset is a per-shard
+    * cumulative sum — no global coordination, no driver state. The
+    * ORDER BY is presentation-only. Direct DuckDB oracle.
+    */
+  def qSequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 4096
+    val nShards = 4
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hashRank(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.documents
+      .select(col("doc_id"),
+        lcgShard(col("doc_id"), nShards).as("shard"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"tok_offset div $budget"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("tok_offset"), col("seq_id"))
+      .orderBy("doc_id")
+  }
+
   /** q67: training-shard assignment with balanced token budgets — the
     * last step of a curation pipeline (write the cleaned corpus as N
     * shards a trainer streams). Docs are assigned by deterministic hash

@@ -431,6 +431,55 @@ object TextOps {
       .orderBy("rank")
   }
 
+  // HTML extraction patterns — RE2∩Java subset (no lookaround), so the
+  // DuckDB oracle runs them verbatim.
+  private val tagRe = "<[^>]+>"
+
+  /** Markup stripping + entity decode + whitespace normalization — the
+    * text-extraction step every web-corpus pipeline runs before content
+    * analysis (the trafilatura/jusText class, reduced to its
+    * deterministic core). Tags become spaces (so adjacent words don't
+    * fuse), then the common entities decode, then runs of whitespace
+    * collapse. Narrow, codegen'd, shuffle-free.
+    */
+  def extractText(html: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(html, tagRe, " "),
+            "&amp;", "&"),
+          "&lt;", "<"),
+        "&copy;", "(c)"),
+      "\\s+", " "))
+
+  /** q70: HTML text extraction over documents. The corpus is plain text,
+    * so a deterministic HTML wrapper is first INJECTED from doc_id (the
+    * oracle rebuilds the identical markup): envelope tags, per-word
+    * inline tags around two vocabulary words, and entities in a footer.
+    * Output proves tag counting, extraction, and that the cleaned text
+    * round-trips (clean_hash). Direct DuckDB oracle.
+    */
+  def qHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val id = col("doc_id")
+    val body = regexp_replace(
+      regexp_replace(col("text"), " fast ", " <b>fast</b> "),
+      " table ", " <i>table</i> ")
+    val html = concat(
+      lit("<html><body><h1>doc "), id.cast("string"), lit("</h1><p>"),
+      body,
+      lit("</p><div class=\"footer\">&copy; 2026 &amp; "), col("source"),
+      lit("</div></body></html>"))
+    t.documents
+      .select(id, html.as("__h"))
+      .select(id,
+        size(regexp_extract_all(col("__h"), lit(tagRe), lit(0))).cast("bigint").as("n_tags"),
+        length(extractText(col("__h"))).cast("bigint").as("clean_len"),
+        md5(extractText(col("__h"))).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   /** q60: PII scrubbing over documents. The synthetic corpus carries no
     * PII, so deterministic entities are first INJECTED from doc_id (the
     * oracle rebuilds the identical augmented text with `||` and printf),

@@ -423,6 +423,39 @@ object SqlQueries {
         | round(sum(CASE WHEN keep THEN 1L ELSE 0L END)
         |   / CAST(count(*) AS DOUBLE), 6) AS kept_frac
         |FROM v GROUP BY source ORDER BY source""".stripMargin,
+    "q70_html_extract" ->
+      """WITH aug AS (
+        | SELECT doc_id,
+        |  concat('<html><body><h1>doc ', doc_id, '</h1><p>',
+        |   regexp_replace(regexp_replace(text, ' fast ', ' <b>fast</b> '),
+        |                  ' table ', ' <i>table</i> '),
+        |   '</p><div class="footer">&copy; 2026 &amp; ', source,
+        |   '</div></body></html>') AS h
+        | FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(size(regexp_extract_all(h, '<[^>]+>', 0)) AS BIGINT) AS n_tags,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(h, '<[^>]+>', ' '),
+        |    '&amp;', '&'), '&lt;', '<'),
+        |    '&copy;', '(c)'), '\\s+', ' ')) AS clean
+        | FROM aug)
+        |SELECT doc_id, n_tags, CAST(length(clean) AS BIGINT) AS clean_len,
+        | md5(clean) AS clean_hash
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q71_sequence_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |  (doc_id * 1103515245 + 12345) % 2147483648 % 4 AS shard,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |w AS (SELECT doc_id, shard, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - n_tokens AS tok_offset
+        | FROM d)
+        |SELECT doc_id, shard, n_tokens, tok_offset,
+        | tok_offset div 4096 AS seq_id
+        |FROM w ORDER BY doc_id""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs

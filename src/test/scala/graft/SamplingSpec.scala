@@ -42,6 +42,31 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("q71 sequence packing: offsets are exact prefix sums, sequences respect the budget") {
+    val out = SamplingOps.qSequencePack(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 500)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      // reconstruct the shard's stream in hash order and check every offset
+      val ordered = rows.sortBy { case (id, _, _, _, _) =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, id)
+      }
+      var cum = 0L
+      ordered.foreach { case (id, _, nTok, off, seq) =>
+        assert(off == cum, s"doc $id offset in shard $shard")
+        assert(seq == off / 4096, s"doc $id seq id")
+        cum += nTok
+      }
+      // budget respected: consecutive docs in one sequence never START
+      // beyond the sequence's token window
+      ordered.foreach { case (_, _, _, off, seq) =>
+        assert(off >= seq * 4096 && off < (seq + 1) * 4096)
+      }
+    }
+  }
+
   test("shard function matches its own definition") {
     val rows = Tables(spark, SF).documents
       .select(col("doc_id"), SamplingOps.lcgShard(col("doc_id"), 8).as("shard"))

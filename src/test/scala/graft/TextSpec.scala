@@ -275,6 +275,38 @@ class TextSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q70 extractText recovers the original words from a hand-built page") {
+    import spark.implicits._
+    val html = "<html><body><h1>doc 7</h1><p>key <b>fast</b> row</p>" +
+      "<div class=\"footer\">&copy; 2026 &amp; src3</div></body></html>"
+    val got = Seq(html).toDF("h")
+      .select(TextOps.extractText(col("h")).as("clean")).collect().head.getString(0)
+    assert(got == "doc 7 key fast row (c) 2026 & src3")
+    // q70 output: every doc carries the envelope's 10 tags plus 2 per
+    // injected inline word (counted against the raw text)
+    val out = TextOps.qHtmlExtract(spark, SF).collect()
+    assert(out.length == 500)
+    val raw = Tables(spark, SF).documents.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      // non-overlapping ' word ' matches, advancing past the FULL match
+      // (Java regex semantics: ' fast fast ' replaces once, the shared
+      // space is consumed)
+      def hits(t: String, w: String): Int = {
+        var (n, i) = (0, 0)
+        val p = s" $w "
+        while ({ val j = t.indexOf(p, i); if (j >= 0) { n += 1; i = j + p.length; true } else false }) ()
+        n
+      }
+      // envelope = 10 tags (html, body, h1, /h1, p, /p, div, /div,
+      // /body, /html) + 2 per injected inline word
+      val expectTags = 10L + 2L * (hits(raw(id), "fast") + hits(raw(id), "table"))
+      assert(r.getLong(1) == expectTags, s"doc $id tag count")
+      assert(r.getLong(2) > raw(id).length, "clean text lost the body")
+    }
+  }
+
   test("q65 vocab coverage: dense ranks, nonincreasing counts, monotone cum_frac ≤ 1") {
     val out = TextOps.qVocabCoverage(spark, SF).collect()
     graft.CacheRegistry.release()
