@@ -97,6 +97,7 @@ object SparkEntry {
     "q69_source_report" -> (TextOps.qSourceReport _),
     "q70_html_extract" -> (TextOps.qHtmlExtract _),
     "q71_sequence_pack" -> (SamplingOps.qSequencePack _),
+    "q72_bm25" -> (TextOps.qBm25 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -611,6 +612,37 @@ object SparkEntry {
         |SELECT doc_id, shard, n_tokens, tok_offset,
         | tok_offset // 4096 AS seq_id
         |FROM w ORDER BY doc_id""".stripMargin,
+    "q72_bm25" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM docs),
+        |queries(query_id, terms) AS (VALUES
+        |  (0, ['fast','table']), (1, ['spark','query','join']),
+        |  (2, ['vector','batch','merge'])),
+        |qt AS (SELECT query_id, unnest(terms) AS term FROM queries),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |df AS (SELECT t.term,
+        |  CAST(sum(CASE WHEN list_contains(d.toks, t.term) THEN 1 ELSE 0 END)
+        |    AS DOUBLE) AS df
+        | FROM (SELECT DISTINCT unnest(terms) AS term FROM queries) t
+        | CROSS JOIN docs d GROUP BY 1),
+        |scored AS (SELECT qt.query_id, d.doc_id,
+        |  sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+        |      * COALESCE(tf.c, 0) * 2.2
+        |      / (COALESCE(tf.c, 0) + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+        |    AS score
+        | FROM qt CROSS JOIN docs d CROSS JOIN stats s
+        | JOIN df ON df.term = qt.term
+        | LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.tok = qt.term
+        | GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id, round(score, 6) AS bm25,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(score, 6) DESC, doc_id) AS rank
+        | FROM scored)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, bm25
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q55_bag_connections" ->
       """SELECT * FROM (VALUES
         | ('/gps', '/gps_driver', CAST(NULL AS BOOLEAN), CAST(24 AS BIGINT),

@@ -261,6 +261,74 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** q72: BM25 top-k retrieval over the corpus for a fixed query set —
+    * the retrieval primitive behind dedup-against-eval, RAG corpus
+    * construction, and search-based curation. Okapi BM25 with the
+    * Lucene +1 idf variant: idf = ln((N - df + ½)/(df + ½) + 1),
+    * score = Σ_t idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Scale shape: ONE narrow tokenize pass (native `word_counts`, map
+    * pre-filtered to the query vocabulary so the persisted column is
+    * bytes, not the whole doc vocabulary); N/avgdl and per-term df are
+    * one-row / |vocab|-row aggregates that come BACK as broadcasts;
+    * scoring is a codegen'd `aggregate` HOF over each query's term
+    * array (no per-term shuffle, no row explosion beyond |queries|×);
+    * the per-query top-k runs rank-filtered so WindowGroupLimit keeps
+    * ≤k rows per query per map partition BEFORE the exchange — with
+    * only |queries| window partitions, that pre-shuffle prune is the
+    * difference between a skew disaster and a no-op at 100 TB. Ranks
+    * compare the ROUNDED score (q61 discipline: Σ of doubles may
+    * differ from the oracle's sum order by an ulp). Direct DuckDB
+    * oracle.
+    */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (k1, b, topK) = (1.2, 0.75, 10)
+    val t = Tables(spark, dir)
+    val queryDefs: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("fast", "table"),
+      1L -> Seq("spark", "query", "join"),
+      2L -> Seq("vector", "batch", "merge"))
+    val vocab = queryDefs.flatMap(_._2).distinct.sorted
+    val toks = split(col("text"), " ")
+    val docs = graft.CacheRegistry.persist(t.documents.select(
+      col("doc_id"),
+      map_filter(
+        map_from_entries(graft.functions.WordCounts.word_counts(toks)),
+        (k, _) => array_contains(lit(vocab.toArray), k)).as("wc"),
+      size(toks).cast("double").as("dl")))
+    val stats = docs.agg(
+      avg(col("dl")).as("avgdl"), count(lit(1)).cast("double").as("n"))
+    // df per query term: ≤|vocab| rows after map-side combine
+    val dfm = docs
+      .select(explode(map_keys(col("wc"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("df"))))
+        .as("dfm"))
+    val queries = spark.createDataFrame(queryDefs.map {
+      case (id, ts) => (id, ts)
+    }).toDF("query_id", "terms")
+    val score = aggregate(col("terms"), lit(0.0), (acc, term) => {
+      val tf = coalesce(element_at(col("wc"), term), lit(0L)).cast("double")
+      val dfv = coalesce(element_at(col("dfm"), term), lit(0.0))
+      val idf = log((col("n") - dfv + lit(0.5)) / (dfv + lit(0.5)) + lit(1.0))
+      acc + idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    })
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("bm25"), asc("doc_id"))
+    docs
+      .crossJoin(broadcast(queries))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dfm))
+      .select(col("query_id"), col("doc_id"), round(score, 6).as("bm25"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+        col("doc_id"), col("bm25"))
+      .orderBy("query_id", "rank")
+  }
+
   /** q66: bigram-LM perplexity scoring — the CCNet-style quality filter:
     * train an add-one-smoothed word-bigram language model on a REFERENCE
     * slice of the corpus (docs with doc_id % 7 == 0 play the clean

@@ -423,6 +423,37 @@ object SqlQueries {
         | round(sum(CASE WHEN keep THEN 1L ELSE 0L END)
         |   / CAST(count(*) AS DOUBLE), 6) AS kept_frac
         |FROM v GROUP BY source ORDER BY source""".stripMargin,
+    "q72_bm25" ->
+      """WITH docs AS (SELECT doc_id, split(text, ' ') AS toks,
+        |  CAST(size(split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM docs),
+        |queries AS (SELECT * FROM VALUES
+        |  (0L, array('fast','table')), (1L, array('spark','query','join')),
+        |  (2L, array('vector','batch','merge')) AS q(query_id, terms)),
+        |qt AS (SELECT query_id, explode(terms) AS term FROM queries),
+        |tok AS (SELECT doc_id, explode(toks) AS tok FROM docs),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |df AS (SELECT t.term,
+        |  CAST(sum(CASE WHEN array_contains(d.toks, t.term) THEN 1 ELSE 0 END)
+        |    AS DOUBLE) AS df
+        | FROM (SELECT DISTINCT term FROM qt) t
+        | CROSS JOIN docs d GROUP BY 1),
+        |scored AS (SELECT qt.query_id, d.doc_id,
+        |  sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+        |      * COALESCE(tf.c, 0) * 2.2
+        |      / (COALESCE(tf.c, 0) + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+        |    AS score
+        | FROM qt CROSS JOIN docs d CROSS JOIN stats s
+        | JOIN df ON df.term = qt.term
+        | LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.tok = qt.term
+        | GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id, round(score, 6) AS bm25,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(score, 6) DESC, doc_id) AS rank
+        | FROM scored)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, bm25
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q70_html_extract" ->
       """WITH aug AS (
         | SELECT doc_id,

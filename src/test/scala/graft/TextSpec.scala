@@ -307,6 +307,44 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("q72 BM25 matches an independent in-memory computation") {
+    val out = TextOps.qBm25(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    graft.CacheRegistry.release()
+    val docs = Tables(spark, SF).documents.select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toDouble).sum / n
+    val queries = Seq(
+      0L -> Seq("fast", "table"),
+      1L -> Seq("spark", "query", "join"),
+      2L -> Seq("vector", "batch", "merge"))
+    val (k1, b) = (1.2, 0.75)
+    val df = queries.flatMap(_._2).distinct
+      .map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val expected = queries.flatMap { case (qid, terms) =>
+      val scored = docs.map { case (id, toks) =>
+        val dl = toks.length.toDouble
+        val s = terms.foldLeft(0.0) { (acc, t) =>
+          val tf = toks.count(_ == t).toDouble
+          val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1)
+          acc + idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        }
+        (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex.map {
+        case ((id, s), i) => (qid, (i + 1).toLong, id, s)
+      }
+    }
+    assert(out == expected)
+    // the rank filter must reach WindowGroupLimit so each map partition
+    // keeps ≤k rows per query BEFORE the exchange (3 window partitions
+    // would otherwise swallow the whole corpus at scale)
+    val plan = TextOps.qBm25(spark, SF).queryExecution.executedPlan.toString
+    graft.CacheRegistry.release()
+    assert(plan.contains("WindowGroupLimit"), "rank filter not pushed")
+  }
+
   test("q65 vocab coverage: dense ranks, nonincreasing counts, monotone cum_frac ≤ 1") {
     val out = TextOps.qVocabCoverage(spark, SF).collect()
     graft.CacheRegistry.release()
