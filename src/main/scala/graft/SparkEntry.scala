@@ -98,6 +98,7 @@ object SparkEntry {
     "q70_html_extract" -> (TextOps.qHtmlExtract _),
     "q71_sequence_pack" -> (SamplingOps.qSequencePack _),
     "q72_bm25" -> (TextOps.qBm25 _),
+    "q73_semdedup" -> (SimilarityOps.qSemDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -668,7 +669,7 @@ object SparkEntry {
     "q29_ngram_jaccard", "q31_ann_lsh", "q32_ann_ivf", "q33_embed_neardup",
     "q35_frame_pipeline", "q38_sketches",
     "q51_dedup_clusters", "q52_incremental_dedup", "q53_compressed_frames",
-    "q54_video_frames", "q57_ann_pq",
+    "q54_video_frames", "q57_ann_pq", "q73_semdedup",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

@@ -662,4 +662,76 @@ object SimilarityOps {
 
   def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     nearDupStats(Tables(spark, dir).embeddings)
+
+  /** q73: SemDeDup (Abbas et al. 2023) — semantic deduplication by
+    * k-means clustering + within-cluster cosine pruning: cluster the
+    * embeddings with the SAME quantizer as IVF (identical C / sample /
+    * training → identical centroids, already re-derived from first
+    * principles in GoldenDerivationSpec), assign each vector to its ONE
+    * nearest centroid, and inside each cluster mark a vector as a
+    * semantic duplicate when some cluster-mate with a LOWER
+    * centroid-cosine (the paper's keep-low-similarity exemplar choice;
+    * vec_id tiebreak) sits within cosine ≥ τ of it.
+    *
+    * Scale shape: training cost is bounded by the q32 cap constants; the
+    * assignment is one broadcast-centroid narrow pass; the only
+    * corpus-wide shuffle is the cluster-keyed self-join, whose pair
+    * expansion is Σ s_c² ≈ N²/C — the SemDeDup trade-off. C grows as √N
+    * until the 4096 cap; past that a production run raises C (the paper
+    * uses 50k clusters for 5B points) to hold cluster size ~constant, so
+    * the quadratic never sees more than a few thousand rows per key.
+    * Zero-norm vectors have no defined cosine: they keep c_cos NULL,
+    * sort to a deterministic rank, and can never be (or dominate) a
+    * duplicate. Golden-parquet oracle (k-means is not SQL-expressible);
+    * the spec recomputes the whole verdict independently from the
+    * trained centroids.
+    */
+  def semDedup(embeddings: DataFrame, nCentroids: Int = 0,
+      tau: Double = 0.5): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val c = if (nCentroids > 0) nCentroids
+      else math.min(4096,
+        math.ceil(math.sqrt(tableCount(embeddings).toDouble)).toInt)
+    val trained = trainCentroids(base.select(col("vec_id"), col("v")), c,
+      sampleSize = math.max(20 * c, 2048))
+    val cents = trained.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("cid", "cv")
+      .withColumn("cnrm", norm(col("cv")))
+    val assigned = graft.CacheRegistry.persist(
+      base.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+          safeCos(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("ccos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"),
+          round(col("ccos"), 6).as("c_cos")))
+    // keep-order key: ASC (c_cos, vec_id) — the LOWEST-centroid-cosine
+    // member is the kept exemplar; NULL c_cos (zero-norm) sorts via the
+    // -2 sentinel but can never appear in a ≥ τ pair anyway
+    val m = assigned.select(col("cluster"), col("vec_id"), col("v"), col("nrm"),
+      struct(coalesce(col("c_cos"), lit(-2.0)).as("k1"),
+        col("vec_id").as("k2")).as("ckey"))
+    val dom = m.as("a").join(m.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.ckey") < col("b.ckey"))
+      .select(col("b.vec_id").as("vec_id"),
+        safeCos(dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_dom"))
+    assigned.join(dom, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("c_cos"),
+        coalesce(col("n_dom"), lit(0L)).as("n_dom"),
+        (coalesce(col("n_dom"), lit(0L)) > 0).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  // τ = 0.35 sized for the synthetic near-uniform embeddings (real-world
+  // clustered embeddings use ~0.93): both verdict classes occur at every
+  // committed SF (asserted in SimilaritySpec)
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedup(Tables(spark, dir).embeddings, tau = 0.35)
 }

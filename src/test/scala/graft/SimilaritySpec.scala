@@ -144,6 +144,62 @@ class SimilaritySpec extends SparkSpec {
       "an undefined cosine must never clear the near-dup threshold")
   }
 
+  test("q73 SemDeDup: independent recomputation from the trained centroids; both classes; deterministic") {
+    val out = SimilarityOps.qSemDedup(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    graft.CacheRegistry.release()
+    val raw = Tables(spark, SF).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).sortBy(_._1)
+    assert(out.length == raw.length)
+    // same quantizer config as the engine (q32's derivation covers the
+    // training itself; here we trust trainCentroids and re-derive the
+    // assignment + domination verdict from scratch)
+    val n = raw.length
+    val c = math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val base = Tables(spark, SF).embeddings
+      .select(col("vec_id"), SimilarityOps.toDouble(col("embedding")).as("v"))
+    val cents = SimilarityOps.trainCentroids(base, c,
+      sampleSize = math.max(20 * c, 2048))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val assigned = raw.map { case (id, v) =>
+      val nv = nrm(v)
+      val cos = cents.zipWithIndex.map { case (cv, i) =>
+        val d = nv * nrm(cv)
+        (if (d == 0) Double.NaN else dot(v, cv) / d, i)
+      }
+      // desc ccos, asc cid — NaN (zero-norm) loses to every number
+      val (cc, cid) = cos.reduceLeft { (a, b) =>
+        if (b._1.isNaN) a else if (a._1.isNaN) b
+        else if (b._1 > a._1) b else a
+      }
+      val ccR = if (cc.isNaN) None
+        else Some(BigDecimal(cc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (id, cid.toLong, ccR, v, nv)
+    }
+    val expected = assigned.groupBy(_._2).toSeq.flatMap { case (_, ms) =>
+      val ordered = ms.sortBy { case (id, _, cc, _, _) => (cc.getOrElse(-2.0), id) }
+      ordered.zipWithIndex.map { case ((id, cid, cc, v, nv), i) =>
+        val nDom = ordered.take(i).count { case (_, _, _, u, nu) =>
+          val d = nv * nu
+          d != 0 && dot(v, u) / d >= 0.35
+        }.toLong
+        (id, cid, cc, nDom, nDom > 0)
+      }
+    }.toSeq.sortBy(_._1)
+    assert(out == expected)
+    assert(out.exists(_._5) && out.exists(!_._5), "both classes must occur")
+    val again = SimilarityOps.qSemDedup(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    graft.CacheRegistry.release()
+    assert(again == out.map(t => (t._1, t._4)))
+  }
+
   test("q31/q33 plans contain no self-join on a raw signature (bucket-local expansion)") {
     // the capped path builds pairs from collect_list inside one aggregation;
     // a SortMergeJoin/ShuffledHashJoin keyed on `sig` would be the uncapped
