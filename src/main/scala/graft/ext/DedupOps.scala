@@ -1,8 +1,22 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** One row of LSH-bucket traffic for the stateful streaming near-dup:
+  * a document's arrival in one (band, band_sig) bucket carrying its full
+  * signature.
+  */
+case class BucketArrival(band: Int, bandSig: Long, docId: Long, sig: Seq[Long])
+
+/** Per-bucket state-store contents: members seen so far (parallel seqs —
+  * tuple-in-seq encoders are flat and cheap), capped at maxBucket.
+  */
+case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+
+/** An emitted near-dup match (doc_a < doc_b; est = MinHash agreement). */
+case class NearDupMatch(doc_a: Long, doc_b: Long, band: Int, est_jaccard: Double)
 
 /** [EXT] Deduplication surface (SURVEY.md §2.9 EXT rows): exact hash dedup,
   * MinHash+LSH banding, SimHash, n-gram Jaccard verification.
@@ -390,6 +404,81 @@ object DedupOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** STATE-STORE-native streaming near-dup: the flatMapGroupsWithState
+    * form of LSH dedup-on-ingest. Where [[streamingIncrementalDedup]]
+    * keeps its corpus index in an external parquet table it re-reads and
+    * rewrites per micro-batch, this variant keys the stream by LSH
+    * bucket (band, band_sig) and keeps each bucket's members — doc_id +
+    * k-long signature — in Spark's own checkpointed state store: no
+    * external table, no per-batch corpus re-read, exactly-once state on
+    * restart for free.
+    *
+    * Per arrival: compare against the bucket's stored members with the
+    * MinHash agreement estimator, emit pairs ≥ threshold, append self to
+    * state. State per bucket is capped at `maxBucket` members (the batch
+    * path DROPS oversize buckets outright; a stream can't know a
+    * bucket's final size, so it bounds membership instead — the first
+    * maxBucket arrivals in deterministic order stay; both caps bound
+    * state by the same constant). Within a micro-batch a bucket's rows
+    * are processed in doc_id order, so results don't depend on shuffle
+    * arrival order.
+    *
+    * Scale shape: signatures are the same ONE narrow per-row pass as
+    * batch; the only shuffle is the groupByKey on bucket (identical key
+    * to batch banding); state is k longs × ≤maxBucket per bucket — the
+    * same bounded sketch the batch path aggregates, now resident in the
+    * state store instead of recomputed per batch.
+    */
+  /** (band, band_sig, doc_id, signature) bucket traffic — shared by the
+    * stateful streaming near-dup and its batch-side reference in specs.
+    */
+  def bucketArrivals(docs: DataFrame, numHashes: Int = 15,
+      rowsPerBand: Int = 3, shingleSize: Int = 2): Dataset[BucketArrival] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigArr = array((0 until numHashes).map(i => col(s"h$i")): _*)
+    minHashSignatures(docs, numHashes, shingleSize)
+      .select(col("doc_id"), sigArr.as("sig"),
+        explode(array(bandStructsFor(numHashes, rowsPerBand): _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.band_sig").as("bandSig"),
+        col("doc_id").as("docId"), col("sig"))
+      .as[BucketArrival]
+  }
+
+  def statefulStreamingNearDup(docs: DataFrame, numHashes: Int = 15,
+      rowsPerBand: Int = 3, shingleSize: Int = 2, threshold: Double = 0.6,
+      maxBucket: Int = 100): Dataset[NearDupMatch] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bucketArrivals(docs, numHashes, rowsPerBand, shingleSize)
+      .groupByKey(a => (a.band, a.bandSig))
+      .flatMapGroupsWithState[BucketState, NearDupMatch](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state) =>
+          var st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupMatch]
+          // doc_id order: deterministic regardless of shuffle arrival order;
+          // re-delivered ids (source replay) are ignored idempotently
+          rows.toSeq.sortBy(_.docId).foreach { a =>
+            if (!st.ids.contains(a.docId)) {
+              st.ids.iterator.zip(st.sigs.iterator).foreach { case (id, s) =>
+                val agree = s.iterator.zip(a.sig.iterator)
+                  .count { case (x, y) => x == y }
+                val est = agree.toDouble / numHashes
+                if (est >= threshold)
+                  out += NearDupMatch(math.min(id, a.docId),
+                    math.max(id, a.docId), band, est)
+              }
+              if (st.ids.size < maxBucket)
+                st = BucketState(st.ids :+ a.docId, st.sigs :+ a.sig)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
   }
 
   /** SimHash (Charikar): 64-bit fingerprint — per-token xxhash64, signed

@@ -301,6 +301,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stateful streaming near-dup: cross-batch pairs found; equals a per-bucket simulation") {
+    import graft.ext.{BucketArrival, DedupOps}
+    val dir = java.nio.file.Files.createTempDirectory("docs-neardup-stream")
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1).unionByName(planted)
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = dir.resolve(name + ".stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), dir.resolve(name))
+      new java.io.File(dir.resolve(name).toString).setLastModified(mtime)
+    }
+    writeBatch(b1, "b1.parquet", 1700000000000L)
+    writeBatch(b2, "b2.parquet", 1700000060000L)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val got = EventStreaming.runToMemory(
+        graft.ext.DedupOps.statefulStreamingNearDup(stream).toDF(), "stream_neardup")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sorted.toSeq
+    // driver-side simulation of the exact operator semantics: per bucket,
+    // batch1's arrivals (doc_id order) then batch2's, compare vs stored
+    // members, cap membership at 100
+    val batchOf = (id: Long) => if (id != 100000L && id % 2 == 0) 0 else 1
+    val arrivals = DedupOps.bucketArrivals(b1.unionByName(b2)).collect()
+    val expected = arrivals.groupBy(a => (a.band, a.bandSig)).toSeq
+      .flatMap { case ((band, _), as) =>
+        val ordered = as.sortBy(a => (batchOf(a.docId), a.docId))
+        val members = scala.collection.mutable.ArrayBuffer.empty[BucketArrival]
+        ordered.flatMap { a =>
+          val hits = members.flatMap { m =>
+            val agree = m.sig.zip(a.sig).count { case (x, y) => x == y }
+            val est = agree.toDouble / 15
+            if (est >= 0.6)
+              Some((math.min(m.docId, a.docId), math.max(m.docId, a.docId),
+                band, est))
+            else None
+          }.toSeq
+          if (members.size < 100) members += a
+          hits
+        }
+      }.sorted
+    assert(got == expected)
+    assert(got.exists(t => t._1 == 0L && t._2 == 100000L && t._4 == 1.0),
+      "planted cross-batch exact copy not matched")
+    assert(got.nonEmpty)
+  }
+
   test("streaming Gopher verdict + PII scrub equal their batch results") {
     import graft.ext.TextOps
     val docsDir = java.nio.file.Files.createTempDirectory("docs-gopher-stream")
