@@ -99,6 +99,7 @@ object SparkEntry {
     "q71_sequence_pack" -> (SamplingOps.qSequencePack _),
     "q72_bm25" -> (TextOps.qBm25 _),
     "q73_semdedup" -> (SimilarityOps.qSemDedup _),
+    "q74_classifier_filter" -> (TextOps.qClassifierFilter _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -644,6 +645,18 @@ object SparkEntry {
         | FROM scored)
         |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, bm25
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q74_classifier_filter" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(list_aggregate(list_transform(string_split(text, ' '), t ->
+        |    (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 256)
+        |      * 2654435761 % 1000 - 500), 'sum') AS BIGINT) AS wsum
+        | FROM documents)
+        |SELECT doc_id, n_tokens, wsum,
+        | round(1 / (1 + exp(-(CAST(wsum AS DOUBLE)
+        |   / (CAST(n_tokens AS DOUBLE) * 1000.0)))), 6) AS p_keep,
+        | wsum > 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q55_bag_connections" ->
       """SELECT * FROM (VALUES
         | ('/gps', '/gps_driver', CAST(NULL AS BOOLEAN), CAST(24 AS BIGINT),

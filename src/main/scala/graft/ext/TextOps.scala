@@ -329,6 +329,51 @@ object TextOps {
       .orderBy("query_id", "rank")
   }
 
+  /** q74: fastText-style classifier quality filter — the
+    * model-based step of the CCNet/LLaMA curation recipe (vs q64's
+    * rule-based Gopher pass): a linear scorer over hashing-trick
+    * unigram features. Each token hashes into one of 256 buckets
+    * (md5-prefix → int, engine-portable: Spark `conv`, DuckDB
+    * `'0x'||…` cast); bucket weights are a deterministic LCG of the
+    * bucket index (the X3 discipline — a stub model with real
+    * plumbing); a document's score is its mean token weight, the keep
+    * verdict is score > 0, and p_keep reports the sigmoid-squashed
+    * score. Both verdict classes occur at every committed SF.
+    *
+    * Scale shape: scoring is ONE narrow codegen'd pass (HOF fold over
+    * the token array — no explode, no per-token shuffle, no second
+    * branch, exactly the deployed-classifier shape where the model is
+    * a broadcast constant). Direct DuckDB oracle.
+    */
+  def qClassifierFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val toks = split(col("text"), " ")
+    // integer weight k−500 (k = LCG of the md5 bucket, k ∈ [0,999]):
+    // the fold stays in EXACT integer space, so the keep verdict
+    // (wsum > 0) involves no float at all and the reported mean is ONE
+    // double division — bit-identical in any engine (a double-space sum
+    // hit a round-to-6 boundary ulp between Spark and DuckDB)
+    val wTok = (tok: Column) =>
+      (conv(substring(md5(tok), 1, 8), 16, 10).cast("bigint") % 256)
+        .*(2654435761L) % 1000 - 500
+    t.documents.select(
+        col("doc_id"),
+        size(toks).cast("bigint").as("n_tokens"),
+        aggregate(transform(toks, wTok), lit(0L), (acc, w) => acc + w)
+          .as("wsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        // wsum stays EXACT (a rounded wsum/(1000n) ratio terminates in
+        // decimal and can land exactly on a round-half boundary, where
+        // Spark's decimal-string HALF_UP and DuckDB's binary rounding
+        // disagree — doc 108 at sf0.01 hit 0.0654375); the sigmoid is
+        // transcendental, so its round-6 boundary risk is measure-zero
+        col("wsum"),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("wsum").cast("double") /
+          (col("n_tokens").cast("double") * 1000.0)))), 6).as("p_keep"),
+        (col("wsum") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** q66: bigram-LM perplexity scoring — the CCNet-style quality filter:
     * train an add-one-smoothed word-bigram language model on a REFERENCE
     * slice of the corpus (docs with doc_id % 7 == 0 play the clean

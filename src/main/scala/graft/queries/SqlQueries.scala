@@ -454,6 +454,18 @@ object SqlQueries {
         | FROM scored)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, bm25
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q74_classifier_filter" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  aggregate(transform(split(text, ' '), t ->
+        |    (CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % 256)
+        |      * 2654435761L % 1000 - 500), 0L, (acc, w) -> acc + w) AS wsum
+        | FROM documents)
+        |SELECT doc_id, n_tokens, wsum,
+        | round(1 / (1 + exp(-(CAST(wsum AS DOUBLE)
+        |   / (CAST(n_tokens AS DOUBLE) * 1000.0)))), 6) AS p_keep,
+        | wsum > 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q70_html_extract" ->
       """WITH aug AS (
         | SELECT doc_id,

@@ -345,6 +345,31 @@ class TextSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), "rank filter not pushed")
   }
 
+  test("q74 classifier filter matches an independent hash/weight recomputation; both classes") {
+    val out = TextOps.qClassifierFilter(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    val docs = Tables(spark, SF).documents.select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(tok: String): Long = {
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val b = java.lang.Long.parseLong(hex, 16) % 256
+      b * 2654435761L % 1000 - 500
+    }
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val wsum = toks.foldLeft(0L)((acc, t) => acc + weight(t))
+      val p = 1.0 / (1.0 + math.exp(-(wsum.toDouble / (toks.length.toDouble * 1000.0))))
+      (id, toks.length.toLong, wsum,
+        BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        wsum > 0)
+    }.toSeq
+    assert(out == expected)
+    assert(out.exists(_._5) && out.exists(!_._5), "both classes must occur")
+  }
+
   test("q65 vocab coverage: dense ranks, nonincreasing counts, monotone cum_frac ≤ 1") {
     val out = TextOps.qVocabCoverage(spark, SF).collect()
     graft.CacheRegistry.release()
