@@ -100,6 +100,8 @@ object SparkEntry {
     "q72_bm25" -> (TextOps.qBm25 _),
     "q73_semdedup" -> (SimilarityOps.qSemDedup _),
     "q74_classifier_filter" -> (TextOps.qClassifierFilter _),
+    "q75_bpe_train" -> (TextOps.qBpeTrain _),
+    "q76_bpe_apply" -> (TextOps.qBpeApply _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -682,7 +684,8 @@ object SparkEntry {
     "q29_ngram_jaccard", "q31_ann_lsh", "q32_ann_ivf", "q33_embed_neardup",
     "q35_frame_pipeline", "q38_sketches",
     "q51_dedup_clusters", "q52_incremental_dedup", "q53_compressed_frames",
-    "q54_video_frames", "q57_ann_pq", "q73_semdedup",
+    "q54_video_frames", "q57_ann_pq", "q73_semdedup", "q75_bpe_train",
+    "q76_bpe_apply",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

@@ -374,6 +374,115 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q75: BPE tokenizer training — learn the first `nMerges` byte-pair
+    * merges from the corpus (Sennrich et al. 2016; the GPT-2 recipe).
+    * The corpus-wide work is ONE narrow `word_counts` pass collapsed to
+    * a (word, count) table; merge learning then runs on that table
+    * DRIVER-side — exactly how production trainers work (GPT-2's and HF
+    * tokenizers' BPE train on aggregated word counts, never the raw
+    * stream), the same adaptive split as `trainCentroids`. The word
+    * table is capped at the top 65536 words by (count, word) — the
+    * 100 TB guard that bounds driver memory like the k-means sample cap;
+    * pair counts use the reference get_stats semantics (overlapping
+    * counting, left-to-right non-overlapping merge application,
+    * (count desc, pair asc) tie-break, `</w>` end-of-word marker).
+    * Golden-parquet oracle (iterative merges are not SQL-expressible);
+    * the spec re-derives every merge with an independent implementation.
+    */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeMerges(spark, dir)
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
+  /** The learned merge table behind [[qBpeTrain]] / [[qBpeApply]]. */
+  def bpeMerges(spark: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] = {
+    val (nMerges, maxWords) = (8, 65536)
+    val t = Tables(spark, dir)
+    val wc = t.documents
+      .select(explode(graft.functions.WordCounts.word_counts(
+        split(col("text"), " "))).as("e"))
+      .groupBy(col("e.term").as("term")).agg(sum(col("e.c")).as("c"))
+      .orderBy(desc("c"), asc("term")).limit(maxWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var words: Array[(Array[String], Long)] = wc.sortBy(_._1)
+      .map { case (w, c) => (w.split("").filter(_.nonEmpty) :+ "</w>", c) }
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var i = 0
+    while (i < nMerges) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val k = (syms(j), syms(j + 1))
+          pc(k) = pc.getOrElse(k, 0L) + c
+          j += 1
+        }
+      }
+      if (pc.nonEmpty) {
+        val ((l, r), c) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((i + 1L, l, r, l + r, c))
+        words = words.map { case (syms, cnt) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+              out += l + r; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          (out.toArray, cnt)
+        }
+      }
+      i += 1
+    }
+    merges.toSeq
+  }
+
+  /** q76: BPE tokenization — apply the learned merge table to the
+    * corpus (the deployed-tokenizer counterpart of [[qBpeTrain]]).
+    * Per document: initial symbol count (chars + one `</w>` per word),
+    * post-merge symbol count, compression ratio. The merge table rides
+    * along as a broadcast closure constant and the application is ONE
+    * narrow typed map — no shuffle, exactly the shape of running a real
+    * tokenizer library inside a map at 100 TB (application order =
+    * rank order, left-to-right non-overlapping, same as training).
+    * Golden-parquet oracle; the spec re-applies the merges with
+    * independent code and checks the arithmetic per doc.
+    */
+  def qBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ms: Array[(String, String)] =
+      bpeMerges(spark, dir).map(m => (m._2, m._3)).toArray
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        var init = 0L
+        var fin = 0L
+        text.split(" ", -1).foreach { w =>
+          var syms = w.split("").filter(_.nonEmpty) :+ "</w>"
+          init += syms.length
+          ms.foreach { case (l, r) =>
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                out += l + r; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            syms = out.toArray
+          }
+          fin += syms.length
+        }
+        (id, init, fin,
+          BigDecimal(init.toDouble / fin)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("doc_id", "init_symbols", "bpe_symbols", "compression")
+      .orderBy("doc_id")
+  }
+
   /** q66: bigram-LM perplexity scoring — the CCNet-style quality filter:
     * train an add-one-smoothed word-bigram language model on a REFERENCE
     * slice of the corpus (docs with doc_id % 7 == 0 play the clean

@@ -370,6 +370,69 @@ class TextSpec extends SparkSpec {
     assert(out.exists(_._5) && out.exists(!_._5), "both classes must occur")
   }
 
+  test("q75 BPE merges re-derived by an independent implementation") {
+    val out = TextOps.qBpeTrain(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    // independent path: word counts via a flatMap/groupBy fold, symbols
+    // as List[String], pair stats via sliding(2), recursive merge
+    val texts = Tables(spark, SF).documents.select(col("text"))
+      .collect().map(_.getString(0))
+    val wc0 = texts.flatMap(_.split(" ", -1)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    var words: Map[List[String], Long] = wc0.toSeq
+      .map { case (w, c) => (w.toList.map(_.toString) :+ "</w>") -> c }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    for (i <- 1 to 8) {
+      val stats = words.toSeq.flatMap { case (syms, c) =>
+        syms.sliding(2).filter(_.size == 2).map(p => (p(0), p(1)) -> c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      if (stats.nonEmpty) {
+        val ((l, r), c) = stats.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+        got += ((i.toLong, l, r, l + r, c))
+        def mergeList(s: List[String]): List[String] = s match {
+          case a :: b :: rest if a == l && b == r => (l + r) :: mergeList(rest)
+          case a :: rest => a :: mergeList(rest)
+          case Nil => Nil
+        }
+        words = words.toSeq.map { case (s, c2) => mergeList(s) -> c2 }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+    }
+    assert(out == got.toSeq)
+    assert(out.length == 8 && out.forall(_._5 > 0))
+  }
+
+  test("q76 BPE apply: independent re-application of the merges; compression ≥ 1") {
+    val out = TextOps.qBpeApply(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val merges = TextOps.bpeMerges(spark, SF).map(m => (m._2, m._3))
+    val docs = Tables(spark, SF).documents.select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    // independent apply: List-based recursive merge, not the array loop
+    def applyMerge(s: List[String], l: String, r: String): List[String] = s match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: applyMerge(rest, l, r)
+      case a :: rest => a :: applyMerge(rest, l, r)
+      case Nil => Nil
+    }
+    val expected = docs.map { case (id, text) =>
+      val words = text.split(" ", -1).toList
+      val tokenized = words.map { w =>
+        val init = w.toList.map(_.toString) :+ "</w>"
+        (init.length.toLong,
+          merges.foldLeft(init) { case (s, (l, r)) => applyMerge(s, l, r) }.length.toLong)
+      }
+      val init = tokenized.map(_._1).sum
+      val fin = tokenized.map(_._2).sum
+      (id, init, fin,
+        BigDecimal(init.toDouble / fin).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
+    assert(out == expected)
+    assert(out.forall(t => t._4 >= 1.0 && t._3 <= t._2))
+  }
+
   test("q65 vocab coverage: dense ranks, nonincreasing counts, monotone cum_frac ≤ 1") {
     val out = TextOps.qVocabCoverage(spark, SF).collect()
     graft.CacheRegistry.release()
