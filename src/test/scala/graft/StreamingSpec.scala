@@ -355,6 +355,76 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stateful streaming near-dup: bucket state survives a checkpointed restart") {
+    import graft.ext.DedupOps
+    val dir = java.nio.file.Files.createTempDirectory("docs-neardup-restart")
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup-ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("neardup-out")
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") === 2)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250).unionByName(planted)
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = dir.resolve(name + ".stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), dir.resolve(name))
+      new java.io.File(dir.resolve(name).toString).setLastModified(mtime)
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val q = DedupOps.statefulStreamingNearDup(stream).toDF().writeStream
+        .format("parquet").option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def emitted(): Set[(Long, Long, Int, Double)] =
+      spark.read.parquet(outDir.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    writeBatch(b1, "b1.parquet", 1700000000000L)
+    runOnce()
+    val afterRun1 = emitted()
+    writeBatch(b2, "b2.parquet", 1700000060000L)
+    runOnce() // RESTART: new query instance, same checkpoint + state store
+    val afterRun2 = emitted()
+    // simulate the whole b1-then-b2 history; split emissions by which
+    // batch the ARRIVING (later) endpoint belongs to
+    val isB2 = (id: Long) => id >= 250
+    val arrivals = DedupOps.bucketArrivals(b1.unionByName(b2)).collect()
+    var expectedR1 = Set.empty[(Long, Long, Int, Double)]
+    var expectedNew = Set.empty[(Long, Long, Int, Double)]
+    arrivals.groupBy(a => (a.band, a.bandSig)).foreach { case ((band, _), as) =>
+      val ordered = as.sortBy(a => (isB2(a.docId), a.docId))
+      val members = scala.collection.mutable.ArrayBuffer.empty[graft.ext.BucketArrival]
+      ordered.foreach { a =>
+        members.foreach { m =>
+          val agree = m.sig.zip(a.sig).count { case (x, y) => x == y }
+          val est = agree.toDouble / 15
+          if (est >= 0.6) {
+            val hit = (math.min(m.docId, a.docId), math.max(m.docId, a.docId),
+              band, est)
+            if (isB2(a.docId)) expectedNew += hit else expectedR1 += hit
+          }
+        }
+        if (members.size < 100) members += a
+      }
+    }
+    assert(afterRun1 == expectedR1)
+    assert(afterRun2 == expectedR1 ++ expectedNew)
+    // the restart must NOT re-emit b1-internal pairs, and the planted
+    // cross-restart copy must be caught from RESTORED state
+    assert((afterRun2 -- afterRun1).forall(t => isB2(t._2)))
+    assert(afterRun2.exists(t => t._1 == 2L && t._2 == 200002L && t._4 == 1.0),
+      "planted cross-restart exact copy not matched from restored state")
+  }
+
   test("streaming Gopher verdict + PII scrub equal their batch results") {
     import graft.ext.TextOps
     val docsDir = java.nio.file.Files.createTempDirectory("docs-gopher-stream")
