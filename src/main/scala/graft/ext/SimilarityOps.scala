@@ -697,19 +697,45 @@ object SimilarityOps {
         math.ceil(math.sqrt(tableCount(embeddings).toDouble)).toInt)
     val trained = trainCentroids(base.select(col("vec_id"), col("v")), c,
       sampleSize = math.max(20 * c, 2048))
-    val cents = trained.zipWithIndex
-      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
-      .toDF("cid", "cv")
-      .withColumn("cnrm", norm(col("cv")))
+    // single nearest-centroid assignment as ONE narrow mapPartitions pass
+    // with the centroid matrix a broadcast-closure constant (the q57 LUT
+    // shape): the crossJoin+window formulation materializes N×C rows and
+    // exchanges them on vec_id — a 4096× row explosion at the centroid
+    // cap. Math is bit-equal: same left-fold dot/norm, same
+    // (ccos desc NULLS LAST, cid asc) argmax, same HALF_UP round-6 —
+    // the committed goldens are unchanged (asserted on regeneration).
+    val cnrms = trained.map { cv =>
+      var s = 0.0; var i = 0
+      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+      math.sqrt(s)
+    }
     val assigned = graft.CacheRegistry.persist(
-      base.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-          safeCos(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("ccos"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"),
-          round(col("ccos"), 6).as("c_cos")))
+      base.select(col("vec_id"), col("v"), col("nrm"))
+        .as[(Long, Seq[Double], Double)]
+        .mapPartitions { it =>
+          it.map { case (id, vSeq, nv) =>
+            val v = vSeq.toArray
+            var bestCid = 0L
+            var bestCos = Double.NaN
+            var cid = 0
+            while (cid < trained.length) {
+              val cv = trained(cid)
+              val den = nv * cnrms(cid)
+              if (den != 0) {
+                var d = 0.0; var i = 0
+                while (i < v.length) { d += v(i) * cv(i); i += 1 }
+                val cc = d / den
+                if (bestCos.isNaN || cc > bestCos) { bestCos = cc; bestCid = cid.toLong }
+              }
+              cid += 1
+            }
+            val ccR: Option[Double] = if (bestCos.isNaN) None
+              else Some(BigDecimal(java.math.BigDecimal.valueOf(bestCos))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            (id, vSeq, nv, bestCid, ccR)
+          }
+        }
+        .toDF("vec_id", "v", "nrm", "cluster", "c_cos"))
     // keep-order key: ASC (c_cos, vec_id) — the LOWEST-centroid-cosine
     // member is the kept exemplar; NULL c_cos (zero-norm) sorts via the
     // -2 sentinel but can never appear in a ≥ τ pair anyway
