@@ -430,15 +430,43 @@ object SimilarityOps {
       .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
       .toDF("cid", "cv")
       .withColumn("cnrm", norm(col("cv")))
-    // index every vector under its `assignReplication` best centroids
-    // (broadcast centroid table, narrow pass over N)
-    val assigned = base.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        safeCos(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("ccos"))
-      .withColumn("rk",
-        row_number().over(Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))))
-      .filter(col("rk") <= assignReplication)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cluster"))
+    // index every vector under its `assignReplication` best centroids —
+    // ONE narrow mapPartitions pass with the centroid matrix a
+    // broadcast-closure constant (the q57 LUT / q73 shape): the former
+    // crossJoin+window materialized N×C rows and exchanged them on
+    // vec_id (4096× explosion at the centroid cap); this emits only the
+    // a rows per vector that survive. Selection is bit-equal to
+    // row_number over (ccos DESC NULLS LAST, cid ASC): same left-fold
+    // dot/norm, strict-greater argsort, null cosines (zero norms) rank
+    // last by cid — committed goldens unchanged (asserted on regen).
+    val cnrmArr = trained.map { cv =>
+      var s = 0.0; var i = 0
+      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+      math.sqrt(s)
+    }
+    val assigned = base.select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, vSeq, nv) =>
+          val v = vSeq.toArray
+          val cos = new Array[Double](trained.length) // NaN = null ccos
+          var cid = 0
+          while (cid < trained.length) {
+            val den = nv * cnrmArr(cid)
+            if (den != 0) {
+              var d = 0.0; var i = 0
+              while (i < v.length) { d += v(i) * trained(cid)(i); i += 1 }
+              cos(cid) = d / den
+            } else cos(cid) = Double.NaN
+            cid += 1
+          }
+          (0 until trained.length)
+            .sortBy(c => (cos(c).isNaN, -cos(c), c))
+            .take(assignReplication)
+            .map(c => (id, vSeq, nv, c.toLong))
+        }
+      }
+      .toDF("vec_id", "v", "nrm", "cluster")
     // queries probe their nProbe best centroids
     val queries = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
