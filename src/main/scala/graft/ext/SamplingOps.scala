@@ -1,9 +1,19 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** One document arriving at the streaming sequence packer. */
+case class PackArrival(shard: Long, docId: Long, nTokens: Long)
+
+/** Per-shard state-store contents: the next free token offset. */
+case class ShardOffset(nextOffset: Long)
+
+/** A packed document: its token-stream offset and training-sequence id. */
+case class PackedDoc(doc_id: Long, shard: Long, n_tokens: Long,
+    tok_offset: Long, seq_id: Long)
 
 /** [EXT] Deterministic distributed sampling for training-data pipelines.
   *
@@ -129,6 +139,44 @@ object SamplingOps {
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         col("tok_offset"), col("seq_id"))
       .orderBy("doc_id")
+  }
+
+  /** STATE-STORE-native streaming sequence packing — the continuous-
+    * ingest form of [[qSequencePack]]: documents are hash-sharded on
+    * arrival and each shard's NEXT FREE token offset lives in Spark's
+    * checkpointed state store (one long per shard), so offsets keep
+    * growing monotonically across micro-batches AND restarts. Where the
+    * batch packer orders by hash-rank for run-to-run determinism, the
+    * streaming packer packs in ARRIVAL order (batch sequence, doc_id
+    * within a batch) — the order a trainer consuming the stream would
+    * see; determinism is per-history, exactly like any append log.
+    *
+    * Scale shape: one narrow shard/token-count projection, one
+    * groupByKey exchange keyed by shard, O(1) state per shard.
+    */
+  def statefulStreamingSequencePack(docs: DataFrame, nShards: Int = 4,
+      budget: Long = 4096): Dataset[PackedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        lcgShard(col("doc_id"), nShards).as("shard"),
+        col("doc_id").as("docId"),
+        size(split(col("text"), " ")).cast("bigint").as("nTokens"))
+      .as[PackArrival]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[ShardOffset, PackedDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (shard, rows, state) =>
+          var off = state.getOption.map(_.nextOffset).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.docId).map { r =>
+            val o = off
+            off += r.nTokens
+            PackedDoc(r.docId, shard, r.nTokens, o, o / budget)
+          }
+          state.update(ShardOffset(off))
+          out.iterator
+      }
   }
 
   /** q67: training-shard assignment with balanced token budgets — the

@@ -425,6 +425,60 @@ class StreamingSpec extends SparkSpec {
       "planted cross-restart exact copy not matched from restored state")
   }
 
+  test("stateful streaming sequence packing: offsets continue across batches and a restart") {
+    import graft.ext.SamplingOps
+    val dir = java.nio.file.Files.createTempDirectory("docs-pack-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("pack-ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("pack-out")
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = dir.resolve(name + ".stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), dir.resolve(name))
+      new java.io.File(dir.resolve(name).toString).setLastModified(mtime)
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val q = SamplingOps.statefulStreamingSequencePack(stream).toDF().writeStream
+        .format("parquet").option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeBatch(b1, "b1.parquet", 1700000000000L)
+    runOnce()
+    writeBatch(b2, "b2.parquet", 1700000060000L)
+    runOnce() // restart from the same checkpoint: shard offsets restored
+    val got = spark.read.parquet(outDir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    // simulation: per shard, b1 docs (doc_id order) then b2 docs
+    val all = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val expected = all
+      .map { case (id, text) =>
+        (id, (id * 1103515245L + 12345L) % 2147483648L % 4, text.split(" ", -1).length.toLong)
+      }
+      .groupBy(_._2).toSeq.flatMap { case (shard, rows) =>
+        var off = 0L
+        rows.sortBy(r => (r._1 >= 250, r._1)).map { case (id, _, n) =>
+          val o = off; off += n
+          (id, shard, n, o, o / 4096)
+        }
+      }.sortBy(_._1)
+    assert(got == expected)
+    // cross-restart continuity: some shard's first b2 offset is nonzero
+    val firstB2 = got.filter(_._1 >= 250).groupBy(_._2).map { case (_, rs) => rs.minBy(_._1) }
+    assert(firstB2.forall(_._4 > 0), "offsets reset across restart")
+  }
+
   test("streaming Gopher verdict + PII scrub equal their batch results") {
     import graft.ext.TextOps
     val docsDir = java.nio.file.Files.createTempDirectory("docs-gopher-stream")
