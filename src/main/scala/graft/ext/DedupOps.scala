@@ -406,6 +406,22 @@ object DedupOps {
     q.awaitTermination()
   }
 
+  /** (band, band_sig, doc_id, signature) bucket traffic — shared by the
+    * stateful streaming near-dup and its batch-side reference in specs.
+    */
+  def bucketArrivals(docs: DataFrame, numHashes: Int = 15,
+      rowsPerBand: Int = 3, shingleSize: Int = 2): Dataset[BucketArrival] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigArr = array((0 until numHashes).map(i => col(s"h$i")): _*)
+    minHashSignatures(docs, numHashes, shingleSize)
+      .select(col("doc_id"), sigArr.as("sig"),
+        explode(array(bandStructsFor(numHashes, rowsPerBand): _*)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.band_sig").as("bandSig"),
+        col("doc_id").as("docId"), col("sig"))
+      .as[BucketArrival]
+  }
+
   /** STATE-STORE-native streaming near-dup: the flatMapGroupsWithState
     * form of LSH dedup-on-ingest. Where [[streamingIncrementalDedup]]
     * keeps its corpus index in an external parquet table it re-reads and
@@ -423,7 +439,11 @@ object DedupOps {
     * maxBucket arrivals in deterministic order stay; both caps bound
     * state by the same constant). Within a micro-batch a bucket's rows
     * are processed in doc_id order, so results don't depend on shuffle
-    * arrival order.
+    * arrival order. Re-delivery of a doc ADMITTED to state is ignored
+    * idempotently (the contains check); a doc that arrived at an
+    * already-full bucket is not in state, so its re-delivery re-compares
+    * and re-emits — at-least-once semantics past the cap, matching the
+    * append sink's own delivery contract.
     *
     * Scale shape: signatures are the same ONE narrow per-row pass as
     * batch; the only shuffle is the groupByKey on bucket (identical key
@@ -431,22 +451,6 @@ object DedupOps {
     * same bounded sketch the batch path aggregates, now resident in the
     * state store instead of recomputed per batch.
     */
-  /** (band, band_sig, doc_id, signature) bucket traffic — shared by the
-    * stateful streaming near-dup and its batch-side reference in specs.
-    */
-  def bucketArrivals(docs: DataFrame, numHashes: Int = 15,
-      rowsPerBand: Int = 3, shingleSize: Int = 2): Dataset[BucketArrival] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sigArr = array((0 until numHashes).map(i => col(s"h$i")): _*)
-    minHashSignatures(docs, numHashes, shingleSize)
-      .select(col("doc_id"), sigArr.as("sig"),
-        explode(array(bandStructsFor(numHashes, rowsPerBand): _*)).as("bs"))
-      .select(col("bs.band").as("band"), col("bs.band_sig").as("bandSig"),
-        col("doc_id").as("docId"), col("sig"))
-      .as[BucketArrival]
-  }
-
   def statefulStreamingNearDup(docs: DataFrame, numHashes: Int = 15,
       rowsPerBand: Int = 3, shingleSize: Int = 2, threshold: Double = 0.6,
       maxBucket: Int = 100): Dataset[NearDupMatch] = {
@@ -461,7 +465,8 @@ object DedupOps {
           var st = state.getOption.getOrElse(BucketState(Nil, Nil))
           val out = scala.collection.mutable.ArrayBuffer.empty[NearDupMatch]
           // doc_id order: deterministic regardless of shuffle arrival order;
-          // re-delivered ids (source replay) are ignored idempotently
+          // re-delivered ids already ADMITTED to state are ignored
+          // idempotently; past the cap, replay is at-least-once (scaladoc)
           rows.toSeq.sortBy(_.docId).foreach { a =>
             if (!st.ids.contains(a.docId)) {
               st.ids.iterator.zip(st.sigs.iterator).foreach { case (id, s) =>

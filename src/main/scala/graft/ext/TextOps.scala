@@ -424,20 +424,26 @@ object TextOps {
       if (pc.nonEmpty) {
         val ((l, r), c) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
         merges += ((i + 1L, l, r, l + r, c))
-        words = words.map { case (syms, cnt) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var j = 0
-          while (j < syms.length) {
-            if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
-              out += l + r; j += 2
-            } else { out += syms(j); j += 1 }
-          }
-          (out.toArray, cnt)
-        }
+        words = words.map { case (syms, cnt) => (applyMergePass(syms, l, r), cnt) }
       }
       i += 1
     }
     merges.toSeq
+  }
+
+  /** One left-to-right non-overlapping application of merge (l, r) — the
+    * ONE definition both training and tokenization use, so their merge
+    * semantics cannot drift.
+    */
+  private def applyMergePass(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+        out += l + r; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
   }
 
   /** q76: BPE tokenization — apply the learned merge table to the
@@ -463,16 +469,7 @@ object TextOps {
         text.split(" ", -1).foreach { w =>
           var syms = w.split("").filter(_.nonEmpty) :+ "</w>"
           init += syms.length
-          ms.foreach { case (l, r) =>
-            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-            var j = 0
-            while (j < syms.length) {
-              if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
-                out += l + r; j += 2
-              } else { out += syms(j); j += 1 }
-            }
-            syms = out.toArray
-          }
+          ms.foreach { case (l, r) => syms = applyMergePass(syms, l, r) }
           fin += syms.length
         }
         (id, init, fin,

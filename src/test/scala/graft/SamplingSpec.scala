@@ -59,11 +59,10 @@ class SamplingSpec extends SparkSpec {
         assert(seq == off / 4096, s"doc $id seq id")
         cum += nTok
       }
-      // budget respected: consecutive docs in one sequence never START
-      // beyond the sequence's token window
-      ordered.foreach { case (_, _, _, off, seq) =>
-        assert(off >= seq * 4096 && off < (seq + 1) * 4096)
-      }
+      // (the offset prefix-sum check above is computed independently and
+      // seq is asserted against the spec's OWN 4096 constant — together
+      // they pin the engine's budget; no further derived assertion adds
+      // information)
     }
   }
 

@@ -5,6 +5,21 @@ import org.apache.spark.sql.functions._
 
 class StreamingSpec extends SparkSpec {
 
+  /** Stage a dataframe as ONE parquet file with a controlled mod time —
+    * file-source batch ordering in the streaming tests. (The directory
+    * stream from Files.list is closed; it holds an open handle.)
+    */
+  private def stageBatchFile(dir: java.nio.file.Path,
+      df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+    val tmp = dir.resolve(name + ".stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = java.nio.file.Files.list(tmp)
+    val part = try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+      finally listing.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(part), dir.resolve(name))
+    new java.io.File(dir.resolve(name).toString).setLastModified(mtime)
+  }
+
   /** Streaming file source requires a directory; stage the single events
     * parquet into one.
     */
@@ -310,16 +325,8 @@ class StreamingSpec extends SparkSpec {
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
     val b1 = docs.filter(col("doc_id") % 2 === 0)
     val b2 = docs.filter(col("doc_id") % 2 === 1).unionByName(planted)
-    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = dir.resolve(name + ".stage")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      java.nio.file.Files.move(java.nio.file.Paths.get(part), dir.resolve(name))
-      new java.io.File(dir.resolve(name).toString).setLastModified(mtime)
-    }
-    writeBatch(b1, "b1.parquet", 1700000000000L)
-    writeBatch(b2, "b2.parquet", 1700000060000L)
+    stageBatchFile(dir, b1, "b1.parquet", 1700000000000L)
+    stageBatchFile(dir, b2, "b2.parquet", 1700000060000L)
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.toString)
     val got = EventStreaming.runToMemory(
@@ -366,14 +373,6 @@ class StreamingSpec extends SparkSpec {
       .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
     val b1 = docs.filter(col("doc_id") < 250)
     val b2 = docs.filter(col("doc_id") >= 250).unionByName(planted)
-    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = dir.resolve(name + ".stage")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      java.nio.file.Files.move(java.nio.file.Paths.get(part), dir.resolve(name))
-      new java.io.File(dir.resolve(name).toString).setLastModified(mtime)
-    }
     def runOnce(): Unit = {
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(dir.toString)
@@ -388,10 +387,10 @@ class StreamingSpec extends SparkSpec {
     def emitted(): Set[(Long, Long, Int, Double)] =
       spark.read.parquet(outDir.toString).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
-    writeBatch(b1, "b1.parquet", 1700000000000L)
+    stageBatchFile(dir, b1, "b1.parquet", 1700000000000L)
     runOnce()
     val afterRun1 = emitted()
-    writeBatch(b2, "b2.parquet", 1700000060000L)
+    stageBatchFile(dir, b2, "b2.parquet", 1700000060000L)
     runOnce() // RESTART: new query instance, same checkpoint + state store
     val afterRun2 = emitted()
     // simulate the whole b1-then-b2 history; split emissions by which
@@ -434,14 +433,6 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id"), col("text"))
     val b1 = docs.filter(col("doc_id") < 250)
     val b2 = docs.filter(col("doc_id") >= 250)
-    def writeBatch(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = dir.resolve(name + ".stage")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
-      java.nio.file.Files.move(java.nio.file.Paths.get(part), dir.resolve(name))
-      new java.io.File(dir.resolve(name).toString).setLastModified(mtime)
-    }
     def runOnce(): Unit = {
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(dir.toString)
@@ -453,9 +444,9 @@ class StreamingSpec extends SparkSpec {
         .start()
       q.awaitTermination()
     }
-    writeBatch(b1, "b1.parquet", 1700000000000L)
+    stageBatchFile(dir, b1, "b1.parquet", 1700000000000L)
     runOnce()
-    writeBatch(b2, "b2.parquet", 1700000060000L)
+    stageBatchFile(dir, b2, "b2.parquet", 1700000060000L)
     runOnce() // restart from the same checkpoint: shard offsets restored
     val got = spark.read.parquet(outDir.toString).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
