@@ -457,11 +457,20 @@ object TextOps {
     * Golden-parquet oracle; the spec re-applies the merges with
     * independent code and checks the arithmetic per doc.
     */
-  def qBpeApply(spark: SparkSession, dir: String): DataFrame = {
+  def qBpeApply(spark: SparkSession, dir: String): DataFrame =
+    bpeApply(Tables(spark, dir).documents,
+      bpeMerges(spark, dir).map(m => (m._2, m._3)))
+      .orderBy("doc_id")
+
+  /** Library entry point: tokenize `docs` with an already-trained merge
+    * table (train once with [[bpeMerges]], apply to any number of
+    * corpora — no retraining).
+    */
+  def bpeApply(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val ms: Array[(String, String)] =
-      bpeMerges(spark, dir).map(m => (m._2, m._3)).toArray
-    Tables(spark, dir).documents
+    val ms: Array[(String, String)] = merges.toArray
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         var init = 0L
@@ -477,7 +486,6 @@ object TextOps {
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       .toDF("doc_id", "init_symbols", "bpe_symbols", "compression")
-      .orderBy("doc_id")
   }
 
   /** q66: bigram-LM perplexity scoring — the CCNet-style quality filter:
