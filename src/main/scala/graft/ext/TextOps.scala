@@ -281,26 +281,31 @@ object TextOps {
     * differ from the oracle's sum order by an ulp). Direct DuckDB
     * oracle.
     */
-  def qBm25(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val (k1, b, topK) = (1.2, 0.75, 10)
-    val t = Tables(spark, dir)
-    val queryDefs: Seq[(Long, Seq[String])] = Seq(
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Retrieve(Tables(spark, dir).documents, Seq(
       0L -> Seq("fast", "table"),
       1L -> Seq("spark", "query", "join"),
-      2L -> Seq("vector", "batch", "merge"))
+      2L -> Seq("vector", "batch", "merge")))
+
+  /** Library entry point behind [[qBm25]]: BM25 top-k over `docs`
+    * (doc_id, text) for caller-supplied term queries.
+    */
+  def bm25Retrieve(docs: DataFrame, queryDefs: Seq[(Long, Seq[String])],
+      topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
     val vocab = queryDefs.flatMap(_._2).distinct.sorted
     val toks = split(col("text"), " ")
-    val docs = graft.CacheRegistry.persist(t.documents.select(
+    val dws = graft.CacheRegistry.persist(docs.select(
       col("doc_id"),
       map_filter(
         map_from_entries(graft.functions.WordCounts.word_counts(toks)),
         (k, _) => array_contains(lit(vocab.toArray), k)).as("wc"),
       size(toks).cast("double").as("dl")))
-    val stats = docs.agg(
+    val stats = dws.agg(
       avg(col("dl")).as("avgdl"), count(lit(1)).cast("double").as("n"))
     // df per query term: ≤|vocab| rows after map-side combine
-    val dfm = docs
+    val dfm = dws
       .select(explode(map_keys(col("wc"))).as("term"))
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
       .agg(map_from_entries(collect_list(struct(col("term"), col("df"))))
@@ -317,7 +322,7 @@ object TextOps {
     })
     val w = Window.partitionBy("query_id")
       .orderBy(desc("bm25"), asc("doc_id"))
-    docs
+    dws
       .crossJoin(broadcast(queries))
       .crossJoin(broadcast(stats))
       .crossJoin(broadcast(dfm))
