@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] One-call corpus curation — the standard LLM pre-training recipe
+  * (the CCNet / Gopher / LLaMA stage order) composed end-to-end from the
+  * library's own audited operators:
+  *
+  *  1. extract   — markup strip + entity decode ([[TextOps.extractText]])
+  *  2. scrub     — PII redaction ([[TextOps.scrubPii]])
+  *  3. filter    — Gopher rule verdict ∧ hashing-trick classifier
+  *                 ([[TextOps.gopherVerdict]], [[TextOps.classifierWsum]])
+  *  4. exact dedup — keep the lowest doc_id per exact cleaned text
+  *  5. near dedup  — MinHash-LSH cluster representatives
+  *                 ([[DedupOps.minHashDedupAssign]])
+  *  6. pack      — hash-shard + per-shard prefix-sum token offsets into
+  *                 fixed-budget sequences (the q71 shape)
+  *
+  * This object adds NO new computation — only composition. Stages 1-3
+  * are narrow codegen'd passes; the shuffles are exactly the component
+  * operators' own (one per dedup key, one per shard window), so the
+  * 100 TB arguments documented on each operator carry over verbatim.
+  */
+object Curation {
+
+  case class Config(
+      shingleSize: Int = 2,
+      numHashes: Int = 15,
+      rowsPerBand: Int = 3,
+      nearDupThreshold: Double = 0.6,
+      nShards: Int = 4,
+      seqBudget: Long = 4096)
+
+  private def classifierKeep(text: Column): Column =
+    TextOps.classifierWsum(text) > 0
+
+  /** Curate (doc_id, text) into a packed training corpus: returns the
+    * KEPT documents with cleaned text, shard, token offset and sequence
+    * id. Docs dropped by any stage (rule filter, classifier, exact or
+    * near dedup — and sub-2-word docs, which the Gopher pass excludes by
+    * construction) simply don't appear.
+    */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    // 1-2: extraction + scrub, one narrow pass
+    val cleaned = docs.select(col("doc_id"),
+      TextOps.scrubPii(TextOps.extractText(col("text"))).as("text"))
+    // 3: rule filter ∧ classifier filter
+    val gopher = TextOps.gopherVerdict(cleaned)
+      .select(col("doc_id"), col("keep"))
+    val filtered = cleaned
+      .join(gopher, Seq("doc_id"))
+      .filter(col("keep") && classifierKeep(col("text")))
+      .select(col("doc_id"), col("text"))
+    // 4: exact dedup — lowest doc_id per exact cleaned text
+    val exact = filtered
+      .withColumn("__k", md5(col("text")))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__k")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .drop("__k", "__rn")
+    // 5: near dedup — keep each similarity cluster's representative
+    val assign = DedupOps.minHashDedupAssign(exact, cfg.numHashes,
+        cfg.rowsPerBand, cfg.shingleSize, cfg.nearDupThreshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val deduped = exact.join(assign, Seq("doc_id"))
+      .filter(col("cluster_id") === col("doc_id"))
+      .drop("cluster_id")
+    // 6: shard + pack (the q71 shape: per-shard prefix sums)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(SamplingOps.hashRank(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deduped
+      .select(col("doc_id"), col("text"),
+        SamplingOps.lcgShard(col("doc_id"), cfg.nShards).as("shard"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"tok_offset div ${cfg.seqBudget}"))
+  }
+}

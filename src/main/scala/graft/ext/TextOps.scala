@@ -350,22 +350,26 @@ object TextOps {
     * branch, exactly the deployed-classifier shape where the model is
     * a broadcast constant). Direct DuckDB oracle.
     */
-  def qClassifierFilter(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val toks = split(col("text"), " ")
-    // integer weight k−500 (k = LCG of the md5 bucket, k ∈ [0,999]):
-    // the fold stays in EXACT integer space, so the keep verdict
-    // (wsum > 0) involves no float at all and the reported mean is ONE
-    // double division — bit-identical in any engine (a double-space sum
-    // hit a round-to-6 boundary ulp between Spark and DuckDB)
+  /** The classifier's integer document score: Σ (k−500) over tokens,
+    * k = LCG of the md5 bucket, k ∈ [0,999]. The fold stays in EXACT
+    * integer space, so the keep verdict (wsum > 0) involves no float at
+    * all — a double-space sum hit a round-to-6 boundary ulp between
+    * Spark and DuckDB. Shared by q74 and [[Curation.curate]].
+    */
+  def classifierWsum(text: Column): Column = {
     val wTok = (tok: Column) =>
       (conv(substring(md5(tok), 1, 8), 16, 10).cast("bigint") % 256)
         .*(2654435761L) % 1000 - 500
+    aggregate(transform(split(text, " "), wTok), lit(0L), (acc, w) => acc + w)
+  }
+
+  def qClassifierFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val toks = split(col("text"), " ")
     t.documents.select(
         col("doc_id"),
         size(toks).cast("bigint").as("n_tokens"),
-        aggregate(transform(toks, wTok), lit(0L), (acc, w) => acc + w)
-          .as("wsum"))
+        classifierWsum(col("text")).as("wsum"))
       .select(col("doc_id"), col("n_tokens"),
         // wsum stays EXACT (a rounded wsum/(1000n) ratio terminates in
         // decimal and can land exactly on a round-half boundary, where

@@ -1,0 +1,76 @@
+package graft
+
+import graft.ext.{Curation, DedupOps, SamplingOps, TextOps}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private def collectOut(df: org.apache.spark.sql.DataFrame) = {
+    val out = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1).toSeq
+    graft.CacheRegistry.release()
+    out
+  }
+
+  test("curate equals the stage-by-stage composition of the public operators") {
+    val docs = Tables(spark, SF).documents.select(col("doc_id"), col("text"))
+    val got = collectOut(Curation.curate(docs))
+    // independent composition, same public operators, separate wiring
+    val cleaned = docs.select(col("doc_id"),
+      TextOps.scrubPii(TextOps.extractText(col("text"))).as("text"))
+    val keepIds = TextOps.gopherVerdict(cleaned)
+      .filter(col("keep")).select("doc_id")
+    val filtered = cleaned.join(keepIds, Seq("doc_id"))
+      .filter(TextOps.classifierWsum(col("text")) > 0)
+    // exact dedup via groupBy-min instead of curate's window formulation
+    val firstPerText = filtered.groupBy(md5(col("text")).as("__k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exact = filtered.join(firstPerText, Seq("doc_id"))
+    val reps = DedupOps.minHashDedupAssign(exact)
+      .filter(col("cluster_id") === col("doc_id")).select("doc_id")
+    val deduped = exact.join(reps, Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(SamplingOps.hashRank(col("doc_id")), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = collectOut(deduped
+      .select(col("doc_id"), col("text"),
+        SamplingOps.lcgShard(col("doc_id"), 4).as("shard"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr("tok_offset div 4096")))
+    assert(got == want)
+    assert(got.nonEmpty && got.size < docs.count())
+    // offsets are exact per-shard prefix sums (independent arithmetic)
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      val ordered = rows.sortBy { case (id, _, _, _, _, _) =>
+        (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, id)
+      }
+      var cum = 0L
+      ordered.foreach { case (_, _, _, n, off, seq) =>
+        assert(off == cum && seq == off / 4096)
+        cum += n
+      }
+    }
+    // kept texts are exactly unique
+    assert(got.map(_._2).distinct.size == got.size)
+  }
+
+  test("a planted exact copy of a kept doc is dropped; the rest is unchanged") {
+    val docs = Tables(spark, SF).documents.select(col("doc_id"), col("text"))
+    val base = collectOut(Curation.curate(docs))
+    val keptId = base.head._1
+    val planted = docs.filter(col("doc_id") === keptId)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+    val withDup = collectOut(Curation.curate(docs.unionByName(planted)))
+    assert(!withDup.exists(_._1 == keptId + 900000L), "planted copy survived")
+    assert(withDup.map(t => (t._1, t._2)) == base.map(t => (t._1, t._2)),
+      "planting a duplicate changed the kept set")
+  }
+}
