@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] One-call corpus curation — the standard LLM pre-training recipe
@@ -13,10 +12,12 @@ import org.apache.spark.sql.functions._
   *  3. filter    — Gopher rule verdict ∧ hashing-trick classifier
   *                 ([[TextOps.gopherVerdict]], [[TextOps.classifierWsum]])
   *  4. exact dedup — keep the lowest doc_id per exact cleaned text
-  *  5. near dedup  — MinHash-LSH cluster representatives
-  *                 ([[DedupOps.minHashDedupAssign]])
+  *                 ([[DedupOps.exactDedup]] + keep-id semijoin)
+  *  5. near dedup  — transitive MinHash-LSH component representatives
+  *                 ([[DedupOps.minHashDedupClusters]])
   *  6. pack      — hash-shard + per-shard prefix-sum token offsets into
-  *                 fixed-budget sequences (the q71 shape)
+  *                 fixed-budget sequences ([[SamplingOps.sequencePack]],
+  *                 the exact operator behind q71)
   *
   * This object adds NO new computation — only composition. Stages 1-3
   * are narrow codegen'd passes; the shuffles are exactly the component
@@ -43,39 +44,31 @@ object Curation {
     * construction) simply don't appear.
     */
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    // 1-2: extraction + scrub, one narrow pass
+    // 1-3: ONE narrow cleaning pass — gopherVerdict's passthrough carries
+    // the cleaned text through (no join-back), the classifier fold sits
+    // on top of the same pass
     val cleaned = docs.select(col("doc_id"),
       TextOps.scrubPii(TextOps.extractText(col("text"))).as("text"))
-    // 3: rule filter ∧ classifier filter
-    val gopher = TextOps.gopherVerdict(cleaned)
-      .select(col("doc_id"), col("keep"))
-    val filtered = cleaned
-      .join(gopher, Seq("doc_id"))
+    val filtered = TextOps.gopherVerdict(cleaned, passthrough = Seq("text"))
       .filter(col("keep") && classifierKeep(col("text")))
       .select(col("doc_id"), col("text"))
-    // 4: exact dedup — lowest doc_id per exact cleaned text
-    val exact = filtered
-      .withColumn("__k", md5(col("text")))
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy(col("__k")).orderBy(col("doc_id"))))
-      .filter(col("__rn") === 1)
-      .drop("__k", "__rn")
-    // 5: near dedup — keep each similarity cluster's representative
-    val assign = DedupOps.minHashDedupAssign(exact, cfg.numHashes,
+    // 4: exact dedup via the audited operator (map-side partial agg —
+    // the exchange carries (hash, min_id), never the text) + keep-id
+    // semijoin; persisted: the near-dedup and the final join both read it
+    val keepIds = DedupOps.exactDedup(filtered)
+      .select(col("keep_id").as("doc_id"))
+    val exact = graft.CacheRegistry.persist(
+      filtered.join(keepIds, Seq("doc_id"), "left_semi"))
+    // 5: near dedup — TRANSITIVE components (q51's operator), keeping
+    // each component's min-id representative: every dropped doc is
+    // connected to its kept rep, so chains A~B~C can't orphan C the way
+    // a one-hop assignment would (B's rep dropped, C's rep B dropped)
+    val reps = DedupOps.minHashDedupClusters(exact, cfg.numHashes,
         cfg.rowsPerBand, cfg.shingleSize, cfg.nearDupThreshold)
-      .select(col("doc_id"), col("cluster_id"))
-    val deduped = exact.join(assign, Seq("doc_id"))
       .filter(col("cluster_id") === col("doc_id"))
-      .drop("cluster_id")
-    // 6: shard + pack (the q71 shape: per-shard prefix sums)
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(SamplingOps.hashRank(col("doc_id")), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deduped
-      .select(col("doc_id"), col("text"),
-        SamplingOps.lcgShard(col("doc_id"), cfg.nShards).as("shard"),
-        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
-      .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .withColumn("seq_id", expr(s"tok_offset div ${cfg.seqBudget}"))
+      .select("doc_id")
+    val deduped = exact.join(reps, Seq("doc_id"), "left_semi")
+    // 6: shard + pack — the SAME operator q71 runs
+    SamplingOps.sequencePack(deduped, cfg.nShards, cfg.seqBudget)
   }
 }

@@ -123,22 +123,27 @@ object SamplingOps {
     * cumulative sum — no global coordination, no driver state. The
     * ORDER BY is presentation-only. Direct DuckDB oracle.
     */
-  def qSequencePack(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 4096
-    val nShards = 4
-    val t = Tables(spark, dir)
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(hashRank(col("doc_id")), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.documents
-      .select(col("doc_id"),
-        lcgShard(col("doc_id"), nShards).as("shard"),
-        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
-      .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .withColumn("seq_id", expr(s"tok_offset div $budget"))
+  def qSequencePack(spark: SparkSession, dir: String): DataFrame =
+    sequencePack(Tables(spark, dir).documents)
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         col("tok_offset"), col("seq_id"))
       .orderBy("doc_id")
+
+  /** The ONE pack definition (shared by q71 and [[Curation.curate]] so
+    * the packing semantics cannot drift): hash shard + per-shard
+    * prefix-sum token offsets + fixed-budget sequence ids. Input columns
+    * ride along.
+    */
+  def sequencePack(docs: DataFrame, nShards: Int = 4,
+      budget: Long = 4096): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hashRank(col("doc_id")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("shard", lcgShard(col("doc_id"), nShards))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"tok_offset div $budget"))
   }
 
   /** STATE-STORE-native streaming sequence packing — the continuous-

@@ -334,6 +334,19 @@ object TextOps {
       .orderBy("query_id", "rank")
   }
 
+  /** The classifier's integer document score: Σ (k−500) over tokens,
+    * k = LCG of the md5 bucket, k ∈ [0,999]. The fold stays in EXACT
+    * integer space, so the keep verdict (wsum > 0) involves no float at
+    * all — a double-space sum hit a round-to-6 boundary ulp between
+    * Spark and DuckDB. Shared by q74 and [[Curation.curate]].
+    */
+  def classifierWsum(text: Column): Column = {
+    val wTok = (tok: Column) =>
+      (conv(substring(md5(tok), 1, 8), 16, 10).cast("bigint") % 256)
+        .*(2654435761L) % 1000 - 500
+    aggregate(transform(split(text, " "), wTok), lit(0L), (acc, w) => acc + w)
+  }
+
   /** q74: fastText-style classifier quality filter — the
     * model-based step of the CCNet/LLaMA curation recipe (vs q64's
     * rule-based Gopher pass): a linear scorer over hashing-trick
@@ -350,19 +363,6 @@ object TextOps {
     * branch, exactly the deployed-classifier shape where the model is
     * a broadcast constant). Direct DuckDB oracle.
     */
-  /** The classifier's integer document score: Σ (k−500) over tokens,
-    * k = LCG of the md5 bucket, k ∈ [0,999]. The fold stays in EXACT
-    * integer space, so the keep verdict (wsum > 0) involves no float at
-    * all — a double-space sum hit a round-to-6 boundary ulp between
-    * Spark and DuckDB. Shared by q74 and [[Curation.curate]].
-    */
-  def classifierWsum(text: Column): Column = {
-    val wTok = (tok: Column) =>
-      (conv(substring(md5(tok), 1, 8), 16, 10).cast("bigint") % 256)
-        .*(2654435761L) % 1000 - 500
-    aggregate(transform(split(text, " "), wTok), lit(0L), (acc, w) => acc + w)
-  }
-
   def qClassifierFilter(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val toks = split(col("text"), " ")

@@ -29,7 +29,7 @@ class CurationSpec extends SparkSpec {
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val exact = filtered.join(firstPerText, Seq("doc_id"))
-    val reps = DedupOps.minHashDedupAssign(exact)
+    val reps = DedupOps.minHashDedupClusters(exact)
       .filter(col("cluster_id") === col("doc_id")).select("doc_id")
     val deduped = exact.join(reps, Seq("doc_id"))
     val w = org.apache.spark.sql.expressions.Window
