@@ -102,6 +102,7 @@ object SparkEntry {
     "q74_classifier_filter" -> (TextOps.qClassifierFilter _),
     "q75_bpe_train" -> (TextOps.qBpeTrain _),
     "q76_bpe_apply" -> (TextOps.qBpeApply _),
+    "q77_curate" -> (ext.Curation.qCurate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -685,7 +686,7 @@ object SparkEntry {
     "q35_frame_pipeline", "q38_sketches",
     "q51_dedup_clusters", "q52_incremental_dedup", "q53_compressed_frames",
     "q54_video_frames", "q57_ann_pq", "q73_semdedup", "q75_bpe_train",
-    "q76_bpe_apply",
+    "q76_bpe_apply", "q77_curate",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

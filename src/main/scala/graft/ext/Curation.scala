@@ -71,4 +71,16 @@ object Curation {
     // 6: shard + pack — the SAME operator q71 runs
     SamplingOps.sequencePack(deduped, cfg.nShards, cfg.seqBudget)
   }
+
+  /** q77: the whole pipeline as a driver query — kept docs with their
+    * pack coordinates, text pinned by hash (keeps the golden compact).
+    * Golden-parquet oracle (the near-dedup stage is hash-seeded);
+    * CurationSpec value-checks the same output against an independently
+    * wired composition.
+    */
+  def qCurate(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    curate(graft.Tables(spark, dir).documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("tok_offset"), col("seq_id"), md5(col("text")).as("text_hash"))
+      .orderBy("doc_id")
 }
