@@ -444,7 +444,7 @@ object TextOps {
     * ONE definition both training and tokenization use, so their merge
     * semantics cannot drift.
     */
-  private def applyMergePass(syms: Array[String], l: String, r: String): Array[String] = {
+  private[graft] def applyMergePass(syms: Array[String], l: String, r: String): Array[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
     var j = 0
     while (j < syms.length) {

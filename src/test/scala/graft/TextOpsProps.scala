@@ -1,0 +1,44 @@
+package graft
+
+import graft.ext.TextOps
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property-based coverage of the pure BPE merge primitive shared by
+  * q75 training and q76 tokenization.
+  */
+object TextOpsProps extends Properties("graft.text") {
+
+  private val genSym: Gen[String] =
+    Gen.oneOf(Gen.oneOf("a", "b", "c", "ab", "bc", "</w>"),
+      Gen.alphaLowerStr.map(_.take(3)).suchThat(_.nonEmpty))
+
+  private val genSyms: Gen[Array[String]] =
+    Gen.listOfN(12, genSym).map(_.toArray)
+
+  private val genPair: Gen[(String, String)] = for {
+    l <- genSym; r <- genSym
+  } yield (l, r)
+
+  property("merge pass preserves concatenated content") =
+    Prop.forAll(genSyms, genPair) { case (syms, (l, r)) =>
+      TextOps.applyMergePass(syms, l, r).mkString == syms.mkString
+    }
+
+  property("merge pass never lengthens the sequence") =
+    Prop.forAll(genSyms, genPair) { case (syms, (l, r)) =>
+      TextOps.applyMergePass(syms, l, r).length <= syms.length
+    }
+
+  property("no adjacent (l, r) pair survives one pass") =
+    Prop.forAll(genSyms, genPair) { case (syms, (l, r)) =>
+      val out = TextOps.applyMergePass(syms, l, r)
+      !out.iterator.zip(out.iterator.drop(1))
+        .exists { case (x, y) => x == l && y == r }
+    }
+
+  property("a pass with no matching pair is the identity") =
+    Prop.forAll(genSyms) { syms =>
+      // "zz" never appears as a symbol from genSym
+      TextOps.applyMergePass(syms, "zz", "zz").toSeq == syms.toSeq
+    }
+}
