@@ -105,11 +105,18 @@ object RosBagPaths {
         else if (strict)
           throw new java.io.FileNotFoundException(s"rosbag: path does not exist: $raw")
         else Seq.empty
+      // the `.bag` suffix filter applies only to DIRECTORY expansion —
+      // an explicitly named file (or a glob match) is read regardless of
+      // its extension, exactly like Spark's own file sources; silently
+      // dropping `/data/run1.BAG` after the strict existence check passed
+      // would read a real file as zero rows
       roots.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(s => !s.isDirectory && s.getPath.getName.endsWith(".bag"))
+        else Seq(st)
       }
-    }.filter(_.getPath.getName.endsWith(".bag"))
-      .distinctBy(_.getPath.toString)
+    }.distinctBy(_.getPath.toString)
       .sortBy(_.getPath.toString)
 
   /** Minimal but COMPLETE JSON string-array parse for Spark's multi-path
@@ -258,6 +265,25 @@ object RosBagFilters {
       case sources.LessThanOrEqual("rosbagTimestamp", v: java.lang.Long) => startNs <= v
       case _ => true
     }
+
+  /** Driver-side chunk pruning — the ONE definition batch and streaming
+    * planning share. A chunk is dropped only on POSITIVE evidence: its
+    * time bounds exclude the pushed range, or at least one of its
+    * connection ids resolves and ALL resolved topics fail the filter.
+    * A chunk whose connection ids resolve to NOTHING in the trailing
+    * index (foreign/truncated index section) is conservatively KEPT —
+    * the executor path surfaces the inconsistency instead of the
+    * planner silently dropping rows.
+    */
+  def keptChunks(idx: RosBagFormat.BagIndex,
+      pushed: Array[sources.Filter]): Seq[RosBagFormat.ChunkSummary] = {
+    val tk = topicKeep(pushed)
+    idx.chunks.filter { c =>
+      val resolved = c.msgCountByConn.keys.flatMap(idx.connections.get)
+      (resolved.isEmpty || resolved.exists(cn => tk(cn.topic))) &&
+        rangeMayMatch(pushed, c.startNs, c.endNs)
+    }
+  }
 }
 
 class RosBagScan(paths: Seq[String], required: StructType,
@@ -306,11 +332,7 @@ class RosBagScan(paths: Seq[String], required: StructType,
           // chunk pruning: topic filter against the chunk's connection set,
           // ts-range filter against the chunk's [start, end] time bounds —
           // both from chunk-info records alone, no chunk bytes touched
-          val kept = idx.chunks.filter { c =>
-            c.msgCountByConn.keys.exists(cid =>
-              idx.connections.get(cid).exists(cn => topicKeep(cn.topic))) &&
-              RosBagFilters.rangeMayMatch(pushed, c.startNs, c.endNs)
-          }
+          val kept = RosBagFilters.keptChunks(idx, pushed)
           // group consecutive chunks into ~splitSize ranges (chunk byte
           // size ≈ next chunk_pos delta; last chunk extends to index_pos)
           if (kept.isEmpty) Seq.empty[InputPartition]
@@ -324,9 +346,16 @@ class RosBagScan(paths: Seq[String], required: StructType,
                 groupStart = c.pos
               } else groups.last += c
             }
-            groups.map(g => RosBagInputPartition(f.toString,
-              g.map(c => RosBagChunkRef(c.pos, c.msgCountByConn.values.sum)).toSeq,
-              idx.connections, indexed = true): InputPartition).toSeq
+            groups.map { g =>
+              // ship only the connections this group's chunks reference —
+              // definitions total O(topics × KB); sending the whole map in
+              // every partition is O(partitions × that)
+              val wanted = g.flatMap(_.msgCountByConn.keys).toSet
+              RosBagInputPartition(f.toString,
+                g.map(c => RosBagChunkRef(c.pos, c.msgCountByConn.values.sum)).toSeq,
+                idx.connections.filter { case (cid, _) => wanted(cid) },
+                indexed = true): InputPartition
+            }.toSeq
           }
         case None =>
           Seq(RosBagInputPartition(f.toString, Seq.empty, Map.empty,
@@ -408,7 +437,7 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
           wanted
         } else {
           RosBagMetrics.chunksFullyScanned.increment()
-          decodeChunk(body)
+          decodeChunk(body).map { r => RosBagMetrics.messagesDecoded.increment(); r }
         }
       }
     } else {
@@ -444,6 +473,8 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
             case _ => Iterator.empty
           }
         }
+        // every record this branch emits was decoded without an index
+        .map { r => RosBagMetrics.messagesDecoded.increment(); r }
     }
 
   /** Decode one chunk body honoring pushed filters; when `fields` is not

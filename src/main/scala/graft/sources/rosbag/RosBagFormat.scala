@@ -118,29 +118,32 @@ object RosBagFormat {
     Header(fields.result())
   }
 
-  /** Read one `[hlen][header][dlen][data]` record; None at clean EOF. */
-  def readRecord(in: InputStream): Option[(Header, Array[Byte])] = {
-    val first = in.read()
-    if (first < 0) return None
-    val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
-    if ((b1 | b2 | b3) < 0) throw new EOFException("truncated record length")
-    val hlen = ((first & 0xffL) | ((b1 & 0xffL) << 8) | ((b2 & 0xffL) << 16) |
-      ((b3 & 0xffL) << 24)).toInt
-    val header = parseHeader(readFully(in, hlen))
-    val dlen = readU32LE(in).toInt
-    Some((header, readFully(in, dlen)))
+  /** Sanity bound on any single record's header/data length: a corrupt
+    * u32 must fail as "corrupt record", never as a negative-size array
+    * (0xFFFFFFFF.toInt = -1) or an unchecked ~2 GB allocation.
+    */
+  private val MaxRecordLen: Long = 1L << 30
+
+  private def checkedLen(len: Long, what: String): Int = {
+    if (len > MaxRecordLen)
+      throw new java.io.IOException(s"corrupt bag: $what length $len exceeds $MaxRecordLen")
+    len.toInt
   }
 
+  /** Read one `[hlen][header][dlen][data]` record; None at clean EOF. */
+  def readRecord(in: InputStream): Option[(Header, Array[Byte])] =
+    readRecordLazy(in, _ => true)
+
   /** Same but skipping data for records the caller doesn't need. */
-  def readRecordLazy(in: DataInputStream, wantData: Header => Boolean): Option[(Header, Array[Byte])] = {
+  def readRecordLazy(in: InputStream, wantData: Header => Boolean): Option[(Header, Array[Byte])] = {
     val first = in.read()
     if (first < 0) return None
     val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
     if ((b1 | b2 | b3) < 0) throw new EOFException("truncated record length")
-    val hlen = ((first & 0xffL) | ((b1 & 0xffL) << 8) | ((b2 & 0xffL) << 16) |
-      ((b3 & 0xffL) << 24)).toInt
+    val hlen = checkedLen((first & 0xffL) | ((b1 & 0xffL) << 8) |
+      ((b2 & 0xffL) << 16) | ((b3 & 0xffL) << 24), "record header")
     val header = parseHeader(readFully(in, hlen))
-    val dlen = readU32LE(in).toInt
+    val dlen = checkedLen(readU32LE(in), "record data")
     if (wantData(header)) Some((header, readFully(in, dlen)))
     else {
       var left = dlen.toLong

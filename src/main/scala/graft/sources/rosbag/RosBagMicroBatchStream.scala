@@ -85,17 +85,14 @@ class RosBagMicroBatchStream(paths: Seq[String], schema: StructType,
       }
       RosBagFormat.readIndex(open) match {
         case Some(idx) =>
-          // same driver-side chunk pruning as the batch scan: the
-          // topics option / pushed predicates drop whole chunks here
-          val topicKeep = RosBagFilters.topicKeep(pushed)
-          val kept = idx.chunks.filter { c =>
-            c.msgCountByConn.keys.exists(cid =>
-              idx.connections.get(cid).exists(cn => topicKeep(cn.topic))) &&
-              RosBagFilters.rangeMayMatch(pushed, c.startNs, c.endNs)
-          }
+          // same driver-side chunk pruning as the batch scan — the ONE
+          // shared definition (conservative keep on unresolved conns)
+          val kept = RosBagFilters.keptChunks(idx, pushed)
+          val wanted = kept.flatMap(_.msgCountByConn.keys).toSet
           RosBagInputPartition(f,
             kept.map(c => RosBagChunkRef(c.pos, c.msgCountByConn.values.sum)),
-            idx.connections, indexed = true): InputPartition
+            idx.connections.filter { case (cid, _) => wanted(cid) },
+            indexed = true): InputPartition
         case None =>
           RosBagInputPartition(f, Seq.empty, Map.empty, indexed = false): InputPartition
       }
@@ -110,16 +107,22 @@ class RosBagMicroBatchStream(paths: Seq[String], schema: StructType,
 }
 
 case class RosBagSourceOffset(seen: Seq[String]) extends Offset {
+  // full JSON string escaping: Spark's OffsetSeqLog stores ONE offset per
+  // LINE, so a raw control character (a newline is legal in a POSIX file
+  // name) would corrupt the checkpoint log
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
   override def json(): String =
-    seen.map(s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+    seen.map(s => "\"" + esc(s) + "\"").mkString("[", ",", "]")
 }
 
 object RosBagSourceOffset {
-  def fromJson(json: String): RosBagSourceOffset = {
-    // minimal JSON string-array parse (offsets are written by json() above)
-    val items = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
-      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
-    RosBagSourceOffset(items)
-  }
+  // the one string-array parser in this package handles the full escape
+  // set json() can emit (incl. \uXXXX)
+  def fromJson(json: String): RosBagSourceOffset =
+    RosBagSourceOffset(RosBagPaths.parseJsonStringArray(json))
 }

@@ -103,10 +103,24 @@ object RosMsgDef {
     (root, registry)
   }
 
-  private def resolve(ref: MsgRef, registry: Map[String, MsgSpec]): MsgSpec =
-    registry.getOrElse(ref.fullName, registry.getOrElse(
-      ref.fullName.split('/').last,
-      throw new IllegalArgumentException(s"unresolved message type ${ref.fullName}")))
+  /** ROS resolution order for a field type referenced from `fromSpec`:
+    * exact qualified name → SAME-PACKAGE qualified name (an unqualified
+    * `Point` inside pkg_a means pkg_a/Point, NOT whichever dependency
+    * happens to share the short name) → short-name fallback.
+    */
+  private def resolve(ref: MsgRef, registry: Map[String, MsgSpec],
+      fromSpec: MsgSpec): MsgSpec = {
+    val resolved =
+      if (ref.fullName.contains('/'))
+        registry.get(ref.fullName)
+          .orElse(registry.get(ref.fullName.split('/').last))
+      else
+        fromSpec.fullName.split('/').dropRight(1).headOption
+          .flatMap(pkg => registry.get(s"$pkg/${ref.fullName}"))
+          .orElse(registry.get(ref.fullName))
+    resolved.getOrElse(throw new IllegalArgumentException(
+      s"unresolved message type ${ref.fullName} (from ${fromSpec.fullName})"))
+  }
 
   // ---------------------------------------------------------------- decode
 
@@ -127,7 +141,7 @@ object RosMsgDef {
       f.tpe match {
         case Primitive(p) => walkPrimitive(p, f.arrayLen, buf, path, out)
         case r: MsgRef =>
-          val sub = resolve(r, registry)
+          val sub = resolve(r, registry, spec)
           if (f.arrayLen == -1) walkMsg(sub, registry, buf, path, out)
           else {
             val n = if (f.arrayLen > 0) f.arrayLen else buf.getInt()
@@ -213,7 +227,7 @@ object RosMsgDef {
       f.tpe match {
         case Primitive(p) => writePrimitive(p, f.arrayLen, fields, path, out)
         case r: MsgRef =>
-          val sub = resolve(r, registry)
+          val sub = resolve(r, registry, spec)
           if (f.arrayLen == -1) writeMsg(sub, registry, fields, path, out)
           else {
             // element count = consecutive `path.i.` prefixes present

@@ -374,6 +374,68 @@ class RosBagSpec extends SparkSpec {
     assert(got.select("rosbagTimestamp").distinct().count() == 90)
   }
 
+  test("an explicitly named file reads regardless of extension; dirs still filter to .bag") {
+    val d = Files.createTempDirectory("rosbag-ext").toString
+    val bytes = RosBagWriter.build(topics, sampleRecords(10).iterator,
+      chunkThreshold = 8192)
+    Files.write(Paths.get(s"$d/run1.BAG"), bytes)
+    Files.write(Paths.get(s"$d/notes.txt"), "not a bag".getBytes)
+    Files.write(Paths.get(s"$d/rec.bag"), bytes)
+    val n = spark.read.format("rosbag").load(s"$d/rec.bag").count()
+    // explicit file: read even though the suffix isn't lowercase .bag
+    assert(spark.read.format("rosbag").load(s"$d/run1.BAG").count() == n)
+    // directory expansion: only *.bag children (the txt file must not
+    // break the scan, the .BAG file is not auto-discovered)
+    assert(spark.read.format("rosbag").load(d).count() == n)
+  }
+
+  test("corrupt record length fails as a clean corrupt-bag error, not a negative allocation") {
+    val junk = RosBagFormat.VersionLine ++ Array[Byte](-1, -1, -1, -1)
+    val e = intercept[java.io.IOException] {
+      val in = new java.io.ByteArrayInputStream(junk)
+      in.skip(RosBagFormat.VersionLine.length)
+      RosBagFormat.readRecord(in)
+    }
+    assert(e.getMessage.contains("corrupt bag"), e.getMessage)
+  }
+
+  test("streaming offset JSON round-trips control characters in paths") {
+    import graft.sources.rosbag.RosBagSourceOffset
+    val paths = Seq("/data/a.bag", "/weird\npath/b.bag", "/tab\there.bag",
+      "/quote\"and\\slash.bag")
+    val off = RosBagSourceOffset(paths)
+    assert(!off.json().contains('\n'), "offset JSON must stay single-line")
+    assert(RosBagSourceOffset.fromJson(off.json()).seen == paths)
+  }
+
+  test("unqualified sub-message types resolve in the referring package first") {
+    // two dependencies share the short name Point with DIFFERENT sizes;
+    // pkg_a/Outer's unqualified `Point p` must mean pkg_a/Point (8 bytes),
+    // not geometry_msgs/Point (24 bytes)
+    val defText =
+      """pkg_a/Inner inner
+        |================================================================================
+        |MSG: geometry_msgs/Point
+        |float64 x
+        |float64 y
+        |float64 z
+        |================================================================================
+        |MSG: pkg_a/Point
+        |float64 x
+        |================================================================================
+        |MSG: pkg_a/Inner
+        |Point p
+        |uint8 tag
+        |""".stripMargin
+    val (spec, reg) = RosMsgDef.parse("pkg_a/Outer", defText)
+    val payload = java.nio.ByteBuffer.allocate(9)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    payload.putDouble(2.5).put(7.toByte)
+    val fields = RosMsgDef.deserialize(spec, reg, payload.array())
+    assert(fields("inner.p.x") == "2.5", fields)
+    assert(fields("inner.tag") == "7", fields)
+  }
+
   test("committed real-format fixture decodes with expected values") {
     val url = getClass.getResource("/fixtures/sample.bag")
     assert(url != null, "fixture missing: src/test/resources/fixtures/sample.bag")
