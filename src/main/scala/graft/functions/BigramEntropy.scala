@@ -34,11 +34,6 @@ case class BigramEntropy(child: Expression)
   override def nullSafeEval(input: Any): Any =
     BigramEntropy.compute(input.asInstanceOf[UTF8String].toString)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
-
   override protected def withNewChildInternal(newChild: Expression): BigramEntropy =
     copy(child = newChild)
 }

@@ -45,11 +45,6 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
   override def nullSafeEval(input: Any): Any =
     filter.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
-
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
 }

@@ -52,11 +52,6 @@ case class CharWindows(child: Expression, n: Int)
     new GenericArrayData(out)
   }
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
-
   override protected def withNewChildInternal(newChild: Expression): CharWindows =
     copy(child = newChild)
 }

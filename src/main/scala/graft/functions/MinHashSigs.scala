@@ -34,30 +34,36 @@ case class MinHashSigs(child: Expression, k: Int)
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val sigs = Array.fill(k)(Long.MaxValue)
     var j = 0
+    var seen = false
     while (j < n) {
       val s = arr.getUTF8String(j)
-      val base = s.getBaseObject
-      val off = s.getBaseOffset
-      val len = s.numBytes()
-      var i = 0
-      while (i < k) {
-        val h = XXH64.hashUnsafeBytes(base, off, len, seeds(i))
-        if (h < sigs(i)) sigs(i) = h
-        i += 1
+      // null elements contribute nothing (the exploded xxhash64 chain
+      // emits no row for them)
+      if (s != null) {
+        seen = true
+        val base = s.getBaseObject
+        val off = s.getBaseOffset
+        val len = s.numBytes()
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashUnsafeBytes(base, off, len, seeds(i))
+          if (h < sigs(i)) sigs(i) = h
+          i += 1
+        }
       }
       j += 1
     }
-    new GenericArrayData(sigs)
-  }
-
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
+    // an EMPTY shingle set has no signature (the exploded formulation
+    // yields no row) — an all-MaxValue sentinel would make every empty
+    // doc a near-dup of every other in LSH
+    if (seen) new GenericArrayData(sigs) else null
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigs =

@@ -41,10 +41,16 @@ case class RepetitionSignals(child: Expression)
     StructField("dup_word_frac", DoubleType, nullable = false)))
   override def prettyName: String = "repetition_signals"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    require(n >= 2, s"repetition_signals requires >= 2 tokens, got $n")
+    // a sub-2-token doc has no bigram, so the signals are undefined —
+    // return null instead of failing the stage (one degenerate row must
+    // not kill a corpus-wide cleaning job); q64's rule filter already
+    // excludes these rows upstream
+    if (n < 2) return null
     val wordCounts = new java.util.HashMap[UTF8String, Array[Int]](n * 2)
     val bigramCounts = new java.util.HashMap[UTF8String, Array[Int]](n * 2)
     var topWord = 0

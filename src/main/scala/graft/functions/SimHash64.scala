@@ -34,11 +34,15 @@ case class SimHash64(child: Expression)
     var j = 0
     while (j < n) {
       val s = arr.getUTF8String(j)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      // null tokens cast no vote (the exploded xxhash64 formulation
+      // emits no row for them)
+      if (s != null) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       j += 1
     }
@@ -49,11 +53,6 @@ case class SimHash64(child: Expression)
       b += 1
     }
     fp
-  }
-
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =

@@ -41,11 +41,16 @@ case class WordCounts(child: Expression)
     val counts = new java.util.TreeMap[UTF8String, Array[Long]]()
     var i = 0
     while (i < n) {
-      // clone: getUTF8String can return a view into a reused unsafe buffer,
-      // and these keys outlive the call as the returned array's contents
-      val w = arr.getUTF8String(i).clone()
-      val c = counts.computeIfAbsent(w, _ => new Array[Long](1))
-      c(0) += 1
+      val w0 = arr.getUTF8String(i)
+      // null tokens are not words (the explode+groupBy formulation drops
+      // them); clone: getUTF8String can return a view into a reused unsafe
+      // buffer, and these keys outlive the call as the returned array's
+      // contents
+      if (w0 != null) {
+        val w = w0.clone()
+        val c = counts.computeIfAbsent(w, _ => new Array[Long](1))
+        c(0) += 1
+      }
       i += 1
     }
     val out = new Array[Any](counts.size)
@@ -57,11 +62,6 @@ case class WordCounts(child: Expression)
       j += 1
     }
     new GenericArrayData(out)
-  }
-
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordCounts =

@@ -47,11 +47,6 @@ case class WordShingles(child: Expression, n: Int)
     }
   }
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) null else nullSafeEval(v)
-  }
-
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
 }

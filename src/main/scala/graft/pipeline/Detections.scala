@@ -44,10 +44,14 @@ object Detections {
   /** Wide view: one column per label (the sparse DynamoDB item), via pivot
     * with pinned values (single pass, stable schema) + the counters.
     */
-  def wide(tall: DataFrame, labels: Seq[String] = Detector.Vocab): DataFrame =
-    tall
-      .groupBy("frame_ts", "camera")
+  def wide(tall: DataFrame, labels: Seq[String] = Detector.Vocab): DataFrame = {
+    // persisted: the pivot and the counters are two aggregations over the
+    // same explode fan-out — without it the label explosion (and whatever
+    // produced `tall`) runs twice per action (the q38 double-scan lesson)
+    val t = graft.CacheRegistry.persist(tall)
+    t.groupBy("frame_ts", "camera")
       .pivot("label", labels)
       .agg(max("confidence"))
-      .join(counters(tall), Seq("frame_ts", "camera"))
+      .join(counters(t), Seq("frame_ts", "camera"))
+  }
 }

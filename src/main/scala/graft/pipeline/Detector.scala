@@ -30,6 +30,9 @@ object Detector {
 
   /** Deterministic labels for one frame, seeded by its content hash. */
   def stubDetect(content: Array[Byte]): Seq[Label] = {
+    // BinaryType is a reference type, so Spark hands the UDF a raw null
+    // for a null frame — detect nothing rather than NPE the stage
+    if (content == null) return Seq.empty
     var seed = scala.util.hashing.MurmurHash3.bytesHash(content, 42).toLong & 0x7fffffffL
     def next(): Long = { seed = (seed * 1103515245L + 12345L) % 2147483648L; seed }
     val nLabels = (next() % 3 + 1).toInt

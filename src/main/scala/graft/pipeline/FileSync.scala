@@ -48,12 +48,14 @@ object FileSync {
         val dstFs = out.getFileSystem(conf)
         dstFs.mkdirs(out.getParent)
         val in = srcFs.open(src)
-        val o = dstFs.create(out, true)
         try {
-          val buf = new Array[Byte](1 << 16)
-          var n = in.read(buf)
-          while (n >= 0) { o.write(buf, 0, n); n = in.read(buf) }
-        } finally { in.close(); o.close() }
+          val o = dstFs.create(out, true)
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) { o.write(buf, 0, n); n = in.read(buf) }
+          } finally o.close() // flushes even when in.close() below throws
+        } finally in.close() // and a failing create() can no longer leak `in`
         counter.add(1)
       }
     }

@@ -12,14 +12,16 @@ object FrameOps {
 
   /** W1: dense per-camera frame numbering in arrival order — the
     * `image_saver` `%04i` index (`service/app/export.launch:2-9`), with the
-    * ordering pinned to (ts, tiebreaker) because Spark has no arrival order.
+    * ordering pinned to (ts, tiebreak...) because Spark has no arrival
+    * order — callers whose ts can tie MUST pass a unique tiebreak column.
     * Single-partition-per-camera window: fine at per-bag scale (cameras ≪
     * cores share one bag's frames); for global 100 TB numbering you'd
     * zipWithIndex per sorted range instead.
     */
   def numberFrames(frames: DataFrame, camera: String = "camera",
-      ts: String = "ts"): DataFrame = {
-    val w = Window.partitionBy(col(camera)).orderBy(col(ts))
+      ts: String = "ts", tiebreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(camera))
+      .orderBy(col(ts) +: tiebreak.map(col): _*)
     frames
       .withColumn("frame_index", row_number().over(w) - 1)
       .withColumn("frame_name",
@@ -45,7 +47,9 @@ object FrameOps {
     */
   def parseFrameName(name: Column): (Column, Column) = (
     regexp_extract(name, "^([A-Za-z]+)", 1),
-    regexp_extract(name, "([0-9]{4})", 1).cast("int"))
+    // anchored trailing run: %04d is a MINIMUM width, so camera frame
+    // 10000 renders five digits and a {4} prefix match would truncate it
+    regexp_extract(name, "([0-9]+)\\.png$", 1).cast("int"))
 
   /** W2: sequence-gap report — frames whose index does not follow its
     * predecessor (`service/check_pngs.py:1976-1981` "missed {idx}").

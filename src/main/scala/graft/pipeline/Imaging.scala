@@ -155,6 +155,9 @@ object Imaging {
   def drawBoxes(png: Array[Byte],
       boxes: Seq[(Double, Double, Double, Double)]): Array[Byte] = {
     val img = decodePng(png)
+    // ImageIO.read returns null (not an exception) on undecodable bytes;
+    // annotate's null-content guard can't catch a non-null corrupt frame
+    require(img != null, "imageio failed to decode frame content for annotation")
     val g = img.createGraphics()
     g.setColor(BoxColor)
     g.setStroke(new BasicStroke(2f))

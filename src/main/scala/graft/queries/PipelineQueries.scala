@@ -343,7 +343,7 @@ object PipelineQueries {
         col("w"), col("h"), col("encoding"), col("step"), col("raw")))
       .withColumn("ts", timestamp_millis(col("ts_ms")))
       .drop("raw")
-    val numbered = FrameOps.numberFrames(frames)
+    val numbered = FrameOps.numberFrames(frames, tiebreak = Seq("ts_ms"))
       .withColumn("prefix", lit("2020-06-29-13-15-12_run"))
     Detector.withLabels(FrameOps.deriveFrameTs(numbered))
   }

@@ -13,6 +13,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(h == want)
   }
 
+  test("degenerate inputs return null/empty, never a crashed stage") {
+    // empty shingle set has NO signature (an all-MaxValue sentinel would
+    // bucket every empty doc together in LSH); null tokens contribute nothing
+    assert(spark.sql(
+      "SELECT minhash_sigs(CAST(array() AS ARRAY<STRING>), 4) AS s").head().isNullAt(0))
+    val withNull = spark.sql(
+      "SELECT minhash_sigs(array('a', CAST(NULL AS STRING)), 4) AS s," +
+        " minhash_sigs(array('a'), 4) AS t").head()
+    assert(withNull.getSeq[Long](0) == withNull.getSeq[Long](1))
+    assert(spark.sql("SELECT simhash64(array(CAST(NULL AS STRING))) AS h")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT size(word_counts(array('a', CAST(NULL AS STRING)))) AS n")
+      .head().getInt(0) == 1)
+    // a sub-2-token doc has no bigram: signals are null, not an exception
+    assert(spark.sql("SELECT repetition_signals(array('only')) AS r").head().isNullAt(0))
+    // null frame content detects nothing rather than NPE-ing the task
+    assert(graft.pipeline.Detector.stubDetect(null).isEmpty)
+  }
+
   test("minhash_sigs from SQL matches the xxhash64 chain") {
     val r = spark.sql(
       "SELECT minhash_sigs(array('ab', 'cd'), 3) AS s, " +
