@@ -47,7 +47,12 @@ object AsOfJoin {
     // `last()` free to pick whichever sorted last — a deterministic
     // payload-hash tiebreak pins the winner (ties between IDENTICAL
     // payloads remain, harmlessly).
-    val r = right.select(col(key).as("__k"), col(ts).cast("timestamp").as("__ts"),
+    // null-keyed RIGHT rows are dropped: Window.partitionBy groups nulls
+    // together, so they would as-of match null-keyed left rows — ASOF
+    // join semantics (and the DuckDB oracle) never match on null = null.
+    // Null-keyed LEFT rows still flow through and emit unmatched.
+    val r = right.filter(col(key).isNotNull)
+      .select(col(key).as("__k"), col(ts).cast("timestamp").as("__ts"),
       lit(0).as("__side"), xxhash64(rStruct).as("__tie"), lit(null).cast(lType).as("__l"),
       struct(col(ts).cast("timestamp").as("ts"), rStruct.as("r")).as("__r"))
 

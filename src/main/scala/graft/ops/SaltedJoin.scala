@@ -19,10 +19,17 @@ object SaltedJoin {
 
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       buckets: Int = 8): DataFrame = {
-    // deterministic salt (hash of the whole row, not rand(): keeps retries
-    // and re-runs identical)
+    // deterministic salt (hash of the row, not rand(): keeps retries and
+    // re-runs identical). MapType columns are excluded — Spark rejects
+    // hash expressions over maps (their entry order is undefined), and a
+    // bag record's fields column is exactly that shape.
+    val hashable = large.schema.fields.collect {
+      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+        col(f.name)
+    }.toSeq
+    require(hashable.nonEmpty, "saltedJoin: no hashable (non-map) columns to salt on")
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col).toSeq: _*)), lit(buckets)))
+      pmod(xxhash64(struct(hashable: _*)), lit(buckets)))
     val replicated = small
       .withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

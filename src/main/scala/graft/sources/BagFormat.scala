@@ -226,10 +226,19 @@ object BagFormat {
       true
     }
     var done = false
+    var pendingLongName: String = null
     while (!done) {
       if (!readHeader() || header.forall(_ == 0)) done = true
       else {
-        val name = new String(header, 0, 100, "UTF-8").takeWhile(_ != 0)
+        // base-256 size encoding (entries >= 8 GiB set the high bit of
+        // byte 124) is out of scope for bag archives — fail clearly, not
+        // with an opaque NumberFormatException from an empty octal string
+        require((header(124) & 0x80) == 0,
+          "tar entry uses base-256 size encoding (unsupported)")
+        val shortName = new String(header, 0, 100, "UTF-8").takeWhile(_ != 0)
+        // ustar prefix field (bytes 345-500) carries the leading path of
+        // names over 100 chars
+        val prefix = new String(header, 345, 155, "UTF-8").takeWhile(_ != 0)
         val size = java.lang.Long.parseLong(
           new String(header, 124, 12, "UTF-8").trim.takeWhile(c => c >= '0' && c <= '7'), 8)
         val typeflag = header(156)
@@ -237,7 +246,18 @@ object BagFormat {
         in.readFully(data)
         val pad = (512 - size % 512) % 512
         in.skipBytes(pad.toInt)
-        if (typeflag == '0' || typeflag == 0) out += name -> data
+        if (typeflag == 'L') {
+          // GNU long-name entry: its data block is the REAL name of the
+          // NEXT entry (whose own 100-byte name field is truncated)
+          pendingLongName = new String(data, "UTF-8").takeWhile(_ != 0)
+        } else {
+          val name =
+            if (pendingLongName != null) pendingLongName
+            else if (prefix.nonEmpty) s"$prefix/$shortName"
+            else shortName
+          pendingLongName = null
+          if (typeflag == '0' || typeflag == 0) out += name -> data
+        }
       }
     }
     out.toSeq

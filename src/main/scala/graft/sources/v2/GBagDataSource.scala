@@ -144,15 +144,22 @@ class GBagScan(path: String, required: StructType,
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
   override def toBatch: Batch = this
 
-  private def listBagFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+  // ONE listing per scan (estimateStatistics + planInputPartitions both
+  // read it — repeated remote LISTs on the planning path otherwise); the
+  // .bag filter applies only to directory expansion, like the rosbag
+  // source: an explicitly named file is read regardless of extension
+  private lazy val bagFiles: Seq[org.apache.hadoop.fs.FileStatus] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val files =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq
+          .filter(s => !s.isDirectory && s.getPath.getName.endsWith(".bag"))
       else Seq(fs.getFileStatus(p))
-    files.filter(_.getPath.getName.endsWith(".bag")).sortBy(_.getPath.toString)
+    files.sortBy(_.getPath.toString)
   }
+  private def listBagFiles(): Seq[org.apache.hadoop.fs.FileStatus] = bagFiles
 
   /** Size statistics from the file listing — lets Catalyst/AQE make
     * broadcast-join decisions for small bag tables instead of assuming the
@@ -254,6 +261,13 @@ class GBagPartitionReader(part: GBagInputPartition, required: StructType,
     if (preds.isEmpty) _ => true else t => preds.forall(_(t))
   }
   private val hasFilters = pushed.nonEmpty
+  // a ts-only pushdown must not pay per-record topic materialization just
+  // to feed a constant-true topicKeep
+  private val hasTopicFilters = pushed.exists {
+    case org.apache.spark.sql.sources.EqualTo("topic", _) => true
+    case org.apache.spark.sql.sources.In("topic", _) => true
+    case _ => false
+  }
 
   // true streaming: buffered sequential read straight off the filesystem —
   // memory is O(record) regardless of bag size (no >2 GB array, no heap
@@ -303,13 +317,14 @@ class GBagPartitionReader(part: GBagInputPartition, required: StructType,
     var topicLen = readTopicLenOrEof()
     while (current == null && topicLen >= 0) {
       var topicU: UTF8String = null
-      if (needTopic || hasFilters) {
+      if (needTopic || hasTopicFilters) {
         val b = new Array[Byte](topicLen); in.readFully(b)
         topicU = UTF8String.fromBytes(b)
       } else skipFully(topicLen)
       bytesConsumed += topicLen
       val ts = in.readLong()
-      val keep = !hasFilters || (topicKeep(if (topicU == null) "" else topicU.toString) && tsKeep(ts))
+      val keep = !hasFilters ||
+        ((!hasTopicFilters || topicKeep(if (topicU == null) "" else topicU.toString)) && tsKeep(ts))
       val n = in.readUnsignedShort()
       bytesConsumed += 10
       if (keep) {

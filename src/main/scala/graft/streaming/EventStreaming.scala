@@ -23,8 +23,17 @@ object EventStreaming {
     * supplied for streaming reads).
     */
   def readEventStream(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Int = 1): DataFrame = {
-    val schema = spark.read.parquet(dir).schema
+      maxFilesPerTrigger: Int = 1,
+      schemaOpt: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    // inference needs at least one landed file; a sensor watching an
+    // empty landing dir must pass the schema explicitly
+    val schema = schemaOpt.getOrElse(
+      try spark.read.parquet(dir).schema
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"readEventStream: cannot infer a schema from '$dir' (empty landing " +
+            "dir?) — pass schemaOpt explicitly", e)
+      })
     val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -46,11 +55,17 @@ object EventStreaming {
       .select(unix_millis(col("window.start")).as("window_start_ms"),
         col("event_type"), col("n"), col("sum_value"))
 
-  /** St6: watermarked dedup on the natural key. */
+  /** St6: watermarked dedup on the natural key. The WATERMARKED column is
+    * part of the key on purpose: Spark only evicts streaming-dedup state
+    * for keys whose event-time column is among the dedup keys — on
+    * event_id alone the state store keeps one row per id FOREVER (a
+    * replayed duplicate carries the same ts, so the semantics are
+    * unchanged).
+    */
   def dedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicates("event_id", "ts")
 
   /** Session windows (30-min gap) per user — the engine capability beyond
     * reference parity called out in SURVEY §2.8.
@@ -196,7 +211,12 @@ object EventStreaming {
     val agg = batch.groupBy("camera", "label")
       .agg(max("confidence").as("confidence"))
     val path = new org.apache.hadoop.fs.Path(tableDir)
+    val bak = new org.apache.hadoop.fs.Path(tableDir + ".bak")
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // crash recovery: a previous run that died between its two renames
+    // left the table only under .bak — restore it before reading
+    if (!fs.exists(path) && fs.exists(bak))
+      require(fs.rename(bak, path), s"commit recovery failed for $tableDir")
     val merged =
       if (fs.exists(path))
         spark.read.parquet(tableDir).unionByName(agg)
@@ -204,8 +224,15 @@ object EventStreaming {
       else agg
     val tmp = new org.apache.hadoop.fs.Path(tableDir + ".staging")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
+    // two-rename commit: the accumulated table is ALWAYS recoverable
+    // (either at path or at .bak) — a delete-then-rename would lose the
+    // whole table if the process died inside the window, and replaying
+    // the batch would silently rebuild from one batch's rows
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(path))
+      require(fs.rename(path, bak), s"commit backup rename failed for $tableDir")
     require(fs.rename(tmp, path), s"commit rename failed for $tableDir")
+    fs.delete(bak, true)
   }
 
   /** Run the upsert over a detections stream (cols camera, label,
