@@ -120,6 +120,15 @@ object DedupOps {
         explode(array(bandStructsFor(numHashes, rowsPerBand): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
 
+  /** Bucket-local ordered pair expansion over a sorted `ids` array column:
+    * every (i < j) element pair as struct(<aName>, <bName>). The ONE
+    * definition every capped-bucket candidate path shares (here and in
+    * [[SimilarityOps]]) — the cap/pair rule must not drift between them.
+    */
+  private[ext] def orderedPairsExpr(aName: String, bName: String): String =
+    "flatten(transform(ids, (a, i) -> " +
+      s"transform(slice(ids, i + 2, size(ids)), b -> struct(a AS $aName, b AS $bName))))"
+
   def lshCandidates(sigs: DataFrame, numHashes: Int, rowsPerBand: Int,
       maxBucket: Int = 100): DataFrame = {
     // ONE aggregation collects each bucket's member list (bounded by the
@@ -133,10 +142,7 @@ object DedupOps {
       .groupBy("band", "band_sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), b -> " +
-          "struct(a AS doc_a, b AS doc_b))))")).as("p"))
+      .select(explode(expr(orderedPairsExpr("doc_a", "doc_b"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
   }
@@ -191,8 +197,12 @@ object DedupOps {
     // Registered so runners free the blocks after materialization.
     val sets = graft.CacheRegistry.persist(shingleSets(docs, shingleSize))
     val sigs = minHashSignaturesFromSets(sets, numHashes)
-    val verified = jaccardVerifyFromSets(sets, lshCandidates(sigs, numHashes, rowsPerBand))
-      .filter(col("jaccard") >= threshold)
+    // persisted: the symmetric union below reads `verified` twice, and an
+    // unpersisted branch re-runs the whole candidate + jaccard pipeline
+    // per side (the round-1 double-rescan)
+    val verified = graft.CacheRegistry.persist(
+      jaccardVerifyFromSets(sets, lshCandidates(sigs, numHashes, rowsPerBand))
+        .filter(col("jaccard") >= threshold))
     // undirected neighbor list (one hop of connected components — enough for
     // keep-first dedup of pairwise-similar groups)
     val neighbors = verified.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
@@ -227,9 +237,14 @@ object DedupOps {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIters: Int = 10): DataFrame = {
-    // labels: (doc_id, cluster_id); edges: (doc_a, doc_b) undirected
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // labels: (doc_id, cluster_id); edges: (doc_a, doc_b) undirected.
+    // persisted: `sym` (and through it the caller's ENTIRE candidate +
+    // verify pipeline) is re-read by every iteration's join — unpersisted,
+    // that pipeline would re-execute twice (union branches) per iteration,
+    // up to ~20× over a converged run
+    val sym = graft.CacheRegistry.persist(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     var labels = graft.CacheRegistry.persist(
       vertices.select(col("doc_id"), col("doc_id").cast("long").as("cluster_id")))
     var changed = 1L
@@ -296,7 +311,9 @@ object DedupOps {
     val newBatch = t.documents.filter(col("doc_id") % 10 === 0)
     // index the standing corpus (no matching against an empty table)
     indexSignatures(corpus, stateDir)
-    val matches = incrementalMinHashDedup(newBatch, stateDir)
+    // persisted: the symmetric union reads `matches` twice (round-1 lesson)
+    val matches = graft.CacheRegistry.persist(
+      incrementalMinHashDedup(newBatch, stateDir))
     val perNew = matches
       .select(col("doc_a").as("doc_id"), col("est_jaccard"))
       .union(matches.select(col("doc_b").as("doc_id"), col("est_jaccard")))
@@ -353,8 +370,16 @@ object DedupOps {
     // and the returned (lazy) result must not re-read the deleted files —
     // lineage is cut here. (A production table format would version
     // instead of swap; the plan shape is the same.)
+    // LATEST-WINS on doc_id BEFORE matching: a re-delivered batch (failed
+    // matches-write retry) or re-ingested doc would otherwise exist TWICE
+    // in allSigs — every match row duplicated, and the later
+    // dropDuplicates would commit an arbitrary one of the two signatures.
+    // The anti-join is deterministic: state rows lose to new rows.
     val allSigs =
-      (if (fs.exists(path)) spark.read.parquet(stateDir).unionByName(newSigs)
+      (if (fs.exists(path))
+         spark.read.parquet(stateDir)
+           .join(broadcast(newDocs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+           .unionByName(newSigs)
        else newSigs).localCheckpoint(true)
     // asymmetric banding: new-batch bands probe the corpus's capped
     // buckets — old-vs-old pairs are never generated. The query side is
@@ -542,7 +567,9 @@ object DedupOps {
       rowsPerBand: Int = 3, shingleSize: Int = 2): DataFrame = {
     val sets = graft.CacheRegistry.persist(shingleSets(docs, shingleSize))
     val sigs = minHashSignaturesFromSets(sets, numHashes)
-    val verified = jaccardVerifyFromSets(sets, lshCandidates(sigs, numHashes, rowsPerBand))
+    // persisted: the symmetric union reads `verified` twice (round-1 lesson)
+    val verified = graft.CacheRegistry.persist(
+      jaccardVerifyFromSets(sets, lshCandidates(sigs, numHashes, rowsPerBand)))
     val sym = verified.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("jaccard"))
       .union(verified.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"), col("jaccard")))
     docs.select(col("doc_id"))

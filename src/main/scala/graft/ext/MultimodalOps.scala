@@ -58,7 +58,13 @@ object MultimodalOps {
       .as[ImageRow]
       .mapPartitions { rows =>
         rows.map { r =>
+          // ImageIO.read returns null (not an exception) for undecodable
+          // bytes; drawImage(null, ...) is a silent no-op that would emit
+          // a fabricated all-black raster — fail instead (same
+          // no-fabrication rule as explodeGifFrames)
+          require(r.content != null, s"resizeImages: null content for id ${r.id}")
           val src = Imaging.decodePng(r.content)
+          require(src != null, s"resizeImages: undecodable image for id ${r.id}")
           val dst = new java.awt.image.BufferedImage(width, height,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
           val g = dst.createGraphics()
@@ -191,6 +197,9 @@ object MultimodalOps {
     val bos = new java.io.ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
     writer.setOutput(ios)
+    // try/finally: a mid-sequence writer failure must not leak the native
+    // ImageIO resources (same discipline as explodeGifFrames)
+    try {
     writer.prepareWriteSequence(null)
     frames.foreach { img =>
       val meta = writer.getDefaultImageMetadata(
@@ -217,7 +226,7 @@ object MultimodalOps {
         writer.getDefaultWriteParam)
     }
     writer.endWriteSequence()
-    ios.close(); writer.dispose()
+    } finally { ios.close(); writer.dispose() }
     bos.toByteArray
   }
 

@@ -172,10 +172,7 @@ object SimilarityOps {
       .groupBy("band", "sig")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), b -> " +
-          "struct(a AS vec_a, b AS vec_b))))")).as("p"))
+      .select(explode(expr(DedupOps.orderedPairsExpr("vec_a", "vec_b"))).as("p"))
       .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
       .distinct()
   }
@@ -201,9 +198,7 @@ object SimilarityOps {
       .agg(sort_array(collect_list(struct(col("vec_id"), col("v"), col("nrm"))))
         .as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS a, b AS b))))")).as("p"))
+      .select(explode(expr(DedupOps.orderedPairsExpr("a", "b"))).as("p"))
       .select(col("p.a.vec_id").as("vec_a"), col("p.b.vec_id").as("vec_b"),
         safeCos(dot(col("p.a.v"), col("p.b.v")), col("p.a.nrm"), col("p.b.nrm"))
           .as("cos"))
