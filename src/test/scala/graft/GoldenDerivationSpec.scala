@@ -495,4 +495,244 @@ class GoldenDerivationSpec extends SparkSpec {
     assert(expectedSigs(0L) == expectedSigs(1L))
     assert(java.lang.Long.bitCount(expectedSigs(2L) ^ expectedSigs(3L)) < 16)
   }
+
+  // ---- imaging-chain derivations (q35/q53/q54) — plain JDK ImageIO +
+  // plain Scala arithmetic only; none of graft's Imaging/Detector/
+  // FrameOps/MultimodalOps code is invoked on the derivation side. Stock
+  // xxhash64 through SQL literals is the only Spark ingredient. ----
+
+  /** The deterministic LCG raster both image bags are staged from,
+    * re-stated as plain Scala Int arithmetic (`Imaging.rawFrame` +
+    * `decodeRosImage` compose to exactly this for rgb8/step=w*3).
+    */
+  private def lcgRaster(w: Int, h: Int, seed: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed
+    var i = 0
+    while (i < w * h) {
+      s = s * 1103515245 + 12345
+      img.setRGB(i % w, i / w, (s >>> 8) & 0xffffff)
+      i += 1
+    }
+    img
+  }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Stock xxhash64 over binary payloads, evaluated through a literal DF. */
+  private def stockBinHashes(items: Seq[(String, Array[Byte])]): Map[String, Long] =
+    items.toDF("k", "content").selectExpr("k", "xxhash64(content) AS h")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("q53 rows re-derived: LCG raster → PNG → compressed-topic decode") {
+    val engine = graft.queries.PipelineQueries.qCompressedFrames(spark, SF)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSet
+
+    // staging side: raster → PNG payload; engine side: ImageIO decode →
+    // TYPE_INT_RGB normalize → PNG re-encode (decodeCompressedImage's
+    // documented chain) — both replayed with direct JDK calls
+    val frames = for (cam <- 0 until 4; i <- 0 until 16) yield {
+      val payload = pngBytes(lcgRaster(48, 32, cam * 1000 + i))
+      val decoded = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      val rgb = new java.awt.image.BufferedImage(decoded.getWidth,
+        decoded.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = rgb.createGraphics()
+      g.drawImage(decoded, 0, 0, null); g.dispose()
+      (cam, i, pngBytes(rgb))
+    }
+    val hashes = stockBinHashes(frames.map { case (c, i, b) => (s"$c/$i", b) })
+    val expected = frames.map { case (cam, i, content) =>
+      (s"cam$cam", i, 1700000000000L + i * 67L, "png",
+        hashes(s"$cam/$i"), content.length.toLong)
+    }.toSet
+    assert(expected.size == 64)
+    assert(engine == expected)
+  }
+
+  /** `Detector.stubDetect`'s hash-seeded label stream in plain Scala —
+    * MurmurHash3 (scala stdlib) seed, LCG draws in the engine's exact
+    * evaluation order: all boxes of a label first (4 draws each), then
+    * all instance confidences (1 draw each).
+    */
+  private def derivedLabels(content: Array[Byte]): Seq[(String, Double, Int)] = {
+    val vocab = Seq("Person", "Bicycle", "Motorcycle", "Car", "Dog")
+    var seed = scala.util.hashing.MurmurHash3.bytesHash(content, 42).toLong & 0x7fffffffL
+    def next(): Long = { seed = (seed * 1103515245L + 12345L) % 2147483648L; seed }
+    val nLabels = (next() % 3 + 1).toInt
+    (0 until nLabels).map { _ =>
+      val name = vocab((next() % vocab.size).toInt)
+      val conf = 50.0 + (next() % 5000) / 100.0
+      val nInst = (next() % 3).toInt
+      for (_ <- 0 until nInst) { next(); next(); next(); next() } // left/top/w/h
+      for (_ <- 0 until nInst) next()                             // instance conf
+      (name, conf, nInst)
+    }
+  }
+
+  test("q35 rows re-derived: decode → number → derive-ts → detect → pivot") {
+    val engine = graft.queries.PipelineQueries.qFramePipeline(spark, SF)
+      .collect()
+      .map(r => (r.getAs[Long]("frame_ts_ms"), r.getAs[String]("camera"),
+        Seq("Person", "Bicycle", "Motorcycle", "Car", "Dog").map(l =>
+          Option(r.getAs[java.lang.Double](l)).map(_.doubleValue())),
+        r.getAs[Long]("Ped_Count"), r.getAs[Long]("Bike_Count"),
+        r.getAs[Long]("Motorbike_Count"))).toSet
+
+    val vocab = Seq("Person", "Bicycle", "Motorcycle", "Car", "Dog")
+    // base time from the literal "2020-06-29-13-15-12_run" prefix, UTC
+    val baseMs = java.time.LocalDateTime.of(2020, 6, 29, 13, 15, 12)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    // frame content: the LCG raster PNG-encoded (staged ts strictly
+    // increases with i, so frame_index == i per camera)
+    val tall: Seq[((Long, String), String, Double, Int)] =
+      (for (cam <- 0 until 4; i <- 0 until 16) yield {
+        val content = pngBytes(lcgRaster(48, 32, cam * 1000 + i))
+        val key = (baseMs + i * 67L, s"cam$cam")
+        derivedLabels(content).map { case (name, conf, nInst) =>
+          (key, name, conf, nInst)
+        }
+      }).flatten
+    val expected = tall.groupBy(_._1).map { case ((tsMs, cam), rows) =>
+      // tall aggregation: per label max(confidence), sum(n_instances)
+      val perLabel: Map[String, (Double, Long)] = rows.groupBy(_._2).map {
+        case (l, rs) => l -> (rs.map(_._3).max, rs.map(_._4.toLong).sum)
+      }
+      def cnt(l: String): Long = perLabel.get(l).map(_._2).getOrElse(0L)
+      (tsMs, cam, vocab.map(l => perLabel.get(l).map(_._1)),
+        cnt("Person"), cnt("Bicycle"), cnt("Motorcycle"))
+    }.toSet
+    // fixture must exercise both present and absent pivot cells
+    assert(expected.exists(_._3.exists(_.isEmpty)))
+    assert(expected.exists(_._3.forall(_.nonEmpty) == false))
+    assert(expected.size == 64)
+    assert(engine == expected)
+  }
+
+  test("q54 rows re-derived: plain-JDK GIF encode → frame explode") {
+    val engine = graft.ext.MultimodalOps.qVideoFrames(spark, SF)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    // writer half: the JDK animated-GIF call sequence, restated directly
+    def encodeGif(colors: Seq[Int]): Array[Byte] = {
+      import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+      import javax.imageio.metadata.IIOMetadataNode
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val img = new java.awt.image.BufferedImage(16, 12,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(c & 0xffffff)); g.fillRect(0, 0, 16, 12)
+        g.dispose()
+        val meta = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val kids = root.getChildNodes
+        val gce = (0 until kids.getLength).collectFirst {
+          case i if kids.item(i).getNodeName == "GraphicControlExtension" =>
+            kids.item(i).asInstanceOf[IIOMetadataNode]
+        }.getOrElse {
+          val n = new IIOMetadataNode("GraphicControlExtension")
+          root.appendChild(n); n
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", "4")
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, meta),
+          writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    // reader half: frame-by-frame decode, PNG re-encode, cumulative
+    // GraphicControlExtension delays
+    def explode(id: Long, gif: Array[Byte]): Seq[(Long, Long, Long, Array[Byte])] = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(gif))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      var tsMs = 0L
+      val rows = (0 until n).map { i =>
+        val row = (id, i.toLong, tsMs, pngBytes(reader.read(i)))
+        val root = reader.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+        val kids = root.getChildNodes
+        tsMs += (0 until kids.getLength).collectFirst {
+          case j if kids.item(j).getNodeName == "GraphicControlExtension" =>
+            val d = kids.item(j).getAttributes.getNamedItem("delayTime")
+            if (d == null) 0L else d.getNodeValue.toLong * 10L
+        }.getOrElse(0L)
+        row
+      }
+      reader.dispose(); iis.close()
+      rows
+    }
+    val frames = (0L until 8L).flatMap { id =>
+      val colors = (0 until 3).map(f =>
+        ((id * 2654435761L + f * 40503L) & 0xffffffL).toInt)
+      explode(id, encodeGif(colors))
+    }
+    val hashes = stockBinHashes(frames.map { case (id, f, _, b) => (s"$id/$f", b) })
+    val expected = frames.map { case (id, f, ts, b) =>
+      (id, f, ts, hashes(s"$id/$f"), b.length.toLong)
+    }.toSet
+    assert(expected.size == 24)
+    assert(expected.exists(_._3 == 80L), "cumulative 40 ms delays must reach 80")
+    assert(engine == expected)
+  }
+
+  test("q38 sketches bounded by plain-Scala exact derivation") {
+    val engine = graft.queries.CoreQueries.q38Sketches(spark, SF).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+
+    // exact ground truth in plain Scala over the raw parquet (no Tables,
+    // no engine projections)
+    val rows = spark.read.parquet(s"$SF/lineitem.parquet")
+      .selectExpr("l_returnflag", "l_orderkey", "l_extendedprice")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byFlag = rows.groupBy(_._1)
+    assert(engine.keySet == byFlag.keySet)
+    byFlag.foreach { case (flag, rs) =>
+      val (approx, exact, p50, p99) = engine(flag)
+      val exactDistinct = rs.map(_._2).distinct.length.toLong
+      assert(exact == exactDistinct, s"$flag exact_orders")
+      // HLL++ at rsd=0.02: 3σ = 6% (plus small-N absolute slack)
+      assert(math.abs(approx - exactDistinct) <= 0.06 * exactDistinct + 3,
+        s"$flag approx_orders $approx vs exact $exactDistinct")
+      // percentile_approx(accuracy=1000) returns an OBSERVED value whose
+      // rank error is bounded by N/accuracy
+      val sorted = rs.map(_._3).sorted
+      val n = sorted.length
+      def rankOk(v: Double, q: Double): Boolean = {
+        val win = n / 1000.0 + 1
+        val lo = math.max(0, math.floor(q * n - win).toInt)
+        val hi = math.min(n - 1, math.ceil(q * n + win).toInt)
+        (lo to hi).exists(i => sorted(i) == v)
+      }
+      assert(sorted.contains(p50) && sorted.contains(p99),
+        s"$flag percentiles must be observed values")
+      assert(rankOk(p50, 0.5), s"$flag p50 rank window")
+      assert(rankOk(p99, 0.99), s"$flag p99 rank window")
+    }
+  }
 }
