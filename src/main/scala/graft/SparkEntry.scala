@@ -103,6 +103,7 @@ object SparkEntry {
     "q75_bpe_train" -> (TextOps.qBpeTrain _),
     "q76_bpe_apply" -> (TextOps.qBpeApply _),
     "q77_curate" -> (ext.Curation.qCurate _),
+    "q78_image_dedup" -> (ext.MultimodalOps.qImageDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -686,7 +687,7 @@ object SparkEntry {
     "q35_frame_pipeline", "q38_sketches",
     "q51_dedup_clusters", "q52_incremental_dedup", "q53_compressed_frames",
     "q54_video_frames", "q57_ann_pq", "q73_semdedup", "q75_bpe_train",
-    "q76_bpe_apply", "q77_curate",
+    "q76_bpe_apply", "q77_curate", "q78_image_dedup",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

@@ -300,4 +300,146 @@ object MultimodalOps {
   def withAudioFeatures(df: DataFrame, content: String = "content"): DataFrame =
     df.withColumn("audio_features",
       when(col(content).isNotNull, audioUdf(col(content))))
+
+  // ---- perceptual image dedup (dHash) ----------------------------------
+
+  /** 64-bit difference hash (dHash) of an image: decode, downsample to a
+    * 9×8 grayscale grid, set bit y*8+x iff the cell right of (x,y) is
+    * brighter. Near-identical images (re-encodes, small crops/edits,
+    * watermarks) land within a few bits — the standard perceptual key for
+    * image-corpus dedup, where exact content hashing (q26) misses
+    * re-encoded copies entirely.
+    *
+    * The downsample is integer area-averaging over explicit block
+    * boundaries (gx*w/9 … ) with integer luma (299r+587g+114b)/1000 — no
+    * Graphics2D scaler, so the hash is bit-stable across JVMs/platforms
+    * and safe to persist or golden-check.
+    */
+  def dHash64(png: Array[Byte]): Long = {
+    require(png != null, "dhash64: null image content")
+    val img = Imaging.decodePng(png)
+    require(img != null, "dhash64: undecodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 9 && h >= 8, s"dhash64: image ${w}x$h smaller than the 9x8 grid")
+    val grid = Array.ofDim[Int](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val (x0, x1) = (gx * w / 9, (gx + 1) * w / 9)
+        val (y0, y1) = (gy * h / 8, (gy + 1) * h / 8)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        grid(gy)(gx) = (sum / ((x1 - x0).toLong * (y1 - y0))).toInt
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (grid(i / 8)(i % 8 + 1) > grid(i / 8)(i % 8)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  val dHashUdf = udf((png: Array[Byte]) => dHash64(png))
+
+  /** Per-image perceptual near-dup tallies over dHash banding — the image
+    * counterpart of the text simhash path (q28) and the embedding LSH
+    * tally (q31): 4 disjoint 16-bit bands of the 64-bit hash bucket the
+    * corpus, capped buckets expand to candidate pairs, and candidates
+    * verify by exact Hamming distance (`bit_count(xor)`).
+    *
+    * Scale shape: the decode+hash pass is narrow (one UDF per blob, no
+    * shuffle); banding is ONE hash aggregation on (band, sig) whose
+    * values carry only (id, 8-byte hash); the `maxBucket` cap bounds
+    * Σ|bucket|² so a degenerate key (e.g. a solid-color placeholder
+    * shared by millions of images) cannot explode pair generation; the
+    * endpoint tally is one more aggregation. No self-join anywhere. A
+    * near-dup pair differing in ≤ maxDist bits is found whenever its flips
+    * concentrate outside at least one band — the standard banding recall
+    * trade, same as q27/q31.
+    */
+  def imageNearDupStats(images: DataFrame, maxDist: Int = 10,
+      maxBucket: Int = 100, id: String = "image_id",
+      content: String = "content"): DataFrame = {
+    val hashed = graft.CacheRegistry.persist(
+      images.select(col(id).cast("long").as("image_id"),
+        dHashUdf(col(content)).as("dhash")))
+    val pairs = hashed
+      .select(col("image_id"), col("dhash"),
+        explode(array((0 until 4).map(lit): _*)).as("band"))
+      .select(col("image_id"), col("dhash"), col("band"),
+        expr("shiftright(dhash, 16 * band) & 65535").as("sig"))
+      .groupBy("band", "sig")
+      .agg(sort_array(collect_list(struct(col("image_id"), col("dhash"))))
+        .as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(DedupOps.orderedPairsExpr("a", "b"))).as("p"))
+      .select(col("p.a.image_id").as("id_a"), col("p.b.image_id").as("id_b"),
+        bit_count(col("p.a.dhash").bitwiseXOR(col("p.b.dhash")))
+          .cast("long").as("hamming"))
+      // a pair surfaced by several bands has bit-identical hamming
+      .distinct()
+    val tallies = pairs
+      .select(explode(array(
+        struct(col("id_a").as("image_id"), col("hamming")),
+        struct(col("id_b").as("image_id"), col("hamming")))).as("r"))
+      .select(col("r.image_id").as("image_id"), col("r.hamming").as("hamming"))
+      .groupBy("image_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("hamming") <= maxDist, 1L).otherwise(0L)).as("n_near"),
+        min(col("hamming")).as("min_hamming"))
+    hashed.join(tallies, Seq("image_id"), "left")
+      .select(col("image_id"), col("dhash"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("min_hamming"), lit(-1L)).as("min_hamming"))
+  }
+
+  /** q78: perceptual image dedup as a driver query. 64 images are staged
+    * executor-side from the documents ids — consecutive pairs (2k, 2k+1)
+    * share an LCG base raster with the odd member perturbed in one corner
+    * block (a re-encode/small-edit stand-in), so every pair must land
+    * within a couple of dHash bits while unrelated noise rasters sit ~32
+    * bits apart. Golden oracle (image decode is not SQL-expressible);
+    * the rows re-derive from first principles in GoldenDerivationSpec.
+    */
+  def qImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val imgs = t.documents.select(col("doc_id")).filter(col("doc_id") < 64)
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions(_.map(id => (id, stagedImage(id))))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("image_id", "content")
+    imageNearDupStats(imgs).orderBy("image_id")
+  }
+
+  /** The deterministic raster behind [[qImageDedup]]: pairs share a seed;
+    * odd ids get a 2×2 corner edit (all pixels of dHash cell (0,0), so
+    * the perturbation can flip at most the two gradient bits adjacent to
+    * that cell).
+    */
+  private[ext] def stagedImage(id: Long): Array[Byte] = {
+    val raw = Imaging.rawFrame(48, 32, (id / 2).toInt * 7919 + 101)
+    if (id % 2 == 1) {
+      for (y <- 0 until 2; x <- 0 until 2) {
+        val o = (y * 48 + x) * 3
+        raw(o) = 0xff.toByte; raw(o + 1) = 0xff.toByte; raw(o + 2) = 0xff.toByte
+      }
+    }
+    Imaging.decodeRosImage(48, 32, "rgb8", 48 * 3, raw)
+  }
 }

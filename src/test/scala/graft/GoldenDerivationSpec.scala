@@ -699,6 +699,58 @@ class GoldenDerivationSpec extends SparkSpec {
     assert(engine == expected)
   }
 
+  test("q78 rows re-derived: plain-Scala dHash, banding, Hamming tallies") {
+    val engine = graft.ext.MultimodalOps.qImageDedup(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    // raster: LCG pairs with the odd member's 2×2 corner forced white
+    def raster(id: Long): java.awt.image.BufferedImage = {
+      val img = lcgRaster(48, 32, (id / 2).toInt * 7919 + 101)
+      if (id % 2 == 1)
+        for (y <- 0 until 2; x <- 0 until 2) img.setRGB(x, y, 0xffffff)
+      img
+    }
+    // dHash from first principles: per-pixel integer luma, integer
+    // area-average over the 9×8 grid, left-to-right gradient bits
+    def dhash(img: java.awt.image.BufferedImage): Long = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val g = Array.tabulate(8, 9) { (gy, gx) =>
+        val (x0, x1) = (gx * w / 9, (gx + 1) * w / 9)
+        val (y0, y1) = (gy * h / 8, (gy + 1) * h / 8)
+        val lumas = for (y <- y0 until y1; x <- x0 until x1) yield {
+          val rgb = img.getRGB(x, y)
+          ((299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000).toLong
+        }
+        (lumas.sum / lumas.size).toInt
+      }
+      (0 until 64).foldLeft(0L)((acc, i) =>
+        if (g(i / 8)(i % 8 + 1) > g(i / 8)(i % 8)) acc | (1L << i) else acc)
+    }
+    val hashes: Map[Long, Long] = (0L until 64L).map(id => id -> dhash(raster(id))).toMap
+    // banding → capped buckets → ordered pairs → exact Hamming
+    val pairs: Set[(Long, Long, Long)] = (0 until 4).flatMap { b =>
+      hashes.keys.groupBy(id => (hashes(id) >> (16 * b)) & 0xffffL).values
+        .filter(g => g.size >= 2 && g.size <= 100)
+        .flatMap { g =>
+          val ids = g.toSeq.sorted
+          for (i <- ids.indices; j <- i + 1 until ids.length) yield {
+            val (a, c) = (ids(i), ids(j))
+            (a, c, java.lang.Long.bitCount(hashes(a) ^ hashes(c)).toLong)
+          }
+        }
+    }.toSet
+    val expected = (0L until 64L).map { id =>
+      val mine = pairs.collect { case (a, b, d) if a == id || b == id => d }.toSeq
+      (id, hashes(id), mine.size.toLong,
+        mine.count(_ <= 10).toLong, if (mine.isEmpty) -1L else mine.min)
+    }.toSet
+    // planted structure: at least the 32 pairs produce near hits
+    assert(expected.count(_._4 >= 1) >= 64)
+    assert(engine == expected)
+  }
+
   test("q38 sketches bounded by plain-Scala exact derivation") {
     val engine = graft.queries.CoreQueries.q38Sketches(spark, SF).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),

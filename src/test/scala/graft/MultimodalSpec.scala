@@ -130,4 +130,65 @@ class MultimodalSpec extends SparkSpec {
         java.nio.file.Files.readAllBytes(dir.resolve("both.tar.gz"))).toSeq
     }
   }
+
+  test("dHash is a perceptual key: encoding-invariant, edit-local, noise-far") {
+    // same raster through two different BufferedImage types → same PNG
+    // semantics → identical hash (a content hash would already differ)
+    val w = 48; val h = 32
+    val rgb = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bgr = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var s = 7
+    for (y <- 0 until h; x <- 0 until w) {
+      s = s * 1103515245 + 12345
+      val c = (s >>> 8) & 0xffffff
+      rgb.setRGB(x, y, c); bgr.setRGB(x, y, c)
+    }
+    val hRgb = MultimodalOps.dHash64(Imaging.encodePng(rgb))
+    val hBgr = MultimodalOps.dHash64(Imaging.encodePng(bgr))
+    assert(hRgb == hBgr)
+    // a local edit moves the hash by at most the adjacent gradient bits
+    for (y <- 0 until 2; x <- 0 until 2) rgb.setRGB(x, y, 0xffffff)
+    val hEdit = MultimodalOps.dHash64(Imaging.encodePng(rgb))
+    assert(java.lang.Long.bitCount(hRgb ^ hEdit) <= 2)
+    // an unrelated noise raster sits far away
+    val other = Imaging.decodeRosImage(w, h, "rgb8", w * 3,
+      Imaging.rawFrame(w, h, 999))
+    assert(java.lang.Long.bitCount(hRgb ^ MultimodalOps.dHash64(other)) > 10)
+    // undecodable/too-small inputs fail instead of fabricating a hash
+    intercept[Exception] { MultimodalOps.dHash64("nope".getBytes) }
+    intercept[Exception] {
+      MultimodalOps.dHash64(Imaging.decodeRosImage(4, 4, "rgb8", 12,
+        Imaging.rawFrame(4, 4, 1)))
+    }
+  }
+
+  test("imageNearDupStats finds every planted pair; bucket cap holds") {
+    val rows = MultimodalOps.qImageDedup(spark, SF).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows.size == 64)
+    // every (2k, 2k+1) pair is a planted near-dup: found and near
+    for (k <- 0L until 32L) {
+      val (ha, _, nearA, minA) = rows(2 * k)
+      val (hb, _, nearB, minB) = rows(2 * k + 1)
+      assert(java.lang.Long.bitCount(ha ^ hb) <= 2, s"pair $k drifted")
+      assert(nearA >= 1 && nearB >= 1, s"pair $k not found")
+      assert(minA <= 2 && minB <= 2, s"pair $k not near")
+    }
+    // candidates never under-report nears; isolated images report -1
+    rows.values.foreach { case (_, cand, near, minH) =>
+      assert(cand >= near)
+      assert((cand == 0) == (minH == -1L))
+    }
+    // a degenerate corpus (one bucket larger than the cap) yields zero
+    // pairs rather than a quadratic explosion
+    val solid = Imaging.decodeRosImage(16, 12, "rgb8", 48,
+      Array.fill(16 * 12 * 3)(0x40.toByte))
+    val degenerate = (0L until 12L).map(i => (i, solid)).toDF("image_id", "content")
+    val capped = MultimodalOps.imageNearDupStats(degenerate, maxBucket = 10)
+      .agg(sum("n_candidates")).head().getLong(0)
+    assert(capped == 0L)
+  }
 }
