@@ -282,8 +282,11 @@ object DedupOps {
       threshold: Double = 0.6): DataFrame = {
     val sets = graft.CacheRegistry.persist(shingleSets(docs, shingleSize))
     val sigs = minHashSignaturesFromSets(sets, numHashes)
-    val verified = jaccardVerifyFromSets(sets, lshCandidates(sigs, numHashes, rowsPerBand))
-      .filter(col("jaccard") >= threshold)
+    // persisted: connectedComponents' symmetric edge union reads the
+    // verified pipeline twice (same round-1 lesson as the sibling sites)
+    val verified = graft.CacheRegistry.persist(
+      jaccardVerifyFromSets(sets, lshCandidates(sigs, numHashes, rowsPerBand))
+        .filter(col("jaccard") >= threshold))
     connectedComponents(docs.select(col("doc_id")), verified)
   }
 
@@ -364,6 +367,11 @@ object DedupOps {
       threshold: Double = 0.6): DataFrame = {
     val spark = newDocs.sparkSession
     val newSigs = minHashSignatures(newDocs, numHashes, shingleSize)
+    // the batch's id set is joined twice (latest-wins anti-join, then the
+    // query-side semi-join) across two separate jobs — persisted so the
+    // second join reads the cache instead of re-scanning the batch source
+    // (in foreachBatch that re-scan would replay the micro-batch)
+    val newIds = graft.CacheRegistry.persist(newDocs.select(col("doc_id")))
     val path = new org.apache.hadoop.fs.Path(stateDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     // eager localCheckpoint: the commit below REPLACES the state parquet,
@@ -378,7 +386,7 @@ object DedupOps {
     val allSigs =
       (if (fs.exists(path))
          spark.read.parquet(stateDir)
-           .join(broadcast(newDocs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+           .join(broadcast(newIds), Seq("doc_id"), "left_anti")
            .unionByName(newSigs)
        else newSigs).localCheckpoint(true)
     // asymmetric banding: new-batch bands probe the corpus's capped
@@ -386,7 +394,7 @@ object DedupOps {
     // carved out of the CHECKPOINTED union so the signature aggregation
     // isn't recomputed per branch.
     val querySigs = allSigs.join(
-      broadcast(newDocs.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      broadcast(newIds), Seq("doc_id"), "left_semi")
     val touchingNew = lshCandidatesAgainst(querySigs, allSigs, numHashes, rowsPerBand)
     val matchExprs = (0 until numHashes)
       .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
@@ -421,9 +429,14 @@ object DedupOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          incrementalMinHashDedup(batch, stateDir, numHashes, rowsPerBand,
+          // release the blocks incrementalMinHashDedup registers (the
+          // batch id-set cache) once the matches are written — a
+          // long-lived stream must not accumulate one cache entry per
+          // micro-batch
+          try incrementalMinHashDedup(batch, stateDir, numHashes, rowsPerBand,
             shingleSize, threshold)
             .write.mode("append").parquet(matchesDir)
+          finally graft.CacheRegistry.release()
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -428,9 +428,10 @@ object MultimodalOps {
   }
 
   /** The deterministic raster behind [[qImageDedup]]: pairs share a seed;
-    * odd ids get a 2×2 corner edit (all pixels of dHash cell (0,0), so
-    * the perturbation can flip at most the two gradient bits adjacent to
-    * that cell).
+    * odd ids get a 2×2 corner edit — 4 of the 20 pixels of dHash cell
+    * (0,0), which feeds exactly one gradient bit (bit 0: cell (1,0) vs
+    * (0,0); column 0 has no left neighbor), so a pair's hashes differ by
+    * at most one bit.
     */
   private[ext] def stagedImage(id: Long): Array[Byte] = {
     val raw = Imaging.rawFrame(48, 32, (id / 2).toInt * 7919 + 101)

@@ -609,9 +609,9 @@ class GoldenDerivationSpec extends SparkSpec {
       (tsMs, cam, vocab.map(l => perLabel.get(l).map(_._1)),
         cnt("Person"), cnt("Bicycle"), cnt("Motorcycle"))
     }.toSet
-    // fixture must exercise both present and absent pivot cells
+    // fixture must exercise both absent and present pivot cells
     assert(expected.exists(_._3.exists(_.isEmpty)))
-    assert(expected.exists(_._3.forall(_.nonEmpty) == false))
+    assert(expected.exists(_._3.exists(_.nonEmpty)))
     assert(expected.size == 64)
     assert(engine == expected)
   }
