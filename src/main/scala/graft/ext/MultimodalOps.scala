@@ -301,6 +301,198 @@ object MultimodalOps {
     df.withColumn("audio_features",
       when(col(content).isNotNull, audioUdf(col(content))))
 
+  // ---- audio fingerprint dedup (spectral constellation) ----------------
+
+  /** Channel-0 16-bit PCM samples out of a WAV/AIFF/AU container —
+    * the sample walk [[wavFeatures]] does, returning the samples
+    * themselves for spectral work.
+    */
+  def wavSamples(bytes: Array[Byte]): (Array[Int], Int) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16, s"expected 16-bit PCM, got $fmt")
+      val data = in.readAllBytes()
+      val channels = fmt.getChannels
+      val big = fmt.isBigEndian
+      val n = data.length / (2 * channels)
+      val out = new Array[Int](n)
+      var f = 0
+      while (f < n) {
+        val o = f * 2 * channels
+        out(f) = (if (big) ((data(o) << 8) | (data(o + 1) & 0xff))
+                  else ((data(o + 1) << 8) | (data(o) & 0xff))).toShort.toInt
+        f += 1
+      }
+      (out, fmt.getSampleRate.toInt)
+    } finally in.close()
+  }
+
+  /** Spectral constellation fingerprints (the Shazam/Wang-2003 shape):
+    * 256-sample windows at hop 128, per-window magnitude spectrum by
+    * direct DFT over bins 1..63 (`StrictMath` trig, so fingerprints are
+    * bit-stable across JVMs/platforms), one peak bin per window
+    * (first-max tie-break), and each peak paired with the next `fanOut`
+    * windows' peaks: fp = peakBin(t)·2²⁰ + peakBin(t+dt)·2⁴ + dt.
+    * Robust to low-amplitude noise (a peak moves only when noise beats
+    * the tone in its bin) — which is exactly what makes it a re-encode/
+    * re-record dedup key where a byte hash matches nothing.
+    */
+  def audioFingerprints(samples: Array[Int], fanOut: Int = 3): Array[Long] = {
+    val win = 256; val hop = 128; val bins = 64
+    val nWin = if (samples.length < win) 0 else (samples.length - win) / hop + 1
+    val peaks = new Array[Int](nWin)
+    var w = 0
+    while (w < nWin) {
+      var best = 1; var bestMag = -1.0
+      var k = 1
+      while (k < bins) {
+        var re = 0.0; var im = 0.0
+        var n = 0
+        while (n < win) {
+          val phi = 2.0 * StrictMath.PI * k * n / win
+          val s = samples(w * hop + n).toDouble
+          re += s * StrictMath.cos(phi)
+          im -= s * StrictMath.sin(phi)
+          n += 1
+        }
+        val mag = re * re + im * im
+        if (mag > bestMag) { bestMag = mag; best = k }
+        k += 1
+      }
+      peaks(w) = best
+      w += 1
+    }
+    val fps = Array.newBuilder[Long]
+    var t = 0
+    while (t < nWin) {
+      var dt = 1
+      while (dt <= fanOut && t + dt < nWin) {
+        fps += peaks(t).toLong * (1L << 20) + peaks(t + dt).toLong * (1L << 4) + dt
+        dt += 1
+      }
+      t += 1
+    }
+    fps.result()
+  }
+
+  val audioFingerprintUdf = udf((wav: Array[Byte]) =>
+    audioFingerprints(wavSamples(wav)._1))
+
+  /** Per-clip audio match tallies over the fingerprint inverted index —
+    * the audio sibling of [[imageNearDupStats]]: clips explode to
+    * (fingerprint, clip_id) postings, ONE aggregation buckets each
+    * fingerprint's (capped, sorted) posting list, bucket-local ordered
+    * pairs count shared fingerprints per pair, and each clip reports its
+    * best-matching partner. All aggregations — no self-join; the
+    * `maxBucket` cap bounds pair fan-out when a degenerate fingerprint
+    * (silence, test tones) floods one posting list.
+    */
+  def audioMatchStats(clips: DataFrame, minShared: Int = 10,
+      maxBucket: Int = 100, id: String = "clip_id",
+      content: String = "content"): DataFrame = {
+    val prints = graft.CacheRegistry.persist(
+      clips.select(col(id).cast("long").as("clip_id"),
+        audioFingerprintUdf(col(content)).as("fps")))
+    val pairCounts = prints
+      // distinct postings: a fingerprint repeating INSIDE one clip is one
+      // posting — shared-count is over distinct fingerprints
+      .select(col("clip_id"), explode(array_distinct(col("fps"))).as("fp"))
+      .groupBy("fp")
+      .agg(sort_array(collect_list(col("clip_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(DedupOps.orderedPairsExpr("a", "b"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+    val tallies = pairCounts
+      .select(explode(array(
+        struct(col("id_a").as("clip_id"), col("id_b").as("other"), col("n_shared")),
+        struct(col("id_b").as("clip_id"), col("id_a").as("other"), col("n_shared")))).as("r"))
+      .select(col("r.clip_id").as("clip_id"), col("r.other").as("other"),
+        col("r.n_shared").as("n_shared"))
+      .groupBy("clip_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        // deterministic best partner: max shared count, ties to the LOWER
+        // clip id (max over (n_shared, -other))
+        max(struct(col("n_shared"), (-col("other")).as("neg"))).as("best"))
+      .select(col("clip_id"), col("n_candidates"),
+        col("best.n_shared").as("best_shared"), (-col("best.neg")).as("best_match"))
+    prints
+      .select(col("clip_id"), size(col("fps")).cast("long").as("n_fingerprints"))
+      .join(tallies, Seq("clip_id"), "left")
+      .select(col("clip_id"), col("n_fingerprints"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(when(col("best_shared") >= minShared, col("best_match")),
+          lit(-1L)).as("best_match"),
+        coalesce(col("best_shared"), lit(0L)).as("best_shared"))
+  }
+
+  /** q79: audio near-dup via constellation fingerprints as a driver
+    * query. 48 one-second clips are staged executor-side (real WAV
+    * containers via javax.sound): pairs (2k, 2k+1) carry the same
+    * two-tone signal, the odd member overlaid with low-amplitude LCG
+    * noise — a re-encode/re-record stand-in whose byte/content hashes all
+    * differ but whose spectral peaks survive. Golden oracle; rows
+    * re-derived from first principles in GoldenDerivationSpec.
+    */
+  def qAudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val clips = t.documents.select(col("doc_id")).filter(col("doc_id") < 48)
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions(_.map(id => (id, stagedClip(id))))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("clip_id", "content")
+    audioMatchStats(clips).orderBy("clip_id")
+  }
+
+  /** The deterministic clip behind [[qAudioDedup]]: 8000 samples at
+    * 8 kHz — a pseudorandom MELODY (one pure tone per 256-sample note,
+    * bin 2..62 drawn from an LCG keyed on (pair id, note)), the odd pair
+    * member overlaid with ±200-amplitude LCG noise. A melody (not a
+    * static tone) is what makes the fingerprint set informative: peaks
+    * vary per window, so pairs share ~10² constellation fingerprints
+    * while unrelated melodies coincide only by 1-in-61² accidents.
+    */
+  private[graft] def stagedClip(id: Long): Array[Byte] = {
+    val rate = 8000
+    val base = id / 2
+    def noteBin(k: Int): Int = {
+      val mixed = (base * 2654435761L + k * 977L + 13L) *
+        6364136223846793005L + 1442695040888963407L
+      2 + ((mixed >>> 33) % 61L).toInt
+    }
+    val pcm = new Array[Int](rate)
+    var s = base * 2654435761L + id
+    var i = 0
+    while (i < pcm.length) {
+      val v = 8000.0 * StrictMath.sin(
+        2 * StrictMath.PI * noteBin(i / 256) * i / 256.0)
+      val noise = if (id % 2 == 1) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 40).toInt % 401) - 200
+      } else 0
+      pcm(i) = math.max(Short.MinValue, math.min(Short.MaxValue,
+        v.toInt + noise))
+      i += 1
+    }
+    val bytes = new Array[Byte](pcm.length * 2)
+    i = 0
+    while (i < pcm.length) {
+      bytes(2 * i) = (pcm(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, pcm.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   // ---- perceptual image dedup (dHash) ----------------------------------
 
   /** 64-bit difference hash (dHash) of an image: decode, downsample to a

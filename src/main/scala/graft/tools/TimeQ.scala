@@ -1,0 +1,24 @@
+package graft.tools
+
+import graft.{CacheRegistry, GraftSession, SparkEntry}
+
+/** Scratch per-query timer: args = sfDir, query names. 1 discarded + 3
+  * timed runs each, prints all three.
+  */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val spark = GraftSession.build("graft-timeq")
+    args.drop(1).foreach { name =>
+      val times = (0 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        finally CacheRegistry.release()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[timeq] $name warm=${times.drop(1).map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

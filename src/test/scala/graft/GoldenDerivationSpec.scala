@@ -751,6 +751,77 @@ class GoldenDerivationSpec extends SparkSpec {
     assert(engine == expected)
   }
 
+  test("q79 rows re-derived: plain-Scala PCM, DFT peaks, posting pairs") {
+    val engine = graft.ext.MultimodalOps.qAudioDedup(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    // the melody/noise PCM restated as plain arithmetic (the engine's
+    // staged WAV container must round-trip to exactly these samples)
+    def pcm(id: Long): Array[Int] = {
+      val base = id / 2
+      def noteBin(k: Int): Int = {
+        val mixed = (base * 2654435761L + k * 977L + 13L) *
+          6364136223846793005L + 1442695040888963407L
+        2 + ((mixed >>> 33) % 61L).toInt
+      }
+      var s = base * 2654435761L + id
+      Array.tabulate(8000) { i =>
+        val v = 8000.0 * StrictMath.sin(
+          2 * StrictMath.PI * noteBin(i / 256) * i / 256.0)
+        val noise = if (id % 2 == 1) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          ((s >>> 40).toInt % 401) - 200
+        } else 0
+        math.max(Short.MinValue, math.min(Short.MaxValue, v.toInt + noise))
+      }
+    }
+    // constellation fingerprints from first principles: 256-sample
+    // windows at hop 128, direct DFT bins 1..63 (StrictMath), first-max
+    // peak, fan-out 3
+    def prints(samples: Array[Int]): Seq[Long] = {
+      val nWin = (samples.length - 256) / 128 + 1
+      val peaks = (0 until nWin).map { w =>
+        (1 until 64).map { k =>
+          val (re, im) = (0 until 256).foldLeft((0.0, 0.0)) {
+            case ((r, m), n) =>
+              val phi = 2.0 * StrictMath.PI * k * n / 256
+              val s = samples(w * 128 + n).toDouble
+              (r + s * StrictMath.cos(phi), m - s * StrictMath.sin(phi))
+          }
+          (k, re * re + im * im)
+        }.maxBy(_._2)._1 // maxBy keeps the FIRST max — same tie rule
+      }
+      for (t <- 0 until nWin; dt <- 1 to 3; if t + dt < nWin)
+        yield peaks(t).toLong * (1L << 20) + peaks(t + dt).toLong * (1L << 4) + dt
+    }
+    val fps: Map[Long, Seq[Long]] = (0L until 48L).map(id => id -> prints(pcm(id))).toMap
+    // inverted index → capped postings → pair shared-counts → per-clip best
+    val postings: Map[Long, Seq[Long]] = fps.toSeq
+      .flatMap { case (id, f) => f.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairShared: Map[(Long, Long), Long] = postings.values
+      .filter(ids => ids.size >= 2 && ids.size <= 100)
+      .flatMap(ids => for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield (ids(i), ids(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = (0L until 48L).map { id =>
+      val mine = pairShared.collect {
+        case ((a, b), n) if a == id => (b, n)
+        case ((a, b), n) if b == id => (a, n)
+      }.toSeq
+      val (bestMatch, bestShared) =
+        if (mine.isEmpty) (-1L, 0L)
+        else {
+          val (other, n) = mine.maxBy { case (o, n) => (n, -o) }
+          (if (n >= 10) other else -1L, n)
+        }
+      (id, fps(id).size.toLong, mine.size.toLong, bestMatch, bestShared)
+    }.toSet
+    assert(expected.count(_._4 >= 0) >= 48) // every clip finds its partner
+    assert(engine == expected)
+  }
+
   test("q38 sketches bounded by plain-Scala exact derivation") {
     val engine = graft.queries.CoreQueries.q38Sketches(spark, SF).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),

@@ -164,6 +164,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio fingerprints: noise-robust melody matching, cap holds") {
+    val rows = MultimodalOps.qAudioDedup(spark, SF).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows.size == 48)
+    // every (2k, 2k+1) pair: the noisy re-record's best match is its
+    // clean partner, on a meaningful share of the constellation
+    for (k <- 0L until 24L) {
+      val (nA, _, bestA, sharedA) = rows(2 * k)
+      assert(nA > 100, s"clip ${2 * k} has too few fingerprints")
+      assert(bestA == 2 * k + 1, s"clip ${2 * k} best_match $bestA")
+      assert(rows(2 * k + 1)._3 == 2 * k, s"clip ${2 * k + 1} best mismatch")
+      assert(sharedA >= 10, s"pair $k shares only $sharedA")
+    }
+    // a posting list larger than the cap is dropped, not exploded
+    val clip = MultimodalOps.stagedClip(0)
+    val degenerate = (0L until 12L).map(i => (i, clip)).toDF("clip_id", "content")
+    val capped = MultimodalOps.audioMatchStats(degenerate, maxBucket = 10)
+      .agg(sum("n_candidates")).head().getLong(0)
+    assert(capped == 0L)
+  }
+
   test("imageNearDupStats finds every planted pair; bucket cap holds") {
     val rows = MultimodalOps.qImageDedup(spark, SF).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
