@@ -308,6 +308,9 @@ object MultimodalOps {
     * themselves for spectral work.
     */
   def wavSamples(bytes: Array[Byte]): (Array[Int], Int) = {
+    // BinaryType is a reference type: a null cell reaches the UDF as a raw
+    // null — fail with the offending op named (dHash64 discipline)
+    require(bytes != null, "wavSamples: null audio content")
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -340,8 +343,18 @@ object MultimodalOps {
     * re-record dedup key where a byte hash matches nothing.
     */
   def audioFingerprints(samples: Array[Int], fanOut: Int = 3): Array[Long] = {
+    // dt occupies the low 4 bits of the packed fingerprint — a wider
+    // fan-out would silently alias into the second peak's field
+    require(fanOut >= 1 && fanOut < 16, s"fanOut $fanOut outside 1..15")
     val win = 256; val hop = 128; val bins = 64
     val nWin = if (samples.length < win) 0 else (samples.length - win) / hop + 1
+    // the DFT basis depends only on (bin, sample-in-window) — precompute
+    // it once instead of ~2M StrictMath trig calls per clip (the inner
+    // sums accumulate in the identical order, so results are bit-equal)
+    val cosT = Array.tabulate(bins, win)((k, n) =>
+      StrictMath.cos(2.0 * StrictMath.PI * k * n / win))
+    val sinT = Array.tabulate(bins, win)((k, n) =>
+      StrictMath.sin(2.0 * StrictMath.PI * k * n / win))
     val peaks = new Array[Int](nWin)
     var w = 0
     while (w < nWin) {
@@ -351,10 +364,9 @@ object MultimodalOps {
         var re = 0.0; var im = 0.0
         var n = 0
         while (n < win) {
-          val phi = 2.0 * StrictMath.PI * k * n / win
           val s = samples(w * hop + n).toDouble
-          re += s * StrictMath.cos(phi)
-          im -= s * StrictMath.sin(phi)
+          re += s * cosT(k)(n)
+          im -= s * sinT(k)(n)
           n += 1
         }
         val mag = re * re + im * im
@@ -404,6 +416,9 @@ object MultimodalOps {
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
       .select(explode(expr(DedupOps.orderedPairsExpr("a", "b"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      // strict: duplicate clip_id rows in the input would otherwise emit
+      // self-pairs that share EVERY fingerprint and hijack best_match
+      .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
     val tallies = pairCounts
@@ -583,6 +598,9 @@ object MultimodalOps {
       .select(col("p.a.image_id").as("id_a"), col("p.b.image_id").as("id_b"),
         bit_count(col("p.a.dhash").bitwiseXOR(col("p.b.dhash")))
           .cast("long").as("hamming"))
+      // strict: duplicate image_id rows would otherwise emit hamming-0
+      // self-pairs (same guard as audioMatchStats)
+      .filter(col("id_a") < col("id_b"))
       // a pair surfaced by several bands has bit-identical hamming
       .distinct()
     val tallies = pairs

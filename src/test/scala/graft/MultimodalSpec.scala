@@ -184,6 +184,12 @@ class MultimodalSpec extends SparkSpec {
     val capped = MultimodalOps.audioMatchStats(degenerate, maxBucket = 10)
       .agg(sum("n_candidates")).head().getLong(0)
     assert(capped == 0L)
+    // duplicate clip_id rows must not hijack best_match with a self-pair
+    val dup = Seq((0L, clip), (0L, clip), (1L, MultimodalOps.stagedClip(1)))
+      .toDF("clip_id", "content")
+    val best = MultimodalOps.audioMatchStats(dup).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(best(0L) == 1L && best(1L) == 0L)
   }
 
   test("imageNearDupStats finds every planted pair; bucket cap holds") {
