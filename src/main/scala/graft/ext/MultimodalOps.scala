@@ -4,6 +4,21 @@ import graft.pipeline.Imaging
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** One dHash-band posting on the wire: which 16-bit band bucket an
+  * image's hash lands in (streaming image dedup state traffic).
+  */
+case class ImgBandArrival(band: Int, sig: Long, imageId: Long, dhash: Long)
+
+/** A dHash band bucket's checkpointed members (ids + full 64-bit hashes,
+  * capped).
+  */
+case class ImgBucketState(ids: Seq[Long], hashes: Seq[Long])
+
+/** An emitted perceptual match: id_a < id_b, the band that collided, and
+  * the exact Hamming distance.
+  */
+case class ImageDupMatch(id_a: Long, id_b: Long, band: Int, hamming: Int)
+
 /** [EXT] Multimodal columns: image/audio/video as opaque `binary` columns
   * with typed metadata structs, plus decode / feature-extract / resize /
   * frame-sample as batched narrow transformations.
@@ -619,6 +634,70 @@ object MultimodalOps {
         coalesce(col("min_hamming"), lit(-1L)).as("min_hamming"))
   }
 
+  /** (band, sig, image_id, dhash) band-bucket traffic — the narrow
+    * per-row pass shared by the streaming image dedup and its batch-side
+    * reference in specs.
+    */
+  def dhashBandArrivals(images: DataFrame, id: String = "image_id",
+      content: String = "content"): Dataset[ImgBandArrival] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images
+      .select(col(id).cast("long").as("imageId"),
+        dHashUdf(col(content)).as("dhash"))
+      .select(col("imageId"), col("dhash"),
+        explode(array((0 until 4).map(lit): _*)).as("band"))
+      .select(col("band"), expr("shiftright(dhash, 16 * band) & 65535").as("sig"),
+        col("imageId"), col("dhash"))
+      .as[ImgBandArrival]
+  }
+
+  /** STATE-STORE-native streaming image dedup — perceptual dedup-on-
+    * ingest for a blob stream, the image sibling of
+    * [[DedupOps.statefulStreamingNearDup]]: the stream keys by dHash
+    * band bucket, each bucket's members (image_id + 64-bit hash — 16
+    * bytes/member, capped at `maxBucket`) live in Spark's checkpointed
+    * state store, and every arrival Hamming-verifies against its
+    * bucket's members before joining them. Exactly-once state on
+    * restart; within a micro-batch a bucket processes arrivals in
+    * image_id order (deterministic under shuffle); re-delivery of an
+    * ADMITTED id is idempotent, past the cap at-least-once — the same
+    * contract as the text op.
+    *
+    * Scale shape: decode+hash is the one narrow UDF pass; the only
+    * shuffle is the groupByKey on (band, sig); state per bucket is
+    * bounded by the cap — a solid-color placeholder flooding one bucket
+    * costs maxBucket members, never quadratic pair state.
+    */
+  def statefulStreamingImageDedup(images: DataFrame, maxDist: Int = 10,
+      maxBucket: Int = 100): Dataset[ImageDupMatch] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    dhashBandArrivals(images)
+      .groupByKey(a => (a.band, a.sig))
+      .flatMapGroupsWithState[ImgBucketState, ImageDupMatch](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state) =>
+          var st = state.getOption.getOrElse(ImgBucketState(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ImageDupMatch]
+          rows.toSeq.sortBy(_.imageId).foreach { a =>
+            if (!st.ids.contains(a.imageId)) {
+              st.ids.iterator.zip(st.hashes.iterator).foreach { case (id, h) =>
+                val d = java.lang.Long.bitCount(h ^ a.dhash)
+                if (d <= maxDist)
+                  out += ImageDupMatch(math.min(id, a.imageId),
+                    math.max(id, a.imageId), band, d)
+              }
+              if (st.ids.size < maxBucket)
+                st = ImgBucketState(st.ids :+ a.imageId, st.hashes :+ a.dhash)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** q78: perceptual image dedup as a driver query. 64 images are staged
     * executor-side from the documents ids — consecutive pairs (2k, 2k+1)
     * share an LCG base raster with the odd member perturbed in one corner
@@ -643,7 +722,7 @@ object MultimodalOps {
     * (0,0); column 0 has no left neighbor), so a pair's hashes differ by
     * at most one bit.
     */
-  private[ext] def stagedImage(id: Long): Array[Byte] = {
+  private[graft] def stagedImage(id: Long): Array[Byte] = {
     val raw = Imaging.rawFrame(48, 32, (id / 2).toInt * 7919 + 101)
     if (id % 2 == 1) {
       for (y <- 0 until 2; x <- 0 until 2) {

@@ -362,6 +362,52 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stateful streaming image dedup: cross-batch perceptual pairs; equals simulation") {
+    import graft.ext.{ImgBandArrival, MultimodalOps}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("img-dedup-stream")
+    // batch 1 = the clean pair members, batch 2 = their corner-edited
+    // re-encodes — every planted match must be found ACROSS batches,
+    // i.e. against state-store members, not within one micro-batch
+    val imgs = (0L until 32L).map(i => (i, MultimodalOps.stagedImage(i)))
+    val b1 = imgs.filter(_._1 % 2 == 0).toDF("image_id", "content")
+    val b2 = imgs.filter(_._1 % 2 == 1).toDF("image_id", "content")
+    stageBatchFile(dir, b1, "b1.parquet", 1700000000000L)
+    stageBatchFile(dir, b2, "b2.parquet", 1700000060000L)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val got = EventStreaming.runToMemory(
+        MultimodalOps.statefulStreamingImageDedup(stream).toDF(), "stream_imgdedup")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .sorted.toSeq
+    // driver-side simulation of the exact operator semantics: per band
+    // bucket, batch-1 arrivals (image_id order) then batch-2's, Hamming
+    // vs stored members, membership capped at 100
+    val batchOf = (id: Long) => (id % 2).toInt
+    val arrivals = MultimodalOps.dhashBandArrivals(b1.unionByName(b2)).collect()
+    val expected = arrivals.groupBy(a => (a.band, a.sig)).toSeq
+      .flatMap { case ((band, _), as) =>
+        val ordered = as.sortBy(a => (batchOf(a.imageId), a.imageId))
+        val members = scala.collection.mutable.ArrayBuffer.empty[ImgBandArrival]
+        ordered.flatMap { a =>
+          val hits = members.flatMap { m =>
+            val d = java.lang.Long.bitCount(m.dhash ^ a.dhash)
+            if (d <= 10)
+              Some((math.min(m.imageId, a.imageId),
+                math.max(m.imageId, a.imageId), band, d))
+            else None
+          }.toSeq
+          if (members.size < 100) members += a
+          hits
+        }
+      }.sorted
+    assert(got == expected)
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    for (k <- 0L until 16L)
+      assert(pairs.contains((2 * k, 2 * k + 1)), s"planted pair $k missed")
+  }
+
   test("stateful streaming near-dup: bucket state survives a checkpointed restart") {
     import graft.ext.DedupOps
     val dir = java.nio.file.Files.createTempDirectory("docs-neardup-restart")
