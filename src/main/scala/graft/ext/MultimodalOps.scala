@@ -634,6 +634,75 @@ object MultimodalOps {
         coalesce(col("min_hamming"), lit(-1L)).as("min_hamming"))
   }
 
+  /** Frame-level video near-dup: explode each clip through the REAL
+    * container decode ([[explodeGifFrames]]), dHash every frame, find
+    * cross-video near-frame pairs through the same capped band buckets
+    * as [[imageNearDupStats]], and tally DISTINCT shared frame pairs per
+    * video pair into a per-video best-match report — video dedup as
+    * "how many of your frames perceptually match mine", the standard
+    * re-encode/re-upload detection shape. Output per video:
+    * (video_id, n_frames, n_candidates, best_match, best_shared) with
+    * best_match = -1 below `minShared`.
+    *
+    * Scale shape: decode+hash is one narrow pass (frames never carry
+    * raster bytes past the hash projection); banding is one aggregation
+    * with capped buckets (a title-card frame shared by every video costs
+    * one capped bucket, not |corpus|² pairs); the pair-distinct and the
+    * two tallies are hash aggregations. No self-join.
+    */
+  def videoMatchStats(videos: DataFrame, maxDist: Int = 6,
+      maxBucket: Int = 100, minShared: Int = 2, id: String = "video_id",
+      content: String = "content"): DataFrame = {
+    val hashed = graft.CacheRegistry.persist(
+      explodeGifFrames(videos, id, content)
+        .select(col("id").as("video_id"), col("frame_index"),
+          dHashUdf(col("content")).as("dhash")))
+    val sharedCounts = hashed
+      .select(col("video_id"), col("frame_index"), col("dhash"),
+        explode(array((0 until 4).map(lit): _*)).as("band"))
+      .select(col("band"), expr("shiftright(dhash, 16 * band) & 65535").as("sig"),
+        struct(col("video_id"), col("frame_index"), col("dhash")).as("m"))
+      .groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("m"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(DedupOps.orderedPairsExpr("a", "b"))).as("p"))
+      .filter(col("p.a.video_id") =!= col("p.b.video_id"))
+      .filter(bit_count(col("p.a.dhash").bitwiseXOR(col("p.b.dhash"))) <= maxDist)
+      // orient each frame pair by the LESSER video id, then dedup: a
+      // frame pair found by several bands (or several buckets) counts once
+      .select(when(col("p.a.video_id") < col("p.b.video_id"),
+          struct(col("p.a.video_id").as("vid_a"), col("p.b.video_id").as("vid_b"),
+            col("p.a.frame_index").as("f_a"), col("p.b.frame_index").as("f_b")))
+        .otherwise(
+          struct(col("p.b.video_id").as("vid_a"), col("p.a.video_id").as("vid_b"),
+            col("p.b.frame_index").as("f_a"), col("p.a.frame_index").as("f_b")))
+        .as("q"))
+      .select(col("q.vid_a"), col("q.vid_b"), col("q.f_a"), col("q.f_b"))
+      .distinct()
+      .groupBy("vid_a", "vid_b")
+      .agg(count(lit(1)).as("n_shared"))
+    val tallies = sharedCounts
+      .select(explode(array(
+        struct(col("vid_a").as("video_id"), col("vid_b").as("other"), col("n_shared")),
+        struct(col("vid_b").as("video_id"), col("vid_a").as("other"), col("n_shared")))).as("r"))
+      .select(col("r.video_id").as("video_id"), col("r.other").as("other"),
+        col("r.n_shared").as("n_shared"))
+      .groupBy("video_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("n_shared"), (-col("other")).as("neg"))).as("best"))
+      .select(col("video_id"), col("n_candidates"),
+        col("best.n_shared").as("best_shared"), (-col("best.neg")).as("best_match"))
+    hashed
+      .groupBy("video_id")
+      .agg(count(lit(1)).as("n_frames"))
+      .join(tallies, Seq("video_id"), "left")
+      .select(col("video_id"), col("n_frames"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(when(col("best_shared") >= minShared, col("best_match")),
+          lit(-1L)).as("best_match"),
+        coalesce(col("best_shared"), lit(0L)).as("best_shared"))
+  }
+
   /** (band, sig, image_id, dhash) band-bucket traffic — the narrow
     * per-row pass shared by the streaming image dedup and its batch-side
     * reference in specs.

@@ -192,6 +192,39 @@ class MultimodalSpec extends SparkSpec {
     assert(best(0L) == 1L && best(1L) == 0L)
   }
 
+  test("videoMatchStats: re-encoded shared frames match across clips") {
+    def lcgImg(seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(48, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var s = seed
+      for (y <- 0 until 32; x <- 0 until 48) {
+        s = s * 1103515245 + 12345
+        img.setRGB(x, y, (s >>> 8) & 0xffffff)
+      }
+      img
+    }
+    // six 4-frame clips; clip 1 re-encodes clip 0's first three rasters
+    // (same pixels through a second GIF encode) plus one frame of its own
+    val clips = (0L until 6L).map { v =>
+      val frames = (0 until 4).map { f =>
+        val (sv, sf) = if (v == 1 && f < 3) (0L, f) else (v, f)
+        lcgImg((sv * 97 + sf).toInt * 131 + 7)
+      }
+      (v, MultimodalOps.encodeAnimatedGif(frames, delayMs = 40))
+    }.toDF("video_id", "content")
+    val rows = MultimodalOps.videoMatchStats(clips).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows.size == 6)
+    rows.values.foreach { case (nFrames, _, _, _) => assert(nFrames == 4) }
+    assert(rows(0L)._3 == 1L && rows(0L)._4 == 3L,
+      s"clip 0 should best-match clip 1 on 3 frames, got ${rows(0L)}")
+    assert(rows(1L)._3 == 0L && rows(1L)._4 == 3L)
+    (2L until 6L).foreach { v =>
+      assert(rows(v)._3 == -1L, s"clip $v should have no match, got ${rows(v)}")
+    }
+  }
+
   test("imageNearDupStats finds every planted pair; bucket cap holds") {
     val rows = MultimodalOps.qImageDedup(spark, SF).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
