@@ -600,11 +600,7 @@ object MultimodalOps {
     val hashed = graft.CacheRegistry.persist(
       images.select(col(id).cast("long").as("image_id"),
         dHashUdf(col(content)).as("dhash")))
-    val pairs = hashed
-      .select(col("image_id"), col("dhash"),
-        explode(array((0 until 4).map(lit): _*)).as("band"))
-      .select(col("image_id"), col("dhash"), col("band"),
-        expr("shiftright(dhash, 16 * band) & 65535").as("sig"))
+    val pairs = withDhashBands(hashed)
       .groupBy("band", "sig")
       .agg(sort_array(collect_list(struct(col("image_id"), col("dhash"))))
         .as("ids"))
@@ -657,30 +653,27 @@ object MultimodalOps {
       explodeGifFrames(videos, id, content)
         .select(col("id").as("video_id"), col("frame_index"),
           dHashUdf(col("content")).as("dhash")))
-    val sharedCounts = hashed
-      .select(col("video_id"), col("frame_index"), col("dhash"),
-        explode(array((0 until 4).map(lit): _*)).as("band"))
-      .select(col("band"), expr("shiftright(dhash, 16 * band) & 65535").as("sig"),
-        struct(col("video_id"), col("frame_index"), col("dhash")).as("m"))
+    val sharedCounts = withDhashBands(
+        hashed.select(struct(col("video_id"), col("frame_index"),
+          col("dhash")).as("m"), col("dhash")))
       .groupBy("band", "sig")
       .agg(sort_array(collect_list(col("m"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
       .select(explode(expr(DedupOps.orderedPairsExpr("a", "b"))).as("p"))
+      // buckets are sorted on struct(video_id, ...) and orderedPairsExpr
+      // emits i<j only, so p.a.video_id <= p.b.video_id by construction —
+      // the =!= filter makes it strict, no re-orientation needed
       .filter(col("p.a.video_id") =!= col("p.b.video_id"))
       .filter(bit_count(col("p.a.dhash").bitwiseXOR(col("p.b.dhash"))) <= maxDist)
-      // orient each frame pair by the LESSER video id, then dedup: a
-      // frame pair found by several bands (or several buckets) counts once
-      .select(when(col("p.a.video_id") < col("p.b.video_id"),
-          struct(col("p.a.video_id").as("vid_a"), col("p.b.video_id").as("vid_b"),
-            col("p.a.frame_index").as("f_a"), col("p.b.frame_index").as("f_b")))
-        .otherwise(
-          struct(col("p.b.video_id").as("vid_a"), col("p.a.video_id").as("vid_b"),
-            col("p.b.frame_index").as("f_a"), col("p.a.frame_index").as("f_b")))
-        .as("q"))
-      .select(col("q.vid_a"), col("q.vid_b"), col("q.f_a"), col("q.f_b"))
+      .select(col("p.a.video_id").as("vid_a"), col("p.b.video_id").as("vid_b"),
+        col("p.a.frame_index").as("f_a"), col("p.b.frame_index").as("f_b"))
       .distinct()
       .groupBy("vid_a", "vid_b")
-      .agg(count(lit(1)).as("n_shared"))
+      // shared = min(distinct matched frames per side), NOT pair count: a
+      // clip repeating one title card k times would otherwise inflate a
+      // k×m pair explosion past n_frames and outrank a true re-encode
+      .agg(least(count_distinct(col("f_a")), count_distinct(col("f_b")))
+        .as("n_shared"))
     val tallies = sharedCounts
       .select(explode(array(
         struct(col("vid_a").as("video_id"), col("vid_b").as("other"), col("n_shared")),
@@ -711,15 +704,20 @@ object MultimodalOps {
       content: String = "content"): Dataset[ImgBandArrival] = {
     val spark = images.sparkSession
     import spark.implicits._
-    images
-      .select(col(id).cast("long").as("imageId"),
-        dHashUdf(col(content)).as("dhash"))
-      .select(col("imageId"), col("dhash"),
-        explode(array((0 until 4).map(lit): _*)).as("band"))
-      .select(col("band"), expr("shiftright(dhash, 16 * band) & 65535").as("sig"),
-        col("imageId"), col("dhash"))
+    withDhashBands(images.select(col(id).cast("long").as("imageId"),
+        dHashUdf(col(content)).as("dhash")))
+      .select(col("band"), col("sig"), col("imageId"), col("dhash"))
       .as[ImgBandArrival]
   }
+
+  /** ONE definition of the 4×16-bit dHash banding rule — batch, video,
+    * and streaming paths must bucket identically or the specs' batch-vs-
+    * streaming equivalence silently breaks. Appends (band, sig) to any
+    * input carrying a `dhash` column.
+    */
+  private def withDhashBands(df: DataFrame): DataFrame =
+    df.select(col("*"), explode(array((0 until 4).map(lit): _*)).as("band"))
+      .withColumn("sig", expr("shiftright(dhash, 16 * band) & 65535"))
 
   /** STATE-STORE-native streaming image dedup — perceptual dedup-on-
     * ingest for a blob stream, the image sibling of
@@ -739,10 +737,11 @@ object MultimodalOps {
     * costs maxBucket members, never quadratic pair state.
     */
   def statefulStreamingImageDedup(images: DataFrame, maxDist: Int = 10,
-      maxBucket: Int = 100): Dataset[ImageDupMatch] = {
+      maxBucket: Int = 100, id: String = "image_id",
+      content: String = "content"): Dataset[ImageDupMatch] = {
     val spark = images.sparkSession
     import spark.implicits._
-    dhashBandArrivals(images)
+    dhashBandArrivals(images, id, content)
       .groupByKey(a => (a.band, a.sig))
       .flatMapGroupsWithState[ImgBucketState, ImageDupMatch](
         org.apache.spark.sql.streaming.OutputMode.Append(),

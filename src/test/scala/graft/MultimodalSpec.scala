@@ -223,6 +223,18 @@ class MultimodalSpec extends SparkSpec {
     (2L until 6L).foreach { v =>
       assert(rows(v)._3 == -1L, s"clip $v should have no match, got ${rows(v)}")
     }
+    // a repeated title card must not inflate shared counts past n_frames
+    // (per-side distinct frame counting, not pair counting)
+    val card = lcgImg(4242)
+    val slides = Seq(
+      (10L, MultimodalOps.encodeAnimatedGif(Seq.fill(4)(card), 40)),
+      (11L, MultimodalOps.encodeAnimatedGif(Seq.fill(4)(card), 40)))
+      .toDF("video_id", "content")
+    val deg = MultimodalOps.videoMatchStats(slides).collect()
+      .map(r => (r.getLong(1), r.getLong(4)))
+    deg.foreach { case (nFrames, shared) =>
+      assert(nFrames == 4 && shared == 4, s"expected 4/4, got $nFrames/$shared")
+    }
   }
 
   test("imageNearDupStats finds every planted pair; bucket cap holds") {
