@@ -416,7 +416,7 @@ object MultimodalOps {
     * `maxBucket` cap bounds pair fan-out when a degenerate fingerprint
     * (silence, test tones) floods one posting list.
     */
-  def audioMatchStats(clips: DataFrame, minShared: Int = 10,
+  def audioMatchStats(clips: DataFrame, minShared: Int = 30,
       maxBucket: Int = 100, id: String = "clip_id",
       content: String = "content"): DataFrame = {
     val prints = graft.CacheRegistry.persist(
@@ -459,6 +459,113 @@ object MultimodalOps {
         coalesce(col("best_shared"), lit(0L)).as("best_shared"))
   }
 
+  /** Distinct (clip_id, fp) postings for a clip table — the unit the
+    * incremental audio index stores and probes.
+    */
+  def audioPostings(clips: DataFrame, id: String = "clip_id",
+      content: String = "content"): DataFrame =
+    clips.select(col(id).cast("long").as("clip_id"),
+        explode(array_distinct(audioFingerprintUdf(col(content)))).as("fp"))
+
+  /** Index a batch's fingerprints into the posting table WITHOUT
+    * matching — the initial corpus load ([[DedupOps.indexSignatures]]
+    * recipe: overwrite or staging+atomic-rename merge).
+    */
+  def indexAudioFingerprints(clips: DataFrame, stateDir: String,
+      id: String = "clip_id", content: String = "content"): Unit = {
+    val spark = clips.sparkSession
+    val prints = audioPostings(clips, id, content)
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) prints.write.mode("overwrite").parquet(stateDir)
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(stateDir + ".staging")
+      spark.read.parquet(stateDir).unionByName(prints)
+        .dropDuplicates("clip_id", "fp")
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(path, true)
+      require(fs.rename(tmp, path), s"posting-table commit failed for $stateDir")
+    }
+  }
+
+  /** INCREMENTAL audio dedup — the 100 TB workflow for a growing clip
+    * corpus: match a NEW batch against the already-indexed fingerprint
+    * postings WITHOUT recomputing the corpus (the audio form of
+    * [[DedupOps.incrementalMinHashDedup]]). Old-vs-old pairs are never
+    * generated: posting buckets carry an is_new flag and only pairs
+    * touching the new batch survive — a plain filter on the expanded
+    * pairs, no extra join. Returns (clip_a, clip_b, n_shared) for pairs
+    * sharing ≥ `minShared` distinct fingerprints, and commits the new
+    * postings to the table (staging + atomic rename; latest-wins on
+    * clip_id for re-delivered batches).
+    */
+  def incrementalAudioDedup(newClips: DataFrame, stateDir: String,
+      minShared: Int = 30, maxPosting: Int = 100,
+      id: String = "clip_id", content: String = "content"): DataFrame = {
+    val spark = newClips.sparkSession
+    val newPrints = audioPostings(newClips, id, content)
+    // the batch id set is read by the latest-wins anti-join and the
+    // is_new tagging — cache it (the q52 lesson)
+    val newIds = graft.CacheRegistry.persist(
+      newClips.select(col(id).cast("long").as("clip_id")).distinct())
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // eager localCheckpoint: the commit below REPLACES the state parquet
+    // the lazy result would otherwise re-read (lineage cut here)
+    val allPrints =
+      (if (fs.exists(path))
+         spark.read.parquet(stateDir)
+           .join(broadcast(newIds), Seq("clip_id"), "left_anti")
+           .withColumn("is_new", lit(false))
+           .unionByName(newPrints.withColumn("is_new", lit(true)))
+       else newPrints.withColumn("is_new", lit(true))).localCheckpoint(true)
+    val matches = allPrints
+      .groupBy("fp")
+      .agg(sort_array(collect_list(struct(col("clip_id"), col("is_new"))))
+        .as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxPosting)
+      .select(explode(expr(DedupOps.orderedPairsExpr("a", "b"))).as("p"))
+      // only pairs touching the new batch; postings are distinct per
+      // clip, so each fp contributes exactly once per pair
+      .filter(col("p.a.is_new") || col("p.b.is_new"))
+      .filter(col("p.a.clip_id") =!= col("p.b.clip_id"))
+      .select(col("p.a.clip_id").as("clip_a"), col("p.b.clip_id").as("clip_b"))
+      .groupBy("clip_a", "clip_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    // commit the new postings
+    val tmp = new org.apache.hadoop.fs.Path(stateDir + ".staging")
+    allPrints.drop("is_new").write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    require(fs.rename(tmp, path), s"posting-table commit failed for $stateDir")
+    matches
+  }
+
+  /** Streaming incremental audio dedup: each micro-batch of clips is
+    * matched against the persisted posting table and then indexed into
+    * it — dedup-on-ingest for a continuously growing audio corpus.
+    * Matches append to `matchesDir` as parquet.
+    */
+  def streamingIncrementalAudioDedup(clips: DataFrame, stateDir: String,
+      matchesDir: String, checkpointDir: String, minShared: Int = 30,
+      maxPosting: Int = 100): Unit = {
+    val q = clips.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // release the id-set cache per batch (long-lived streams must
+          // not accumulate entries)
+          try incrementalAudioDedup(batch, stateDir, minShared, maxPosting)
+            .write.mode("append").parquet(matchesDir)
+          finally graft.CacheRegistry.release()
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** q79: audio near-dup via constellation fingerprints as a driver
     * query. 48 one-second clips are staged executor-side (real WAV
     * containers via javax.sound): pairs (2k, 2k+1) carry the same
@@ -488,10 +595,14 @@ object MultimodalOps {
   private[graft] def stagedClip(id: Long): Array[Byte] = {
     val rate = 8000
     val base = id / 2
+    // splitmix-style finalizer: a single LCG multiply leaves the per-k
+    // step IDENTICAL across bases (melodies become near-shifted copies
+    // and unrelated clips share tens of fingerprints); the xor-shift
+    // rounds decorrelate (base, k) properly
     def noteBin(k: Int): Int = {
-      val mixed = (base * 2654435761L + k * 977L + 13L) *
-        6364136223846793005L + 1442695040888963407L
-      2 + ((mixed >>> 33) % 61L).toInt
+      var h = base * 0x9E3779B97F4A7C15L + k * 0xC2B2AE3D27D4EB4FL + 13L
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      2 + ((h >>> 1) % 61L).toInt
     }
     val pcm = new Array[Int](rate)
     var s = base * 2654435761L + id
@@ -594,13 +705,12 @@ object MultimodalOps {
     * concentrate outside at least one band — the standard banding recall
     * trade, same as q27/q31.
     */
-  def imageNearDupStats(images: DataFrame, maxDist: Int = 10,
-      maxBucket: Int = 100, id: String = "image_id",
-      content: String = "content"): DataFrame = {
-    val hashed = graft.CacheRegistry.persist(
-      images.select(col(id).cast("long").as("image_id"),
-        dHashUdf(col(content)).as("dhash")))
-    val pairs = withDhashBands(hashed)
+  /** Candidate image pairs with exact Hamming distances over a hashed
+    * (image_id, dhash) table — the pair surface [[imageNearDupStats]]
+    * tallies and [[imageDedupClusters]] closes transitively.
+    */
+  def imageNearDupPairs(hashed: DataFrame, maxBucket: Int = 100): DataFrame =
+    withDhashBands(hashed)
       .groupBy("band", "sig")
       .agg(sort_array(collect_list(struct(col("image_id"), col("dhash"))))
         .as("ids"))
@@ -614,7 +724,21 @@ object MultimodalOps {
       .filter(col("id_a") < col("id_b"))
       // a pair surfaced by several bands has bit-identical hamming
       .distinct()
-    val tallies = pairs
+
+  /** (image_id, dhash) — the one narrow decode+hash pass, cached because
+    * every consumer reads it at least twice.
+    */
+  private def hashedImages(images: DataFrame, id: String,
+      content: String): DataFrame =
+    graft.CacheRegistry.persist(
+      images.select(col(id).cast("long").as("image_id"),
+        dHashUdf(col(content)).as("dhash")))
+
+  def imageNearDupStats(images: DataFrame, maxDist: Int = 10,
+      maxBucket: Int = 100, id: String = "image_id",
+      content: String = "content"): DataFrame = {
+    val hashed = hashedImages(images, id, content)
+    val tallies = imageNearDupPairs(hashed, maxBucket)
       .select(explode(array(
         struct(col("id_a").as("image_id"), col("hamming")),
         struct(col("id_b").as("image_id"), col("hamming")))).as("r"))
@@ -628,6 +752,28 @@ object MultimodalOps {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_near"), lit(0L)).as("n_near"),
         coalesce(col("min_hamming"), lit(-1L)).as("min_hamming"))
+  }
+
+  /** Transitive perceptual dup groups: label-propagation connected
+    * components over the Hamming-verified pair graph — the image
+    * counterpart of [[DedupOps.minHashDedupClusters]] (A~B~C collapses
+    * to one cluster even when A≁C directly; keep one exemplar per
+    * cluster_id for the dedup decision). Returns (image_id, cluster_id)
+    * with cluster_id = the component's least image_id.
+    */
+  def imageDedupClusters(images: DataFrame, maxDist: Int = 10,
+      maxBucket: Int = 100, id: String = "image_id",
+      content: String = "content"): DataFrame = {
+    val hashed = hashedImages(images, id, content)
+    // persisted: connectedComponents' symmetric union reads the edge
+    // pipeline twice (the q51 lesson)
+    val edges = graft.CacheRegistry.persist(
+      imageNearDupPairs(hashed, maxBucket)
+        .filter(col("hamming") <= maxDist)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+    DedupOps.connectedComponents(
+        hashed.select(col("image_id").as("doc_id")), edges)
+      .select(col("doc_id").as("image_id"), col("cluster_id"))
   }
 
   /** Frame-level video near-dup: explode each clip through the REAL

@@ -761,9 +761,9 @@ class GoldenDerivationSpec extends SparkSpec {
     def pcm(id: Long): Array[Int] = {
       val base = id / 2
       def noteBin(k: Int): Int = {
-        val mixed = (base * 2654435761L + k * 977L + 13L) *
-          6364136223846793005L + 1442695040888963407L
-        2 + ((mixed >>> 33) % 61L).toInt
+        var h = base * 0x9E3779B97F4A7C15L + k * 0xC2B2AE3D27D4EB4FL + 13L
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        2 + ((h >>> 1) % 61L).toInt
       }
       var s = base * 2654435761L + id
       Array.tabulate(8000) { i =>
@@ -814,7 +814,7 @@ class GoldenDerivationSpec extends SparkSpec {
         if (mine.isEmpty) (-1L, 0L)
         else {
           val (other, n) = mine.maxBy { case (o, n) => (n, -o) }
-          (if (n >= 10) other else -1L, n)
+          (if (n >= 30) other else -1L, n)
         }
       (id, fps(id).size.toLong, mine.size.toLong, bestMatch, bestShared)
     }.toSet

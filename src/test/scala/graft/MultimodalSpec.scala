@@ -176,7 +176,7 @@ class MultimodalSpec extends SparkSpec {
       assert(nA > 100, s"clip ${2 * k} has too few fingerprints")
       assert(bestA == 2 * k + 1, s"clip ${2 * k} best_match $bestA")
       assert(rows(2 * k + 1)._3 == 2 * k, s"clip ${2 * k + 1} best mismatch")
-      assert(sharedA >= 10, s"pair $k shares only $sharedA")
+      assert(sharedA >= 30, s"pair $k shares only $sharedA")
     }
     // a posting list larger than the cap is dropped, not exploded
     val clip = MultimodalOps.stagedClip(0)
@@ -190,6 +190,67 @@ class MultimodalSpec extends SparkSpec {
     val best = MultimodalOps.audioMatchStats(dup).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(best(0L) == 1L && best(1L) == 0L)
+  }
+
+  test("incremental audio dedup: new batch matches the indexed corpus; idempotent replay") {
+    val state = java.nio.file.Files.createTempDirectory("audio-idx")
+    graft.queries.PipelineQueries.registerTempDirForCleanup(state)
+    val stateDir = state.resolve("postings").toString
+    val evens = (0L until 12L by 2).map(i => (i, MultimodalOps.stagedClip(i)))
+      .toDF("clip_id", "content")
+    val odds = (1L until 12L by 2).map(i => (i, MultimodalOps.stagedClip(i)))
+      .toDF("clip_id", "content")
+    MultimodalOps.indexAudioFingerprints(evens, stateDir)
+    val m = MultimodalOps.incrementalAudioDedup(odds, stateDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(m.map(t => (t._1, t._2)) ==
+      (0L until 12L by 2).map(k => (k, k + 1)).toSet,
+      s"unexpected match set: $m")
+    // shared counts agree with the batch operator over the full corpus
+    val batch = MultimodalOps.audioMatchStats(
+        (0L until 12L).map(i => (i, MultimodalOps.stagedClip(i)))
+          .toDF("clip_id", "content")).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    m.foreach { case (a, _, n) => assert(n == batch(a), s"clip $a: $n vs ${batch(a)}") }
+    // replaying the SAME batch is latest-wins: identical matches, no
+    // duplicate postings inflating shared counts
+    val m2 = MultimodalOps.incrementalAudioDedup(odds, stateDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(m2 == m)
+  }
+
+  test("imageDedupClusters: transitive chain closes; planted pairs collapse") {
+    // A~B and A~C differ by ONE dHash bit each (opposite-corner 2x2
+    // edits land in cells (0,0) and (8,7) -> bits 0 and 63); B~C differ
+    // by TWO bits, so with maxDist=1 the B-C edge does NOT exist and
+    // {A,B,C} must close transitively through A
+    def img(perturb: Option[(Int, Int)]): Array[Byte] = {
+      val raw = Imaging.rawFrame(48, 32, 424243)
+      perturb.foreach { case (x0, y0) =>
+        for (y <- y0 until y0 + 2; x <- x0 until x0 + 2) {
+          val o = (y * 48 + x) * 3
+          raw(o) = 0xff.toByte; raw(o + 1) = 0xff.toByte; raw(o + 2) = 0xff.toByte
+        }
+      }
+      Imaging.decodeRosImage(48, 32, "rgb8", 48 * 3, raw)
+    }
+    val chain = Seq((0L, img(None)), (1L, img(Some((0, 0)))),
+      (2L, img(Some((46, 30))))).toDF("image_id", "content")
+    val hams = Seq(
+      MultimodalOps.dHash64(img(None)) ^ MultimodalOps.dHash64(img(Some((0, 0)))),
+      MultimodalOps.dHash64(img(None)) ^ MultimodalOps.dHash64(img(Some((46, 30)))))
+      .map(java.lang.Long.bitCount)
+    assert(hams == Seq(1, 1), s"fixture drifted: $hams")
+    val clusters = MultimodalOps.imageDedupClusters(chain, maxDist = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    // the staged corpus: every planted pair collapses to the even label,
+    // nothing else merges
+    val corpus = (0L until 16L).map(i => (i, MultimodalOps.stagedImage(i)))
+      .toDF("image_id", "content")
+    val got = MultimodalOps.imageDedupClusters(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 16L).map(i => i -> (i - i % 2)).toMap)
   }
 
   test("videoMatchStats: re-encoded shared frames match across clips") {

@@ -408,6 +408,30 @@ class StreamingSpec extends SparkSpec {
       assert(pairs.contains((2 * k, 2 * k + 1)), s"planted pair $k missed")
   }
 
+  test("streaming incremental audio dedup: cross-batch matches via the posting table") {
+    import graft.ext.MultimodalOps
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audio-stream")
+    val state = java.nio.file.Files.createTempDirectory("audio-stream-idx")
+    val ckpt = java.nio.file.Files.createTempDirectory("audio-stream-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("audio-stream-out")
+    val b1 = (0L until 8L by 2).map(i => (i, MultimodalOps.stagedClip(i)))
+      .toDF("clip_id", "content")
+    val b2 = (1L until 8L by 2).map(i => (i, MultimodalOps.stagedClip(i)))
+      .toDF("clip_id", "content")
+    stageBatchFile(dir, b1, "b1.parquet", 1700000000000L)
+    stageBatchFile(dir, b2, "b2.parquet", 1700000060000L)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    MultimodalOps.streamingIncrementalAudioDedup(stream,
+      state.resolve("postings").toString, out.toString, ckpt.toString)
+    val got = spark.read.parquet(out.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every noisy re-record (batch 2) matched its clean partner already
+    // in the corpus (batch 1); nothing else crossed the threshold
+    assert(got == (0L until 8L by 2).map(k => (k, k + 1)).toSet, s"got $got")
+  }
+
   test("stateful streaming near-dup: bucket state survives a checkpointed restart") {
     import graft.ext.DedupOps
     val dir = java.nio.file.Files.createTempDirectory("docs-neardup-restart")
