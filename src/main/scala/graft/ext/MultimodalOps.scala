@@ -460,16 +460,22 @@ object MultimodalOps {
   }
 
   /** Distinct (clip_id, fp) postings for a clip table — the unit the
-    * incremental audio index stores and probes.
+    * incremental audio index stores and probes. Globally distinct, so a
+    * duplicated input row cannot commit double postings that would
+    * permanently double every later shared-count.
     */
   def audioPostings(clips: DataFrame, id: String = "clip_id",
       content: String = "content"): DataFrame =
     clips.select(col(id).cast("long").as("clip_id"),
         explode(array_distinct(audioFingerprintUdf(col(content)))).as("fp"))
+      .distinct()
 
   /** Index a batch's fingerprints into the posting table WITHOUT
     * matching — the initial corpus load ([[DedupOps.indexSignatures]]
-    * recipe: overwrite or staging+atomic-rename merge).
+    * recipe: overwrite or staging+atomic-rename merge). Latest-wins PER
+    * CLIP: re-indexing a clip whose content changed replaces its whole
+    * posting set (a (clip_id, fp)-keyed dedup would keep a stale+new
+    * union), matching [[incrementalAudioDedup]]'s re-delivery rule.
     */
   def indexAudioFingerprints(clips: DataFrame, stateDir: String,
       id: String = "clip_id", content: String = "content"): Unit = {
@@ -480,8 +486,10 @@ object MultimodalOps {
     if (!fs.exists(path)) prints.write.mode("overwrite").parquet(stateDir)
     else {
       val tmp = new org.apache.hadoop.fs.Path(stateDir + ".staging")
-      spark.read.parquet(stateDir).unionByName(prints)
-        .dropDuplicates("clip_id", "fp")
+      spark.read.parquet(stateDir)
+        .join(broadcast(prints.select("clip_id").distinct()),
+          Seq("clip_id"), "left_anti")
+        .unionByName(prints)
         .write.mode("overwrite").parquet(tmp.toString)
       fs.delete(path, true)
       require(fs.rename(tmp, path), s"posting-table commit failed for $stateDir")
@@ -491,27 +499,28 @@ object MultimodalOps {
   /** INCREMENTAL audio dedup — the 100 TB workflow for a growing clip
     * corpus: match a NEW batch against the already-indexed fingerprint
     * postings WITHOUT recomputing the corpus (the audio form of
-    * [[DedupOps.incrementalMinHashDedup]]). Old-vs-old pairs are never
-    * generated: posting buckets carry an is_new flag and only pairs
-    * touching the new batch survive — a plain filter on the expanded
-    * pairs, no extra join. Returns (clip_a, clip_b, n_shared) for pairs
-    * sharing ≥ `minShared` distinct fingerprints, and commits the new
-    * postings to the table (staging + atomic rename; latest-wins on
-    * clip_id for re-delivered batches).
+    * [[DedupOps.incrementalMinHashDedup]]). Asymmetric probe, the
+    * [[DedupOps.lshCandidatesAgainst]] shape: the new batch's postings
+    * JOIN the corpus's capped per-fingerprint buckets, so pair expansion
+    * is query-hits × bucket — old-vs-old pairs are never generated and
+    * per-batch cost scales with the batch, not the corpus. Returns
+    * (clip_a, clip_b, n_shared) for pairs sharing ≥ `minShared`
+    * distinct fingerprints, and commits the new postings to the table
+    * (staging + atomic rename; latest-wins on clip_id for re-delivered
+    * batches).
     */
   def incrementalAudioDedup(newClips: DataFrame, stateDir: String,
       minShared: Int = 30, maxPosting: Int = 100,
       id: String = "clip_id", content: String = "content"): DataFrame = {
     val spark = newClips.sparkSession
     val newPrints = audioPostings(newClips, id, content)
-    // the batch id set is read by the latest-wins anti-join and the
-    // is_new tagging — cache it (the q52 lesson)
-    val newIds = graft.CacheRegistry.persist(
-      newClips.select(col(id).cast("long").as("clip_id")).distinct())
+    val newIds = newClips.select(col(id).cast("long").as("clip_id")).distinct()
     val path = new org.apache.hadoop.fs.Path(stateDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     // eager localCheckpoint: the commit below REPLACES the state parquet
-    // the lazy result would otherwise re-read (lineage cut here)
+    // the lazy result would otherwise re-read (lineage cut here); the
+    // query side is carved out of the CHECKPOINTED union so the
+    // fingerprint UDF never runs twice
     val allPrints =
       (if (fs.exists(path))
          spark.read.parquet(stateDir)
@@ -519,17 +528,20 @@ object MultimodalOps {
            .withColumn("is_new", lit(false))
            .unionByName(newPrints.withColumn("is_new", lit(true)))
        else newPrints.withColumn("is_new", lit(true))).localCheckpoint(true)
-    val matches = allPrints
+    val buckets = allPrints
       .groupBy("fp")
-      .agg(sort_array(collect_list(struct(col("clip_id"), col("is_new"))))
-        .as("ids"))
+      .agg(collect_list(col("clip_id")).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxPosting)
-      .select(explode(expr(DedupOps.orderedPairsExpr("a", "b"))).as("p"))
-      // only pairs touching the new batch; postings are distinct per
-      // clip, so each fp contributes exactly once per pair
-      .filter(col("p.a.is_new") || col("p.b.is_new"))
-      .filter(col("p.a.clip_id") =!= col("p.b.clip_id"))
-      .select(col("p.a.clip_id").as("clip_a"), col("p.b.clip_id").as("clip_b"))
+    val matches = allPrints.filter(col("is_new"))
+      .select(col("fp"), col("clip_id").as("qid"))
+      .join(buckets, Seq("fp"))
+      .select(col("fp"), col("qid"), explode(col("ids")).as("other"))
+      .filter(col("qid") =!= col("other"))
+      // orient + distinct on (pair, fp): a new-new pair probes from BOTH
+      // endpoints and would otherwise count each shared fp twice
+      .select(least(col("qid"), col("other")).as("clip_a"),
+        greatest(col("qid"), col("other")).as("clip_b"), col("fp"))
+      .distinct()
       .groupBy("clip_a", "clip_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -554,8 +566,9 @@ object MultimodalOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          // release the id-set cache per batch (long-lived streams must
-          // not accumulate entries)
+          // release anything the batch registered in the cache (none
+          // today, but a long-lived stream must not accumulate entries
+          // if that changes)
           try incrementalAudioDedup(batch, stateDir, minShared, maxPosting)
             .write.mode("append").parquet(matchesDir)
           finally graft.CacheRegistry.release()
@@ -689,22 +702,6 @@ object MultimodalOps {
 
   val dHashUdf = udf((png: Array[Byte]) => dHash64(png))
 
-  /** Per-image perceptual near-dup tallies over dHash banding — the image
-    * counterpart of the text simhash path (q28) and the embedding LSH
-    * tally (q31): 4 disjoint 16-bit bands of the 64-bit hash bucket the
-    * corpus, capped buckets expand to candidate pairs, and candidates
-    * verify by exact Hamming distance (`bit_count(xor)`).
-    *
-    * Scale shape: the decode+hash pass is narrow (one UDF per blob, no
-    * shuffle); banding is ONE hash aggregation on (band, sig) whose
-    * values carry only (id, 8-byte hash); the `maxBucket` cap bounds
-    * Σ|bucket|² so a degenerate key (e.g. a solid-color placeholder
-    * shared by millions of images) cannot explode pair generation; the
-    * endpoint tally is one more aggregation. No self-join anywhere. A
-    * near-dup pair differing in ≤ maxDist bits is found whenever its flips
-    * concentrate outside at least one band — the standard banding recall
-    * trade, same as q27/q31.
-    */
   /** Candidate image pairs with exact Hamming distances over a hashed
     * (image_id, dhash) table — the pair surface [[imageNearDupStats]]
     * tallies and [[imageDedupClusters]] closes transitively.
@@ -734,6 +731,22 @@ object MultimodalOps {
       images.select(col(id).cast("long").as("image_id"),
         dHashUdf(col(content)).as("dhash")))
 
+  /** Per-image perceptual near-dup tallies over dHash banding — the image
+    * counterpart of the text simhash path (q28) and the embedding LSH
+    * tally (q31): 4 disjoint 16-bit bands of the 64-bit hash bucket the
+    * corpus, capped buckets expand to candidate pairs, and candidates
+    * verify by exact Hamming distance (`bit_count(xor)`).
+    *
+    * Scale shape: the decode+hash pass is narrow (one UDF per blob, no
+    * shuffle); banding is ONE hash aggregation on (band, sig) whose
+    * values carry only (id, 8-byte hash); the `maxBucket` cap bounds
+    * Σ|bucket|² so a degenerate key (e.g. a solid-color placeholder
+    * shared by millions of images) cannot explode pair generation; the
+    * endpoint tally is one more aggregation. No self-join anywhere. A
+    * near-dup pair differing in ≤ maxDist bits is found whenever its flips
+    * concentrate outside at least one band — the standard banding recall
+    * trade, same as q27/q31.
+    */
   def imageNearDupStats(images: DataFrame, maxDist: Int = 10,
       maxBucket: Int = 100, id: String = "image_id",
       content: String = "content"): DataFrame = {
