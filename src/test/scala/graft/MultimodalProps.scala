@@ -1,0 +1,91 @@
+package graft
+
+import graft.ext.MultimodalOps
+import graft.pipeline.Imaging
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property-based coverage of the pure perceptual-hash primitives behind
+  * q78/q79 — the invariants the planted-fixture specs exercise at single
+  * points, checked across generated inputs.
+  */
+object MultimodalProps extends Properties("graft.multimodal") {
+
+  private val genRaster: Gen[java.awt.image.BufferedImage] = for {
+    w <- Gen.choose(9, 40)
+    h <- Gen.choose(8, 30)
+    seed <- Gen.choose(Int.MinValue, Int.MaxValue)
+  } yield {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed
+    for (y <- 0 until h; x <- 0 until w) {
+      s = s * 1103515245 + 12345
+      img.setRGB(x, y, (s >>> 8) & 0xffffff)
+    }
+    img
+  }
+
+  property("dHash survives a PNG encode/decode round-trip unchanged") =
+    Prop.forAll(genRaster) { img =>
+      val png = Imaging.encodePng(img)
+      val rt = Imaging.encodePng(Imaging.decodePng(png))
+      MultimodalOps.dHash64(png) == MultimodalOps.dHash64(rt)
+    }
+
+  property("dHash is invariant to the raster's in-memory pixel layout") =
+    Prop.forAll(genRaster) { img =>
+      val bgr = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        bgr.setRGB(x, y, img.getRGB(x, y))
+      MultimodalOps.dHash64(Imaging.encodePng(img)) ==
+        MultimodalOps.dHash64(Imaging.encodePng(bgr))
+    }
+
+  private val genPcm: Gen[Array[Int]] = for {
+    n <- Gen.choose(256, 2048)
+    seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+  } yield {
+    var s = seed
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 40).toInt % 20001) - 10000
+    }
+  }
+
+  property("audio fingerprints decode from a WAV container bit-equal to raw PCM") =
+    Prop.forAll(genPcm) { pcm =>
+      val bytes = pcm.flatMap(v =>
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, pcm.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val (decoded, rate) = MultimodalOps.wavSamples(bos.toByteArray)
+      rate == 8000 && decoded.sameElements(pcm) &&
+        MultimodalOps.audioFingerprints(decoded).sameElements(
+          MultimodalOps.audioFingerprints(pcm))
+    }
+
+  property("fingerprint packing is injective over (peak1, peak2, dt)") =
+    Prop.forAll(genPcm) { pcm =>
+      // every fingerprint unpacks to in-range fields, so no two distinct
+      // (peak, peak, dt) triples can collide in the packed long
+      MultimodalOps.audioFingerprints(pcm).forall { fp =>
+        val dt = fp & 0xfL
+        val p2 = (fp >> 4) & 0xffffL
+        val p1 = fp >> 20
+        dt >= 1 && dt <= 3 && p1 >= 1 && p1 < 64 && p2 >= 1 && p2 < 64 &&
+          (p1 * (1L << 20) + p2 * (1L << 4) + dt) == fp
+      }
+    }
+
+  property("fan-out outside 1..15 is rejected, not silently aliased") =
+    Prop.forAll(Gen.oneOf(0, 16, 17, -1, 100)) { fanOut =>
+      Prop.throws(classOf[IllegalArgumentException]) {
+        MultimodalOps.audioFingerprints(Array.fill(512)(1), fanOut)
+      }
+    }
+}
