@@ -105,6 +105,7 @@ object SparkEntry {
     "q77_curate" -> (ext.Curation.qCurate _),
     "q78_image_dedup" -> (ext.MultimodalOps.qImageDedup _),
     "q79_audio_dedup" -> (ext.MultimodalOps.qAudioDedup _),
+    "q80_video_dedup" -> (ext.MultimodalOps.qVideoDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -689,6 +690,7 @@ object SparkEntry {
     "q51_dedup_clusters", "q52_incremental_dedup", "q53_compressed_frames",
     "q54_video_frames", "q57_ann_pq", "q73_semdedup", "q75_bpe_train",
     "q76_bpe_apply", "q77_curate", "q78_image_dedup", "q79_audio_dedup",
+    "q80_video_dedup",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

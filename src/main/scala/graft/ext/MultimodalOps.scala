@@ -855,6 +855,45 @@ object MultimodalOps {
         coalesce(col("best_shared"), lit(0L)).as("best_shared"))
   }
 
+  /** q80: frame-level video dedup as a driver query. Twelve 4-frame
+    * clips are ENCODED executor-side (real JDK animated-GIF writer over
+    * LCG rasters — quantization is deterministic) with planted sharing:
+    * the odd member of each pair re-encodes its partner's first three
+    * rasters plus one frame of its own, so every pair must best-match on
+    * exactly 3 shared frames while unrelated clips report none. Golden
+    * oracle; rows re-derived from first principles in
+    * GoldenDerivationSpec.
+    */
+  def qVideoDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val clips = t.documents.select(col("doc_id")).filter(col("doc_id") < 12)
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions(_.map(id => (id, stagedGif(id))))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("video_id", "content")
+    videoMatchStats(clips).orderBy("video_id")
+  }
+
+  /** The deterministic clip behind [[qVideoDedup]]: 4 LCG-raster frames;
+    * odd ids reuse the partner's seeds for frames 0-2.
+    */
+  private[graft] def stagedGif(id: Long): Array[Byte] = {
+    val frames = (0 until 4).map { f =>
+      val (sv, sf) = if (id % 2 == 1 && f < 3) (id - 1, f) else (id, f)
+      val img = new java.awt.image.BufferedImage(48, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var s = (sv * 131 + sf).toInt * 2654435761L.toInt + 97
+      var i = 0
+      while (i < 48 * 32) {
+        s = s * 1103515245 + 12345
+        img.setRGB(i % 48, i / 48, (s >>> 8) & 0xffffff)
+        i += 1
+      }
+      img
+    }
+    encodeAnimatedGif(frames, delayMs = 40)
+  }
+
   /** (band, sig, image_id, dhash) band-bucket traffic — the narrow
     * per-row pass shared by the streaming image dedup and its batch-side
     * reference in specs.

@@ -529,6 +529,25 @@ class GoldenDerivationSpec extends SparkSpec {
     items.toDF("k", "content").selectExpr("k", "xxhash64(content) AS h")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  /** dHash from first principles: per-pixel integer luma, integer
+    * area-average over the 9×8 grid, left-to-right gradient bits.
+    */
+  private def dhash(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val g = Array.tabulate(8, 9) { (gy, gx) =>
+      val (x0, x1) = (gx * w / 9, (gx + 1) * w / 9)
+      val (y0, y1) = (gy * h / 8, (gy + 1) * h / 8)
+      val lumas = for (y <- y0 until y1; x <- x0 until x1) yield {
+        val rgb = img.getRGB(x, y)
+        ((299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000).toLong
+      }
+      (lumas.sum / lumas.size).toInt
+    }
+    (0 until 64).foldLeft(0L)((acc, i) =>
+      if (g(i / 8)(i % 8 + 1) > g(i / 8)(i % 8)) acc | (1L << i) else acc)
+  }
+
   test("q53 rows re-derived: LCG raster → PNG → compressed-topic decode") {
     val engine = graft.queries.PipelineQueries.qCompressedFrames(spark, SF)
       .collect()
@@ -711,23 +730,6 @@ class GoldenDerivationSpec extends SparkSpec {
         for (y <- 0 until 2; x <- 0 until 2) img.setRGB(x, y, 0xffffff)
       img
     }
-    // dHash from first principles: per-pixel integer luma, integer
-    // area-average over the 9×8 grid, left-to-right gradient bits
-    def dhash(img: java.awt.image.BufferedImage): Long = {
-      val (w, h) = (img.getWidth, img.getHeight)
-      val g = Array.tabulate(8, 9) { (gy, gx) =>
-        val (x0, x1) = (gx * w / 9, (gx + 1) * w / 9)
-        val (y0, y1) = (gy * h / 8, (gy + 1) * h / 8)
-        val lumas = for (y <- y0 until y1; x <- x0 until x1) yield {
-          val rgb = img.getRGB(x, y)
-          ((299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
-            114 * (rgb & 0xff)) / 1000).toLong
-        }
-        (lumas.sum / lumas.size).toInt
-      }
-      (0 until 64).foldLeft(0L)((acc, i) =>
-        if (g(i / 8)(i % 8 + 1) > g(i / 8)(i % 8)) acc | (1L << i) else acc)
-    }
     val hashes: Map[Long, Long] = (0L until 64L).map(id => id -> dhash(raster(id))).toMap
     // banding → capped buckets → ordered pairs → exact Hamming
     val pairs: Set[(Long, Long, Long)] = (0 until 4).flatMap { b =>
@@ -748,6 +750,112 @@ class GoldenDerivationSpec extends SparkSpec {
     }.toSet
     // planted structure: at least the 32 pairs produce near hits
     assert(expected.count(_._4 >= 1) >= 64)
+    assert(engine == expected)
+  }
+
+  test("q80 rows re-derived: plain-JDK GIF encode/decode, dHash banding, frame tallies") {
+    val engine = graft.ext.MultimodalOps.qVideoDedup(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    // the staged rasters restated as plain arithmetic + the JDK GIF
+    // writer/reader call sequence (q54-derivation style), then the
+    // plain-Scala dHash over the DECODED (palettized) frames
+    def raster(sv: Long, sf: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(48, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var s = (sv * 131 + sf).toInt * 2654435761L.toInt + 97
+      for (i <- 0 until 48 * 32) {
+        s = s * 1103515245 + 12345
+        img.setRGB(i % 48, i / 48, (s >>> 8) & 0xffffff)
+      }
+      img
+    }
+    def encodeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+      import javax.imageio.metadata.IIOMetadataNode
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { img =>
+        val meta = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val kids = root.getChildNodes
+        val gce = (0 until kids.getLength).collectFirst {
+          case i if kids.item(i).getNodeName == "GraphicControlExtension" =>
+            kids.item(i).asInstanceOf[IIOMetadataNode]
+        }.getOrElse {
+          val n = new IIOMetadataNode("GraphicControlExtension")
+          root.appendChild(n); n
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", "4")
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, meta),
+          writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    def decodedFrames(gif: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(gif))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      val out = (0 until reader.getNumImages(true)).map(reader.read)
+      reader.dispose(); iis.close()
+      out
+    }
+    // frame hash table: (video, frame) -> dhash of the DECODED frame,
+    // PNG-round-tripped like the engine's explode path re-encodes it
+    val frameHash: Map[(Long, Int), Long] = (0L until 12L).flatMap { v =>
+      val gif = encodeGif((0 until 4).map { f =>
+        val (sv, sf) = if (v % 2 == 1 && f < 3) (v - 1, f) else (v, f)
+        raster(sv, sf)
+      })
+      decodedFrames(gif).zipWithIndex.map { case (img, f) => (v, f) -> dhash(img) }
+    }.toMap
+    // capped band buckets over (video, frame, hash) — sorted by the
+    // struct order (video_id, frame_index, dhash), pairs i<j
+    val members = frameHash.toSeq
+      .map { case ((v, f), h) => (v, f, h) }.sorted
+    val nearPairs: Set[(Long, Long, Int, Int)] = (0 until 4).flatMap { b =>
+      members.groupBy { case (_, _, h) => (h >> (16 * b)) & 0xffffL }.values
+        .filter(g => g.size >= 2 && g.size <= 100)
+        .flatMap { g =>
+          for {
+            i <- g.indices; j <- i + 1 until g.size
+            (va, fa, ha) = g(i); (vb, fb, hb) = g(j)
+            if va != vb && java.lang.Long.bitCount(ha ^ hb) <= 6
+          } yield (va, vb, fa, fb) // va < vb by the sorted struct order
+        }
+    }.toSet
+    val shared: Map[(Long, Long), Long] = nearPairs.groupBy(t => (t._1, t._2))
+      .map { case (k, ps) =>
+        k -> math.min(ps.map(_._3).size.toLong, ps.map(_._4).size.toLong)
+      }
+    val expected = (0L until 12L).map { v =>
+      val mine = shared.collect {
+        case ((a, b), n) if a == v => (b, n)
+        case ((a, b), n) if b == v => (a, n)
+      }.toSeq
+      val (bestMatch, bestShared) =
+        if (mine.isEmpty) (-1L, 0L)
+        else {
+          val (other, n) = mine.maxBy { case (o, n) => (n, -o) }
+          (if (n >= 2) other else -1L, n)
+        }
+      (v, 4L, mine.size.toLong, bestMatch, bestShared)
+    }.toSet
+    assert(expected.count(_._4 >= 0) == 12, "every clip must find its partner")
     assert(engine == expected)
   }
 
