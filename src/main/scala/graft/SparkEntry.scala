@@ -106,6 +106,7 @@ object SparkEntry {
     "q78_image_dedup" -> (ext.MultimodalOps.qImageDedup _),
     "q79_audio_dedup" -> (ext.MultimodalOps.qAudioDedup _),
     "q80_video_dedup" -> (ext.MultimodalOps.qVideoDedup _),
+    "q81_shared_spans" -> (DedupOps.qSharedSpans _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -690,7 +691,7 @@ object SparkEntry {
     "q51_dedup_clusters", "q52_incremental_dedup", "q53_compressed_frames",
     "q54_video_frames", "q57_ann_pq", "q73_semdedup", "q75_bpe_train",
     "q76_bpe_apply", "q77_curate", "q78_image_dedup", "q79_audio_dedup",
-    "q80_video_dedup",
+    "q80_video_dedup", "q81_shared_spans",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

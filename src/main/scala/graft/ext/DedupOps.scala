@@ -749,4 +749,63 @@ object DedupOps {
     */
   def qSubstringDedup(spark: SparkSession, dir: String): DataFrame =
     substringDupStats(Tables(spark, dir).documents).orderBy("doc_id")
+
+  /** Maximal shared spans between document pairs — q63's per-doc
+    * duplication FRACTIONS extended to the pair-level question "which two
+    * documents share text, and how long is the longest shared run?"
+    * (Lee et al. 2021's suffix-array substring dedup asks exactly this
+    * corpus-wide; here a corpus-wide suffix array is replaced by the
+    * anchor-window candidate step + an exact per-pair measure.)
+    *
+    * Stages, all bounded:
+    *  1. Content-defined anchor windows (q63's rule, longer `winLen` so a
+    *     shared anchor implies a ≥ winLen-char true shared span — at 30
+    *     chars coincidental word-salad collisions vanish).
+    *  2. Capped bucket-local pair expansion per anchor window (the
+    *     [[orderedPairsExpr]] discipline — buckets over `maxBucket` are
+    *     dropped, so pair fan-out is Σ bucket² over CAPPED buckets, never
+    *     N²; a >maxBucket boilerplate window is the exact-dup pass's job).
+    *  3. One hash aggregate to (doc_a, doc_b, n_shared_anchors).
+    *  4. Join both texts back (two shuffled equi-joins on doc_id) and
+    *     measure the TRUE maximal span with the O(|a|+|b|) suffix-automaton
+    *     expression [[graft.functions.LcsLen]] — exact, per-row, narrow.
+    *
+    * At 100 TB: anchors shuffle ~1/4 of the corpus windows once; the pair
+    * table is candidate-mass-sized (not corpus-sized); the text joins
+    * shuffle only documents that actually share an anchor. The LCS pass is
+    * linear per pair, so the whole verify cost is Σ(|a|+|b|) over
+    * candidate pairs.
+    */
+  def sharedSpans(docs: DataFrame, winLen: Int = 30,
+      maxBucket: Int = 50): DataFrame = {
+    val anchors = docs
+      .filter(length(col("text")) >= winLen)
+      .select(col("doc_id"), explode(
+        graft.functions.CharWindows.char_windows(col("text"), winLen)).as("w"))
+      .filter(substring(md5(col("w")), 1, 1).isin("0", "1", "2", "3"))
+    val pairs = anchors
+      .groupBy("w")
+      // collect_set: a window repeated inside one doc still counts that
+      // doc once; sort so orderedPairsExpr emits doc_a < doc_b
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(orderedPairsExpr("doc_a", "doc_b"))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_anchors"))
+    val txt = docs.select(col("doc_id"), col("text"))
+    pairs
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared_anchors"),
+        graft.functions.LcsLen.lcs_len(col("text_a"), col("text_b")).as("lcs_len"))
+  }
+
+  /** q81: anchor-candidate document pairs with exact maximal-shared-span
+    * lengths over the documents table. Golden oracle (the suffix-automaton
+    * LCS has no SQL twin); SharedSpansSpec re-derives the full result —
+    * anchors, caps, pairs, and an independent O(n·m) dynamic-program LCS —
+    * from first principles.
+    */
+  def qSharedSpans(spark: SparkSession, dir: String): DataFrame =
+    sharedSpans(Tables(spark, dir).documents).orderBy("doc_a", "doc_b")
 }

@@ -1,0 +1,23 @@
+package graft.tools
+
+import graft.{CacheRegistry, GraftSession, SparkEntry}
+
+/** Golden-regeneration helper: dump SELECTED queries' results as single
+  * parquet files — `runMain graft.tools.DumpQ <sfDir> <outDir> <q>...`.
+  * The golden recipe (NOTES.md) needs two INDEPENDENT runs per SF
+  * compared before committing; running just the changed queries keeps
+  * that loop fast.
+  */
+object DumpQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val spark = GraftSession.build("graft-dumpq")
+    args.drop(2).foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
+      finally CacheRegistry.release()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.ext.DedupOps
+import graft.functions.LcsLen
+import org.apache.spark.sql.functions._
+
+/** q81 maximal shared spans: the suffix-automaton LCS primitive proven
+  * against an independent O(n·m) dynamic program, the pipeline proven on a
+  * planted shared span, the bucket cap proven to drop boilerplate windows,
+  * and the WHOLE sf0.001 golden re-derived from first principles (windows,
+  * md5 anchor rule, caps, pair counts, DP LCS — no graft code on the
+  * derivation side).
+  */
+class SharedSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- independent primitives (derivation side) ---
+
+  /** Quadratic-DP longest common substring — the textbook definition. */
+  private def dpLcs(a: String, b: String): Int = {
+    if (a.isEmpty || b.isEmpty) return 0
+    var prev = new Array[Int](b.length + 1)
+    var cur = new Array[Int](b.length + 1)
+    var best = 0
+    for (i <- 1 to a.length) {
+      java.util.Arrays.fill(cur, 0)
+      for (j <- 1 to b.length) {
+        if (a.charAt(i - 1) == b.charAt(j - 1)) {
+          cur(j) = prev(j - 1) + 1
+          if (cur(j) > best) best = cur(j)
+        }
+      }
+      val t = prev; prev = cur; cur = t
+    }
+    best
+  }
+
+  /** q63/q81 anchor rule, independently: md5 hex of the window starts with
+    * '0'-'3' ⇔ the digest's high nibble is ≤ 3.
+    */
+  private def anchorWindows(text: String, winLen: Int): Set[String] = {
+    if (text.length < winLen) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 to text.length - winLen).iterator.map(i => text.substring(i, i + winLen))
+      .filter { w =>
+        ((md.digest(w.getBytes("UTF-8")).head.toInt & 0xF0) >>> 4) <= 3
+      }.toSet
+  }
+
+  test("LcsLen.compute matches the quadratic DP on seeded random strings") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val alphabet = "ab cd" // tiny alphabet → long accidental runs
+      def mk(n: Int) = (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val a = mk(1 + rnd.nextInt(120))
+      val b = mk(1 + rnd.nextInt(120))
+      assert(LcsLen.compute(a, b) == dpLcs(a, b), s"mismatch on a='$a' b='$b'")
+    }
+  }
+
+  test("LcsLen.compute edge cases") {
+    assert(LcsLen.compute("", "anything") == 0)
+    assert(LcsLen.compute("anything", "") == 0)
+    assert(LcsLen.compute("abc", "xyz") == 0)
+    assert(LcsLen.compute("same", "same") == 4)
+    assert(LcsLen.compute("xxabcdexx", "yyabcdeyy") == 5)
+    // repeated-structure stress: the clone path of the automaton
+    assert(LcsLen.compute("abababab", "babababa") == 7)
+  }
+
+  test("lcs_len expression is null-safe and matches compute") {
+    val df = Seq(
+      (Some("hello world"), Some("world peace")),
+      (None: Option[String], Some("x")),
+      (Some("x"), None: Option[String]),
+    ).toDF("a", "b").select(LcsLen.lcs_len(col("a"), col("b")).as("l"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+    assert(got.toSeq == Seq(5, -1, -1)) // "world" shared, nulls propagate
+  }
+
+  test("sharedSpans finds a planted shared span with the exact DP length") {
+    val a = "zqx jvw kfp mno qrs tuv wxy zab cde fgh SHARED RUN OF TEXT THAT IS LONG ENOUGH TO ANCHOR WINDOWS hij klm nop"
+    val b = "completely different prefix words here SHARED RUN OF TEXT THAT IS LONG ENOUGH TO ANCHOR WINDOWS and another tail"
+    // fixture sanity: the planted span really nominates anchor windows
+    assert((anchorWindows(a, 30) & anchorWindows(b, 30)).nonEmpty)
+    val docs = Seq((1L, a), (2L, b),
+      (3L, "unrelated filler document with no overlap at all whatsoever")).toDF("doc_id", "text")
+    val rows = DedupOps.sharedSpans(docs).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getInt(3) == dpLcs(a, b)) // 58: span + the flanking spaces
+    assert(r.getLong(2) == (anchorWindows(a, 30) & anchorWindows(b, 30)).size)
+  }
+
+  test("buckets over maxBucket are dropped (boilerplate window suppression)") {
+    // 12 docs all sharing one boilerplate sentence → one bucket of 12
+    val boiler = "THIS BOILERPLATE SENTENCE IS SHARED BY EVERY SINGLE DOCUMENT"
+    assert(anchorWindows(boiler, 30).nonEmpty) // it would anchor if kept
+    val docs = (0L until 12L).map(i => (i, s"prefix$i $boiler suffix$i"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.sharedSpans(docs, maxBucket = 5).isEmpty)
+    // and with a cap that admits them, all 66 pairs appear
+    assert(DedupOps.sharedSpans(docs, maxBucket = 50).count() == 66L)
+  }
+
+  test("q81 at sf0.001 re-derived from first principles") {
+    val docs = Tables(spark, SF).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val winLen = 30
+    val byDoc = docs.toMap
+    // anchors → window buckets → capped pairs with shared-anchor counts
+    val buckets = docs.iterator
+      .flatMap { case (id, t) => anchorWindows(t, winLen).iterator.map(_ -> id) }
+      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    buckets.values.filter(ids => ids.size >= 2 && ids.size <= 50).foreach { ids =>
+      ids.combinations(2).foreach { p =>
+        pairCounts((p(0), p(1))) = pairCounts.getOrElse((p(0), p(1)), 0L) + 1L
+      }
+    }
+    val expected = pairCounts.toSeq.map { case ((da, db), n) =>
+      (da, db, n, dpLcs(byDoc(da), byDoc(db)))
+    }.sortBy(t => (t._1, t._2))
+    assert(expected.nonEmpty, "fixture must produce candidate pairs")
+    val got = DedupOps.qSharedSpans(spark, SF)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == expected)
+    // every candidate's true span really is at least the window length
+    assert(got.forall(_._4 >= winLen))
+  }
+}
