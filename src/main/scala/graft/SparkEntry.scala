@@ -107,6 +107,7 @@ object SparkEntry {
     "q79_audio_dedup" -> (ext.MultimodalOps.qAudioDedup _),
     "q80_video_dedup" -> (ext.MultimodalOps.qVideoDedup _),
     "q81_shared_spans" -> (DedupOps.qSharedSpans _),
+    "q82_line_dedup" -> (DedupOps.qLineDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -672,6 +673,25 @@ object SparkEntry {
         | ('/tf', CAST(NULL AS VARCHAR), true, 24, 1600000000000000002, 1600000001541000002)
         |) AS t(topic, callerid, latching, n_messages, min_ts, max_ts)
         |ORDER BY topic""".stripMargin,
+    "q82_line_dedup" ->
+      """WITH l AS (
+        | SELECT doc_id, CAST(t.i AS INT) AS line_id,
+        |  array_to_string(list_slice(string_split(text, ' '),
+        |    CAST(t.i*12+1 AS BIGINT), CAST(t.i*12+12 AS BIGINT)), ' ') AS line
+        | FROM documents,
+        |  LATERAL unnest(range(CAST(ceil(len(string_split(text,' '))/12.0) AS BIGINT))) AS t(i)
+        |), s AS (
+        | SELECT line, count(*) AS cnt, min(doc_id*1000000 + line_id) AS keep_pos
+        | FROM l GROUP BY line
+        |)
+        |SELECT doc_id, count(*) AS n_lines,
+        | CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+        | CAST(sum(CASE WHEN cnt >= 2 AND doc_id*1000000 + line_id <> keep_pos
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        | coalesce(string_agg(CASE WHEN cnt = 1 OR doc_id*1000000 + line_id = keep_pos
+        |   THEN line END, ' ' ORDER BY line_id), '') AS clean_text
+        |FROM l JOIN s USING (line)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

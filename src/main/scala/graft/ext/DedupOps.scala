@@ -808,4 +808,58 @@ object DedupOps {
     */
   def qSharedSpans(spark: SparkSession, dir: String): DataFrame =
     sharedSpans(Tables(spark, dir).documents).orderBy("doc_a", "doc_b")
+
+  /** Corpus-wide repeated-line removal — the CCNet/C4/RefinedWeb cleaning
+    * stage that drops boilerplate lines duplicated across documents while
+    * keeping exactly one canonical occurrence. The corpus has no physical
+    * newlines, so "lines" are staged deterministically as fixed
+    * `lineWords`-word runs (both engines express the same staging, so the
+    * oracle is direct SQL, not a golden).
+    *
+    * Keeper rule: the occurrence with the smallest (doc_id, line_id) —
+    * encoded as ONE integer `doc_id·10⁶ + line_id` so "first occurrence"
+    * is a plain `min` AGGREGATE, not a per-line-ordered window. That is
+    * the scale-critical choice: a boilerplate line shared by a million
+    * documents costs one combiner-friendly min/count per partition, never
+    * a million-row sorted window frame on a hot key.
+    *
+    * Stages: narrow line staging (split + slice inside one projection) →
+    * one hash aggregate per distinct line (count + min position) → one
+    * equi-join back on the line → one per-doc aggregate that rebuilds the
+    * scrubbed text in line order (sort_array over ≤ doc-sized structs —
+    * bounded by document length, not corpus).
+    */
+  def lineDedupScrub(docs: DataFrame, lineWords: Int = 12): DataFrame = {
+    val words = split(col("text"), " ")
+    val nLines = ceil(size(words) / lit(lineWords.toDouble)).cast("int")
+    val lineStructs = transform(sequence(lit(0), nLines - 1), i =>
+      struct(i.as("line_id"),
+        array_join(slice(words, i * lineWords + 1, lit(lineWords)), " ").as("line")))
+    val lines = docs
+      .select(col("doc_id"), explode(lineStructs).as("l"))
+      .select(col("doc_id"), col("l.line_id").as("line_id"), col("l.line").as("line"))
+    val pos = col("doc_id") * 1000000L + col("line_id")
+    val stats = lines.groupBy("line")
+      .agg(count(lit(1)).as("cnt"), min(pos).as("keep_pos"))
+    lines.join(stats, "line")
+      .select(col("doc_id"), col("line_id"), col("line"), col("cnt"),
+        (col("cnt") === 1 || pos === col("keep_pos")).as("keep"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_lines"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          sort_array(collect_list(when(col("keep"),
+            struct(col("line_id"), col("line"))))),
+          s => s.getField("line")), " ").as("clean_text"))
+  }
+
+  /** q82: repeated-line scrub over the documents table. Direct DuckDB
+    * oracle (same staging, same keeper rule); an exact duplicate document
+    * loses every line to its lower-id twin (n_removed == n_lines,
+    * clean_text empty) — the planted exact dups make that path live.
+    */
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupScrub(Tables(spark, dir).documents).orderBy("doc_id")
 }

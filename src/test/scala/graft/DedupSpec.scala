@@ -257,4 +257,43 @@ class DedupSpec extends SparkSpec {
     // 1% configured fpp over ~29k probes → expect ~290; allow generous slack
     assert(fp <= totalShingles / 20, s"bloom fp count $fp of $totalShingles probes")
   }
+
+  test("lineDedupScrub: exact duplicate doc loses every line to its lower-id twin") {
+    val t = "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12 " +
+      "x01 x02 x03 x04 x05 x06 x07 x08 x09 x10 x11 x12 y01 y02 y03"
+    val docs = Seq((7L, t), (9L, t),
+      (3L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13")).toDF("doc_id", "text")
+    val r = DedupOps.lineDedupScrub(docs).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+    // doc 3: 13 words → 2 lines (12 + 1), nothing shared
+    assert(r(0) == ((3L, 2L, 0L, 0L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13")))
+    // doc 7 is the keeper (lowest doc_id): all 3 lines dup'd, none removed,
+    // clean_text reassembles the original in line order
+    assert(r(1) == ((7L, 3L, 3L, 0L, t)))
+    // doc 9 loses everything; clean_text is empty, not null
+    assert(r(2) == ((9L, 3L, 3L, 3L, "")))
+  }
+
+  test("lineDedupScrub: a boilerplate line is kept exactly once corpus-wide") {
+    val boiler = "b01 b02 b03 b04 b05 b06 b07 b08 b09 b10 b11 b12"
+    val docs = Seq(
+      (5L, s"u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 $boiler"),
+      (2L, s"v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12 $boiler"),
+      (8L, s"$boiler t1 t2")).toDF("doc_id", "text")
+    val r = DedupOps.lineDedupScrub(docs).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+    // keeper is (doc 2, line 1) — the smallest (doc_id, line_id)
+    assert(r(0)._1 == 2L && r(0)._4 == 0L && r(0)._5.endsWith(boiler))
+    assert(r(1) == ((5L, 2L, 1L, 1L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")))
+    // doc 8 keeps its unique partial tail line but loses the boilerplate
+    assert(r(2) == ((8L, 2L, 1L, 1L, "t1 t2")))
+  }
+
+  test("q82 contract: line_id fits the 10^6 position encoding at every SF") {
+    // keep_pos = doc_id*10^6 + line_id requires line_id < 10^6; documents
+    // max a few hundred chars → tens of lines, but assert it holds
+    val max = DedupOps.lineDedupScrub(Tables(spark, SF).documents)
+      .agg(org.apache.spark.sql.functions.max(col("n_lines"))).head().getLong(0)
+    assert(max < 1000000L)
+  }
 }
