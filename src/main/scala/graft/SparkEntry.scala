@@ -108,6 +108,7 @@ object SparkEntry {
     "q80_video_dedup" -> (ext.MultimodalOps.qVideoDedup _),
     "q81_shared_spans" -> (DedupOps.qSharedSpans _),
     "q82_line_dedup" -> (DedupOps.qLineDedup _),
+    "q83_dsir_resample" -> (SamplingOps.qDsirResample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -692,6 +693,42 @@ object SparkEntry {
         |   THEN line END, ' ' ORDER BY line_id), '') AS clean_text
         |FROM l JOIN s USING (line)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q83_dsir_resample" ->
+      """WITH ws AS (
+        | SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        |), feat AS (
+        | SELECT doc_id, lang, t.f FROM ws, LATERAL unnest(w) AS t(f)
+        | UNION ALL
+        | SELECT doc_id, lang, t.f FROM ws, LATERAL unnest(
+        |   list_transform(range(len(w)-1),
+        |     i -> w[CAST(i+1 AS BIGINT)] || ' ' || w[CAST(i+2 AS BIGINT)])) AS t(f)
+        |), fb AS (
+        | SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 256 AS b
+        | FROM feat
+        |), bs AS (
+        | SELECT b, count(*) AS cr,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        | FROM fb GROUP BY b
+        |), tot AS (
+        | SELECT CAST(sum(cr) AS BIGINT) AS r_tot, CAST(sum(ct) AS BIGINT) AS t_tot FROM bs
+        |), qlr AS (
+        | SELECT b, CAST(round((ln(ct+1) - ln(t_tot+256) - ln(cr+1) + ln(r_tot+256))
+        |   * 1000000) AS BIGINT) AS qlr
+        | FROM bs, tot
+        |), sc AS (
+        | SELECT doc_id, count(*) AS n_feats, CAST(sum(qlr) AS BIGINT) AS score_micro
+        | FROM fb JOIN qlr USING (b) GROUP BY doc_id
+        |), keyed AS (
+        | SELECT doc_id, n_feats, score_micro,
+        |  score_micro + CAST(round(-ln(-ln(
+        |    (CAST(('0x' || substr(md5('gum' || doc_id), 1, 8)) AS BIGINT) + 0.5)
+        |      / 4294967296.0)) * 1000000) AS BIGINT) AS key_micro
+        | FROM sc
+        |)
+        |SELECT row_number() OVER (ORDER BY key_micro DESC, doc_id) AS rank,
+        | doc_id, n_feats, score_micro, key_micro
+        |FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

@@ -212,4 +212,79 @@ object SamplingOps {
         min(col("doc_id")).as("min_doc_id"))
       .orderBy("shard")
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): select raw-corpus documents whose hashed n-gram
+    * feature distribution looks like a TARGET corpus. Per feature bucket
+    * b (unigrams + bigrams hashed into `buckets`), the importance
+    * log-ratio is ln p̂_target(b) − ln p̂_raw(b) with Laplace smoothing; a
+    * document's log-weight is the sum over its feature occurrences, and
+    * selection is Gumbel-top-k (adding an independent Gumbel to each
+    * log-weight and taking the top k draws an exact weighted sample
+    * without replacement).
+    *
+    * Everything that must cross engines is INTEGER: the 256 per-bucket
+    * log-ratios and the per-doc Gumbels are quantized to micro-units
+    * (round(x·10⁶) — one transcendental each, far from any representable
+    * rounding boundary), so document scores are exact integer sums and
+    * the top-k order is deterministic (ties broken by doc_id).
+    *
+    * Scale shape: feature expansion is narrow (split + zip_with inside a
+    * projection); the bucket census is ONE hash aggregate to `buckets`
+    * rows; totals crossJoin a broadcast 1-row aggregate; scoring is one
+    * equi-join against the broadcast-sized bucket table + one per-doc
+    * aggregate; selection is TakeOrdered (per-partition top-k, no global
+    * sort). Nothing driver-side, nothing quadratic.
+    */
+  def dsirResample(docs: DataFrame, isTarget: Column, buckets: Int = 256,
+      k: Int = 100): DataFrame = {
+    val words = split(col("text"), " ")
+    val n = size(words)
+    // bigrams via aligned slices; single-word docs get none (the slice
+    // length hits 0 — guarded so ANSI mode never sees a negative length)
+    val bigrams = when(n >= 2,
+      zip_with(slice(words, lit(1), n - 1), slice(words, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val feats = concat(words, bigrams)
+    val fb = docs
+      .select(col("doc_id"), isTarget.as("is_target"), explode(feats).as("f"))
+      .select(col("doc_id"), col("is_target"),
+        (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("bigint")
+          % buckets).as("b"))
+    // persist the census: it feeds BOTH the totals aggregate and the
+    // log-ratio projection — without the cache the corpus-wide feature
+    // expansion would run twice more (`buckets` rows, trivially cached)
+    val bs = graft.CacheRegistry.persist(fb.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct")))
+    val tot = bs.agg(sum(col("cr")).as("r_tot"), sum(col("ct")).as("t_tot"))
+    val qlr = bs.crossJoin(broadcast(tot)).select(col("b"),
+      round((log(col("ct") + 1) - log(col("t_tot") + buckets)
+        - log(col("cr") + 1) + log(col("r_tot") + buckets)) * 1000000L)
+        .cast("bigint").as("qlr"))
+    val gumbelMicro = {
+      val u = (conv(substring(md5(concat(lit("gum"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("bigint")
+        .cast("double") + 0.5) / 4294967296.0
+      round(-log(-log(u)) * 1000000L).cast("bigint")
+    }
+    val scored = fb.join(broadcast(qlr), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("qlr")).as("score_micro"))
+      .withColumn("key_micro", col("score_micro") + gumbelMicro)
+    val top = scored.orderBy(col("key_micro").desc, col("doc_id")).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("key_micro").desc, col("doc_id"))))
+      .select(col("rank").cast("bigint").as("rank"), col("doc_id"),
+        col("n_feats"), col("score_micro"), col("key_micro"))
+  }
+
+  /** q83: DSIR selection of the 100 raw documents most target-like, with
+    * lang='en' as the target distribution. Direct DuckDB oracle (same
+    * hash, same micro-quantization, same Gumbel keys).
+    */
+  def qDsirResample(spark: SparkSession, dir: String): DataFrame =
+    dsirResample(Tables(spark, dir).documents, col("lang") === "en")
+      .orderBy("rank")
 }

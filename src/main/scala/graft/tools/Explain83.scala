@@ -1,0 +1,10 @@
+package graft.tools
+
+object Explain83 {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.build("explain83")
+    val df = graft.ext.SamplingOps.qDsirResample(spark, "/root/testdata/sf0.01")
+    df.explain("formatted")
+    spark.stop()
+  }
+}

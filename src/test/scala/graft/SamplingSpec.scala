@@ -75,4 +75,75 @@ class SamplingSpec extends SparkSpec {
       assert(r.getLong(1) == (id * 1103515245L + 12345L) % 2147483648L % 8)
     }
   }
+
+  test("DSIR: target-vocabulary docs outscore off-target docs") {
+    import spark.implicits._
+    // target docs speak vocab A, off-target speak vocab B; two candidates
+    // (not in the target) each speak one vocabulary purely
+    val va = "alpha beta gamma delta epsilon zeta"
+    val vb = "uno dos tres cuatro cinco seis"
+    val docs = (
+      (0L until 10L).map(i => (i, va, true)) ++
+      (10L until 40L).map(i => (i, vb, false)) ++
+      Seq((100L, va, false), (101L, vb, false))
+    ).toDF("doc_id", "text", "is_t")
+    val scores = SamplingOps.dsirResample(docs, col("is_t"), k = 42)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(scores(100L) > scores(101L),
+      s"target-like doc must outscore off-target: ${scores(100L)} vs ${scores(101L)}")
+    // identical text ⇒ identical score (pure function of content)
+    assert(scores(100L) == scores(0L))
+  }
+
+  test("DSIR: per-bucket log-ratio quantization re-derived in plain Scala") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aa bb cc", true), (1L, "aa bb", true),
+      (2L, "dd ee ff gg", false), (3L, "aa dd", false)).toDF("doc_id", "text", "is_t")
+    val got = SamplingOps.dsirResample(docs, col("is_t"), k = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // independent derivation: md5-hash buckets, Laplace log-ratios in
+    // micro-units, per-doc sums, Gumbel keys — no graft code involved
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    def features(t: String): Seq[String] = {
+      val w = t.split(" ").toSeq
+      w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val fixture = Seq(
+      (0L, "aa bb cc", true), (1L, "aa bb", true),
+      (2L, "dd ee ff gg", false), (3L, "aa dd", false))
+    val all = fixture.flatMap { case (id, t, tgt) =>
+      features(t).map(f => (id, tgt, h32(f) % 256)) }
+    val rTot = all.size.toLong
+    val tTot = all.count(_._2).toLong
+    val qlr = all.groupBy(_._3).map { case (b, fs) =>
+      val cr = fs.size.toLong
+      val ct = fs.count(_._2).toLong
+      val x = (math.log(ct + 1d) - math.log(tTot + 256d)
+        - math.log(cr + 1d) + math.log(rTot + 256d)) * 1000000d
+      b -> BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expected = fixture.map { case (id, t, _) =>
+      val fs = features(t).map(f => qlr(h32(f) % 256))
+      val score = fs.sum
+      val u = (h32("gum" + id).toDouble + 0.5) / 4294967296.0
+      val g = BigDecimal(java.math.BigDecimal.valueOf(-math.log(-math.log(u)) * 1000000d))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (id, fs.size.toLong, score, score + g)
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("q83: exactly k rows, ranks dense, key order strict at the fixture SF") {
+    val r = SamplingOps.qDsirResample(spark, SF).collect()
+    assert(r.length == 100)
+    assert(r.map(_.getLong(0)).toSeq == (1L to 100L))
+    val keys = r.map(x => (x.getLong(4), x.getLong(1)))
+    assert(keys.sliding(2).forall { case Array((k1, d1), (k2, d2)) =>
+      k1 > k2 || (k1 == k2 && d1 < d2) })
+  }
 }
