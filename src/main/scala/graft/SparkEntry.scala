@@ -109,6 +109,7 @@ object SparkEntry {
     "q81_shared_spans" -> (DedupOps.qSharedSpans _),
     "q82_line_dedup" -> (DedupOps.qLineDedup _),
     "q83_dsir_resample" -> (SamplingOps.qDsirResample _),
+    "q84_span_scrub" -> (DedupOps.qSpanScrub _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -748,7 +749,7 @@ object SparkEntry {
     "q51_dedup_clusters", "q52_incremental_dedup", "q53_compressed_frames",
     "q54_video_frames", "q57_ann_pq", "q73_semdedup", "q75_bpe_train",
     "q76_bpe_apply", "q77_curate", "q78_image_dedup", "q79_audio_dedup",
-    "q80_video_dedup", "q81_shared_spans",
+    "q80_video_dedup", "q81_shared_spans", "q84_span_scrub",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

@@ -776,8 +776,12 @@ object DedupOps {
     * linear per pair, so the whole verify cost is Σ(|a|+|b|) over
     * candidate pairs.
     */
-  def sharedSpans(docs: DataFrame, winLen: Int = 30,
-      maxBucket: Int = 50): DataFrame = {
+  /** Anchor-nominated candidate pairs with both texts attached —
+    * (doc_a < doc_b, n_shared_anchors, text_a, text_b). The shared front
+    * half of [[sharedSpans]] (measure) and [[spanScrub]] (remove).
+    */
+  private def anchorCandidatePairs(docs: DataFrame, winLen: Int,
+      maxBucket: Int): DataFrame = {
     val anchors = docs
       .filter(length(col("text")) >= winLen)
       .select(col("doc_id"), explode(
@@ -796,8 +800,53 @@ object DedupOps {
     pairs
       .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
       .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+  }
+
+  def sharedSpans(docs: DataFrame, winLen: Int = 30,
+      maxBucket: Int = 50): DataFrame =
+    anchorCandidatePairs(docs, winLen, maxBucket)
       .select(col("doc_a"), col("doc_b"), col("n_shared_anchors"),
         graft.functions.LcsLen.lcs_len(col("text_a"), col("text_b")).as("lcs_len"))
+
+  /** Duplicated-span REMOVAL — the second half of Lee et al. 2021's
+    * ExactSubstr dedup: when two documents share a long run, keep the
+    * lower-id document intact and cut the run out of the higher-id one.
+    *
+    * Per candidate pair, [[graft.functions.LcsInfo]] reports the maximal
+    * shared run and where it sits in the HIGHER doc (earliest maximal
+    * occurrence — deterministic). A doc paired with several partners is
+    * scrubbed once, against the partner with the longest shared run
+    * (ties: lowest partner id) — chosen by `min_by` over a fully-ordered
+    * key, an aggregate, not a window. Output: one row per scrubbed doc
+    * with the partner, the removed span, and the scrubbed text.
+    *
+    * Scale: candidate generation is the capped-bucket path; LcsInfo is
+    * O(|a|+|b|) per pair; the per-doc choice is one hash aggregate. A doc
+    * with overlapping spans from several partners converges by re-running
+    * the pass (each pass removes ≥ minSpan chars — document-length-bounded
+    * iterations), mirroring the reference algorithm's repeated sweeps.
+    */
+  def spanScrub(docs: DataFrame, winLen: Int = 30, maxBucket: Int = 50,
+      minSpan: Int = 30): DataFrame = {
+    val info = anchorCandidatePairs(docs, winLen, maxBucket)
+      .withColumn("i",
+        graft.functions.LcsInfo.lcs_info(col("text_a"), col("text_b")))
+      .filter(col("i.span_len") >= minSpan)
+    info
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min_by(
+        struct(col("doc_a").as("partner_id"),
+          col("i.span_len").as("span_len"),
+          col("i.b_start").as("span_start"),
+          col("text_b").as("t")),
+        // unique ordering key: longest span first, then lowest partner
+        struct((-col("i.span_len")).as("nl"), col("doc_a").as("pa"))).as("s"))
+      .select(col("doc_id"), col("s.partner_id").as("partner_id"),
+        col("s.span_len").cast("bigint").as("span_len"),
+        col("s.span_start").cast("bigint").as("span_start"),
+        concat(
+          expr("substr(s.t, 1, s.span_start)"),
+          expr("substr(s.t, s.span_start + s.span_len + 1)")).as("clean_text"))
   }
 
   /** q81: anchor-candidate document pairs with exact maximal-shared-span
@@ -808,6 +857,14 @@ object DedupOps {
     */
   def qSharedSpans(spark: SparkSession, dir: String): DataFrame =
     sharedSpans(Tables(spark, dir).documents).orderBy("doc_a", "doc_b")
+
+  /** q84: one scrub pass over the documents table — every doc that shares
+    * a ≥30-char run with a lower-id doc loses its longest such run.
+    * Golden oracle; SharedSpansSpec re-derives rows (DP LCS with the
+    * earliest-occurrence rule + the min_by choice) from first principles.
+    */
+  def qSpanScrub(spark: SparkSession, dir: String): DataFrame =
+    spanScrub(Tables(spark, dir).documents).orderBy("doc_id")
 
   /** Corpus-wide repeated-line removal — the CCNet/C4/RefinedWeb cleaning
     * stage that drops boilerplate lines duplicated across documents while

@@ -42,19 +42,64 @@ case class LcsLen(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Longest-common-substring length AND the 0-based start offset of its
+  * EARLIEST occurrence in `b` — `struct(span_len, b_start)`. Same suffix-
+  * automaton walk as [[LcsLen]] (the walk visits end positions of `b` in
+  * order and upgrades only on strictly longer matches, so the reported
+  * occurrence is the earliest maximal one — deterministic). Feeds span
+  * REMOVAL, where the scrubbing side needs to know where the shared run
+  * sits in its own text.
+  */
+case class LcsInfo(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"lcs_info requires (STRING, STRING), got (${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("span_len", IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("b_start", IntegerType, nullable = false)))
+  override def prettyName: String = "lcs_info"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (len, start) = LcsLen.computeWithPos(
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+    org.apache.spark.sql.catalyst.InternalRow(len, start)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LcsInfo =
+    copy(left = newLeft, right = newRight)
+}
+
+object LcsInfo {
+  def lcs_info(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      LcsInfo(org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+}
+
 object LcsLen {
   def lcs_len(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       LcsLen(org.apache.spark.sql.graft.Bridge.expression(a),
         org.apache.spark.sql.graft.Bridge.expression(b)))
 
+  def compute(a: String, b: String): Int = computeWithPos(a, b)._1
+
   /** Suffix automaton of `a`, then the classic matching walk over `b`
     * tracking (state, matched length); the maximum matched length over the
-    * walk is the LCS length. States ≤ 2|a| − 1; transitions in LongMaps
-    * keyed by code unit.
+    * walk is the LCS length, and the earliest end position achieving it
+    * gives the LCS's first occurrence in `b` (0-based start offset; (0, 0)
+    * when there is no common substring). States ≤ 2|a| − 1; transitions in
+    * LongMaps keyed by code unit.
     */
-  def compute(a: String, b: String): Int = {
-    if (a.isEmpty || b.isEmpty) return 0
+  def computeWithPos(a: String, b: String): (Int, Int) = {
+    if (a.isEmpty || b.isEmpty) return (0, 0)
     val cap = 2 * a.length + 2
     val len = new Array[Int](cap)
     val link = new Array[Int](cap)
@@ -99,6 +144,7 @@ object LcsLen {
     var v = 0
     var l = 0
     var best = 0
+    var bestEnd = -1
     var j = 0
     while (j < b.length) {
       val c = b.charAt(j).toLong
@@ -113,9 +159,9 @@ object LcsLen {
         v = 0
         l = 0
       }
-      if (l > best) best = l
+      if (l > best) { best = l; bestEnd = j }
       j += 1
     }
-    best
+    (best, if (best == 0) 0 else bestEnd - best + 1)
   }
 }

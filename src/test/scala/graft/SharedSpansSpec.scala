@@ -16,24 +16,31 @@ class SharedSpansSpec extends SparkSpec {
 
   // --- independent primitives (derivation side) ---
 
-  /** Quadratic-DP longest common substring — the textbook definition. */
-  private def dpLcs(a: String, b: String): Int = {
-    if (a.isEmpty || b.isEmpty) return 0
-    var prev = new Array[Int](b.length + 1)
-    var cur = new Array[Int](b.length + 1)
+  /** Quadratic-DP longest common substring with the earliest end position
+    * in `b` achieving the maximum — the textbook definition, scanning end
+    * positions of `b` in ascending order so ties resolve to the first
+    * occurrence (the same rule LcsInfo documents).
+    */
+  private def dpLcsPos(a: String, b: String): (Int, Int) = {
+    if (a.isEmpty || b.isEmpty) return (0, 0)
+    var prev = new Array[Int](a.length + 1)
+    var cur = new Array[Int](a.length + 1)
     var best = 0
-    for (i <- 1 to a.length) {
+    var bestEnd = -1
+    for (j <- 1 to b.length) {
       java.util.Arrays.fill(cur, 0)
-      for (j <- 1 to b.length) {
+      for (i <- 1 to a.length) {
         if (a.charAt(i - 1) == b.charAt(j - 1)) {
-          cur(j) = prev(j - 1) + 1
-          if (cur(j) > best) best = cur(j)
+          cur(i) = prev(i - 1) + 1
+          if (cur(i) > best) { best = cur(i); bestEnd = j - 1 }
         }
       }
       val t = prev; prev = cur; cur = t
     }
-    best
+    (best, if (best == 0) 0 else bestEnd - best + 1)
   }
+
+  private def dpLcs(a: String, b: String): Int = dpLcsPos(a, b)._1
 
   /** q63/q81 anchor rule, independently: md5 hex of the window starts with
     * '0'-'3' ⇔ the digest's high nibble is ≤ 3.
@@ -102,6 +109,81 @@ class SharedSpansSpec extends SparkSpec {
     assert(DedupOps.sharedSpans(docs, maxBucket = 5).isEmpty)
     // and with a cap that admits them, all 66 pairs appear
     assert(DedupOps.sharedSpans(docs, maxBucket = 50).count() == 66L)
+  }
+
+  test("LcsInfo position matches the earliest-occurrence DP on seeded strings") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val alphabet = "ab c"
+      def mk(n: Int) = (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val a = mk(1 + rnd.nextInt(100))
+      val b = mk(1 + rnd.nextInt(100))
+      assert(graft.functions.LcsLen.computeWithPos(a, b) == dpLcsPos(a, b),
+        s"mismatch on a='$a' b='$b'")
+    }
+  }
+
+  test("spanScrub removes the planted span from the higher doc only") {
+    val a = "zqx jvw kfp mno qrs tuv wxy zab cde fgh SHARED RUN OF TEXT THAT IS LONG ENOUGH TO ANCHOR WINDOWS hij klm nop"
+    val b = "completely different prefix words here SHARED RUN OF TEXT THAT IS LONG ENOUGH TO ANCHOR WINDOWS and another tail"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val rows = DedupOps.spanScrub(docs).collect()
+    assert(rows.length == 1) // only the higher doc is scrubbed
+    val r = rows.head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+    val (len, start) = dpLcsPos(a, b)
+    assert(r.getLong(2) == len.toLong && r.getLong(3) == start.toLong)
+    val expectClean = b.substring(0, start) + b.substring(start + len)
+    assert(r.getString(4) == expectClean)
+    // the scrubbed text no longer shares ≥30-char runs with the keeper
+    assert(dpLcs(a, expectClean) < 30)
+  }
+
+  test("spanScrub picks the LONGEST partner span (ties: lowest partner id)") {
+    val longRun = "AAA BBB CCC DDD EEE FFF GGG HHH III JJJ KKK LLL MMM NNN OOO PPP"
+    val shortRun = "QQQ RRR SSS TTT UUU VVV WWW XXX"
+    val c = s"victim prefix $longRun middle $shortRun victim suffix"
+    val docs = Seq(
+      (1L, s"short partner starts $shortRun ends here padding padding"),
+      (2L, s"long partner begins $longRun finishes there padding"),
+      (9L, c)).toDF("doc_id", "text")
+    val rows = DedupOps.spanScrub(docs).collect()
+    val byDoc = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    assert(byDoc.contains(9L))
+    val (partner, len, clean) = byDoc(9L)
+    assert(partner == 2L, s"must scrub against the longest-run partner, got $partner")
+    assert(len >= longRun.length.toLong)
+    assert(!clean.contains(longRun))
+    assert(clean.contains(shortRun)) // only ONE span removed per pass
+  }
+
+  test("q84 at sf0.001 re-derived from first principles") {
+    val docs = Tables(spark, SF).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val winLen = 30
+    val byDoc = docs.toMap
+    val buckets = docs.iterator
+      .flatMap { case (id, t) => anchorWindows(t, winLen).iterator.map(_ -> id) }
+      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val pairs = buckets.values
+      .filter(ids => ids.size >= 2 && ids.size <= 50)
+      .flatMap(_.combinations(2).map(p => (p(0), p(1)))).toSet
+    val expected = pairs.toSeq
+      .map { case (da, db) =>
+        val (len, start) = dpLcsPos(byDoc(da), byDoc(db))
+        (db, da, len, start)
+      }
+      .filter(_._3 >= 30)
+      .groupBy(_._1).map { case (db, cands) =>
+        val (_, da, len, start) = cands.minBy(c => (-c._3, c._2))
+        val t = byDoc(db)
+        (db, da, len.toLong, start.toLong, t.substring(0, start) + t.substring(start + len))
+      }.toSeq.sortBy(_._1)
+    val got = DedupOps.qSpanScrub(spark, SF)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(expected.nonEmpty, "fixture must produce scrubbed docs")
+    assert(got == expected)
   }
 
   test("q81 at sf0.001 re-derived from first principles") {
