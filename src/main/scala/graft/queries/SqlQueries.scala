@@ -499,6 +499,66 @@ object SqlQueries {
         |SELECT doc_id, shard, n_tokens, tok_offset,
         | tok_offset div 4096 AS seq_id
         |FROM w ORDER BY doc_id""".stripMargin,
+    "q82_line_dedup" ->
+      """WITH l AS (
+        | SELECT doc_id, CAST(i AS INT) AS line_id,
+        |  array_join(slice(split(text, ' '), i*12+1, 12), ' ') AS line
+        | FROM documents
+        | LATERAL VIEW explode(sequence(0,
+        |   CAST(ceil(size(split(text, ' ')) / 12.0) AS INT) - 1)) t AS i
+        |), s AS (
+        | SELECT line, count(*) AS cnt, min(doc_id*1000000 + line_id) AS keep_pos
+        | FROM l GROUP BY line
+        |)
+        |SELECT doc_id, count(*) AS n_lines,
+        | sum(CASE WHEN cnt >= 2 THEN 1L ELSE 0L END) AS n_dup_lines,
+        | sum(CASE WHEN cnt >= 2 AND doc_id*1000000 + line_id <> keep_pos
+        |   THEN 1L ELSE 0L END) AS n_removed,
+        | array_join(transform(
+        |   sort_array(collect_list(CASE WHEN cnt = 1
+        |     OR doc_id*1000000 + line_id = keep_pos
+        |     THEN struct(line_id, line) END)), x -> x.line), ' ') AS clean_text
+        |FROM l JOIN s USING (line)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q83_dsir_resample" ->
+      """WITH ws AS (SELECT doc_id, lang, split(text, ' ') AS w FROM documents),
+        |feat AS (
+        | SELECT doc_id, lang, f FROM ws
+        | LATERAL VIEW explode(concat(w,
+        |   CASE WHEN size(w) >= 2
+        |     THEN zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1),
+        |       (a, b) -> concat(a, ' ', b))
+        |     ELSE array() END)) t AS f
+        |), fb AS (
+        | SELECT doc_id, lang,
+        |  CAST(conv(substring(md5(f), 1, 8), 16, 10) AS BIGINT) % 256 AS b
+        | FROM feat
+        |), bs AS (
+        | SELECT b, count(*) AS cr,
+        |  sum(CASE WHEN lang = 'en' THEN 1L ELSE 0L END) AS ct
+        | FROM fb GROUP BY b
+        |), tot AS (
+        | SELECT sum(cr) AS r_tot, sum(ct) AS t_tot FROM bs
+        |), qlr AS (
+        | SELECT b, CAST(round((ln(ct+1) - ln(t_tot+256) - ln(cr+1) + ln(r_tot+256))
+        |   * 1000000) AS BIGINT) AS qlr
+        | FROM bs CROSS JOIN tot
+        |), sc AS (
+        | SELECT doc_id, count(*) AS n_feats, sum(qlr) AS score_micro
+        | FROM fb JOIN qlr USING (b) GROUP BY doc_id
+        |), keyed AS (
+        | SELECT doc_id, n_feats, score_micro,
+        |  score_micro + CAST(round(-ln(-ln(
+        |    (CAST(conv(substring(md5(concat('gum', CAST(doc_id AS STRING))), 1, 8),
+        |       16, 10) AS BIGINT) + 0.5D) / 4294967296.0D)) * 1000000) AS BIGINT)
+        |    AS key_micro
+        | FROM sc
+        |), top AS (
+        | SELECT * FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 100
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id) AS BIGINT)
+        |  AS rank, doc_id, n_feats, score_micro, key_micro
+        |FROM top ORDER BY rank""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs
