@@ -19,7 +19,7 @@ object Bench {
     // (NOTES), and a median is robust to one bad draw where min-of-2 was
     // not robust to two.
     // a failed query reports -1, never a (misleadingly fast) fail duration
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 to 3).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -31,14 +31,29 @@ object Bench {
         } finally CacheRegistry.release() // each timed run pays its own caching
       }
       val warm = times.drop(1)
-      name -> (if (times.contains(-1.0)) -1.0 else warm.sorted.apply(warm.size / 2))
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val median =
+        if (times.contains(-1.0)) -1.0 else warm.sorted.apply(warm.size / 2)
+      (name, median, warm)
+    }
+    val results = timings.map { case (n, med, _) => n -> med }.toMap
+    val qs = timings.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Per-query run detail: median (the headline), min (the machine's true
+    // capability for this shape), and the raw warm runs. A contended box
+    // shows median >> min and wide runs spread; a clean run shows the three
+    // warm runs within ~10-30% of each other (BENCH_r06 post-mortem: the
+    // median-of-3 alone could not distinguish sustained load contamination
+    // from a real regression — this detail makes it self-evident).
+    val detail = timings.map { case (name, med, warm) =>
+      val runsJson = warm.map(t => f"$t%.4f").mkString("[", ",", "]")
+      val minV = if (med < 0) -1.0 else warm.min
+      s"\"$name\":{\"median\":$med,\"min\":$minV,\"runs\":$runsJson}"
+    }.mkString("{", ",", "}")
     // failed queries carry -1 sentinels; they must not DEDUCT from the total
     val total = results.values.filter(_ >= 0).sum
+    val minTotal = timings.collect { case (_, m, w) if m >= 0 => w.min }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_total":$minTotal,"detail":$detail,"sf":"$sfDir"}"""
     // raw stdout (build.sbt routes forked run output past sbt's [info]
     // logger) AND a file — both driver-parseable.
     println(json)
