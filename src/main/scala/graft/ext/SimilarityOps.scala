@@ -686,6 +686,22 @@ object SimilarityOps {
   def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     nearDupStats(Tables(spark, dir).embeddings)
 
+  /** Default SemDeDup centroid count: C = max(⌈√N⌉, ⌈N/2048⌉), UNCAPPED.
+    * The within-cluster self-join generates Σ s² ≈ N·(N/C) pairs, so C
+    * must grow linearly with N past the point where √N clusters exceed
+    * ~2048 expected members (N > 2048² ≈ 4.2M) — a fixed centroid cap
+    * makes the pair expansion quadratic again. The costs that grow with
+    * an uncapped C are the centroid table (C·dim·8 B — ~250 MB at N=10⁹,
+    * dim 64; pass `nCentroids` explicitly to trade cluster size for
+    * quantizer size) and the per-vector scan, which the two-level coarse
+    * probe keeps at O(√C·dim).
+    */
+  def semDedupDefaultC(n: Long, targetClusterSize: Int = 2048): Int = {
+    val bySqrt = math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toLong
+    val bySize = (n + targetClusterSize - 1) / targetClusterSize
+    math.max(1L, math.max(bySqrt, bySize)).min(Int.MaxValue.toLong).toInt
+  }
+
   /** q73: SemDeDup (Abbas et al. 2023) — semantic deduplication by
     * k-means clustering + within-cluster cosine pruning: cluster the
     * embeddings with the SAME quantizer as IVF (identical C / sample /
@@ -696,13 +712,21 @@ object SimilarityOps {
     * centroid-cosine (the paper's keep-low-similarity exemplar choice;
     * vec_id tiebreak) sits within cosine ≥ τ of it.
     *
-    * Scale shape: training cost is bounded by the q32 cap constants; the
+    * Scale shape: training cost is bounded by the sampled Lloyd; the
     * assignment is one broadcast-centroid narrow pass; the only
     * corpus-wide shuffle is the cluster-keyed self-join, whose pair
-    * expansion is Σ s_c² ≈ N²/C — the SemDeDup trade-off. C grows as √N
-    * until the 4096 cap; past that a production run raises C (the paper
-    * uses 50k clusters for 5B points) to hold cluster size ~constant, so
-    * the quadratic never sees more than a few thousand rows per key.
+    * expansion is Σ s_c² ≈ N·(N/C) — the SemDeDup trade-off. The default
+    * C therefore holds the EXPECTED CLUSTER SIZE ~constant:
+    * C = max(⌈√N⌉, ⌈N/2048⌉), uncapped (see [[semDedupDefaultC]]) — a
+    * fixed 4096 cap would let clusters grow as N/4096 and the self-join
+    * revert to quadratic (at N=10⁹ that is ~250k-row clusters → ~6·10¹⁰
+    * pairs per hot key; Abbas et al. use 50k clusters at 5B points for
+    * the same reason). Past ~4096 centroids the per-vector O(C·dim)
+    * nearest-centroid scan would itself become the bottleneck, so
+    * assignment switches to a two-level coarse probe (√C coarse groups,
+    * probe the best few, scan only their fine members) — the standard
+    * IVF-of-centroids trick; below the threshold assignment is the exact
+    * full scan and committed goldens are unchanged.
     * Zero-norm vectors have no defined cosine: they keep c_cos NULL,
     * sort to a deterministic rank, and can never be (or dominate) a
     * duplicate. Golden-parquet oracle (k-means is not SQL-expressible);
@@ -710,14 +734,14 @@ object SimilarityOps {
     * trained centroids.
     */
   def semDedup(embeddings: DataFrame, nCentroids: Int = 0,
-      tau: Double = 0.5): DataFrame = {
+      tau: Double = 0.5, coarseThreshold: Int = 4096,
+      nProbeCoarse: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val base = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val c = if (nCentroids > 0) nCentroids
-      else math.min(4096,
-        math.ceil(math.sqrt(tableCount(embeddings).toDouble)).toInt)
+      else semDedupDefaultC(tableCount(embeddings))
     val trained = trainCentroids(base.select(col("vec_id"), col("v")), c,
       sampleSize = math.max(20 * c, 2048))
     // single nearest-centroid assignment as ONE narrow mapPartitions pass
@@ -727,11 +751,59 @@ object SimilarityOps {
     // cap. Math is bit-equal: same left-fold dot/norm, same
     // (ccos desc NULLS LAST, cid asc) argmax, same HALF_UP round-6 —
     // the committed goldens are unchanged (asserted on regeneration).
+    //
+    // Past `coarseThreshold` fine centroids the O(C·dim) full scan per
+    // vector dominates (C = N/2048 uncapped), so the fine centroids are
+    // themselves clustered into K = ⌈√C⌉ coarse groups and each vector
+    // probes only its `nProbeCoarse` best coarse groups' members — per-
+    // vector cost drops to O((K + nProbe·C/K)·dim) ≈ O(√C·dim). The
+    // probe is approximate (a vector can land in a near-nearest cluster;
+    // harmless for SemDeDup, where the clustering is itself a heuristic
+    // partition), deterministic, and with nProbeCoarse ≥ K it degenerates
+    // to the exact full scan (asserted bit-identical in SimilaritySpec).
     val cnrms = trained.map { cv =>
       var s = 0.0; var i = 0
       while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
       math.sqrt(s)
     }
+    val twoLevel = trained.length > coarseThreshold
+    // coarse quantizer over the fine centroids: bounded deterministic
+    // stride-sample → driver Lloyd; exact cosine membership of every fine
+    // centroid under its nearest coarse group (zero-norm fine centroids →
+    // group 0: they can never win an assignment anyway, den == 0)
+    val (coarse, coarseNrms, groups): (Array[Array[Double]], Array[Double], Array[Array[Int]]) =
+      if (!twoLevel) (null, null, null)
+      else {
+        val kCoarse = math.max(1, math.ceil(math.sqrt(trained.length.toDouble)).toInt)
+        val stride = math.max(1, trained.length / 8192)
+        val pool = trained.indices.by(stride).map(trained).toArray
+        val cc = lloyd(pool, kCoarse, 5)
+        val cn = cc.map { v =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          math.sqrt(s)
+        }
+        val members = Array.fill(cc.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+        var cid = 0
+        while (cid < trained.length) {
+          val fv = trained(cid)
+          var bg = 0; var bCos = Double.NaN
+          var g = 0
+          while (g < cc.length) {
+            val den = cnrms(cid) * cn(g)
+            if (den != 0) {
+              var d = 0.0; var i = 0
+              while (i < fv.length) { d += fv(i) * cc(g)(i); i += 1 }
+              val cos = d / den
+              if (bCos.isNaN || cos > bCos) { bCos = cos; bg = g }
+            }
+            g += 1
+          }
+          members(bg) += cid
+          cid += 1
+        }
+        (cc, cn, members.map(_.toArray))
+      }
     val assigned = graft.CacheRegistry.persist(
       base.select(col("vec_id"), col("v"), col("nrm"))
         .as[(Long, Seq[Double], Double)]
@@ -740,17 +812,59 @@ object SimilarityOps {
             val v = vSeq.toArray
             var bestCid = 0L
             var bestCos = Double.NaN
-            var cid = 0
-            while (cid < trained.length) {
+            // explicit lowest-cid tie-break: equivalent to first-wins under
+            // the exact ascending scan (bit-equal goldens), and required for
+            // the two-level path whose scan order is not globally ascending
+            def consider(cid: Int): Unit = {
               val cv = trained(cid)
               val den = nv * cnrms(cid)
               if (den != 0) {
                 var d = 0.0; var i = 0
                 while (i < v.length) { d += v(i) * cv(i); i += 1 }
                 val cc = d / den
-                if (bestCos.isNaN || cc > bestCos) { bestCos = cc; bestCid = cid.toLong }
+                if (bestCos.isNaN || cc > bestCos ||
+                    (cc == bestCos && cid < bestCid)) {
+                  bestCos = cc; bestCid = cid.toLong
+                }
               }
-              cid += 1
+            }
+            if (!twoLevel) {
+              var cid = 0
+              while (cid < trained.length) { consider(cid); cid += 1 }
+            } else {
+              // top-nProbeCoarse coarse groups by cosine (ties → lower gid),
+              // then scan only their fine members
+              val nP = math.min(nProbeCoarse, coarse.length)
+              val gCos = new Array[Double](coarse.length)
+              var g = 0
+              while (g < coarse.length) {
+                val den = nv * coarseNrms(g)
+                gCos(g) = if (den == 0) Double.NegativeInfinity else {
+                  var d = 0.0; var i = 0
+                  while (i < v.length) { d += v(i) * coarse(g)(i); i += 1 }
+                  d / den
+                }
+                g += 1
+              }
+              val probed = new Array[Int](nP)
+              val taken = new Array[Boolean](coarse.length)
+              var p = 0
+              while (p < nP) {
+                var bg = -1; var bc = Double.NegativeInfinity
+                var g2 = 0
+                while (g2 < coarse.length) {
+                  if (!taken(g2) && (bg < 0 || gCos(g2) > bc)) { bg = g2; bc = gCos(g2) }
+                  g2 += 1
+                }
+                taken(bg) = true; probed(p) = bg; p += 1
+              }
+              p = 0
+              while (p < nP) {
+                val mem = groups(probed(p))
+                var j = 0
+                while (j < mem.length) { consider(mem(j)); j += 1 }
+                p += 1
+              }
             }
             val ccR: Option[Double] = if (bestCos.isNaN) None
               else Some(BigDecimal(java.math.BigDecimal.valueOf(bestCos))

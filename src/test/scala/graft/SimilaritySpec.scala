@@ -159,7 +159,9 @@ class SimilaritySpec extends SparkSpec {
     // training itself; here we trust trainCentroids and re-derive the
     // assignment + domination verdict from scratch)
     val n = raw.length
-    val c = math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt)
+    // the default-C formula re-derived: max(⌈√N⌉, ⌈N/2048⌉), uncapped
+    val c = math.max(math.ceil(math.sqrt(n.toDouble)).toInt,
+      ((n + 2047) / 2048).toInt)
     val base = Tables(spark, SF).embeddings
       .select(col("vec_id"), SimilarityOps.toDouble(col("embedding")).as("v"))
     val cents = SimilarityOps.trainCentroids(base, c,
@@ -198,6 +200,47 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(3))).toSeq
     graft.CacheRegistry.release()
     assert(again == out.map(t => (t._1, t._4)))
+  }
+
+  test("semDedupDefaultC: expected cluster size bounded by 2048, C >= sqrt(N), uncapped") {
+    for (n <- Seq(1L, 500L, 2000L, 100000L, 4200000L, 100000000L, 1000000000L, 10000000000L)) {
+      val c = SimilarityOps.semDedupDefaultC(n)
+      assert(c >= 1)
+      assert(c.toLong >= math.ceil(math.sqrt(n.toDouble)).toLong - 1, s"n=$n c=$c below sqrt")
+      assert(n.toDouble / c <= 2048.0, s"n=$n c=$c expected cluster size ${n.toDouble / c} > 2048")
+    }
+    // below 2048^2 the formula reduces to the old sqrt default → committed
+    // goldens (N = 500 / 2000) are unchanged by the cap removal
+    assert(SimilarityOps.semDedupDefaultC(500) ==
+      math.ceil(math.sqrt(500.0)).toInt)
+    assert(SimilarityOps.semDedupDefaultC(2000) ==
+      math.ceil(math.sqrt(2000.0)).toInt)
+  }
+
+  test("q73 two-level coarse-probe assignment: probe-all is bit-identical to the exact scan") {
+    val emb = Tables(spark, SF).embeddings
+    def run(thr: Int, nProbe: Int) = {
+      val r = SimilarityOps.semDedup(emb, nCentroids = 64, tau = 0.35,
+        coarseThreshold = thr, nProbeCoarse = nProbe).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getLong(3), r.getBoolean(4))).toSeq
+      graft.CacheRegistry.release()
+      r
+    }
+    val exact = run(thr = Int.MaxValue, nProbe = 4)      // full scan path
+    // C=64 > thr=16 engages two-level with K=⌈√64⌉=8; nProbe=8 probes every
+    // coarse group → scans every fine centroid → must reproduce the exact
+    // argmax bit-for-bit (same fold order, same tie-break)
+    val probeAll = run(thr = 16, nProbe = 8)
+    assert(probeAll == exact)
+    // the default capped probe is approximate but deterministic and close:
+    // most vectors still land in their exact-nearest cluster
+    val approx = run(thr = 16, nProbe = 4)
+    assert(run(thr = 16, nProbe = 4) == approx, "approximate path must be deterministic")
+    val agree = exact.zip(approx).count { case (a, b) => a._2 == b._2 }
+    assert(agree.toDouble / exact.size >= 0.5,
+      s"coarse probe agreement ${agree.toDouble / exact.size} unexpectedly low")
   }
 
   test("q31/q33 plans contain no self-join on a raw signature (bucket-local expansion)") {
