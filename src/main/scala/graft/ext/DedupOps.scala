@@ -878,7 +878,12 @@ object DedupOps {
     * is a plain `min` AGGREGATE, not a per-line-ordered window. That is
     * the scale-critical choice: a boilerplate line shared by a million
     * documents costs one combiner-friendly min/count per partition, never
-    * a million-row sorted window frame on a hot key.
+    * a million-row sorted window frame on a hot key. The encoding requires
+    * line_id < 10⁶ (a pathological ≥ 12M-word document would otherwise
+    * silently corrupt corpus-wide keeper choices), so the projection
+    * raise_errors past the bound instead of mis-encoding — the failure is
+    * loud, and the caller can re-run with a larger `lineWords` or split
+    * the outlier.
     *
     * Stages: narrow line staging (split + slice inside one projection) →
     * one hash aggregate per distinct line (count + min position) → one
@@ -886,7 +891,15 @@ object DedupOps {
     * scrubbed text in line order (sort_array over ≤ doc-sized structs —
     * bounded by document length, not corpus).
     */
-  def lineDedupScrub(docs: DataFrame, lineWords: Int = 12): DataFrame = {
+  def lineDedupScrub(docs: DataFrame, lineWords: Int = 12): DataFrame =
+    lineDedupScrub(docs, lineWords, posBound = 1000000L)
+
+  /** Test seam: `posBound` is the keeper-encoding radix (production value
+    * 10⁶ via the public overload) — injectable so the overflow guard can
+    * be exercised without staging a million-line document.
+    */
+  private[graft] def lineDedupScrub(docs: DataFrame, lineWords: Int,
+      posBound: Long): DataFrame = {
     val words = split(col("text"), " ")
     val nLines = ceil(size(words) / lit(lineWords.toDouble)).cast("int")
     val lineStructs = transform(sequence(lit(0), nLines - 1), i =>
@@ -894,8 +907,16 @@ object DedupOps {
         array_join(slice(words, i * lineWords + 1, lit(lineWords)), " ").as("line")))
     val lines = docs
       .select(col("doc_id"), explode(lineStructs).as("l"))
-      .select(col("doc_id"), col("l.line_id").as("line_id"), col("l.line").as("line"))
-    val pos = col("doc_id") * 1000000L + col("line_id")
+      .select(col("doc_id"),
+        when(col("l.line_id") < posBound, col("l.line_id"))
+          .otherwise(raise_error(concat(
+            lit("lineDedupScrub: line_id overflows the doc_id*1e6+line_id keeper encoding (doc_id="),
+            col("doc_id").cast("string"), lit(", line_id="),
+            col("l.line_id").cast("string"),
+            lit(") — raise lineWords or split the document"))))
+          .as("line_id"),
+        col("l.line").as("line"))
+    val pos = col("doc_id") * posBound + col("line_id")
     val stats = lines.groupBy("line")
       .agg(count(lit(1)).as("cnt"), min(pos).as("keep_pos"))
     lines.join(stats, "line")

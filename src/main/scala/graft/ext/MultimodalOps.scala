@@ -23,11 +23,13 @@ case class ImageDupMatch(id_a: Long, id_b: Long, band: Int, hamming: Int)
   * with typed metadata structs, plus decode / feature-extract / resize /
   * frame-sample as batched narrow transformations.
   *
-  * Design (the part that must be real even where codecs are stubbed):
+  * Design:
   *  - metadata lives in a sibling STRUCT column, extracted by parsing the
-  *    container header — image metadata here is REAL (PNG IHDR parse and
-  *    JDK ImageIO resize); audio decode is a deterministic stub behind the
-  *    same batch-shaped API, marked STUB.
+  *    container header. Image metadata, PNG/JPEG decode, resize, audio
+  *    decode (javax.sound WAV/AIFF/AU) and GIF frame explode are all REAL
+  *    pure-JDK implementations; nothing in this file is stubbed (the only
+  *    deliberate stub in the library is the detection model, see
+  *    pipeline/Detector.scala).
   *  - heavy per-blob work goes through `mapPartitions` so a real codec /
   *    model would amortize setup per batch, not per row — the exact shape
   *    a Pandas-UDF/ONNX slot-in needs.

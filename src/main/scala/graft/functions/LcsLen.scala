@@ -8,11 +8,17 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Length of the longest common substring (contiguous) of two strings, in
-  * UTF-16 code units — the per-pair verify step of maximal-shared-span
+  * Unicode CODE POINTS — the per-pair verify step of maximal-shared-span
   * detection (the reference's suffix-array substring dedup per Lee et al.
   * 2021 "Deduplicating Training Data Makes Language Models Better" §4,
   * re-expressed pairwise: anchor windows nominate candidate pairs, this
   * expression measures the true span).
+  *
+  * Code points, not UTF-16 code units, because the span offsets feed SQL
+  * `substr`, which counts code points — a UTF-16 walk would mis-place the
+  * cut (and could split a surrogate pair) on any document containing
+  * supplementary-plane characters; `char_windows` counts code points too,
+  * so the whole ExactSubstr family shares one unit.
   *
   * O(|a| + |b|) per row via a suffix automaton of `a` (Blumer et al. 1985)
   * streamed with `b` — NOT the O(|a|·|b|) dynamic program, so a pair of
@@ -95,12 +101,15 @@ object LcsLen {
     * tracking (state, matched length); the maximum matched length over the
     * walk is the LCS length, and the earliest end position achieving it
     * gives the LCS's first occurrence in `b` (0-based start offset; (0, 0)
-    * when there is no common substring). States ≤ 2|a| − 1; transitions in
-    * LongMaps keyed by code unit.
+    * when there is no common substring). Both strings are walked by CODE
+    * POINT (lengths/offsets are code-point counts, matching SQL substr and
+    * char_windows — a UTF-16 walk would be off on supplementary-plane
+    * input). States ≤ 2|a| − 1; transitions in LongMaps keyed by code
+    * point.
     */
   def computeWithPos(a: String, b: String): (Int, Int) = {
     if (a.isEmpty || b.isEmpty) return (0, 0)
-    val cap = 2 * a.length + 2
+    val cap = 2 * a.length + 2 // UTF-16 length bounds the code-point count
     val len = new Array[Int](cap)
     val link = new Array[Int](cap)
     val trans = new Array[scala.collection.mutable.LongMap[Int]](cap)
@@ -111,7 +120,8 @@ object LcsLen {
 
     var i = 0
     while (i < a.length) {
-      val c = a.charAt(i).toLong
+      val cp = a.codePointAt(i)
+      val c = cp.toLong
       val cur = cnt; cnt += 1
       len(cur) = len(last) + 1
       trans(cur) = new scala.collection.mutable.LongMap[Int]
@@ -138,16 +148,18 @@ object LcsLen {
         }
       }
       last = cur
-      i += 1
+      i += Character.charCount(cp)
     }
 
     var v = 0
     var l = 0
     var best = 0
-    var bestEnd = -1
+    var bestEndCp = -1
     var j = 0
+    var cpIdx = 0
     while (j < b.length) {
-      val c = b.charAt(j).toLong
+      val cp = b.codePointAt(j)
+      val c = cp.toLong
       while (v != 0 && !trans(v).contains(c)) {
         v = link(v)
         l = len(v)
@@ -159,9 +171,10 @@ object LcsLen {
         v = 0
         l = 0
       }
-      if (l > best) { best = l; bestEnd = j }
-      j += 1
+      if (l > best) { best = l; bestEndCp = cpIdx }
+      j += Character.charCount(cp)
+      cpIdx += 1
     }
-    (best, if (best == 0) 0 else bestEnd - best + 1)
+    (best, if (best == 0) 0 else bestEndCp - best + 1)
   }
 }

@@ -296,4 +296,23 @@ class DedupSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.max(col("n_lines"))).head().getLong(0)
     assert(max < 1000000L)
   }
+
+  test("lineDedupScrub: position-encoding overflow raise_errors instead of mis-encoding") {
+    // staging a real 10^6-line doc is infeasible in a test (the line
+    // staging is quadratic per doc), so the bound is injected via the
+    // private[graft] seam; lineWords=1 turns every word into a line
+    val over = ("w " * 101).trim // line_id max = 100 ≥ bound
+    val docs = Seq((1L, over)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      DedupOps.lineDedupScrub(docs, lineWords = 1, posBound = 100L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("line_id overflows")), s"got: ${msgs(e)}")
+    // exactly at the bound (line_id max = bound - 1) still succeeds
+    val atBound = ("w " * 100).trim
+    val ok = DedupOps.lineDedupScrub(Seq((1L, atBound)).toDF("doc_id", "text"),
+      lineWords = 1, posBound = 100L).collect()
+    assert(ok.length == 1 && ok.head.getLong(1) == 100L)
+  }
 }

@@ -75,6 +75,60 @@ class SharedSpansSpec extends SparkSpec {
     assert(LcsLen.compute("abababab", "babababa") == 7)
   }
 
+  test("LcsLen/LcsInfo count Unicode code points, not UTF-16 units") {
+    val e = "😀" // U+1F600, one code point, two UTF-16 units
+    // LCS is the three-emoji run: 3 code points (a UTF-16 walk says 6)
+    assert(LcsLen.compute(s"xx$e$e${e}yy", s"zz$e$e${e}ww") == 3)
+    // b_start is a code-point offset: the shared run sits after TWO code
+    // points of emoji prefix (UTF-16 offset would be 4)
+    assert(LcsLen.computeWithPos("zzabcdefzz", s"$e${e}abcdef") == (6, 2))
+    // mixed: supplementary-plane char INSIDE the shared run
+    assert(LcsLen.compute(s"ab${e}cd", s"xy ab${e}cd z") == 5)
+  }
+
+  /** Code-point DP twin of dpLcsPos for supplementary-plane assertions. */
+  private def dpLcsPosCp(a: String, b: String): (Int, Int) = {
+    val ac = a.codePoints.toArray
+    val bc = b.codePoints.toArray
+    if (ac.isEmpty || bc.isEmpty) return (0, 0)
+    var prev = new Array[Int](ac.length + 1)
+    var cur = new Array[Int](ac.length + 1)
+    var best = 0
+    var bestEnd = -1
+    for (j <- 1 to bc.length) {
+      java.util.Arrays.fill(cur, 0)
+      for (i <- 1 to ac.length) {
+        if (ac(i - 1) == bc(j - 1)) {
+          cur(i) = prev(i - 1) + 1
+          if (cur(i) > best) { best = cur(i); bestEnd = j - 1 }
+        }
+      }
+      val t = prev; prev = cur; cur = t
+    }
+    (best, if (best == 0) 0 else bestEnd - best + 1)
+  }
+
+  test("spanScrub cuts at code-point offsets on supplementary-plane text") {
+    val e = "😀"
+    val shared = "SHARED RUN OF TEXT THAT IS LONG ENOUGH TO ANCHOR WINDOWS"
+    val keeper = s"keeper document prefix words $shared keeper tail words"
+    val victim = s"$e$e emoji prefix then $shared victim tail $e"
+    val docs = Seq((1L, keeper), (2L, victim)).toDF("doc_id", "text")
+    val rows = DedupOps.spanScrub(docs).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 2L)
+    val (len, startCp) = dpLcsPosCp(keeper, victim)
+    assert(rows.head.getLong(2) == len.toLong)
+    assert(rows.head.getLong(3) == startCp.toLong)
+    val vc = victim.codePoints.toArray
+    val cc = vc.take(startCp) ++ vc.drop(startCp + len)
+    val expectClean = new String(cc, 0, cc.length)
+    val clean = rows.head.getString(4)
+    assert(clean == expectClean, "cut must land on code-point boundaries")
+    // emoji survive intact — no split surrogate pairs
+    assert(clean.startsWith(s"$e$e") && clean.endsWith(e))
+    assert(!clean.contains(shared))
+  }
+
   test("lcs_len expression is null-safe and matches compute") {
     val df = Seq(
       (Some("hello world"), Some("world peace")),
