@@ -82,6 +82,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("char_windows(text, n)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("winnow_anchors"),
+      new ExpressionInfo(classOf[graft.functions.WinnowAnchors].getName, "winnow_anchors"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c, k, w) =>
+          graft.functions.WinnowAnchors(c, intArg(k, "k"), intArg(w, "w"))
+        case _ => throw new IllegalArgumentException("winnow_anchors(text, k, w)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("word_counts"),
       new ExpressionInfo(classOf[graft.functions.WordCounts].getName, "word_counts"),
       (exprs: Seq[Expression]) => graft.functions.WordCounts(exprs.head)))

@@ -478,11 +478,25 @@ object SparkEntry {
         | (NOT blocked AND rn <= 5) AS kept
         |FROM r ORDER BY doc_id""".stripMargin,
     "q63_substring_dedup" ->
+      // winnowing selection reproduced relationally: key = h32·2³¹ + pos
+      // (identical to WinnowAnchors), min-over-frame of w=30 keys, DISTINCT
+      // selected keys over valid starts (trailing truncated frame covers
+      // the <w-gram case), join back for the gram string
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
-        |w AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 20) AS w
+        |w AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+        |      substr(text, CAST(i AS INTEGER), 20) AS w
         |      FROM d, unnest(range(1, length(text) - 18)) AS r(i)),
-        |a AS (SELECT doc_id, w FROM w
-        |      WHERE substr(md5(w), 1, 1) IN ('0', '1', '2', '3')),
+        |h AS (SELECT doc_id, i, w,
+        |      CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) * 2147483648 + i AS key
+        |      FROM w),
+        |m AS (SELECT doc_id, i, key,
+        |      min(key) OVER (PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN CURRENT ROW AND 29 FOLLOWING) AS wmin,
+        |      count(*) OVER (PARTITION BY doc_id) AS ng FROM h),
+        |sel AS (SELECT DISTINCT doc_id, wmin AS key FROM m
+        |        WHERE i <= greatest(ng - 29, 1)),
+        |a AS (SELECT h.doc_id, h.w
+        |      FROM sel JOIN h ON sel.doc_id = h.doc_id AND sel.key = h.key),
         |g AS (SELECT w, doc_id, count(*) AS c FROM a GROUP BY 1, 2),
         |x AS (SELECT w, doc_id, c,
         |      count(*) OVER (PARTITION BY w) AS n_docs_w FROM g)

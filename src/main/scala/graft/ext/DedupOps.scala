@@ -694,35 +694,38 @@ object DedupOps {
       graft.functions.WordShingles.word_shingles(split(text, " "), n),
       sh => graft.functions.BloomMightContain.bloom_might_contain(sh, filter))
 
-  /** Exact-substring duplication via content-defined anchor windows — the
+  /** Exact-substring duplication via TRUE winnowing anchors — the
     * Spark-native answer to suffix-array substring dedup (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better"): instead
-    * of a corpus-wide suffix array, take every length-`winLen` character
-    * window, keep the content-defined subset whose md5 starts with
-    * '0'-'3' (a 1-in-4 winnowing-style selection — selection depends only
-    * on window CONTENT, so a span shared by two documents selects the
-    * same anchors in both; a positional stride would not align), and per
-    * document report how many anchor positions land in windows that occur
-    * in ≥ 2 distinct documents.
+    * of a corpus-wide suffix array, select ~2/(winnowW+1) of each
+    * document's length-`winLen` character windows by winnowing
+    * ([[graft.functions.WinnowAnchors]] — min-hash per sliding window of
+    * `winnowW` gram hashes; selection depends only on CONTENT, so any
+    * span ≥ winLen + winnowW − 1 chars shared by two documents selects an
+    * identical anchor in both — a guarantee, not a 25 % coin flip like
+    * the earlier md5-prefix rule), and per document report how many
+    * anchor positions land in windows that occur in ≥ 2 distinct
+    * documents.
     *
-    * Scale shape: window expansion + anchor selection are narrow (the
-    * shuffle sees only the ~1/4 selected anchors); counting documents per
-    * window is ONE hash aggregate on (window, doc) followed by a window
-    * count over `window` — aggregations, never pair-joins, so a
-    * boilerplate window shared by a million docs costs a million
-    * aggregation rows, not a million² pairs. At 100 TB the join key
-    * becomes xxhash64(window) (8-byte keys, same alignment) and the
-    * selection modulus grows with corpus size; the raw-string key here
-    * keeps the DuckDB oracle byte-exact.
+    * Scale shape: window expansion + winnow selection are one narrow
+    * native pass (the shuffle sees only the ~2/(winnowW+1) selected
+    * anchors — ~6 % at the default w=30, vs the old rule's fixed 25 %);
+    * counting documents per window is ONE hash aggregate on
+    * (window, doc) followed by a window count over `window` —
+    * aggregations, never pair-joins, so a boilerplate window shared by a
+    * million docs costs a million aggregation rows, not a million² pairs.
+    * At 100 TB the join key becomes xxhash64(window) (8-byte keys, same
+    * alignment); the raw-string key here keeps the DuckDB oracle
+    * byte-exact (the oracle reproduces the winnow selection with a
+    * min-over-frame window function on the same md5-derived keys).
     */
   def substringDupStats(docs: DataFrame, winLen: Int = 20,
-      keyByHash: Boolean = false): DataFrame = {
+      winnowW: Int = 30, keyByHash: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val raw = docs
       .filter(length(col("text")) >= winLen)
       .select(col("doc_id"), explode(
-        graft.functions.CharWindows.char_windows(col("text"), winLen)).as("w"))
-      .filter(substring(md5(col("w")), 1, 1).isin("0", "1", "2", "3"))
+        graft.functions.WinnowAnchors.winnow_anchors(col("text"), winLen, winnowW)).as("w"))
     // the 100 TB form: group/shuffle on an 8-byte xxhash64 of the window
     // instead of the raw winLen-char string (same alignment, ~winLen/8×
     // smaller shuffle keys; counts identical absent 64-bit collisions).
@@ -744,8 +747,9 @@ object DedupOps {
   }
 
   /** q63: per-document exact-substring duplication fractions over the
-    * documents table. Direct DuckDB oracle (same windows, same md5
-    * anchor rule).
+    * documents table. Direct DuckDB oracle (same windows, same winnowing
+    * selection expressed as a min-over-frame window function on the same
+    * md5-derived keys).
     */
   def qSubstringDedup(spark: SparkSession, dir: String): DataFrame =
     substringDupStats(Tables(spark, dir).documents).orderBy("doc_id")
@@ -758,9 +762,13 @@ object DedupOps {
     * anchor-window candidate step + an exact per-pair measure.)
     *
     * Stages, all bounded:
-    *  1. Content-defined anchor windows (q63's rule, longer `winLen` so a
+    *  1. Winnowing anchor windows (q63's rule, longer `winLen` so a
     *     shared anchor implies a ≥ winLen-char true shared span — at 30
-    *     chars coincidental word-salad collisions vanish).
+    *     chars coincidental word-salad collisions vanish; any shared run
+    *     ≥ winLen + winnowW − 1 chars is GUARANTEED to collide on an
+    *     anchor, so the default w=16 covers runs ≥ 45 chars
+    *     deterministically and 30–44-char runs by chance — strictly
+    *     better recall than the old 25 %-per-window coin flip).
     *  2. Capped bucket-local pair expansion per anchor window (the
     *     [[orderedPairsExpr]] discipline — buckets over `maxBucket` are
     *     dropped, so pair fan-out is Σ bucket² over CAPPED buckets, never
@@ -781,12 +789,11 @@ object DedupOps {
     * half of [[sharedSpans]] (measure) and [[spanScrub]] (remove).
     */
   private def anchorCandidatePairs(docs: DataFrame, winLen: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, winnowW: Int = 16): DataFrame = {
     val anchors = docs
       .filter(length(col("text")) >= winLen)
       .select(col("doc_id"), explode(
-        graft.functions.CharWindows.char_windows(col("text"), winLen)).as("w"))
-      .filter(substring(md5(col("w")), 1, 1).isin("0", "1", "2", "3"))
+        graft.functions.WinnowAnchors.winnow_anchors(col("text"), winLen, winnowW)).as("w"))
     val pairs = anchors
       .groupBy("w")
       // collect_set: a window repeated inside one doc still counts that

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** TRUE winnowing anchor selection (Schleimer, Wilkerson, Aiken —
+  * SIGMOD'03) over length-`k` CHARACTER windows: hash every k-gram, slide
+  * a window of `w` consecutive gram hashes, and select the minimum-keyed
+  * gram of each window (ties broken by position — the key embeds the
+  * position, so every key is distinct and selection is deterministic).
+  * Returns the selected gram STRINGS, one per selected position, in
+  * ascending position order.
+  *
+  * This replaces the md5-prefix-in-0-3 anchor rule in the ExactSubstr
+  * family (q63/q81/q84), whose fixed 25 % density shuffled ~winLen/4
+  * bytes per corpus character. Winnowing density is 2/(w+1) — ~6 % at
+  * w = 30 — with a guarantee the prefix rule never had: any substring of
+  * length ≥ k + w − 1 shared by two documents contains a full hash window
+  * in both, whose identical hash multiset selects the same minimum, so
+  * BOTH documents emit an anchor with identical content. (The md5-prefix
+  * rule missed a winLen-char shared run with probability 0.75 per
+  * window.)
+  *
+  * Selection key: `h32 · 2³¹ + pos`, where `h32` is the first 32 bits of
+  * md5(gram UTF-8 bytes) as an unsigned value and `pos` the 1-based
+  * code-point start position (< 2³¹ — no practical document-length
+  * limit; the key order is (hash, position) lexicographic and the whole
+  * key fits a signed 64-bit exactly). md5-derived, NOT the faster
+  * polynomial [[RollingHash]], so the DuckDB oracle reproduces selection
+  * bit-exactly via `CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)` —
+  * 64-bit wraparound arithmetic is not expressible there.
+  *
+  * Windows count CODE POINTS (matching `substr`/[[CharWindows]]); the
+  * hash covers the gram's UTF-8 bytes. Strings shorter than `k` yield an
+  * empty array; texts with fewer than `w` grams emit the single overall
+  * minimum (the oracle's truncated trailing frame does the same).
+  * Cost: one md5 of k bytes per position + an O(n) monotonic deque —
+  * narrow, no shuffle; only the ~2/(w+1) selected anchors reach the
+  * downstream aggregation.
+  */
+case class WinnowAnchors(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"winnow_anchors gram length must be >= 1, got $k")
+  require(w >= 1, s"winnow_anchors selection window must be >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_anchors requires STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_anchors"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    // code-point start byte offsets (offs(i) = byte offset of char i;
+    // offs(nChars) = length) — grams are byte slices between offsets
+    val nBytes = bytes.length
+    var nChars = 0
+    var b = 0
+    while (b < nBytes) { b += UTF8String.numBytesForFirstByte(bytes(b)); nChars += 1 }
+    if (nChars < k) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](nChars + 1)
+    var ci = 0
+    b = 0
+    while (b < nBytes) {
+      offs(ci) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      ci += 1
+    }
+    offs(nChars) = nBytes
+    val nGrams = nChars - k + 1
+    val keys = new Array[Long](nGrams)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
+      val d = md.digest()
+      val h32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      keys(i) = h32 * 2147483648L + (i + 1).toLong // 1-based position
+      i += 1
+    }
+    // sliding-window minima via monotonic deque; argmin positions are
+    // non-decreasing as the window slides, so consecutive-dedup suffices
+    val selected = new scala.collection.mutable.ArrayBuffer[Int]()
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0
+    var last = -1
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && keys(deque(tail - 1)) > keys(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1 && deque(head) != last) { selected += deque(head); last = deque(head) }
+      i += 1
+    }
+    if (nGrams < w) selected += deque(head) // single truncated window
+    val out = new Array[Any](selected.length)
+    var p = 0
+    while (p < selected.length) {
+      val pos = selected(p)
+      out(p) = UTF8String.fromBytes(bytes, offs(pos), offs(pos + k) - offs(pos))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowAnchors =
+    copy(child = newChild)
+}
+
+object WinnowAnchors {
+  def winnow_anchors(c: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      WinnowAnchors(org.apache.spark.sql.graft.Bridge.expression(c), k, w))
+}

@@ -315,10 +315,8 @@ object SqlQueries {
         |FROM r ORDER BY doc_id""".stripMargin,
     "q63_substring_dedup" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
-        |wnd AS (SELECT doc_id, substring(text, i, 20) AS w
-        |      FROM d LATERAL VIEW explode(sequence(1, length(text) - 19)) x AS i),
-        |a AS (SELECT doc_id, w FROM wnd
-        |      WHERE substring(md5(w), 1, 1) IN ('0', '1', '2', '3')),
+        |a AS (SELECT doc_id, w FROM d
+        |      LATERAL VIEW explode(winnow_anchors(text, 20, 30)) x AS w),
         |g AS (SELECT w, doc_id, count(*) AS c FROM a GROUP BY w, doc_id),
         |x AS (SELECT w, doc_id, c,
         |      count(*) OVER (PARTITION BY w) AS n_docs_w FROM g)

@@ -216,10 +216,10 @@ class DedupSpec extends SparkSpec {
     val out = DedupOps.substringDupStats(corpus).orderBy("doc_id").collect()
     assert(out.length == 3)
     val dup = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the 62-char span ≥ winLen + winnowW − 1 = 49, so winnowing GUARANTEES
+    // a common selected anchor in both sharers (edge windows may select
+    // context-dependent extras, so the two counts need not be equal)
     assert(dup(0L) > 0 && dup(1L) > 0, s"shared span not detected: $dup")
-    // the only cross-doc windows are inside the shared span, which selects
-    // the same anchor set in both docs
-    assert(dup(0L) == dup(1L), s"sharers disagree: $dup")
     assert(dup(2L) == 0, s"clean doc flagged: $dup")
     out.foreach { r =>
       assert(r.getLong(1) > 0, "no anchors selected")
