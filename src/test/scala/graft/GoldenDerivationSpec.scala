@@ -930,6 +930,109 @@ class GoldenDerivationSpec extends SparkSpec {
     assert(engine == expected)
   }
 
+  test("q85 rows re-derived: dHash edges + plain union-find clusters") {
+    val engine = graft.ext.MultimodalOps.qImageClusters(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same raster restatement as the q78 derivation
+    def raster(id: Long): java.awt.image.BufferedImage = {
+      val img = lcgRaster(48, 32, (id / 2).toInt * 7919 + 101)
+      if (id % 2 == 1)
+        for (y <- 0 until 2; x <- 0 until 2) img.setRGB(x, y, 0xffffff)
+      img
+    }
+    val hashes: Map[Long, Long] = (0L until 64L).map(id => id -> dhash(raster(id))).toMap
+    // banding → capped buckets → Hamming-verified edges (d ≤ 10)
+    val edges: Set[(Long, Long)] = (0 until 4).flatMap { b =>
+      hashes.keys.groupBy(id => (hashes(id) >> (16 * b)) & 0xffffL).values
+        .filter(g => g.size >= 2 && g.size <= 100)
+        .flatMap { g =>
+          val ids = g.toSeq.sorted
+          for {
+            i <- ids.indices; j <- i + 1 until ids.length
+            if java.lang.Long.bitCount(hashes(ids(i)) ^ hashes(ids(j))) <= 10
+          } yield (ids(i), ids(j))
+        }
+    }.toSet
+    // independent union-find (the engine runs label propagation)
+    val parent = scala.collection.mutable.Map[Long, Long](
+      (0L until 64L).map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      parent(x) = r; r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0L until 64L).map(id => (id, find(id))).toSet
+    // planted structure: every pair (2k, 2k+1) collapses to cluster 2k
+    assert((0L until 64L by 2).forall(k => find(k) == find(k + 1)))
+    assert(engine == expected)
+  }
+
+  test("q86 rows re-derived: posting probe generates batch-side pairs only") {
+    val engine = graft.ext.MultimodalOps.qIncrementalAudioDedup(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // PCM + constellation fingerprints restated (the q79 derivation form)
+    def pcm(id: Long): Array[Int] = {
+      val base = id / 2
+      def noteBin(k: Int): Int = {
+        var h = base * 0x9E3779B97F4A7C15L + k * 0xC2B2AE3D27D4EB4FL + 13L
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        2 + ((h >>> 1) % 61L).toInt
+      }
+      var s = base * 2654435761L + id
+      Array.tabulate(8000) { i =>
+        val v = 8000.0 * StrictMath.sin(
+          2 * StrictMath.PI * noteBin(i / 256) * i / 256.0)
+        val noise = if (id % 2 == 1) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          ((s >>> 40).toInt % 401) - 200
+        } else 0
+        math.max(Short.MinValue, math.min(Short.MaxValue, v.toInt + noise))
+      }
+    }
+    def prints(samples: Array[Int]): Seq[Long] = {
+      val nWin = (samples.length - 256) / 128 + 1
+      val peaks = (0 until nWin).map { w =>
+        (1 until 64).map { k =>
+          val (re, im) = (0 until 256).foldLeft((0.0, 0.0)) {
+            case ((r, m), n) =>
+              val phi = 2.0 * StrictMath.PI * k * n / 256
+              val s = samples(w * 128 + n).toDouble
+              (r + s * StrictMath.cos(phi), m - s * StrictMath.sin(phi))
+          }
+          (k, re * re + im * im)
+        }.maxBy(_._2)._1
+      }
+      for (t <- 0 until nWin; dt <- 1 to 3; if t + dt < nWin)
+        yield peaks(t).toLong * (1L << 20) + peaks(t + dt).toLong * (1L << 4) + dt
+    }
+    val fps: Map[Long, Seq[Long]] =
+      (0L until 48L).map(id => id -> prints(pcm(id)).distinct).toMap
+    // full posting table (corpus + batch both committed), capped buckets,
+    // but pairs only from the batch probe side (old-vs-old never emitted)
+    val postings: Map[Long, Seq[Long]] = fps.toSeq
+      .flatMap { case (id, f) => f.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairShared: Map[(Long, Long), Long] = postings.values
+      .filter(ids => ids.size >= 2 && ids.size <= 100)
+      .flatMap(ids => for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield (ids(i), ids(j)))
+      .filter { case (a, b) => a % 4 == 3 || b % 4 == 3 }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = (0L until 48L).filter(_ % 4 == 3).map { id =>
+      val mine = pairShared.collect {
+        case ((a, b), n) if (a == id || b == id) && n >= 30 => n
+      }.toSeq
+      (id, mine.size.toLong, if (mine.isEmpty) 0L else mine.max)
+    }.toSet
+    // every batch clip's indexed melody partner must be found
+    assert(expected.forall(_._2 >= 1L), s"batch clip without a match: $expected")
+    assert(engine == expected)
+  }
+
   test("q38 sketches bounded by plain-Scala exact derivation") {
     val engine = graft.queries.CoreQueries.q38Sketches(spark, SF).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),

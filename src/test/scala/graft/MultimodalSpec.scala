@@ -76,6 +76,93 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("REAL video decode: MJPEG-in-AVI roundtrip matches the GIF path's frame hashes") {
+    // smooth gradient rasters: JPEG is lossy but preserves local brightness
+    // ordering on smooth content, so the perceptual dHash of the decoded
+    // AVI frames must equal the dHash of the SAME rasters through the
+    // (lossless-palette) GIF path — the cross-container equivalence that
+    // makes every downstream video operator container-agnostic
+    def grad(seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(48, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 48) {
+        val v = ((x * 5 + y * 3 + seed * 17) % 192) + 32
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val rasters = (0 until 4).map(grad)
+    val avi = MultimodalOps.encodeAviMjpeg(rasters, fps = 25)
+    val gif = MultimodalOps.encodeAnimatedGif(rasters, delayMs = 40)
+    val aviFrames = MultimodalOps.explodeAviFrames(
+        Seq((1L, avi)).toDF("id", "content"))
+      .orderBy("frame_index").collect()
+    assert(aviFrames.length == 4)
+    assert(aviFrames.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    // timestamps from avih dwMicroSecPerFrame (25 fps → 40 ms cadence)
+    assert(aviFrames.map(_.getLong(2)).toSeq == Seq(0L, 40L, 80L, 120L))
+    val dims = aviFrames.map { r =>
+      val png = Imaging.decodePng(r.getAs[Array[Byte]](3))
+      (png.getWidth, png.getHeight)
+    }.distinct
+    assert(dims.toSeq == Seq((48, 32)))
+    // container-agnostic dispatch (magic sniff) + perceptual equivalence
+    val both = MultimodalOps.explodeVideoFrames(
+        Seq((1L, avi), (2L, gif)).toDF("id", "content"))
+    val hashes = MultimodalOps.imageNearDupStats(
+        both.withColumn("image_id", col("id") * 100 + col("frame_index")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 4).foreach { f =>
+      assert(hashes(100L + f) == hashes(200L + f),
+        s"frame $f: AVI dHash must equal GIF dHash on smooth rasters")
+    }
+    // a truncated AVI fails loudly, never fabricates frames
+    intercept[org.apache.spark.SparkException] {
+      MultimodalOps.explodeAviFrames(
+        Seq((9L, avi.take(64))).toDF("id", "content")).collect()
+    }
+    // unknown magic fails the dispatcher
+    intercept[org.apache.spark.SparkException] {
+      MultimodalOps.explodeVideoFrames(
+        Seq((9L, Array.fill[Byte](64)(3))).toDF("id", "content")).collect()
+    }
+  }
+
+  test("videoMatchStats matches clips ACROSS containers (AVI re-encode of a GIF)") {
+    // 8×8 constant gray blocks, values from a seed-keyed LCG: aligned to
+    // the JPEG DCT grid so each block survives compression nearly exactly
+    // (only the DC coefficient is nonzero), while per-seed randomness
+    // keeps unrelated clips ~half the dHash bits apart (a plain linear
+    // gradient has the SAME gradient sign everywhere — all seeds would
+    // dHash-collide; per-pixel noise would not survive JPEG)
+    def grad(seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(48, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var s = seed * 2654435761L + 11
+      for (by <- 0 until 4; bx <- 0 until 6) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val v = 16 + ((s >>> 33) % 224).toInt
+        for (y <- 0 until 8; x <- 0 until 8)
+          img.setRGB(bx * 8 + x, by * 8 + y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    // clip 0: GIF; clip 1: the SAME rasters re-encoded as MJPEG-AVI (the
+    // upload-twice-in-different-formats case); clips 2-3: unrelated
+    val clips = Seq(
+      (0L, MultimodalOps.encodeAnimatedGif((0 until 4).map(grad), 40)),
+      (1L, MultimodalOps.encodeAviMjpeg((0 until 4).map(grad), 25)),
+      (2L, MultimodalOps.encodeAnimatedGif((10 until 14).map(grad), 40)),
+      (3L, MultimodalOps.encodeAviMjpeg((20 until 24).map(grad), 25)))
+      .toDF("video_id", "content")
+    val rows = MultimodalOps.videoMatchStats(clips).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(rows(0L)._2 == 1L && rows(0L)._3 == 4L,
+      s"GIF clip must best-match its AVI re-encode on all 4 frames, got ${rows(0L)}")
+    assert(rows(1L)._2 == 0L && rows(1L)._3 == 4L)
+    assert(rows(2L)._2 == -1L && rows(3L)._2 == -1L)
+  }
+
   test("audio features are deterministic and sane on synthetic PCM") {
     val tone = Array.tabulate(3200)(i =>
       (math.sin(i / 5.0) * 10000).toInt).flatMap(s =>
