@@ -721,7 +721,6 @@ object DedupOps {
     */
   def substringDupStats(docs: DataFrame, winLen: Int = 20,
       winnowW: Int = 30, keyByHash: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val raw = docs
       .filter(length(col("text")) >= winLen)
       .select(col("doc_id"), explode(
@@ -734,9 +733,21 @@ object DedupOps {
     val anchors =
       if (keyByHash) raw.select(col("doc_id"), xxhash64(col("w")).as("w"))
       else raw
-    anchors
-      .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
-      .withColumn("n_docs_w", count(lit(1)).over(Window.partitionBy("w")))
+    // per-window doc counts as an AGGREGATE + equi-join, not
+    // count() OVER (PARTITION BY w): an unbounded window function buffers
+    // (and past the threshold, spills) each key's whole partition, so one
+    // boilerplate window shared by a million documents becomes a
+    // million-row frame on a single task. The aggregate partial-combines
+    // map-side; the join keeps ONE row per window key on the aggregated
+    // side and streams the other, and AQE can skew-split (or, while the
+    // distinct-window table is small, broadcast) it. perDoc is persisted
+    // so the winnow/explode pass feeds both branches once (the q51
+    // lesson — column pruning makes the branches non-identical, so
+    // ReuseExchange alone would not deduplicate them).
+    val perDoc = graft.CacheRegistry.persist(
+      anchors.groupBy("w", "doc_id").agg(count(lit(1)).as("c")))
+    val perWin = perDoc.groupBy("w").agg(count(lit(1)).as("n_docs_w"))
+    perDoc.join(perWin, Seq("w"))
       .groupBy("doc_id")
       .agg(
         sum(col("c")).as("n_anchors"),

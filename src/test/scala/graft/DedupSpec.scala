@@ -228,6 +228,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q63 plan: no WindowExec (skew-safe agg+join), single cached winnow pass") {
+    val df = DedupOps.qSubstringDedup(spark, SF)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    // an unbounded count() OVER (PARTITION BY w) would buffer a hot
+    // boilerplate window's whole partition on one task
+    assert(!p.contains("Window "), s"unexpected WindowExec:\n${p.take(2000)}")
+    // both the join probe and the per-window aggregate must read the
+    // persisted (w, doc_id) counts, not re-run the winnow explode
+    assert(p.contains("InMemoryTableScan"), "perDoc must be persisted")
+    graft.CacheRegistry.release()
+  }
+
   test("substring dup stats: hashed 8-byte keys reproduce the raw-string result") {
     val docs = Tables(spark, SF).documents.select(col("doc_id"), col("text"))
     val raw = DedupOps.substringDupStats(docs).orderBy("doc_id").collect()
