@@ -112,6 +112,7 @@ object SparkEntry {
     "q84_span_scrub" -> (DedupOps.qSpanScrub _),
     "q85_image_clusters" -> (ext.MultimodalOps.qImageClusters _),
     "q86_audio_incremental" -> (ext.MultimodalOps.qIncrementalAudioDedup _),
+    "q87_pca_whiten" -> (SimilarityOps.qPcaWhiten _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -766,7 +767,7 @@ object SparkEntry {
     "q54_video_frames", "q57_ann_pq", "q73_semdedup", "q75_bpe_train",
     "q76_bpe_apply", "q77_curate", "q78_image_dedup", "q79_audio_dedup",
     "q80_video_dedup", "q81_shared_spans", "q84_span_scrub",
-    "q85_image_clusters", "q86_audio_incremental",
+    "q85_image_clusters", "q86_audio_incremental", "q87_pca_whiten",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

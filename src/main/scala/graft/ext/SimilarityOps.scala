@@ -897,4 +897,191 @@ object SimilarityOps {
   // committed SF (asserted in SimilaritySpec)
   def qSemDedup(spark: SparkSession, dir: String): DataFrame =
     semDedup(Tables(spark, dir).embeddings, tau = 0.35)
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix —
+    * eigenvalues descending, eigenvectors as ROWS, each sign-fixed so its
+    * largest-|coordinate| entry is positive (eigenvectors are only defined
+    * up to sign; without the fix a code change could flip a whitened
+    * column and silently invalidate goldens). Pure single-threaded driver
+    * math: deterministic given the input. O(d³) per sweep — microseconds
+    * at the embedding dims this preprocesses (d = 64 here; FAISS applies
+    * the same transform up to d ≈ 1024).
+    */
+  private[graft] def jacobiEigSym(cov: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = cov.length
+    val a = Array.tabulate(n, n)((i, j) => cov(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm(): Double = {
+      var s = 0.0; var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) { s += a(p)(q) * a(p)(q); q += 1 }
+        p += 1
+      }
+      s
+    }
+    val scale = {
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i)(i) * a(i)(i); i += 1 }
+      math.max(s, 1e-300)
+    }
+    var sweep = 0
+    while (sweep < 64 && offNorm() > 1e-24 * scale) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = if (theta >= 0) 1.0 / (theta + math.sqrt(1.0 + theta * theta))
+              else 1.0 / (theta - math.sqrt(1.0 + theta * theta))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < n) { // columns p,q of a
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq; a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) { // rows p,q of a
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi; a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < n) { // accumulate rotations
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq; v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => (-a(i)(i), i))
+    val eigs = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val col = Array.tabulate(n)(r => v(r)(i))
+      var mi = 0; var j = 1
+      while (j < n) { // strict > keeps the FIRST max index — deterministic
+        if (math.abs(col(j)) > math.abs(col(mi))) mi = j
+        j += 1
+      }
+      if (col(mi) < 0) col.map(-_) else col
+    }.toArray
+    (eigs, vecs)
+  }
+
+  /** PCA-whitening training (the FAISS `PCAMatrix`-with-whitening
+    * preprocessing; Jégou et al. 2012 §III use it ahead of PQ): returns
+    * (μ, W) where W is outDim×dim and w = W·(x − μ) has ~identity
+    * covariance on the training sample. The covariance comes from the
+    * SAME bounded hash-ordered sample discipline as the k-means / PQ
+    * trainers — driver cost is capped by sampleSize·dim² flops plus one
+    * O(dim³) Jacobi, independent of N. 1/n covariance (the sample IS the
+    * population being whitened); eps regularizes near-null directions —
+    * a zero-variance direction yields a zero whitened coordinate, not an
+    * ANSI-style blowup.
+    */
+  def trainPcaWhitening(base: DataFrame, outDim: Int,
+      sampleSize: Int = 8192, eps: Double = 1e-6)
+      : (Array[Double], Array[Array[Double]]) = {
+    val sample = base
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleSize)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pca whitening needs a non-empty table")
+    val n = sample.length
+    val dim = sample(0).length
+    val d = math.min(outDim, dim)
+    val mu = new Array[Double](dim)
+    sample.foreach { x =>
+      var i = 0
+      while (i < dim) { mu(i) += x(i); i += 1 }
+    }
+    var i = 0
+    while (i < dim) { mu(i) /= n; i += 1 }
+    val cov = Array.fill(dim)(new Array[Double](dim))
+    sample.foreach { x =>
+      val c = Array.tabulate(dim)(j => x(j) - mu(j))
+      var p = 0
+      while (p < dim) {
+        var q = p
+        while (q < dim) { cov(p)(q) += c(p) * c(q); q += 1 }
+        p += 1
+      }
+    }
+    var p = 0
+    while (p < dim) {
+      var q = p
+      while (q < dim) {
+        cov(p)(q) /= n; cov(q)(p) = cov(p)(q); q += 1
+      }
+      p += 1
+    }
+    val (eigs, vecs) = jacobiEigSym(cov)
+    val w = Array.tabulate(d) { r =>
+      val s = 1.0 / math.sqrt(math.max(eigs(r), 0.0) + eps)
+      vecs(r).map(_ * s)
+    }
+    (mu, w)
+  }
+
+  /** PCA-whitened projection of every embedding — vec_id plus the
+    * outDim-dim whitened vector. Training is the bounded sample above;
+    * the apply is ONE narrow mapPartitions pass with (μ, W) as
+    * broadcast-closure constants (the q32/q57/q73 shape): per-row cost
+    * outDim·dim flops, no shuffle, no N×dim² blowup. Fixed loop order
+    * makes the float math bit-deterministic across runs and partitions.
+    */
+  def pcaWhiten(embeddings: DataFrame, outDim: Int = 16,
+      sampleSize: Int = 8192, eps: Double = 1e-6): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val (mu, w) = trainPcaWhitening(base, outDim, sampleSize, eps)
+    val d = w.length
+    val dim = mu.length
+    base.as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, vSeq) =>
+          val x = vSeq.toArray
+          val out = new Array[Double](d)
+          var r = 0
+          while (r < d) {
+            val row = w(r)
+            var s = 0.0; var j = 0
+            while (j < dim) { s += row(j) * (x(j) - mu(j)); j += 1 }
+            out(r) = s
+            r += 1
+          }
+          (id, out.toSeq)
+        }
+      }
+      .toDF("vec_id", "w")
+  }
+
+  /** q87: PCA-whitening as a driver query — first four whitened
+    * coordinates (round-6) plus the whitened norm (round-4) per vector,
+    * ordered by vec_id. Golden-parquet oracle (eigendecomposition is not
+    * SQL-expressible); the defining property — whitened training-sample
+    * covariance ≈ I against a covariance computed OUTSIDE the engine —
+    * is asserted in SimilaritySpec, so the golden can't self-certify.
+    */
+  def qPcaWhiten(spark: SparkSession, dir: String): DataFrame =
+    pcaWhiten(Tables(spark, dir).embeddings, outDim = 16)
+      .select(col("vec_id"),
+        round(element_at(col("w"), 1), 6).as("w0"),
+        round(element_at(col("w"), 2), 6).as("w1"),
+        round(element_at(col("w"), 3), 6).as("w2"),
+        round(element_at(col("w"), 4), 6).as("w3"),
+        round(sqrt(aggregate(col("w"), lit(0.0), (a, b) => a + b * b)), 4)
+          .as("w_norm"))
+      .orderBy("vec_id")
 }

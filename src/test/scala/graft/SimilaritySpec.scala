@@ -243,6 +243,77 @@ class SimilaritySpec extends SparkSpec {
       s"coarse probe agreement ${agree.toDouble / exact.size} unexpectedly low")
   }
 
+  test("jacobiEigSym: hand-checked 2x2, descending order, sign-fixed, orthonormal") {
+    val (eigs, vecs) = SimilarityOps.jacobiEigSym(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(eigs(0) - 3.0) < 1e-12 && math.abs(eigs(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(vecs(0).zip(Array(r, r)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // sign fix: largest-|coord| entry positive (second vector is ±(r, -r))
+    assert(vecs(1)(0) > 0 || vecs(1)(1) > 0)
+    val d = vecs(0).zip(vecs(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(d) < 1e-12, "eigenvectors must stay orthogonal")
+  }
+
+  test("q87 PCA whitening: whitened covariance ~ I against an INDEPENDENT covariance; deterministic") {
+    val emb = Tables(spark, SF).embeddings
+    val outDim = 16
+    val w = SimilarityOps.pcaWhiten(emb, outDim = outDim).orderBy("vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(w.valuesIterator.forall(_.length == outDim))
+    // the 8192 sample covers the whole table at this SF, so the whitened
+    // population must have ~zero mean and ~identity covariance — computed
+    // HERE in plain Scala from the operator's output, not by the engine
+    val rows = w.values.toArray
+    val n = rows.length
+    val mean = Array.tabulate(outDim)(j => rows.map(_(j)).sum / n)
+    assert(mean.forall(m => math.abs(m) < 1e-9), s"whitened mean ${mean.toSeq}")
+    var p = 0
+    while (p < outDim) {
+      var q = p
+      while (q < outDim) {
+        val c = rows.map(x => (x(p) - mean(p)) * (x(q) - mean(q))).sum / n
+        val want = if (p == q) 1.0 else 0.0
+        assert(math.abs(c - want) < 1e-3, s"cov($p,$q)=$c want $want")
+        q += 1
+      }
+      p += 1
+    }
+    // W diagonalizes a covariance the SPEC computes from the raw parquet:
+    // W Σ Wᵀ ≈ I certifies the trained transform against first principles
+    val raw = emb.select(col("vec_id"),
+        SimilarityOps.toDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    val dim = raw(0).length
+    val mu = Array.tabulate(dim)(j => raw.map(_(j)).sum / raw.length)
+    val sigma = Array.tabulate(dim, dim)((a, b) =>
+      raw.map(x => (x(a) - mu(a)) * (x(b) - mu(b))).sum / raw.length)
+    val (_, wm) = (SimilarityOps.trainPcaWhitening(
+      emb.select(col("vec_id"), SimilarityOps.toDouble(col("embedding")).as("v")),
+      outDim))
+    val wswt = Array.tabulate(outDim, outDim) { (a, b) =>
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        var t = 0.0
+        while (j < dim) { t += sigma(i)(j) * wm(b)(j); j += 1 }
+        s += wm(a)(i) * t
+        i += 1
+      }
+      s
+    }
+    for (a <- 0 until outDim; b <- 0 until outDim) {
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(wswt(a)(b) - want) < 1e-3, s"WΣWᵀ($a,$b)=${wswt(a)(b)}")
+    }
+    // bit-determinism across runs (driver-side train + fixed fold order)
+    val again = SimilarityOps.pcaWhiten(emb, outDim = outDim).orderBy("vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(w.keySet == again.keySet &&
+      w.forall { case (k, v) => v.sameElements(again(k)) })
+  }
+
   test("q31/q33 plans contain no self-join on a raw signature (bucket-local expansion)") {
     // the capped path builds pairs from collect_list inside one aggregation;
     // a SortMergeJoin/ShuffledHashJoin keyed on `sig` would be the uncapped
