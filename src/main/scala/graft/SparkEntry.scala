@@ -113,6 +113,7 @@ object SparkEntry {
     "q85_image_clusters" -> (ext.MultimodalOps.qImageClusters _),
     "q86_audio_incremental" -> (ext.MultimodalOps.qIncrementalAudioDedup _),
     "q87_pca_whiten" -> (SimilarityOps.qPcaWhiten _),
+    "q88_normalize_text" -> (TextOps.qNormalizeText _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -747,6 +748,26 @@ object SparkEntry {
         |SELECT row_number() OVER (ORDER BY key_micro DESC, doc_id) AS rank,
         | doc_id, n_feats, score_micro, key_micro
         |FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin,
+    "q88_normalize_text" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  '  Cafe' || chr(769) || chr(160) || substr(text, 1, 100) ||
+        |  chr(7) || chr(9) || chr(9) || ' no' || chr(776) || 'el' ||
+        |  CASE doc_id % 3 WHEN 0 THEN ' A' || chr(778) || ' '
+        |                  WHEN 1 THEN ' ' || chr(8195) || ' '
+        |                  ELSE ' ' || chr(11) || ' ' END ||
+        |  ' end  ' AS dirty
+        | FROM documents),
+        |n AS (
+        | SELECT doc_id, CAST(length(dirty) AS BIGINT) AS dirty_len,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
+        |   '[\x{00}-\x{08}\x{0E}-\x{1F}\x{7F}]', '', 'g'),
+        |   '[\t\n\x{0B}\x{0C}\r \x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+        |   ' ', 'g')) AS norm
+        | FROM d)
+        |SELECT doc_id, dirty_len, CAST(length(norm) AS BIGINT) AS norm_len,
+        | md5(norm) AS norm_md5, substr(norm, 1, 30) AS norm_prefix
+        |FROM n ORDER BY doc_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

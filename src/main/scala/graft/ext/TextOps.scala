@@ -747,4 +747,67 @@ object TextOps {
         md5(scrubPii(col("__t"))).as("clean_hash"))
       .orderBy("doc_id")
   }
+
+  /** Control characters to DROP outright (C0 minus the whitespace ones
+    * that [[unicodeWsRe]] collapses, plus DEL). `\x{..}` syntax parses
+    * identically in Java regex and DuckDB's RE2 — `\uXXXX` would not
+    * (RE2 rejects it), which is why both classes avoid it.
+    */
+  private[ext] val ctrlRe = "[\\x{00}-\\x{08}\\x{0E}-\\x{1F}\\x{7F}]"
+
+  /** Whitespace to collapse: ASCII \t \n \x0B \x0C \r and space, plus the
+    * Unicode space separators a web corpus actually carries (NBSP, ogham,
+    * the U+2000 quad family, line/para separators, narrow NBSP, math
+    * space, ideographic space). Listed explicitly because Java and RE2
+    * both treat `\s` as ASCII-only.
+    */
+  private[ext] val unicodeWsRe =
+    "[\\t\\n\\x{0B}\\x{0C}\\r \\x{00A0}\\x{1680}\\x{2000}-\\x{200A}" +
+    "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+"
+
+  /** Canonical text normalization — the standard first stage of a web
+    * pipeline (every dedup/hash downstream assumes it): NFC composition
+    * (native expression, fast-path identity on already-normalized text),
+    * control-char strip, Unicode-whitespace collapse to single spaces,
+    * trim. Narrow per-row work; order matters and is part of the
+    * contract (a stripped control can join two whitespace runs, which
+    * the collapse then merges).
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize.nfcNormalize(c), ctrlRe, ""),
+      unicodeWsRe, " "))
+
+  /** q88: normalization over documents. The synthetic corpus is pure
+    * already-normalized ASCII (asserted by the n_changed tally), so a
+    * deterministic DIRTY variant is first derived from doc_id — NFD
+    * combining sequences, NBSP, BEL, tab runs, a per-residue unicode
+    * space / vertical tab — exactly the q60 injection pattern; the
+    * oracle rebuilds the identical dirty string with chr() and applies
+    * DuckDB's own nfc_normalize + RE2 replaces. Direct SQL oracle: the
+    * compose behavior itself is cross-checked against an independent
+    * UAX #15 implementation, not a golden.
+    */
+  def qNormalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val id = col("doc_id")
+    val dirty = concat(
+      lit("  Cafe\u0301"), lit("\u00A0"),      // NFD e+acute, NBSP
+      substring(col("text"), 1, 100),
+      lit("\u0007"), lit("\t\t no\u0308el"),  // BEL, tab run, NFD o+diaeresis
+      when(id % 3 === 0, lit(" A\u030A "))      // NFD A+ring
+        .when(id % 3 === 1, lit(" \u2003 "))    // em space
+        .otherwise(lit(" \u000B ")),            // vertical tab
+      lit(" end  "))
+    t.documents
+      .select(id, dirty.as("__d"))
+      .select(id,
+        length(col("__d")).cast("bigint").as("dirty_len"),
+        normalizeText(col("__d")).as("__n"))
+      .select(id, col("dirty_len"),
+        length(col("__n")).cast("bigint").as("norm_len"),
+        md5(col("__n")).as("norm_md5"),
+        substring(col("__n"), 1, 30).as("norm_prefix"))
+      .orderBy("doc_id")
+  }
 }

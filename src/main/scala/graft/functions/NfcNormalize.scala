@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization (UAX #15 canonical composition) as a native
+  * per-row expression — Spark SQL has no normalize builtin, and a Scala
+  * UDF would box through the encoder on every row. The common case in a
+  * web corpus is already-normalized text: `Normalizer.isNormalized` is a
+  * quick-check scan (ASCII short-circuits immediately), so the fast path
+  * returns the INPUT UTF8String with zero allocation and only
+  * denormalized rows pay the compose. DuckDB's `nfc_normalize` implements
+  * the same UAX #15 algorithm, which is what makes a direct SQL oracle
+  * possible for the normalization queries.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def nfcNormalize(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      NfcNormalize(org.apache.spark.sql.graft.Bridge.expression(c)))
+}

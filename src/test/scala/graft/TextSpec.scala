@@ -445,4 +445,32 @@ class TextSpec extends SparkSpec {
     // the synthetic vocabulary is small, so 30 terms must cover most tokens
     assert(cum.last > 0.5, s"top-30 covers only ${cum.last}")
   }
+
+  test("q88 normalizeText: NFC composes, controls drop, unicode ws collapses, idempotent") {
+    val rows = Seq(
+      "  éx  y\t",  // NFD acute, BEL, double NBSP, tab
+      "Café Å nöel",    // three NFD sequences
+      "plain ascii text",
+      "   spaced  out 　 ",// em space, VT, ideographic space
+      "").toDF("t").select(TextOps.normalizeText(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    assert(rows(0) == "éx y")
+    assert(rows(1) == "Café Å nöel")
+    assert(rows(2) == "plain ascii text")
+    assert(rows(3) == "spaced out")
+    assert(rows(4) == "")
+    // idempotence: a normalized string is a fixed point
+    val again = rows.toSeq.toDF("t")
+      .select(TextOps.normalizeText(col("t")).as("n")).collect().map(_.getString(0))
+    assert(again.toSeq == rows.toSeq)
+    // the corpus itself is already normalized — which is WHY q88 derives a
+    // dirty variant before exercising the op
+    val changed = Tables(spark, SF).documents
+      .filter(TextOps.normalizeText(col("text")) =!= col("text")).count()
+    assert(changed == 0L)
+    // and the q88 derivation really denormalizes every row
+    val q = TextOps.qNormalizeText(spark, SF).collect()
+    assert(q.nonEmpty && q.forall(r => r.getLong(2) < r.getLong(1)),
+      "every dirty row must shrink under normalization")
+  }
 }
