@@ -36,6 +36,11 @@ object Bench {
       (name, median, warm)
     }
     val results = timings.map { case (n, med, _) => n -> med }.toMap
+    // locale-independent fixed-point formatting (f"%.4f" goes through the
+    // default locale: a comma-decimal JVM would emit invalid JSON)
+    def fmt(t: Double, scale: Int): String =
+      BigDecimal(java.math.BigDecimal.valueOf(t))
+        .setScale(scale, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
     val qs = timings.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Per-query run detail: median (the headline), min (the machine's true
@@ -45,7 +50,7 @@ object Bench {
     // median-of-3 alone could not distinguish sustained load contamination
     // from a real regression — this detail makes it self-evident).
     val detail = timings.map { case (name, med, warm) =>
-      val runsJson = warm.map(t => f"$t%.4f").mkString("[", ",", "]")
+      val runsJson = warm.map(t => fmt(t, 4)).mkString("[", ",", "]")
       val minV = if (med < 0) -1.0 else warm.min
       s"\"$name\":{\"median\":$med,\"min\":$minV,\"runs\":$runsJson}"
     }.mkString("{", ",", "}")
@@ -54,9 +59,22 @@ object Bench {
     val minTotal = timings.collect { case (_, m, w) if m >= 0 => w.min }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_total":$minTotal,"detail":$detail,"sf":"$sfDir"}"""
+    // The driver captures only the LAST ~2000 chars of stdout and parses the
+    // JSON line out of that tail (BENCH_r06/r07 post-mortem: the full
+    // 88-query line is >2000 chars, so the tail started mid-line and the
+    // driver recorded parsed=null). stdout therefore gets a COMPACT line —
+    // short qNN keys, 3-decimal medians — sized to fit the tail window with
+    // sbt's trailing "[success] Total time" line included; the full-name
+    // per-query detail lives only in bench.json (committed per round).
+    val qsCompact = timings.map { case (k, v, _) =>
+      val short = k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }
+      s"\"" + short + "\":" + (if (v < 0) "-1" else fmt(v, 3))
+    }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"min_total":${fmt(minTotal, 3)},"sf":"$sfDir"}"""
     // raw stdout (build.sbt routes forked run output past sbt's [info]
     // logger) AND a file — both driver-parseable.
-    println(json)
+    println(compact)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
     spark.stop()
   }

@@ -865,6 +865,17 @@ object SimilarityOps {
                 while (j < mem.length) { consider(mem(j)); j += 1 }
                 p += 1
               }
+              // Lloyd can leave coarse groups empty; if every probed group
+              // was empty, consider() never ran and a nonzero-norm vector
+              // would silently get cid=0/NULL c_cos (the zero-norm escape
+              // hatch). Fall back to the exact full fine scan — rare (only
+              // when ALL nProbeCoarse nearest groups are empty), so the
+              // amortized cost is nil and every nonzero-norm vector is
+              // guaranteed a real assignment.
+              if (bestCos.isNaN && nv != 0) {
+                var cid = 0
+                while (cid < trained.length) { consider(cid); cid += 1 }
+              }
             }
             val ccR: Option[Double] = if (bestCos.isNaN) None
               else Some(BigDecimal(java.math.BigDecimal.valueOf(bestCos))

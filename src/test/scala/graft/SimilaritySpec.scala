@@ -243,6 +243,24 @@ class SimilaritySpec extends SparkSpec {
       s"coarse probe agreement ${agree.toDouble / exact.size} unexpectedly low")
   }
 
+  test("q73 two-level probe: every nonzero-norm vector gets a real assignment even at nProbe=1") {
+    // Lloyd can leave coarse groups empty; with nProbe=1 a vector whose
+    // single probed group is empty would (pre-fix) silently fall through
+    // with cid=0 / NULL c_cos like a zero-norm vector. The fallback full
+    // scan guarantees an assignment; NULL c_cos must mean zero-norm only.
+    val emb = Tables(spark, SF).embeddings
+    import org.apache.spark.sql.functions._
+    val r = SimilarityOps.semDedup(emb, nCentroids = 64, tau = 0.35,
+      coarseThreshold = 16, nProbeCoarse = 1)
+    val nulls = r.filter(col("c_cos").isNull).count()
+    graft.CacheRegistry.release()
+    val zeroNorm = emb.filter(
+      aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x * x) === 0.0d).count()
+    assert(nulls == zeroNorm,
+      s"NULL c_cos rows ($nulls) must equal zero-norm vectors ($zeroNorm)")
+  }
+
   test("jacobiEigSym: hand-checked 2x2, descending order, sign-fixed, orthonormal") {
     val (eigs, vecs) = SimilarityOps.jacobiEigSym(
       Array(Array(2.0, 1.0), Array(1.0, 2.0)))
