@@ -70,8 +70,20 @@ object Bench {
       val short = k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }
       s"\"" + short + "\":" + (if (v < 0) "-1" else fmt(v, 3))
     }.mkString("{", ",", "}")
+    // contamination self-report in the driver-visible line: a query whose
+    // median is far above its own min (2.5× and +0.3 s past the stage
+    // floor) hit machine load in ≥2 of 3 warm runs — the BENCH_r08 q63/q64
+    // pattern. The full per-run evidence is in bench.json's `detail`; this
+    // list makes a contaminated run self-evident from the compact line
+    // alone, so nobody chases a phantom regression again.
+    val suspects = timings.collect {
+      case (name, med, warm) if med > 0 &&
+        med > 2.5 * warm.min && med - warm.min > 0.3 =>
+        name.indexOf('_') match { case -1 => name; case i => name.substring(0, i) }
+    }
+    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val compact =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"min_total":${fmt(minTotal, 3)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"min_total":${fmt(minTotal, 3)},"suspect":$suspectJson,"sf":"$sfDir"}"""
     // raw stdout (build.sbt routes forked run output past sbt's [info]
     // logger) AND a file — both driver-parseable.
     println(compact)

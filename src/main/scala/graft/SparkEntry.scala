@@ -114,6 +114,12 @@ object SparkEntry {
     "q86_audio_incremental" -> (ext.MultimodalOps.qIncrementalAudioDedup _),
     "q87_pca_whiten" -> (SimilarityOps.qPcaWhiten _),
     "q88_normalize_text" -> (TextOps.qNormalizeText _),
+    "q89_url_dedup" -> (ext.WebOps.qUrlDedup _),
+    "q90_hybrid_retrieval" -> (ext.RetrievalOps.qHybridRetrieval _),
+    "q91_semantic_decon" -> (SimilarityOps.qSemanticDecon _),
+    "q92_keep_best" -> (DedupOps.qKeepBestDedup _),
+    "q93_split_assign" -> (SamplingOps.qSplitAssign _),
+    "q94_containment" -> (DedupOps.qContainment _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -768,6 +774,137 @@ object SparkEntry {
         |SELECT doc_id, dirty_len, CAST(length(norm) AS BIGINT) AS norm_len,
         | md5(norm) AS norm_md5, substr(norm, 1, 30) AS norm_prefix
         |FROM n ORDER BY doc_id""".stripMargin,
+    "q89_url_dedup" ->
+      """WITH u AS (
+        | SELECT doc_id,
+        |  CASE doc_id % 5
+        |   WHEN 0 THEN 'https://src' || ((doc_id // 5) % 20) || '.example.com/doc/' || (doc_id // 5)
+        |   WHEN 1 THEN 'HTTPS://' || upper('src' || ((doc_id // 5) % 20) || '.example.com')
+        |     || ':443/doc/' || (doc_id // 5) || '#sec-2'
+        |   WHEN 2 THEN 'https://src' || ((doc_id // 5) % 20) || '.example.com/doc/' || (doc_id // 5)
+        |     || '?utm_source=feed&utm_campaign=promo'
+        |   WHEN 3 THEN 'https://src' || ((doc_id // 5) % 20) || '.example.com/doc/' || (doc_id // 5) || '/'
+        |   ELSE 'https://src' || ((doc_id // 5) % 20) || '.example.com/doc/' || (doc_id // 5)
+        |     || '?utm_source=x&ref=keep'
+        |  END AS url
+        | FROM documents),
+        |c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM u),
+        |c2 AS (SELECT doc_id, url, lower(regexp_extract(u, '^([A-Za-z]+://[^/?#]*)', 1))
+        |        || regexp_replace(u, '^[A-Za-z]+://[^/?#]*', '') AS u FROM c1),
+        |c3 AS (SELECT doc_id, url, regexp_replace(regexp_replace(u,
+        |        '^(https://[^/?#]*):443/', '\1/'), '^(http://[^/?#]*):80/', '\1/') AS u FROM c2),
+        |c4 AS (SELECT doc_id, url, regexp_replace(u, '[?&]utm_[a-z]+=[^&#]*', '', 'g') AS u FROM c3),
+        |c5 AS (SELECT doc_id, url, regexp_replace(u, '^([^?#&]*)&', '\1?') AS u FROM c4),
+        |c AS (SELECT doc_id, url, regexp_replace(u, '/$', '') AS canon_url FROM c5),
+        |g AS (SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_copies
+        |      FROM c GROUP BY canon_url)
+        |SELECT c.doc_id, c.url, c.canon_url, g.keep_id, g.n_copies,
+        | c.doc_id <> g.keep_id AS is_dup
+        |FROM c JOIN g USING (canon_url) ORDER BY doc_id""".stripMargin,
+    "q90_hybrid_retrieval" ->
+      """WITH corp AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN embeddings e ON e.vec_id = d.doc_id),
+        |docs AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM corp),
+        |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM docs),
+        |queries(query_id, terms) AS (VALUES
+        |  (0, ['fast','table']), (1, ['spark','query','join']),
+        |  (2, ['vector','batch','merge'])),
+        |qt AS (SELECT query_id, unnest(terms) AS term FROM queries),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |df AS (SELECT t.term,
+        |  CAST(sum(CASE WHEN list_contains(d.toks, t.term) THEN 1 ELSE 0 END)
+        |    AS DOUBLE) AS df
+        | FROM (SELECT DISTINCT unnest(terms) AS term FROM queries) t
+        | CROSS JOIN docs d GROUP BY 1),
+        |scored AS (SELECT qt.query_id, d.doc_id,
+        |  sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+        |      * COALESCE(tf.c, 0) * 2.2
+        |      / (COALESCE(tf.c, 0) + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+        |    AS score
+        | FROM qt CROSS JOIN docs d CROSS JOIN stats s
+        | JOIN df ON df.term = qt.term
+        | LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.tok = qt.term
+        | GROUP BY 1, 2),
+        |bmk AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(score, 6) DESC, doc_id) AS rank
+        | FROM scored QUALIFY rank <= 20),
+        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb),
+        |prf AS (SELECT b.query_id, e.v AS qv, e.nrm AS qnrm
+        | FROM bmk b JOIN en e ON e.vec_id = b.doc_id WHERE b.rank = 1),
+        |dnk AS (SELECT p.query_id, e.vec_id AS doc_id,
+        |  row_number() OVER (PARTITION BY p.query_id
+        |    ORDER BY round(list_dot_product(e.v, p.qv) / (e.nrm * p.qnrm), 6) DESC,
+        |             e.vec_id) AS rank
+        | FROM en e JOIN corp c ON c.doc_id = e.vec_id CROSS JOIN prf p
+        | QUALIFY rank <= 20),
+        |fused AS (SELECT COALESCE(b.query_id, d.query_id) AS query_id,
+        |  COALESCE(b.doc_id, d.doc_id) AS doc_id,
+        |  b.rank AS bm25_rank, d.rank AS dense_rank,
+        |  round(COALESCE(1.0 / (60 + b.rank), 0) + COALESCE(1.0 / (60 + d.rank), 0), 6)
+        |    AS rrf
+        | FROM bmk b FULL OUTER JOIN dnk d
+        |   ON d.query_id = b.query_id AND d.doc_id = b.doc_id)
+        |SELECT query_id,
+        | row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank,
+        | doc_id, rrf, bm25_rank, dense_rank
+        |FROM fused QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q91_semantic_decon" ->
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT vec_id AS eval_id,
+        |  v[1:56] || [0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0] AS ev
+        | FROM b WHERE vec_id % 50 = 0),
+        |en AS (SELECT eval_id, ev, sqrt(list_dot_product(ev, ev)) AS enrm
+        | FROM e WHERE sqrt(list_dot_product(ev, ev)) > 0),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        | FROM b WHERE sqrt(list_dot_product(v, v)) > 0),
+        |p AS (SELECT n.vec_id, en.eval_id,
+        |  CAST(round(list_dot_product(n.v, en.ev) / (n.nrm * en.enrm) * 1000000, 0)
+        |    AS BIGINT) AS c6i
+        | FROM n CROSS JOIN en),
+        |a AS (SELECT vec_id, max(c6i) AS mc,
+        |  max(c6i * 1099511627776 - eval_id) AS k
+        | FROM p GROUP BY vec_id)
+        |SELECT vec_id, CAST(mc AS DOUBLE) / 1000000 AS max_cos,
+        | mc * 1099511627776 - k AS nearest_eval_id,
+        | mc >= 800000 AS contaminated
+        |FROM a ORDER BY vec_id""".stripMargin,
+    "q93_split_assign" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+        |    AS split_bucket
+        | FROM documents)
+        |SELECT doc_id, source, split_bucket,
+        | CASE WHEN split_bucket < 900 THEN 'train'
+        |      WHEN split_bucket < 950 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q94_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 5),
+        |s AS (SELECT DISTINCT doc_id,
+        |        array_to_string(ws[CAST(i AS INTEGER):CAST(i AS INTEGER)+4], ' ') AS ng
+        |      FROM t, unnest(range(1, len(ws) - 3)) AS r(i)),
+        |sz AS (SELECT doc_id, count(*) AS n_ng FROM s GROUP BY doc_id),
+        |df AS (SELECT ng, count(*) AS df FROM s GROUP BY ng),
+        |rare AS (SELECT ng FROM df WHERE df BETWEEN 2 AND 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM s a JOIN rare USING (ng) JOIN s b USING (ng)
+        |         WHERE a.doc_id < b.doc_id),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_shared
+        |          FROM cand c
+        |          JOIN s a ON a.doc_id = c.id_a
+        |          JOIN s b ON b.doc_id = c.id_b AND b.ng = a.ng
+        |          GROUP BY c.id_a, c.id_b)
+        |SELECT i.id_a, i.id_b, i.n_shared, sa.n_ng AS n_a, sb.n_ng AS n_b,
+        | round(CAST(i.n_shared AS DOUBLE) / CAST(sa.n_ng AS DOUBLE), 6) AS cont_a_in_b,
+        | round(CAST(i.n_shared AS DOUBLE) / CAST(sb.n_ng AS DOUBLE), 6) AS cont_b_in_a
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+        |ORDER BY id_a, id_b""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that
@@ -789,6 +926,7 @@ object SparkEntry {
     "q76_bpe_apply", "q77_curate", "q78_image_dedup", "q79_audio_dedup",
     "q80_video_dedup", "q81_shared_spans", "q84_span_scrub",
     "q85_image_clusters", "q86_audio_incremental", "q87_pca_whiten",
+    "q92_keep_best",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

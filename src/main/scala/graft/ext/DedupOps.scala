@@ -958,4 +958,107 @@ object DedupOps {
     */
   def qLineDedup(spark: SparkSession, dir: String): DataFrame =
     lineDedupScrub(Tables(spark, dir).documents).orderBy("doc_id")
+
+  /** Asymmetric n-gram CONTAINMENT between candidate doc pairs —
+    * |A∩B| / |A| (and /|B|) over distinct word n-gram sets. Jaccard
+    * (q29) under-scores a short document embedded whole inside a long
+    * one (union is dominated by the long side); containment is the
+    * right signal for quote-inclusion / page-wrapping dedup (the case
+    * suffix-array dedup targets at character level).
+    *
+    * Candidate generation is RARE-NGRAM BLOCKING, the record-linkage
+    * discipline: only n-grams whose document frequency is in
+    * [minDf, maxDf] generate pairs, so each blocking key expands to at
+    * most C(maxDf,2) pairs and total candidate mass is ∝ corpus rare-
+    * ngram mass, never N². (A shared n-gram with df>maxDf is boilerplate
+    * — useless as a linkage key and the thing that would otherwise go
+    * quadratic; near-dup pairs almost surely share a RARE n-gram too.)
+    * Unlike LSH blocking this is hash-free, so the DuckDB oracle
+    * reproduces candidates exactly → DIRECT oracle.
+    *
+    * Scale shape: the df agg is vocabulary-bounded with map-side
+    * combine; the pair self-join runs on rare n-grams only (bucket ≤
+    * maxDf); the intersection count re-joins the exploded n-gram set
+    * only for docs that appear in some candidate pair (semi-join
+    * restriction), so its shuffle is ∝ candidate mass. Tokenization is
+    * the oracle-portable `split(text, ' ')` (q59 discipline), not the
+    * `\s+` shingle path.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 5, minDf: Int = 2,
+      maxDf: Int = 4): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sets = graft.CacheRegistry.persist(docs
+      .filter(size(toks) >= n)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.WordShingles.word_shingles(toks, n))
+          .as("sh")))
+    val e = sets.select(col("doc_id"), explode(col("sh")).as("ng"))
+    val rare = e.groupBy("ng").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+      .select("ng")
+    val eRare = graft.CacheRegistry.persist(e.join(rare, "ng"))
+    val pairs = eRare.select(col("ng"), col("doc_id").as("id_a"))
+      .join(eRare.select(col("ng"), col("doc_id").as("id_b")), "ng")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // intersection over the FULL n-gram sets, restricted to candidate docs
+    val ea = sets.select(col("doc_id").as("id_a"), explode(col("sh")).as("ng"))
+    val eb = sets.select(col("doc_id").as("id_b"), explode(col("sh")).as("ng"))
+    val inter = pairs
+      .join(ea, Seq("id_a"))
+      .join(eb, Seq("id_b", "ng"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+    val sizes = sets.select(col("doc_id"), size(col("sh")).cast("bigint").as("n_ng"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_ng").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_ng").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") / col("n_a").cast("double"), 6)
+          .as("cont_a_in_b"),
+        round(col("n_shared").cast("double") / col("n_b").cast("double"), 6)
+          .as("cont_b_in_a"))
+  }
+
+  /** q94: containment stats for every rare-5-gram-blocked candidate pair
+    * over documents. Direct DuckDB oracle (blocking is hash-free).
+    */
+  def qContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables(spark, dir).documents).orderBy("id_a", "id_b")
+
+  /** Near-dup cluster CANONICALIZATION with a keep-best policy: within
+    * each transitive near-dup cluster (q51's connected components), keep
+    * the HIGHEST-QUALITY member rather than the arbitrary lowest id —
+    * the selection step real curation runs after clustering (among N
+    * re-crawls of a page, keep the longest / cleanest capture). Keeper =
+    * argmax(quality, tie → lowest doc_id), computed as one max-of-struct
+    * aggregate per cluster — map-side combinable, no window, no join
+    * back of text. Quality is q22's deterministic score, so the whole
+    * chain re-derives outside the engine.
+    */
+  def keepBestDedup(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val scored = clusters.join(quality, "doc_id")
+    val best = scored.groupBy("cluster_id")
+      .agg(max(struct(col("quality").as("q"), (-col("doc_id")).as("ni"))).as("b"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), (-col("b.ni")).as("keep_id"),
+        col("cluster_size"))
+    scored.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("cluster_size"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+  }
+
+  /** q92: keep-best canonicalization over q51's clusters with q22's
+    * quality score. Golden-parquet oracle (clusters are hash-seeded);
+    * GoldenDerivationSpec re-derives the verdict from first principles
+    * (independent union-find + plain-Scala quality recompute + argmax).
+    */
+  def qKeepBestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val clusters = minHashDedupClusters(t.documents)
+    val quality = t.documents.select(col("doc_id"),
+      graft.ext.TextOps.qualityExpr(col("text")).as("quality"))
+    keepBestDedup(clusters, quality).orderBy("doc_id")
+  }
 }

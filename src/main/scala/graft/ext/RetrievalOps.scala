@@ -1,0 +1,95 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Hybrid retrieval — fusing a lexical ranker (BM25, q72) with a
+  * dense embedding ranker via Reciprocal Rank Fusion (Cormack et al.
+  * 2009): rrf(d) = Σ_rankers 1/(K + rank_r(d)), K = 60. RRF needs only
+  * RANKS, not comparable scores, which is why it is the default fusion
+  * in production hybrid search (BM25 scores and cosines live on
+  * incomparable scales).
+  *
+  * The corpus has no query embeddings, so the dense query vector comes
+  * from PSEUDO-RELEVANCE FEEDBACK (Rocchio): the embedding of BM25's
+  * top-1 document for each query — a real retrieval technique (query
+  * expansion by the first pass's best hit) that keeps the whole chain a
+  * pure function of the tables.
+  *
+  * Scale shape: both rankers are top-k-pruned BEFORE fusion — BM25
+  * keeps ≤k rows per query per map partition pre-exchange
+  * (WindowGroupLimit, the q72 shape) and the dense pass ranks a
+  * |queries|-row broadcast against the embedding table the same way —
+  * so the fusion join sees only k·|queries| rows per side, a no-op at
+  * any corpus size. The dense N×|queries| intermediate is narrow
+  * (broadcast nested-loop into a rank-filtered window, never a shuffle
+  * of the exploded set).
+  */
+object RetrievalOps {
+
+  val RrfK = 60
+
+  /** RRF fusion of two (query_id, doc_id, rank) lists; a doc absent from
+    * one list simply gets no contribution from it. Rounded score, ties
+    * to the lower doc_id — identical ordering in the DuckDB oracle.
+    */
+  def rrfFuse(bm25: DataFrame, dense: DataFrame, topK: Int): DataFrame = {
+    val contrib = (r: Column) =>
+      coalesce(lit(1.0) / (lit(RrfK) + r.cast("double")), lit(0.0))
+    val fused = bm25.select(col("query_id"), col("doc_id"),
+        col("rank").as("bm25_rank"))
+      .join(dense.select(col("query_id"), col("doc_id"),
+        col("rank").as("dense_rank")), Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("bm25_rank"), col("dense_rank"),
+        round(contrib(col("bm25_rank")) + contrib(col("dense_rank")), 6)
+          .as("rrf"))
+    val w = Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "doc_id", "rrf", "bm25_rank", "dense_rank")
+  }
+
+  /** q90: hybrid BM25 + dense retrieval with RRF over the documents that
+    * carry an embedding (doc_id = vec_id). Per query: BM25 top-20 on
+    * q72's fixed term sets, dense cosine top-20 against the PRF query
+    * vector (embedding of the BM25 top-1 doc), RRF top-10 out. Direct
+    * DuckDB oracle (both rankers and the fusion are SQL-expressible).
+    */
+  def qHybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import SimilarityOps.{dot, norm, safeCos, toDouble}
+    val t = Tables(spark, dir)
+    val emb = t.embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    // corpus = docs with an embedding; both rankers rank exactly this set
+    val corpus = t.documents
+      .join(emb.select(col("vec_id").as("doc_id")), "doc_id")
+      .select("doc_id", "text")
+    val queryDefs = Seq(
+      0L -> Seq("fast", "table"),
+      1L -> Seq("spark", "query", "join"),
+      2L -> Seq("vector", "batch", "merge"))
+    val bm = graft.CacheRegistry.persist(
+      TextOps.bm25Retrieve(corpus, queryDefs, topK = 20))
+    val prf = bm.filter(col("rank") === 1)
+      .select(col("query_id"),
+        col("doc_id").as("prf_doc"))
+      .join(emb.select(col("vec_id").as("prf_doc"), col("v").as("qv"),
+        col("nrm").as("qnrm")), "prf_doc")
+      .select("query_id", "qv", "qnrm")
+    val wd = Window.partitionBy("query_id").orderBy(desc("cos6"), asc("doc_id"))
+    val dense = emb
+      .join(corpus.select(col("doc_id").as("vec_id")), "vec_id")
+      .crossJoin(broadcast(prf))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(safeCos(dot(col("v"), col("qv")), col("nrm"), col("qnrm")), 6)
+          .as("cos6"))
+      .withColumn("rank", row_number().over(wd).cast("bigint"))
+      .filter(col("rank") <= 20)
+    rrfFuse(bm.select(col("query_id"), col("doc_id"), col("rank")),
+        dense.select(col("query_id"), col("doc_id"), col("rank")), topK = 10)
+      .orderBy("query_id", "rank")
+  }
+}

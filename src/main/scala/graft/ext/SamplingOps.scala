@@ -213,6 +213,46 @@ object SamplingOps {
       .orderBy("shard")
   }
 
+  /** Deterministic held-out split assignment: hash the id into one of
+    * `denom` buckets and carve the bucket space into named ranges
+    * (train/val/test). The properties a training pipeline needs and
+    * `randomSplit` does not give:
+    *  - STABLE: a document's split is a pure function of its id — the
+    *    same doc lands in the same split on any cluster layout, any
+    *    re-shard, any incremental re-run (no eval leakage when the
+    *    corpus is re-processed);
+    *  - DISJOINT + EXHAUSTIVE by construction (ranges partition the
+    *    bucket space);
+    *  - narrow: one codegen'd hash per row, no shuffle at all.
+    * The hash is the md5-prefix integer (engine-portable: Spark `conv`,
+    * DuckDB `'0x'||…` cast — the q74 idiom).
+    */
+  def splitAssign(df: DataFrame, key: String,
+      ranges: Seq[(String, Int)] = Seq("train" -> 900, "val" -> 950, "test" -> 1000),
+      denom: Int = 1000): DataFrame = {
+    require(ranges.nonEmpty && ranges.last._2 == denom,
+      "split ranges must cover the full bucket space")
+    val bucket =
+      conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % denom
+    val split = ranges.init.foldRight(lit(ranges.last._1)) {
+      case ((name, hi), other) => when(col("split_bucket") < hi, name).otherwise(other)
+    }
+    df.withColumn("split_bucket", bucket)
+      .withColumn("split", split)
+  }
+
+  /** q93: 90/5/5 train/val/test assignment over documents, with the
+    * bucket exposed so the oracle checks the full hash path. Direct
+    * DuckDB oracle.
+    */
+  def qSplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    splitAssign(t.documents.select("doc_id", "source"), "doc_id")
+      .select("doc_id", "source", "split_bucket", "split")
+      .orderBy("doc_id")
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     * arXiv:2302.03169): select raw-corpus documents whose hashed n-gram
     * feature distribution looks like a TARGET corpus. Per feature bucket

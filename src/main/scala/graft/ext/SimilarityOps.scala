@@ -1095,4 +1095,70 @@ object SimilarityOps {
         round(sqrt(aggregate(col("w"), lit(0.0), (a, b) => a + b * b)), 4)
           .as("w_norm"))
       .orderBy("vec_id")
+
+  /** SEMANTIC decontamination: flag corpus vectors whose embedding is
+    * near-identical to some member of a held-out evaluation set — the
+    * embedding-space complement of q58's n-gram decontamination (catches
+    * paraphrased benchmark leakage that exact n-gram overlap misses).
+    *
+    * The eval side of this comparison is always BOUNDED (benchmarks are
+    * 10³–10⁵ items), so the scale-correct plan is exact: broadcast the
+    * eval vectors and score every corpus vector against all of them —
+    * a broadcast nested-loop whose N×E intermediate pipelines straight
+    * into a per-vector partial aggregate (rows for one vec_id never
+    * leave their partition before collapsing to one), so the only
+    * shuffle is N small (id, max_cos, argmax) rows. No LSH recall risk:
+    * for decontamination a missed near-match is a training-set leak, so
+    * exact-over-bounded-set beats approximate-over-everything.
+    *
+    * Argmax stays HASH-aggregable: the cosine is quantized to integer
+    * micro-units c6i = round(cos·10⁶) and the per-vector aggregate is two
+    * plain bigint maxes — max(c6i) and max(c6i·2⁴⁰ − eval_id), whose
+    * combined decode gives (max cosine, lowest eval id at that cosine)
+    * with identical tie policy in both engines. A max-of-struct would
+    * force Spark into a SortAggregate that SORTS the N×E intermediate
+    * per partition (measured on the first cut of this query) — the
+    * integer encoding keeps the whole pre-shuffle pass a streaming
+    * HashAggregate. Requires eval ids < 2⁴⁰ (any real benchmark id
+    * space). Direct DuckDB oracle via list_dot_product.
+    */
+  def semanticDecon(corpus: DataFrame, evals: DataFrame,
+      tau: Double): DataFrame = {
+    val shift = 1L << 40
+    val tauMicro = math.round(tau * 1e6)
+    val c = corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0)
+    val e = evals.filter(col("enrm") > 0)
+    c.join(broadcast(e))
+      .select(col("vec_id"), col("eval_id"),
+        round(safeCos(dot(col("v"), col("ev")), col("nrm"), col("enrm"))
+          * lit(1000000.0), 0).cast("bigint").as("c6i"))
+      .groupBy("vec_id")
+      .agg(max(col("c6i")).as("mc"),
+        max(col("c6i") * lit(shift) - col("eval_id")).as("k"))
+      .select(col("vec_id"),
+        (col("mc").cast("double") / lit(1000000.0)).as("max_cos"),
+        (col("mc") * lit(shift) - col("k")).as("nearest_eval_id"),
+        (col("mc") >= tauMicro).as("contaminated"))
+  }
+
+  /** q91: semantic decontamination of the embeddings table against a
+    * staged eval set. The corpus has no separate benchmark table, so the
+    * leak is staged deterministically (and reproduced by the oracle):
+    * every 50th vector's 56-dim prefix (zero-padded back to 64) plays an
+    * eval item — a truncated "paraphrase" of a corpus member. Leaked
+    * vectors score ≈0.85–0.95 against their truncation; the background
+    * tops out ≈0.49 at every committed SF, so τ=0.8 separates exactly
+    * the planted leaks. Direct DuckDB oracle.
+    */
+  def qSemanticDecon(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val evals = t.embeddings.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("eval_id"),
+        concat(slice(toDouble(col("embedding")), 1, 56),
+          array_repeat(lit(0.0), 8)).as("ev"))
+      .withColumn("enrm", norm(col("ev")))
+    semanticDecon(t.embeddings, evals, tau = 0.8).orderBy("vec_id")
+  }
 }

@@ -39,6 +39,19 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q22's composite quality score as a reusable column expression —
+    * stopword-ratio and length terms, rounded to 6 (the exact value the
+    * q22 oracle checks). Shared by q92's keep-best canonicalization.
+    */
+  def qualityExpr(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val stop = size(regexp_extract_all(text,
+      lit("\\b(the|a|of|and|to|in)\\b"), lit(0))).cast("double")
+    round(
+      (stop / greatest(nTok, lit(1.0))) * 0.3 + least(nTok / lit(200.0), lit(1.0)) * 0.7,
+      6)
+  }
+
   /** q22: quality scoring — length / punctuation / stopword ratios
     * (deterministic arithmetic, mirrored exactly by the DuckDB oracle).
     */
@@ -55,9 +68,7 @@ object TextOps {
       round(punct / greatest(nChar, lit(1.0)), 6).as("punct_ratio"),
       round(stop / greatest(nTok, lit(1.0)), 6).as("stopword_ratio"),
       round(compact / greatest(nTok, lit(1.0)), 6).as("avg_token_len"),
-      round(
-        (stop / greatest(nTok, lit(1.0))) * 0.3 + least(nTok / lit(200.0), lit(1.0)) * 0.7,
-        6).as("quality"))
+      qualityExpr(col("text")).as("quality"))
       .orderBy("doc_id")
   }
 

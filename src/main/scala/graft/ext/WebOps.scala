@@ -69,4 +69,77 @@ object WebOps {
         (!col("blocked") && col("__rn") <= maxPerHost).as("kept"))
       .orderBy("doc_id")
   }
+
+  /** Canonical form of a crawl URL — the normalization every web-corpus
+    * dedup runs before URL-level exact dedup (C4 / CCNet drop re-crawls of
+    * the same page arriving under cosmetically different URLs). Rules, in
+    * order (each a codegen'd regex — zero shuffle, and each expressible
+    * identically in the DuckDB oracle):
+    *  1. drop the fragment (`#...` never reaches the server);
+    *  2. lowercase the scheme+host prefix (case-insensitive per RFC 3986);
+    *  3. drop an explicit default port (`:443` for https, `:80` for http);
+    *  4. drop `utm_*` tracking parameters, then repair a query string
+    *     whose first parameter was removed (`&` → `?`);
+    *  5. drop a single trailing slash.
+    * Anchored patterns match at most once, so Spark's replace-all and the
+    * oracle's replace-first agree; the utm rule is the one deliberate
+    * replace-all (`'g'` in DuckDB).
+    */
+  def urlCanonicalize(url: Column): Column = {
+    val c1 = regexp_replace(url, "#.*$", "")
+    val c2 = concat(
+      lower(regexp_extract(c1, "^([A-Za-z]+://[^/?#]*)", 1)),
+      regexp_replace(c1, "^[A-Za-z]+://[^/?#]*", ""))
+    val c3 = regexp_replace(
+      regexp_replace(c2, "^(https://[^/?#]*):443/", "$1/"),
+      "^(http://[^/?#]*):80/", "$1/")
+    val c4 = regexp_replace(c3, "[?&]utm_[a-z]+=[^&#]*", "")
+    val c5 = regexp_replace(c4, "^([^?#&]*)&", "$1?")
+    regexp_replace(c5, "/$", "")
+  }
+
+  /** URL-level exact dedup over (id, url) rows: canonicalize, then keep the
+    * lowest id per canonical URL (q26's keep-first policy applied to the
+    * URL key). Scale shape: grouping is on `md5(canon)` — a fixed-width
+    * key, so the only shuffle moves (16-byte hash, id) pairs that map-side
+    * combine to one row per URL group; the full canonical string rides only
+    * on the per-row side of the join back. Output one row per input doc.
+    */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame = {
+    val canon = docs.withColumn("canon_url", urlCanonicalize(col(urlCol)))
+      .withColumn("__ch", md5(col("canon_url")))
+    val groups = canon.groupBy("__ch")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+    canon.join(groups, "__ch")
+      .select(col(idCol), col(urlCol), col("canon_url"), col("keep_id"),
+        col("n_copies"), (col(idCol) =!= col("keep_id")).as("is_dup"))
+  }
+
+  /** q89: URL canonicalization + URL-level dedup over `documents`. The
+    * corpus has no URL column, so a deterministic crawl URL is staged from
+    * the doc id (the q62 recipe): five docs share each page id `gid`, each
+    * arriving under a different cosmetic variant — clean, uppercased host
+    * with explicit `:443` and a fragment, utm-tagged, trailing-slash, and
+    * utm-tagged-with-a-kept-parameter (which canonicalizes to a distinct
+    * URL: `?ref=keep` survives). The oracle rebuilds the identical strings
+    * and the identical rule chain. Direct DuckDB oracle.
+    */
+  def qUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val id = col("doc_id")
+    val gid = floor(id / 5).cast("bigint")
+    val host = concat(lit("src"), (gid % 20).cast("string"), lit(".example.com"))
+    val path = concat(lit("/doc/"), gid.cast("string"))
+    val url = when(id % 5 === 0, concat(lit("https://"), host, path))
+      .when(id % 5 === 1,
+        concat(lit("HTTPS://"), upper(host), lit(":443"), path, lit("#sec-2")))
+      .when(id % 5 === 2,
+        concat(lit("https://"), host, path, lit("?utm_source=feed&utm_campaign=promo")))
+      .when(id % 5 === 3, concat(lit("https://"), host, path, lit("/")))
+      .otherwise(
+        concat(lit("https://"), host, path, lit("?utm_source=x&ref=keep")))
+    urlDedup(t.documents.select(id, url.as("url")))
+      .orderBy("doc_id")
+  }
 }

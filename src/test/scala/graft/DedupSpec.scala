@@ -328,4 +328,64 @@ class DedupSpec extends SparkSpec {
       lineWords = 1, posBound = 100L).collect()
     assert(ok.length == 1 && ok.head.getLong(1) == 100L)
   }
+
+  test("containmentPairs: planted full containment; boilerplate past maxDf blocks") {
+    // doc 0's two 5-grams both appear in doc 1 (A ⊂ B); docs 2..6 share
+    // ONLY one common 5-gram with df=5 > maxDf=4 — blocked as boilerplate
+    val common = "the quick brown fox jumps"
+    val docs = (Seq(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      1L -> "alpha beta gamma delta epsilon zeta eta theta") ++
+      (2L to 6L).map(i => i -> s"$common filler${i}a filler${i}b filler${i}c"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.keySet == Set((0L, 1L)), s"unexpected candidates: ${out.keySet}")
+    val ab = out((0L, 1L))
+    assert(ab.getLong(2) == 2 && ab.getLong(3) == 2 && ab.getLong(4) == 4)
+    assert(ab.getDouble(5) == 1.0, "A fully contained in B")
+    assert(ab.getDouble(6) == 0.5, "B only half-covered by A")
+  }
+
+  test("containmentPairs: asymmetry is the point — Jaccard under-scores inclusion") {
+    // a short doc embedded whole in a long one: containment 1.0, Jaccard low
+    val short = "one two three four five six"
+    val long = short + " " + (1 to 30).map(i => s"pad$i").mkString(" ")
+    val out = DedupOps.containmentPairs(
+      Seq(0L -> short, 1L -> long).toDF("doc_id", "text")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDouble(5) == 1.0)
+    val jaccard = r.getLong(2).toDouble / (r.getLong(3) + r.getLong(4) - r.getLong(2))
+    assert(jaccard < 0.1, s"jaccard $jaccard should be tiny here")
+  }
+
+  test("keepBestDedup: argmax quality, ties to the lowest id, singletons kept") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (7L, 0.2))
+      .toDF("doc_id", "quality")
+    val out = DedupOps.keepBestDedup(clusters, quality).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    // 2 and 3 tie at 0.9 → keeper 2 (lower id); singleton 7 keeps itself
+    assert(out == Set((1L, 3L, 2L, false), (2L, 3L, 2L, true),
+      (3L, 3L, 2L, false), (7L, 1L, 7L, true)))
+  }
+
+  test("q92: keeper is each cluster's max-quality member and differs from min-id") {
+    val rows = DedupOps.qKeepBestDedup(spark, SF).collect()
+    assert(rows.length == 500)
+    val by = rows.groupBy(_.getLong(1))
+    by.values.foreach { ms =>
+      val keepId = ms.head.getLong(4)
+      assert(ms.forall(_.getLong(4) == keepId), "inconsistent keeper in cluster")
+      assert(ms.count(_.getBoolean(5)) == 1, "exactly one kept per cluster")
+      assert(ms.forall(_.getLong(3) == ms.length), "cluster_size wrong")
+      val best = ms.minBy(r => (-r.getDouble(2), r.getLong(0)))
+      assert(best.getLong(0) == keepId, "keeper not the quality argmax")
+    }
+    assert(rows.exists(r => !r.getBoolean(5)), "no doc dropped at this SF")
+    assert(by.values.exists(ms => ms.head.getLong(4) != ms.map(_.getLong(0)).min),
+      "keep-best never diverges from keep-min-id at this SF — policy untested")
+  }
 }

@@ -156,6 +156,37 @@ class GoldenDerivationSpec extends SparkSpec {
     assert(engine == expected)
   }
 
+  test("q92 keep-best re-derived: union-find clusters + plain-Scala quality argmax") {
+    // synthetic quality that BREAKS ties inside the planted clusters (the
+    // fixture's dup texts are equal-length, so the real q22 score would tie
+    // everywhere and never exercise the argmax); keepBestDedup takes the
+    // quality frame as input, so the derivation controls it end-to-end
+    val qual: Map[Long, Double] = fixture.map { case (id, _) =>
+      id -> ((id * 37) % 10) / 10.0
+    }.toMap
+    val engine = DedupOps.keepBestDedup(
+        DedupOps.minHashDedupClusters(docsDf),
+        qual.toSeq.toDF("doc_id", "quality"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    // derivation: same union-find as the q51 test, then plain argmax
+    val threshold = 0.6
+    val parent = scala.collection.mutable.Map(fixture.map(f => f._1 -> f._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    derivedCandidates.filter { case (a, b) => jaccard(sets(a), sets(b)) >= threshold }
+      .foreach { case (a, b) => parent(find(a)) = find(b) }
+    val comps = fixture.map(_._1).groupBy(find).values
+    val expected = comps.flatMap { ids =>
+      val label = ids.min
+      val keep = ids.minBy(id => (-qual(id), id))
+      ids.map(id => (id, label, qual(id), ids.size.toLong, keep, id == keep))
+    }.toSet
+    // the policy must diverge from keep-min-id on a planted cluster
+    assert(expected.exists { case (_, cl, _, n, keep, _) => n > 1 && keep != cl })
+    assert(engine == expected)
+  }
+
   test("q24 winnow fingerprint counts + rolling hashes re-derived") {
     val k = 8; val w = 4; val base = 1000003L
     // engine side: the same projection q24 runs, over the fixture

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ext.RetrievalOps
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def round6(x: Double): Double =
+    BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rrfFuse: hand-computed scores, full-outer semantics, tie-to-lower-id") {
+    val bm = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val dn = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("query_id", "doc_id", "rank")
+    val out = RetrievalOps.rrfFuse(bm, dn, 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    // doc 11 in both lists: 1/62 + 1/61; docs 10/12 one-sided
+    assert(out == Seq(
+      (1L, 11L, round6(1.0 / 62 + 1.0 / 61)),
+      (2L, 10L, round6(1.0 / 61)),
+      (3L, 12L, round6(1.0 / 62))))
+    // a one-sided doc keeps a NULL rank from the missing ranker
+    val row10 = RetrievalOps.rrfFuse(bm, dn, 10).collect()
+      .find(_.getLong(2) == 10L).get
+    assert(row10.getLong(4) == 1L && row10.isNullAt(5))
+  }
+
+  test("rrfFuse: equal one-sided scores tie-break to the lower doc_id") {
+    val bm = Seq((0L, 99L, 3L)).toDF("query_id", "doc_id", "rank")
+    val dn = Seq((0L, 42L, 3L)).toDF("query_id", "doc_id", "rank")
+    val out = RetrievalOps.rrfFuse(bm, dn, 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out.sortBy(_._1) == Seq((1L, 42L), (2L, 99L)))
+  }
+
+  test("q90: shape, rrf arithmetic, and the PRF anchor tops its own query") {
+    val rows = RetrievalOps.qHybridRetrieval(spark, SF).collect()
+    assert(rows.length == 30)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to 10L))
+    }
+    rows.foreach { r =>
+      val rb = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      val rd = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      assert(rb.nonEmpty || rd.nonEmpty, "fused doc in neither ranked list")
+      val expect = round6(rb.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+        + rd.map(x => 1.0 / (60 + x)).getOrElse(0.0))
+      assert(r.getDouble(3) == expect, s"rrf mismatch on $r")
+    }
+    // the PRF anchor (BM25 top-1, supplies the dense query vector) scores
+    // cosine 1.0 against itself → dense rank 1 → unique maximal RRF
+    val anchors = rows.filter(r => !r.isNullAt(4) && r.getLong(4) == 1L)
+    assert(anchors.length == 3)
+    anchors.foreach { r =>
+      assert(!r.isNullAt(5) && r.getLong(5) == 1L, "anchor not dense top-1")
+      assert(r.getLong(1) == 1L, "anchor not fused top-1")
+    }
+  }
+}

@@ -146,4 +146,31 @@ class SamplingSpec extends SparkSpec {
     assert(keys.sliding(2).forall { case Array((k1, d1), (k2, d2)) =>
       k1 > k2 || (k1 == k2 && d1 < d2) })
   }
+
+  test("q93 split assignment: exhaustive, bucket-consistent, stable, ~90/5/5") {
+    val out = SamplingOps.qSplitAssign(spark, SF).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val b = r.getLong(2)
+      assert(b >= 0 && b < 1000)
+      val want = if (b < 900) "train" else if (b < 950) "val" else "test"
+      assert(r.getString(3) == want)
+    }
+    val counts = out.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(counts.keySet == Set("train", "val", "test"),
+      s"missing a split class: $counts")
+    // loose binomial envelope at n=500: train ∈ [85%, 95%]
+    assert(counts("train") >= 425 && counts("train") <= 475, s"$counts")
+    // stability: identical assignment on an independent rebuild
+    val again = SamplingOps.qSplitAssign(spark, SF).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(3))).toSeq ==
+      again.map(r => (r.getLong(0), r.getString(3))).toSeq)
+  }
+
+  test("splitAssign rejects ranges that do not cover the bucket space") {
+    val docs = Tables(spark, SF).documents.select(col("doc_id"))
+    intercept[IllegalArgumentException] {
+      SamplingOps.splitAssign(docs, "doc_id", Seq("train" -> 900), denom = 1000)
+    }
+  }
 }

@@ -332,6 +332,36 @@ class SimilaritySpec extends SparkSpec {
       w.forall { case (k, v) => v.sameElements(again(k)) })
   }
 
+  test("semanticDecon: exact cosines, argmax tie to lowest eval id, tau verdicts") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), // exactly eval direction → cos 1.0
+      (1L, Seq(0.0f, 1.0f, 0.0f)), // orthogonal → cos 0.0
+      (2L, Seq(1.0f, 1.0f, 0.0f))) // 45° → cos ≈ 0.707107
+      .toDF("vec_id", "embedding")
+    val evals = Seq((20L, Seq(1.0, 0.0, 0.0)), (10L, Seq(1.0, 0.0, 0.0)))
+      .toDF("eval_id", "ev")
+      .withColumn("enrm", SimilarityOps.norm(col("ev")))
+    val out = SimilarityOps.semanticDecon(corpus, evals, tau = 0.9)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getBoolean(3))).toMap
+    // identical evals 10 and 20 tie on cosine → nearest = LOWER eval id
+    assert(out(0L) == ((1.0, 10L, true)))
+    assert(out(1L) == ((0.0, 10L, false)))
+    assert(out(2L) == ((0.707107, 10L, false)))
+  }
+
+  test("q91: contaminated = exactly the staged leak set; nearest is the leak source") {
+    val rows = SimilarityOps.qSemanticDecon(spark, SF).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(3) == (id % 50 == 0),
+        s"vec $id contamination verdict wrong (max_cos=${r.getDouble(1)})")
+      if (id % 50 == 0)
+        assert(r.getLong(2) == id, "leaked vector's nearest eval is its own truncation")
+    }
+  }
+
   test("q31/q33 plans contain no self-join on a raw signature (bucket-local expansion)") {
     // the capped path builds pairs from collect_list inside one aggregation;
     // a SortMergeJoin/ShuffledHashJoin keyed on `sig` would be the uncapped

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ext.WebOps
+import org.apache.spark.sql.functions._
 
 class WebOpsSpec extends SparkSpec {
 
@@ -33,6 +34,42 @@ class WebOpsSpec extends SparkSpec {
     unblockedByHost.values.foreach { rows =>
       assert(rows.map(_.getLong(5)).sorted.toSeq == (1L to rows.length).toSeq,
         "host ranks not dense")
+    }
+  }
+
+  test("urlCanonicalize: each rule fires, path case and kept params survive") {
+    import spark.implicits._
+    val cases = Seq(
+      "https://A.Example.COM/x" -> "https://a.example.com/x",
+      "HTTPS://HOST.COM:443/p#frag" -> "https://host.com/p",
+      "http://host.com:80/p" -> "http://host.com/p",
+      "https://h.com/p?utm_source=a&utm_campaign=b" -> "https://h.com/p",
+      "https://h.com/p?utm_source=a&ref=keep" -> "https://h.com/p?ref=keep",
+      "https://h.com/p/" -> "https://h.com/p",
+      "https://h.com/p?ref=keep#frag" -> "https://h.com/p?ref=keep",
+      // NOT normalized: path case, non-default port, non-utm params
+      "https://h.com/PATH" -> "https://h.com/PATH",
+      "https://h.com:8443/p" -> "https://h.com:8443/p",
+      "https://h.com/p?b=2&a=1" -> "https://h.com/p?b=2&a=1")
+    val out = cases.map(_._1).toDF("url")
+      .select(WebOps.urlCanonicalize(col("url"))).as[String].collect().toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("q89: cosmetic variants collapse per page; kept-param variant stays distinct") {
+    val out = WebOps.qUrlDedup(spark, SF).collect()
+    assert(out.length == 500)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    (0 until 100).foreach { g =>
+      val base = 5L * g
+      Seq(0, 1, 2, 3).foreach { v =>
+        val r = byId(base + v)
+        assert(r.getLong(3) == base, s"group $g variant $v keeper")
+        assert(r.getLong(4) == 4, s"group $g variant $v copy count")
+        assert(r.getBoolean(5) == (v != 0), s"group $g variant $v is_dup")
+      }
+      val r4 = byId(base + 4) // ?ref=keep canonicalizes to its own URL
+      assert(r4.getLong(3) == base + 4 && r4.getLong(4) == 1 && !r4.getBoolean(5))
     }
   }
 }
