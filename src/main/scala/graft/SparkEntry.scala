@@ -120,6 +120,10 @@ object SparkEntry {
     "q92_keep_best" -> (DedupOps.qKeepBestDedup _),
     "q93_split_assign" -> (SamplingOps.qSplitAssign _),
     "q94_containment" -> (DedupOps.qContainment _),
+    "q95_quality_buckets" -> (TextOps.qQualityBuckets _),
+    "q96_cross_source_dups" -> (DedupOps.qCrossSourceDups _),
+    "q97_knn_graph" -> (SimilarityOps.qKnnGraph _),
+    "q98_temperature_mix" -> (SamplingOps.qTemperatureMix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -905,6 +909,63 @@ object SparkEntry {
         | round(CAST(i.n_shared AS DOUBLE) / CAST(sb.n_ng AS DOUBLE), 6) AS cont_b_in_a
         |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
         |ORDER BY id_a, id_b""".stripMargin,
+    "q95_quality_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id,
+        |        ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] AS bg,
+        |        ws[CAST(i AS INTEGER)] AS w1
+        |       FROM t, unnest(range(1, len(ws))) AS r(i)),
+        |rbg AS (SELECT bg, count(*) AS c12 FROM bg WHERE doc_id % 7 = 0 GROUP BY 1),
+        |ru AS (SELECT w1, count(*) AS c1
+        |       FROM (SELECT doc_id, unnest(ws) AS w1 FROM t)
+        |       WHERE doc_id % 7 = 0 GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ru),
+        |s AS (SELECT e.doc_id,
+        |        -ln((coalesce(c12, 0) + 1) / (coalesce(c1, 0) + v)) AS nll
+        |      FROM bg e LEFT JOIN rbg USING (bg) LEFT JOIN ru USING (w1)
+        |      CROSS JOIN v
+        |      WHERE e.doc_id % 7 <> 0),
+        |sc AS (SELECT doc_id, round(avg(nll), 6) AS avg_nll,
+        |        round(exp(avg(nll)), 4) AS ppl
+        |       FROM s GROUP BY doc_id),
+        |bkt AS (SELECT sc.doc_id, d.source, sc.avg_nll, sc.ppl,
+        |  ntile(3) OVER (PARTITION BY d.source ORDER BY sc.avg_nll, sc.doc_id)
+        |    AS bucket
+        | FROM sc JOIN documents d ON d.doc_id = sc.doc_id)
+        |SELECT doc_id, source, avg_nll, ppl, CAST(bucket AS BIGINT) AS bucket,
+        | CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band,
+        | bucket <= 2 AS keep
+        |FROM bkt ORDER BY doc_id""".stripMargin,
+    "q96_cross_source_dups" ->
+      """WITH staged AS (
+        |  SELECT text, source FROM documents
+        |  UNION ALL
+        |  SELECT text, 'mirror' AS source FROM documents WHERE doc_id % 7 = 3),
+        |hs AS (SELECT md5(text) AS h, source, count(*) AS n_docs
+        |       FROM staged GROUP BY 1, 2)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        | count(*) AS n_shared_hashes,
+        | CAST(sum(a.n_docs) AS BIGINT) AS n_docs_a,
+        | CAST(sum(b.n_docs) AS BIGINT) AS n_docs_b
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    "q98_temperature_mix" ->
+      """WITH n AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_source,
+        |  CAST(round(sqrt(CAST(n_source AS DOUBLE)) * 1000000, 0) AS BIGINT)
+        |    AS w_micro
+        | FROM n),
+        |b AS (SELECT source, n_source, w_micro,
+        |  (200 * w_micro) // (SELECT sum(w_micro) FROM w) AS budget
+        | FROM w),
+        |r AS (SELECT doc_id, d.source AS source, n_source, w_micro, budget,
+        |  row_number() OVER (PARTITION BY d.source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents d JOIN b ON d.source = b.source)
+        |SELECT doc_id, source, n_source, w_micro, CAST(budget AS BIGINT) AS budget,
+        | CAST(rk AS BIGINT) AS sample_rank
+        |FROM r WHERE rk <= budget ORDER BY doc_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that
@@ -926,7 +987,7 @@ object SparkEntry {
     "q76_bpe_apply", "q77_curate", "q78_image_dedup", "q79_audio_dedup",
     "q80_video_dedup", "q81_shared_spans", "q84_span_scrub",
     "q85_image_clusters", "q86_audio_incremental", "q87_pca_whiten",
-    "q92_keep_best",
+    "q92_keep_best", "q97_knn_graph",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

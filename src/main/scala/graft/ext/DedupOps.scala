@@ -1026,6 +1026,47 @@ object DedupOps {
   def qContainment(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(Tables(spark, dir).documents).orderBy("id_a", "id_b")
 
+  /** Cross-source DUPLICATION MATRIX — for every pair of sources, how
+    * much exact-duplicate mass they share: the accounting every
+    * multi-corpus merge runs first (how much of crawl B is already in
+    * curated A decides dedup order and attribution). Per unordered
+    * source pair: the number of distinct shared text hashes and each
+    * side's duplicated document count.
+    *
+    * Scale shape: only (16-byte md5, source) pairs ever shuffle — text
+    * stays at the scan. The per-hash source list is bounded by the
+    * source count, so the hash-keyed self-join expands each hash to at
+    * most S² rows (S = #sources, thousands at most); the final matrix
+    * aggregate is map-side combinable into an ≤S² output.
+    */
+  def crossSourceDupMatrix(docs: DataFrame, textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val hs = graft.CacheRegistry.persist(
+      docs.select(md5(col(textCol)).as("h"), col(srcCol).as("source"))
+        .groupBy("h", "source").agg(count(lit(1)).as("n_docs")))
+    hs.select(col("h"), col("source").as("source_a"), col("n_docs").as("na"))
+      .join(hs.select(col("h"), col("source").as("source_b"), col("n_docs").as("nb")), "h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_hashes"),
+        sum(col("na")).as("n_docs_a"),
+        sum(col("nb")).as("n_docs_b"))
+  }
+
+  /** q96: cross-source duplication matrix over `documents`, with a
+    * staged "mirror" source (every doc_id % 7 == 3 re-labeled) so the
+    * matrix is non-trivial at every committed SF — the natural corpus
+    * has cross-source exact dups only at sf0.1. Direct DuckDB oracle
+    * (the staging is pure relational algebra).
+    */
+  def qCrossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val staged = t.documents.select(col("text"), col("source"))
+      .union(t.documents.filter(col("doc_id") % 7 === 3)
+        .select(col("text"), lit("mirror").as("source")))
+    crossSourceDupMatrix(staged).orderBy("source_a", "source_b")
+  }
+
   /** Near-dup cluster CANONICALIZATION with a keep-best policy: within
     * each transitive near-dup cluster (q51's connected components), keep
     * the HIGHEST-QUALITY member rather than the arbitrary lowest id —

@@ -213,6 +213,47 @@ object SamplingOps {
       .orderBy("shard")
   }
 
+  /** TEMPERATURE-scaled source mixture: per-source sampling budgets
+    * ∝ n_s^α (α = 0.5 here — the T=2 multilingual-sampling operating
+    * point), the standard rebalancing that upweights small sources
+    * without letting the head dominate. α = ½ keeps the weight
+    * computation ENGINE-EXACT: sqrt is a correctly-rounded IEEE op in
+    * both Spark and DuckDB (a general pow() differs by ulps between
+    * libms), the weight is then micro-quantized to an integer and the
+    * budget split is pure integer arithmetic — no float crosses the
+    * keep/drop boundary. Selection within each source is the
+    * deterministic hash-rank bottom-k ([[mixtureSample]]).
+    *
+    * Scale shape: source sizes and the weight table are an S-row
+    * aggregate that comes back as a broadcast; the only data-sized
+    * shuffle is the per-source window mixtureSample already pays.
+    */
+  def temperatureBudgets(docs: DataFrame, stratum: String,
+      totalBudget: Long): DataFrame = {
+    val n = docs.groupBy(stratum).agg(count(lit(1)).as("n_source"))
+      .withColumn("w_micro",
+        round(sqrt(col("n_source").cast("double")) * 1000000.0, 0).cast("bigint"))
+    val sumW = n.agg(sum(col("w_micro")).as("sum_w"))
+    n.crossJoin(broadcast(sumW))
+      .withColumn("budget", expr(s"($totalBudget * w_micro) div sum_w"))
+      .drop("sum_w")
+  }
+
+  /** q98: temperature-mixture sampling over documents — √-scaled source
+    * budgets for a 200-doc mixture, hash-rank selection. Direct DuckDB
+    * oracle (integer budgets, portable md5 hash order).
+    */
+  def qTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val budgets = temperatureBudgets(
+      t.documents.select("doc_id", "source"), "source", totalBudget = 200L)
+    mixtureSample(t.documents.select("doc_id", "source"), "source", "doc_id",
+        budgets)
+      .select(col("doc_id"), col("source"), col("n_source"), col("w_micro"),
+        col("budget"), col("sample_rank").cast("bigint").as("sample_rank"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic held-out split assignment: hash the id into one of
     * `denom` buckets and carve the bucket space into named ranges
     * (train/val/test). The properties a training pipeline needs and

@@ -1096,6 +1096,39 @@ object SimilarityOps {
           .as("w_norm"))
       .orderBy("vec_id")
 
+  /** k-NEAREST-NEIGHBOR GRAPH over the embedding table — the shared
+    * substrate under SemDeDup-style pruning, label propagation, and
+    * graph-based coreset selection: for every vector, its top-k
+    * neighbors AMONG ITS LSH CANDIDATES by cosine. Approximate by
+    * construction (a vector with no bucket-mates has no edges) — the
+    * standard trade for never going n².
+    *
+    * Scale shape: edges come from [[candidateCosines]] (capped-bucket
+    * pair expansion — candidate mass ∝ true near-neighbor mass);
+    * symmetrizing doubles that bounded edge set; the per-vector top-k
+    * is a rank-filtered window (WindowGroupLimit keeps ≤k rows per
+    * vec per map partition BEFORE the exchange). Ranks compare the
+    * ROUNDED cosine with neighbor-id ties (q61 discipline). Golden
+    * oracle (hyperplane LSH is hash-seeded); GoldenDerivationSpec
+    * re-derives full rows on a planted fixture.
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 5, bands: Int = 4,
+      bitsPerBand: Int = 0): DataFrame = {
+    val cand = candidateCosines(embeddings, bands, bitsPerBand)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos6"))
+      .filter(col("cos6").isNotNull)
+    val sym = cand.select(col("vec_a").as("vec_id"), col("vec_b").as("nbr_id"), col("cos6"))
+      .union(cand.select(col("vec_b").as("vec_id"), col("vec_a").as("nbr_id"), col("cos6")))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos6"), asc("nbr_id"))
+    sym.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("cos6").as("cos"))
+  }
+
+  /** q97: 5-NN graph over the embeddings table (golden oracle). */
+  def qKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(Tables(spark, dir).embeddings).orderBy("vec_id", "rank")
+
   /** SEMANTIC decontamination: flag corpus vectors whose embedding is
     * near-identical to some member of a held-out evaluation set — the
     * embedding-space complement of q58's n-gram decontamination (catches

@@ -528,6 +528,36 @@ object TextOps {
     lmPerplexity(Tables(spark, dir).documents, col("doc_id") % 7 === 0)
       .orderBy("doc_id")
 
+  /** q95: CCNet-style perplexity-bucket filtering — rank every scored
+    * document WITHIN ITS SOURCE by LM perplexity and cut each source's
+    * distribution into head / middle / tail terciles (CCNet's operating
+    * point keeps head+middle and drops the tail). Bucketing per source
+    * rather than globally is the point: sources have different base
+    * perplexities, and a global cut would silently drop whole domains.
+    *
+    * Scale shape: scoring is q66's broadcast-model pass; the tercile is
+    * ONE ntile window per source (hash-partitioned by source, same key
+    * spread argument as q69) over the already-aggregated one-row-per-doc
+    * frame — no text in the window. Ranks order by the ROUNDED avg_nll
+    * (q61 discipline) with doc_id ties, so both engines cut identically.
+    * Direct DuckDB oracle.
+    */
+  def qQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val scored = lmPerplexity(t.documents, col("doc_id") % 7 === 0)
+    val w = Window.partitionBy("source").orderBy(asc("avg_nll"), asc("doc_id"))
+    scored
+      .join(t.documents.select("doc_id", "source"), "doc_id")
+      .withColumn("bucket", ntile(3).over(w).cast("bigint"))
+      .select(col("doc_id"), col("source"), col("avg_nll"), col("ppl"),
+        col("bucket"),
+        when(col("bucket") === 1, "head").when(col("bucket") === 2, "middle")
+          .otherwise("tail").as("band"),
+        (col("bucket") <= 2).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** See [[qLmPerplexity]]. `refPred` selects the reference (model-
     * training) documents; every other doc with ≥ 2 tokens is scored.
     */

@@ -360,6 +360,35 @@ class DedupSpec extends SparkSpec {
     assert(jaccard < 0.1, s"jaccard $jaccard should be tiny here")
   }
 
+  test("crossSourceDupMatrix: per-pair shared hashes with doc multiplicity") {
+    val docs = Seq(
+      ("a", "x x x"), ("a", "x x x"), ("a", "y y"),
+      ("b", "x x x"), ("b", "z z"), ("c", "z z")).toDF("source", "text")
+    val out = DedupOps.crossSourceDupMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // a∩b share "x x x" (a has it twice); b∩c share "z z"; a∩c share nothing
+    assert(out.keySet == Set(("a", "b"), ("b", "c")))
+    assert(out(("a", "b")) == ((1L, 2L, 1L)))
+    assert(out(("b", "c")) == ((1L, 1L, 1L)))
+  }
+
+  test("q96: the staged mirror source pairs with every origin source it copies") {
+    val rows = DedupOps.qCrossSourceDups(spark, SF).collect()
+    assert(rows.nonEmpty)
+    // at this SF the corpus has no natural cross-source exact dups — every
+    // matrix row is a (mirror, origin) pair, and mirror texts are unique,
+    // so both doc tallies equal the shared-hash count
+    rows.foreach { r =>
+      assert(r.getString(0) == "mirror", s"unexpected natural pair: $r")
+      assert(r.getLong(2) == r.getLong(3) && r.getLong(2) == r.getLong(4))
+    }
+    // total mirrored mass accounted for exactly once
+    val mirrored = Tables(spark, SF).documents
+      .filter(col("doc_id") % 7 === 3).count()
+    assert(rows.map(_.getLong(2)).sum == mirrored)
+  }
+
   test("keepBestDedup: argmax quality, ties to the lowest id, singletons kept") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
       .toDF("doc_id", "cluster_id")

@@ -156,6 +156,57 @@ class GoldenDerivationSpec extends SparkSpec {
     assert(engine == expected)
   }
 
+  test("q97 knn graph re-derived: bucketed pairs, symmetrized, rank-filtered") {
+    val bands = 2; val bits = 4; val dim = 8; val k = 3
+    // same planted vector fixture as the q31/q33 derivation
+    val vecs: Seq[(Long, Seq[Float])] =
+      Seq(0L -> Seq.fill(dim)(1.0f),
+          1L -> Seq.fill(dim)(2.0f),
+          2L -> Seq.fill(dim)(-1.0f)) ++
+        (3L until 24L).map(i => i ->
+          Seq.tabulate(dim)(j => math.sin(i * 2.39996 + j * 1.618).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val engine = SimilarityOps.knnGraph(df, k, bands, bits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // plain-Scala LCG hyperplanes / signatures / capped buckets / cosines
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    val planes = Seq.fill(bands * bits)(Seq.fill(dim)(next()))
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    val dvecs: Map[Long, Seq[Double]] =
+      vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val norms: Map[Long, Double] = dvecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    def sig(v: Seq[Double], band: Int): Long =
+      (0 until bits).foldLeft(0L)((acc, r) =>
+        if (dot(v, planes(band * bits + r)) > 0) acc | (1L << r) else acc)
+    val pairs: Set[(Long, Long)] = (0 until bands).flatMap { b =>
+      vecs.map(_._1).groupBy(id => sig(dvecs(id), b)).values
+        .filter(g => g.size >= 2 && g.size <= 100)
+        .flatMap { g =>
+          val ids = g.sorted
+          for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+        }
+    }.toSet
+    val cos6: Map[(Long, Long), Double] = pairs.iterator.map { case (a, b) =>
+      (a, b) -> round6(dot(dvecs(a), dvecs(b)) / (norms(a) * norms(b)))
+    }.toMap
+    // symmetrize, rank by (cos6 desc, nbr asc), keep top-k per vector
+    val expected = vecs.map(_._1).flatMap { id =>
+      val nbrs = cos6.collect {
+        case ((a, b), c) if a == id => (b, c)
+        case ((a, b), c) if b == id => (a, c)
+      }.toSeq.sortBy { case (nbr, c) => (-c, nbr) }.take(k)
+      nbrs.zipWithIndex.map { case ((nbr, c), i) => (id, (i + 1).toLong, nbr, c) }
+    }.toSet
+    // fixture must exercise both a full and a short neighbor list
+    assert(expected.exists(_._2 == k.toLong))
+    assert(engine == expected)
+  }
+
   test("q92 keep-best re-derived: union-find clusters + plain-Scala quality argmax") {
     // synthetic quality that BREAKS ties inside the planted clusters (the
     // fixture's dup texts are equal-length, so the real q22 score would tie

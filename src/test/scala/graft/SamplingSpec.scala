@@ -167,6 +167,44 @@ class SamplingSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getString(3))).toSeq)
   }
 
+  test("q98: √-temperature budgets re-derived; selection honors them exactly") {
+    val rows = SamplingOps.qTemperatureMix(spark, SF).collect()
+    // independent plain-Scala budget derivation (same micro-quantization)
+    val counts = Tables(spark, SF).documents.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = counts.view.mapValues(n =>
+      BigDecimal(java.math.BigDecimal.valueOf(math.sqrt(n.toDouble) * 1e6))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toMap
+    val sw = w.values.sum
+    val budget = w.map { case (s, x) => s -> 200L * x / sw }
+    val perSource = rows.groupBy(_.getString(1))
+    perSource.foreach { case (s, rs) =>
+      assert(rs.head.getLong(2) == counts(s))
+      assert(rs.head.getLong(3) == w(s), s"$s weight")
+      assert(rs.head.getLong(4) == budget(s), s"$s budget")
+      assert(rs.length == math.min(budget(s), counts(s)).toInt)
+      rs.foreach(r => assert(r.getLong(5) <= r.getLong(4)))
+    }
+    assert(rows.length == budget.map { case (s, b) => math.min(b, counts(s)) }.sum)
+    // the temperature rebalances when sizes differ (they are uniform at
+    // sf0.001, where √-scaling correctly degenerates to equal budgets)
+    val big = counts.maxBy(_._2)._1
+    val small = counts.minBy(_._2)._1
+    if (counts(big) != counts(small)) {
+      val nTot = counts.values.sum.toDouble
+      assert(budget(big).toDouble / 200 < counts(big) / nTot)
+      assert(budget(small).toDouble / 200 > counts(small) / nTot)
+    } else assert(budget(big) == budget(small))
+    // ...and on a synthetic skewed frame the rebalance is strict
+    val skew = spark.range(0, 330).selectExpr("id AS doc_id",
+      "CASE WHEN id < 300 THEN 'big' ELSE 'small' END AS source")
+    val b2 = SamplingOps.temperatureBudgets(skew, "source", 100L).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(b2("big") + b2("small") <= 100)
+    assert(b2("big").toDouble / 100 < 300.0 / 330)
+    assert(b2("small").toDouble / 100 > 30.0 / 330)
+  }
+
   test("splitAssign rejects ranges that do not cover the bucket space") {
     val docs = Tables(spark, SF).documents.select(col("doc_id"))
     intercept[IllegalArgumentException] {

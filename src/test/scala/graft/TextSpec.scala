@@ -473,4 +473,29 @@ class TextSpec extends SparkSpec {
     assert(q.nonEmpty && q.forall(r => r.getLong(2) < r.getLong(1)),
       "every dirty row must shrink under normalization")
   }
+
+  test("q95: per-source terciles — balanced, nll-ordered, keep = head+middle") {
+    val rows = TextOps.qQualityBuckets(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val sizes = rs.groupBy(_.getLong(4)).view.mapValues(_.length).toMap
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L)), s"$src buckets $sizes")
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"$src ntile imbalance: $sizes")
+      // bucket boundaries respect the nll order (ties may touch, not cross)
+      val h = rs.filter(_.getLong(4) == 1).map(_.getDouble(2))
+      val m = rs.filter(_.getLong(4) == 2).map(_.getDouble(2))
+      val t = rs.filter(_.getLong(4) == 3).map(_.getDouble(2))
+      if (h.nonEmpty && m.nonEmpty) assert(h.max <= m.min, s"$src head>middle")
+      if (m.nonEmpty && t.nonEmpty) assert(m.max <= t.min, s"$src middle>tail")
+    }
+    rows.foreach { r =>
+      assert(r.getBoolean(6) == (r.getLong(4) <= 2))
+      val band = r.getLong(4) match {
+        case 1 => "head"; case 2 => "middle"; case _ => "tail"
+      }
+      assert(r.getString(5) == band)
+    }
+    assert(rows.map(_.getString(5)).toSet == Set("head", "middle", "tail"))
+  }
 }
