@@ -1114,9 +1114,13 @@ object SimilarityOps {
     */
   def knnGraph(embeddings: DataFrame, k: Int = 5, bands: Int = 4,
       bitsPerBand: Int = 0): DataFrame = {
-    val cand = candidateCosines(embeddings, bands, bitsPerBand)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos6"))
-      .filter(col("cos6").isNotNull)
+    // persisted: the symmetrizing union reads the candidate pipeline
+    // twice — unpersisted, Spark re-runs the whole bucket/pair/cosine
+    // chain (scan included) once per union branch (the round-1 lesson)
+    val cand = graft.CacheRegistry.persist(
+      candidateCosines(embeddings, bands, bitsPerBand)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos6"))
+        .filter(col("cos6").isNotNull))
     val sym = cand.select(col("vec_a").as("vec_id"), col("vec_b").as("nbr_id"), col("cos6"))
       .union(cand.select(col("vec_b").as("vec_id"), col("vec_a").as("nbr_id"), col("cos6")))
     val w = Window.partitionBy("vec_id").orderBy(desc("cos6"), asc("nbr_id"))

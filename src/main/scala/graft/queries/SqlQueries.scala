@@ -557,6 +557,100 @@ object SqlQueries {
         |SELECT CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id) AS BIGINT)
         |  AS rank, doc_id, n_feats, score_micro, key_micro
         |FROM top ORDER BY rank""".stripMargin,
+    "q89_url_dedup" ->
+      """WITH u AS (
+        | SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |   WHEN 0 THEN concat('https://src', (doc_id div 5) % 20,
+        |     '.example.com/doc/', doc_id div 5)
+        |   WHEN 1 THEN concat('HTTPS://',
+        |     upper(concat('src', (doc_id div 5) % 20, '.example.com')),
+        |     ':443/doc/', doc_id div 5, '#sec-2')
+        |   WHEN 2 THEN concat('https://src', (doc_id div 5) % 20,
+        |     '.example.com/doc/', doc_id div 5, '?utm_source=feed&utm_campaign=promo')
+        |   WHEN 3 THEN concat('https://src', (doc_id div 5) % 20,
+        |     '.example.com/doc/', doc_id div 5, '/')
+        |   ELSE concat('https://src', (doc_id div 5) % 20,
+        |     '.example.com/doc/', doc_id div 5, '?utm_source=x&ref=keep')
+        |  END AS url
+        | FROM documents),
+        |c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS s FROM u),
+        |c2 AS (SELECT doc_id, url,
+        |  concat(lower(regexp_extract(s, '^([A-Za-z]+://[^/?#]*)', 1)),
+        |    regexp_replace(s, '^[A-Za-z]+://[^/?#]*', '')) AS s FROM c1),
+        |c3 AS (SELECT doc_id, url, regexp_replace(regexp_replace(s,
+        |  '^(https://[^/?#]*):443/', '$1/'), '^(http://[^/?#]*):80/', '$1/') AS s
+        | FROM c2),
+        |c4 AS (SELECT doc_id, url,
+        |  regexp_replace(s, '[?&]utm_[a-z]+=[^&#]*', '') AS s FROM c3),
+        |c5 AS (SELECT doc_id, url,
+        |  regexp_replace(s, '^([^?#&]*)&', '$1?') AS s FROM c4),
+        |c AS (SELECT doc_id, url, regexp_replace(s, '/$', '') AS canon_url FROM c5),
+        |g AS (SELECT md5(canon_url) AS ch, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies FROM c GROUP BY md5(canon_url))
+        |SELECT c.doc_id, c.url, c.canon_url, g.keep_id, g.n_copies,
+        | (c.doc_id <> g.keep_id) AS is_dup
+        |FROM c JOIN g ON md5(c.canon_url) = g.ch ORDER BY doc_id""".stripMargin,
+    "q93_split_assign" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)
+        |    AS BIGINT) % 1000 AS split_bucket
+        | FROM documents)
+        |SELECT doc_id, source, split_bucket,
+        | CASE WHEN split_bucket < 900 THEN 'train'
+        |      WHEN split_bucket < 950 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q94_containment" ->
+      """WITH s AS (
+        | SELECT doc_id, array_distinct(word_shingles(split(text, ' '), 5)) AS sh
+        | FROM documents WHERE size(split(text, ' ')) >= 5),
+        |e AS (SELECT doc_id, explode(sh) AS ng FROM s),
+        |rare AS (SELECT ng FROM e GROUP BY ng HAVING count(*) BETWEEN 2 AND 4),
+        |er AS (SELECT e.ng, e.doc_id FROM e JOIN rare USING (ng)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM er a JOIN er b ON a.ng = b.ng AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_shared
+        |          FROM cand c
+        |          JOIN e a ON a.doc_id = c.id_a
+        |          JOIN e b ON b.doc_id = c.id_b AND b.ng = a.ng
+        |          GROUP BY c.id_a, c.id_b),
+        |sz AS (SELECT doc_id, CAST(size(sh) AS BIGINT) AS n_ng FROM s)
+        |SELECT i.id_a, i.id_b, i.n_shared, sa.n_ng AS n_a, sb.n_ng AS n_b,
+        | round(CAST(i.n_shared AS DOUBLE) / CAST(sa.n_ng AS DOUBLE), 6)
+        |   AS cont_a_in_b,
+        | round(CAST(i.n_shared AS DOUBLE) / CAST(sb.n_ng AS DOUBLE), 6)
+        |   AS cont_b_in_a
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+        |JOIN sz sb ON sb.doc_id = i.id_b
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q96_cross_source_dups" ->
+      """WITH staged AS (
+        |  SELECT text, source FROM documents
+        |  UNION ALL
+        |  SELECT text, 'mirror' AS source FROM documents WHERE doc_id % 7 = 3),
+        |hs AS (SELECT md5(text) AS h, source, count(*) AS n_docs
+        |       FROM staged GROUP BY md5(text), source)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        | count(*) AS n_shared_hashes,
+        | sum(a.n_docs) AS n_docs_a, sum(b.n_docs) AS n_docs_b
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin,
+    "q98_temperature_mix" ->
+      """WITH n AS (SELECT source, count(*) AS n_source FROM documents
+        |           GROUP BY source),
+        |w AS (SELECT source, n_source,
+        |  CAST(round(sqrt(CAST(n_source AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |    AS w_micro FROM n),
+        |b AS (SELECT source, n_source, w_micro,
+        |  (200 * w_micro) div (SELECT sum(w_micro) FROM w) AS budget FROM w),
+        |r AS (SELECT d.doc_id, d.source, n_source, w_micro, budget,
+        |  row_number() OVER (PARTITION BY d.source
+        |    ORDER BY md5(CAST(d.doc_id AS STRING)), d.doc_id) AS rk
+        | FROM documents d JOIN b ON d.source = b.source)
+        |SELECT doc_id, source, n_source, w_micro, budget,
+        | CAST(rk AS BIGINT) AS sample_rank
+        |FROM r WHERE rk <= budget ORDER BY doc_id""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs
