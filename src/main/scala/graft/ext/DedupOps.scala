@@ -1026,6 +1026,71 @@ object DedupOps {
   def qContainment(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(Tables(spark, dir).documents).orderBy("id_a", "id_b")
 
+  /** FUZZY eval-set decontamination — the lexical-overlap member of the
+    * decontamination trio (q58 = exact n-gram Bloom, q91 = embedding
+    * space): flag corpus documents whose n-gram Jaccard against some
+    * eval-set document clears a threshold, catching lightly-edited
+    * benchmark leakage that exact n-gram membership misses and
+    * embedding similarity can only see with an encoder.
+    *
+    * Scale shape: the eval side is BOUNDED, so candidates come from the
+    * ASYMMETRIC probe ([[lshCandidatesAgainst]] with the EVAL side
+    * bucketed) — cost is corpus-band-hits × capped eval buckets, never
+    * the corpus's Σ bucket²; verification is exact Jaccard on candidate
+    * pairs only; the per-doc argmax reuses q91's hash-aggregable
+    * integer encoding (jaccard micro-units · 2⁴⁰ − eval id), so the
+    * verified-pair frame collapses in a streaming HashAggregate.
+    *
+    * Caller contract: eval ids are disjoint from (and greater than)
+    * corpus ids, and below 2⁴⁰.
+    */
+  def fuzzyDecon(corpus: DataFrame, evalDocs: DataFrame,
+      numHashes: Int = 15, rowsPerBand: Int = 3, shingleSize: Int = 2,
+      tau: Double = 0.5): DataFrame = {
+    val shift = 1L << 40
+    val tauMicro = math.round(tau * 1e6)
+    val cSets = graft.CacheRegistry.persist(shingleSets(corpus, shingleSize))
+    val eSets = graft.CacheRegistry.persist(shingleSets(evalDocs, shingleSize))
+    val cand = lshCandidatesAgainst(
+      minHashSignaturesFromSets(cSets, numHashes),
+      minHashSignaturesFromSets(eSets, numHashes),
+      numHashes, rowsPerBand)
+    // eval ids > corpus ids ⇒ doc_a = corpus side, doc_b = eval side
+    val ver = jaccardVerifyFromSets(cSets.unionByName(eSets), cand)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("eval_doc"),
+        round(col("jaccard") * lit(1000000.0), 0).cast("bigint").as("jm"))
+    corpus.select(col("doc_id"))
+      .join(ver, Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("jm")).as("n_eval_matches"),
+        max(col("jm")).as("mj"),
+        max(col("jm") * lit(shift) - col("eval_doc")).as("k"))
+      .select(col("doc_id"),
+        col("n_eval_matches"),
+        when(col("mj").isNull, lit(-1.0))
+          .otherwise(col("mj").cast("double") / lit(1000000.0))
+          .as("best_jaccard"),
+        when(col("mj").isNull, lit(null).cast("bigint"))
+          .otherwise(col("mj") * lit(shift) - col("k")).as("best_eval_doc"),
+        coalesce(col("mj") >= tauMicro, lit(false)).as("contaminated"))
+  }
+
+  /** q99: fuzzy decontamination of `documents` against a staged eval
+    * set — every 40th-plus-one doc, first two words dropped (a
+    * lightly-edited benchmark item; NOT an exact substring match), ids
+    * offset by 10⁷. Golden oracle (minhash banding is hash-seeded);
+    * GoldenDerivationSpec re-derives the asymmetric chain end-to-end.
+    */
+  def qFuzzyDecon(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val evals = t.documents
+      .filter(col("doc_id") % 40 === 1 && size(split(col("text"), " ")) >= 5)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(3), size(split(col("text"), " "))), " ")
+          .as("text"))
+    fuzzyDecon(t.documents, evals).orderBy("doc_id")
+  }
+
   /** Cross-source DUPLICATION MATRIX — for every pair of sources, how
     * much exact-duplicate mass they share: the accounting every
     * multi-corpus merge runs first (how much of crawl B is already in

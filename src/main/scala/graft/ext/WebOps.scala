@@ -116,6 +116,20 @@ object WebOps {
         col("n_copies"), (col(idCol) =!= col("keep_id")).as("is_dup"))
   }
 
+  /** Streaming URL dedup-on-ingest: canonicalize and drop re-crawls of
+    * an already-seen page as they arrive — Spark-first via the built-in
+    * stateful `dropDuplicates` on the canonical hash (state = one
+    * 16-byte key per distinct page, exactly-once across restarts via
+    * the checkpointed state store; a production crawl bounds state with
+    * `dropDuplicatesWithinWatermark` once URLs carry an event time).
+    * The canonicalization itself is stateless and narrow, so the
+    * streaming plan is the batch plan + one dedup state op.
+    */
+  def streamingUrlDedup(urls: DataFrame): DataFrame =
+    urls.withColumn("canon_url", urlCanonicalize(col("url")))
+      .withColumn("canon_hash", md5(col("canon_url")))
+      .dropDuplicates("canon_hash")
+
   /** q89: URL canonicalization + URL-level dedup over `documents`. The
     * corpus has no URL column, so a deterministic crawl URL is staged from
     * the doc id (the q62 recipe): five docs share each page id `gid`, each

@@ -360,6 +360,61 @@ class DedupSpec extends SparkSpec {
     assert(jaccard < 0.1, s"jaccard $jaccard should be tiny here")
   }
 
+  test("fuzzyDecon: edited copy flagged, exact copy flagged, unrelated clean") {
+    val base = Tables(spark, SF).documents.limit(30)
+      .select(col("doc_id"), col("text"))
+    // eval 1000000 = exact copy of doc 3; eval 1000001 = doc 5 minus its
+    // first two words (the lightly-edited leak); nothing matches doc 9
+    val evalExact = base.filter(col("doc_id") === 3)
+      .select(lit(1000000L).as("doc_id"), col("text"))
+    val evalEdited = base.filter(col("doc_id") === 5)
+      .select(lit(1000001L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(3), size(split(col("text"), " "))), " ").as("text"))
+    val out = DedupOps.fuzzyDecon(base, evalExact.unionByName(evalEdited))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toMap
+    assert(out.size == 30)
+    val (n3, j3, e3, c3) = out(3L)
+    assert(c3 && j3 == 1.0 && e3 == 1000000L && n3 >= 1, s"doc 3: ${out(3L)}")
+    val (_, j5, e5, c5) = out(5L)
+    assert(c5 && j5 > 0.5 && j5 < 1.0 && e5 == 1000001L, s"doc 5: ${out(5L)}")
+    // everything except the two planted leaks stays clean
+    out.filter { case (id, _) => id != 3L && id != 5L }.foreach { case (id, v) =>
+      assert(!v._4, s"doc $id falsely contaminated: $v")
+    }
+  }
+
+  test("q99: every staged eval source is flagged; extras are true near-dups of one") {
+    val rows = DedupOps.qFuzzyDecon(spark, SF).collect()
+    assert(rows.length == 500)
+    val extras = rows.filter(r => r.getBoolean(4) && r.getLong(0) % 40 != 1)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 40 == 1) {
+        assert(r.getBoolean(4), s"leaked doc $id not flagged (${r.getDouble(2)})")
+        assert(r.getLong(3) == id + 10000000L,
+          "a leaked doc's best match is its own edited eval twin")
+      }
+    }
+    // a contaminated non-source doc is a NATURAL near-dup of some eval
+    // source (the corpus plants near-dup pairs — catching the twin of a
+    // leaked doc is exactly what fuzzy decon is for); verify each extra
+    // really clears the threshold against its matched eval's source doc
+    extras.foreach { r =>
+      val srcId = r.getLong(3) - 10000000L
+      assert(r.getDouble(2) >= 0.5, s"extra ${r.getLong(0)} below tau")
+      val pair = Seq((r.getLong(0), srcId)).toDF("doc_a", "doc_b")
+      val j = DedupOps.jaccardVerify(
+        Tables(spark, SF).documents.filter(
+          col("doc_id").isin(r.getLong(0), srcId)),
+        pair, shingleSize = 2).head().getDouble(2)
+      assert(j >= 0.5,
+        s"extra ${r.getLong(0)} not a real near-dup of source $srcId (j=$j)")
+    }
+    assert(extras.length < 10, s"too many extras: ${extras.map(_.getLong(0)).toSeq}")
+  }
+
   test("crossSourceDupMatrix: per-pair shared hashes with doc multiplicity") {
     val docs = Seq(
       ("a", "x x x"), ("a", "x x x"), ("a", "y y"),

@@ -156,6 +156,61 @@ class GoldenDerivationSpec extends SparkSpec {
     assert(engine == expected)
   }
 
+  test("q99 fuzzy decon re-derived: asymmetric probe, exact jaccard, integer argmax") {
+    // eval set: docs 0 and 4 minus their first word, ids offset by 10^6 —
+    // the lightly-edited-leak staging in miniature
+    val evalFix: Seq[(Long, String)] = Seq(0L, 4L).map { id =>
+      (id + 1000000L) -> fixture.toMap.apply(id).split(" ").drop(1).mkString(" ")
+    }
+    val engine = DedupOps.fuzzyDecon(docsDf, evalFix.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    // derivation: eval signatures via the same stock-hash oracle
+    val k = 15; val rowsPerBand = 3
+    val eSets: Map[Long, Set[String]] =
+      evalFix.map { case (id, t) => id -> bigramSet(t) }.toMap
+    val allSh = (sets.values.flatten ++ eSets.values.flatten).toSeq.distinct.sorted
+    val hashes = stockShingleHashes(allSh, k)
+    def sigOf(sh: Set[String]): Seq[Long] =
+      (0 until k).map(i => sh.map(s => hashes(s)(i)).min)
+    def bandSigsOf(entries: Seq[(Long, Seq[Long])]): Seq[(Long, Int, Long)] =
+      entries.flatMap { case (id, hs) =>
+        (0 until k / rowsPerBand)
+          .map(b => (id, b, hs(b * 3), hs(b * 3 + 1), hs(b * 3 + 2)))
+      }.toDF("doc_id", "band", "a", "b", "c")
+        .selectExpr("doc_id", "band", "xxhash64(a, b, c) AS bs")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val cBands = bandSigsOf(sets.toSeq.sortBy(_._1).map { case (id, sh) => id -> sigOf(sh) })
+    val eBands = bandSigsOf(evalFix.map { case (id, _) => id -> sigOf(eSets(id)) })
+    // asymmetric: eval side bucketed (all buckets ≤ cap here), corpus probes
+    val eBuckets: Map[(Int, Long), Seq[Long]] =
+      eBands.groupBy(t => (t._2, t._3)).view.mapValues(_.map(_._1)).toMap
+    val cand: Set[(Long, Long)] = cBands.flatMap { case (cid, band, bs) =>
+      eBuckets.getOrElse((band, bs), Nil).map(eid => (cid, eid))
+    }.toSet
+    def jm(c: Long, e: Long): Long = {
+      val (a, b) = (sets(c), eSets(e))
+      val j = (a & b).size.toDouble / (a | b).size.toDouble
+      BigDecimal(java.math.BigDecimal.valueOf(j * 1000000.0))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expected = fixture.map { case (id, _) =>
+      val mine = cand.collect { case (c, e) if c == id => e -> jm(id, e) }.toSeq
+      if (mine.isEmpty) (id, 0L, -1.0, -1L, false)
+      else {
+        val best = mine.map(_._2).max
+        val eid = mine.filter(_._2 == best).map(_._1).min
+        (id, mine.size.toLong, best.toDouble / 1000000.0, eid, best >= 500000L)
+      }
+    }.toSet
+    // the staging must light up: doc 4's edit flags 4 AND its chain twin 5;
+    // doc 0's edit flags the exact-dup pair 0/1
+    val flagged = expected.collect { case (id, _, _, _, true) => id }
+    assert(Set(0L, 1L, 4L).subsetOf(flagged))
+    assert(engine == expected)
+  }
+
   test("q97 knn graph re-derived: bucketed pairs, symmetrized, rank-filtered") {
     val bands = 2; val bits = 4; val dim = 8; val k = 3
     // same planted vector fixture as the q31/q33 derivation

@@ -56,6 +56,68 @@ class WebOpsSpec extends SparkSpec {
     assert(out == cases.map(_._2))
   }
 
+  test("urlCanonicalize is idempotent over every staged variant") {
+    import spark.implicits._
+    // canon(canon(x)) == canon(x): the rules must not re-fire on their own
+    // output (e.g. the '&'→'?' repair must not corrupt an already-clean URL)
+    val urls = (0 until 60).map { i =>
+      val gid = i / 6
+      i % 6 match {
+        case 0 => s"https://src$gid.example.com/doc/$gid"
+        case 1 => s"HTTPS://SRC$gid.EXAMPLE.COM:443/doc/$gid#frag"
+        case 2 => s"https://src$gid.example.com/doc/$gid?utm_source=a&utm_medium=b"
+        case 3 => s"https://src$gid.example.com/doc/$gid/"
+        case 4 => s"https://src$gid.example.com/doc/$gid?utm_source=a&keep=$gid&utm_medium=b"
+        case _ => s"http://src$gid.example.com:80/doc/$gid?x=1&utm_term=z#s"
+      }
+    }
+    val once = urls.toDF("url")
+      .select(WebOps.urlCanonicalize(col("url")).as("c")).as[String].collect()
+    val twice = once.toSeq.toDF("c")
+      .select(WebOps.urlCanonicalize(col("c"))).as[String].collect()
+    assert(once.toSeq == twice.toSeq)
+  }
+
+  test("streaming URL dedup-on-ingest drops cross-batch re-crawls, survives restart") {
+    val dir = java.nio.file.Files.createTempDirectory("url-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("url-ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("url-out")
+    import spark.implicits._
+    val b1 = Seq((1L, "https://a.com/p1"), (2L, "https://a.com/p2?utm_source=x"))
+      .toDF("crawl_id", "url")
+    // batch 2: p1 re-crawled under a variant + one genuinely new page
+    val b2 = Seq((3L, "HTTPS://A.COM:443/p1#frag"), (4L, "https://a.com/p3"))
+      .toDF("crawl_id", "url")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, t: Long): Unit = {
+      val tmp = dir.resolve(name + ".stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val part = try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+        finally listing.close()
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), dir.resolve(name))
+      new java.io.File(dir.resolve(name).toString).setLastModified(t)
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val q = WebOps.streamingUrlDedup(stream).writeStream
+        .format("parquet").option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stage(b1, "b1.parquet", 1700000000000L)
+    runOnce()
+    stage(b2, "b2.parquet", 1700000060000L)
+    runOnce() // RESTART: same checkpoint — batch-1 state must persist
+    val kept = spark.read.parquet(outDir.toString).collect()
+      .map(r => r.getLong(0)).toSet
+    // crawl 3 is p1 again (variant) — dropped by state from the FIRST run
+    assert(kept == Set(1L, 2L, 4L), s"kept $kept")
+  }
+
   test("q89: cosmetic variants collapse per page; kept-param variant stays distinct") {
     val out = WebOps.qUrlDedup(spark, SF).collect()
     assert(out.length == 500)
