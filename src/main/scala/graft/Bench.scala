@@ -81,9 +81,13 @@ object Bench {
         med > 2.5 * warm.min && med - warm.min > 0.3 =>
         name.indexOf('_') match { case -1 => name; case i => name.substring(0, i) }
     }
-    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // n_suspect carries the full count; the list itself is capped so a
+    // fully-contaminated run (worst case ~99 entries, ~700 chars) cannot
+    // push the compact line past the driver's ~2000-char tail window —
+    // the BENCH_r06/r07 truncation failure mode this line is sized for
+    val suspectJson = suspects.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val compact =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"min_total":${fmt(minTotal, 3)},"suspect":$suspectJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"min_total":${fmt(minTotal, 3)},"n_suspect":${suspects.size},"suspect":$suspectJson,"sf":"$sfDir"}"""
     // raw stdout (build.sbt routes forked run output past sbt's [info]
     // logger) AND a file — both driver-parseable.
     println(compact)

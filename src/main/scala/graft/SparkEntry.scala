@@ -797,9 +797,12 @@ object SparkEntry {
         |c2 AS (SELECT doc_id, url, lower(regexp_extract(u, '^([A-Za-z]+://[^/?#]*)', 1))
         |        || regexp_replace(u, '^[A-Za-z]+://[^/?#]*', '') AS u FROM c1),
         |c3 AS (SELECT doc_id, url, regexp_replace(regexp_replace(u,
-        |        '^(https://[^/?#]*):443/', '\1/'), '^(http://[^/?#]*):80/', '\1/') AS u FROM c2),
-        |c4 AS (SELECT doc_id, url, regexp_replace(u, '[?&]utm_[a-z]+=[^&#]*', '', 'g') AS u FROM c3),
-        |c5 AS (SELECT doc_id, url, regexp_replace(u, '^([^?#&]*)&', '\1?') AS u FROM c4),
+        |        '^(https://[^/?#]*):443(/|\?|$)', '\1\2'),
+        |        '^(http://[^/?#]*):80(/|\?|$)', '\1\2') AS u FROM c2),
+        |c4 AS (SELECT doc_id, url, u AS u3,
+        |        regexp_replace(u, '[?&]utm_[a-z]+=[^&#]*', '', 'g') AS u FROM c3),
+        |c5 AS (SELECT doc_id, url, CASE WHEN strpos(u3, '?') > 0
+        |        THEN regexp_replace(u, '^([^?#&]*)&', '\1?') ELSE u END AS u FROM c4),
         |c AS (SELECT doc_id, url, regexp_replace(u, '/$', '') AS canon_url FROM c5),
         |g AS (SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_copies
         |      FROM c GROUP BY canon_url)
@@ -865,18 +868,18 @@ object SparkEntry {
         | FROM b WHERE vec_id % 50 = 0),
         |en AS (SELECT eval_id, ev, sqrt(list_dot_product(ev, ev)) AS enrm
         | FROM e WHERE sqrt(list_dot_product(ev, ev)) > 0),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
-        | FROM b WHERE sqrt(list_dot_product(v, v)) > 0),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM b),
         |p AS (SELECT n.vec_id, en.eval_id,
-        |  CAST(round(list_dot_product(n.v, en.ev) / (n.nrm * en.enrm) * 1000000, 0)
+        |  CAST(round(CASE WHEN n.nrm > 0 AND en.enrm > 0
+        |    THEN list_dot_product(n.v, en.ev) / (n.nrm * en.enrm) * 1000000 END, 0)
         |    AS BIGINT) AS c6i
-        | FROM n CROSS JOIN en),
+        | FROM n LEFT JOIN en ON TRUE),
         |a AS (SELECT vec_id, max(c6i) AS mc,
         |  max(c6i * 1099511627776 - eval_id) AS k
         | FROM p GROUP BY vec_id)
         |SELECT vec_id, CAST(mc AS DOUBLE) / 1000000 AS max_cos,
         | mc * 1099511627776 - k AS nearest_eval_id,
-        | mc >= 800000 AS contaminated
+        | COALESCE(mc >= 800000, false) AS contaminated
         |FROM a ORDER BY vec_id""".stripMargin,
     "q93_split_assign" ->
       """WITH h AS (SELECT doc_id, source,

@@ -1041,28 +1041,42 @@ object DedupOps {
     * integer encoding (jaccard micro-units · 2⁴⁰ − eval id), so the
     * verified-pair frame collapses in a streaming HashAggregate.
     *
-    * Caller contract: eval ids are disjoint from (and greater than)
-    * corpus ids, and below 2⁴⁰.
+    * Caller contract: eval ids are disjoint from corpus ids (the shared
+    * shingle-set lookup would conflate a collision) and below 2⁴⁰.
+    * Candidate generation is ROLE-PRESERVING — corpus band rows probe
+    * the eval buckets directly — so no id-ordering assumption exists
+    * (an eval set with SMALLER ids than the corpus works identically).
     */
   def fuzzyDecon(corpus: DataFrame, evalDocs: DataFrame,
       numHashes: Int = 15, rowsPerBand: Int = 3, shingleSize: Int = 2,
-      tau: Double = 0.5): DataFrame = {
+      tau: Double = 0.5, maxBucket: Int = 100): DataFrame = {
     val shift = 1L << 40
     val tauMicro = math.round(tau * 1e6)
     val cSets = graft.CacheRegistry.persist(shingleSets(corpus, shingleSize))
     val eSets = graft.CacheRegistry.persist(shingleSets(evalDocs, shingleSize))
-    val cand = lshCandidatesAgainst(
-      minHashSignaturesFromSets(cSets, numHashes),
-      minHashSignaturesFromSets(eSets, numHashes),
-      numHashes, rowsPerBand)
-    // eval ids > corpus ids ⇒ doc_a = corpus side, doc_b = eval side
+    // asymmetric probe with ROLES kept: bucket the (bounded) eval side,
+    // join the corpus's band rows against it — the lshCandidatesAgainst
+    // shape minus its least/greatest (which would mis-assign sides when
+    // eval ids sort below corpus ids)
+    val eBuckets = bandRows(minHashSignaturesFromSets(eSets, numHashes),
+        numHashes, rowsPerBand)
+      .groupBy("band", "band_sig")
+      .agg(collect_list(col("doc_id")).as("eids"))
+      .filter(size(col("eids")) <= maxBucket)
+    val cand = bandRows(minHashSignaturesFromSets(cSets, numHashes),
+        numHashes, rowsPerBand)
+      .join(eBuckets, Seq("band", "band_sig"))
+      .select(col("doc_id").as("doc_a"), explode(col("eids")).as("doc_b"))
+      .distinct()
     val ver = jaccardVerifyFromSets(cSets.unionByName(eSets), cand)
       .select(col("doc_a").as("doc_id"), col("doc_b").as("eval_doc"),
         round(col("jaccard") * lit(1000000.0), 0).cast("bigint").as("jm"))
     corpus.select(col("doc_id"))
       .join(ver, Seq("doc_id"), "left")
       .groupBy("doc_id")
-      .agg(count(col("jm")).as("n_eval_matches"),
+      // n_eval_matches counts pairs CLEARING tau (what the name promises);
+      // LSH candidates that verify below threshold are not "matches"
+      .agg(count(when(col("jm") >= tauMicro, lit(1))).as("n_eval_matches"),
         max(col("jm")).as("mj"),
         max(col("jm") * lit(shift) - col("eval_doc")).as("k"))
       .select(col("doc_id"),

@@ -60,13 +60,17 @@ object RetrievalOps {
   def qHybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
     import SimilarityOps.{dot, norm, safeCos, toDouble}
     val t = Tables(spark, dir)
-    val emb = t.embeddings
+    // persisted: emb feeds the corpus join, the PRF lookup AND the dense
+    // scoring pass; corpus feeds BM25 and the dense semi-join — without
+    // the caches Spark re-runs the embeddings scan + norm computation and
+    // the documents⋈embeddings join once per branch (the round-1 lesson)
+    val emb = graft.CacheRegistry.persist(t.embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", norm(col("v"))))
     // corpus = docs with an embedding; both rankers rank exactly this set
-    val corpus = t.documents
+    val corpus = graft.CacheRegistry.persist(t.documents
       .join(emb.select(col("vec_id").as("doc_id")), "doc_id")
-      .select("doc_id", "text")
+      .select("doc_id", "text"))
     val queryDefs = Seq(
       0L -> Seq("fast", "table"),
       1L -> Seq("spark", "query", "join"),

@@ -273,6 +273,11 @@ object SamplingOps {
       denom: Int = 1000): DataFrame = {
     require(ranges.nonEmpty && ranges.last._2 == denom,
       "split ranges must cover the full bucket space")
+    require(ranges.map(_._2).sliding(2).forall {
+      case Seq(a, b) => a < b
+      case _ => true
+    }, "split range bounds must be strictly increasing — an out-of-order " +
+      "bound makes its split unreachable")
     val bucket =
       conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
         .cast("bigint") % denom

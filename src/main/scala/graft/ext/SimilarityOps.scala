@@ -1114,15 +1114,15 @@ object SimilarityOps {
     */
   def knnGraph(embeddings: DataFrame, k: Int = 5, bands: Int = 4,
       bitsPerBand: Int = 0): DataFrame = {
-    // persisted: the symmetrizing union reads the candidate pipeline
-    // twice — unpersisted, Spark re-runs the whole bucket/pair/cosine
-    // chain (scan included) once per union branch (the round-1 lesson)
-    val cand = graft.CacheRegistry.persist(
-      candidateCosines(embeddings, bands, bitsPerBand)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos6"))
-        .filter(col("cos6").isNotNull))
-    val sym = cand.select(col("vec_a").as("vec_id"), col("vec_b").as("nbr_id"), col("cos6"))
-      .union(cand.select(col("vec_b").as("vec_id"), col("vec_a").as("nbr_id"), col("cos6")))
+    // symmetrize via pairEndpoints' single narrow explode — a self-union
+    // of two projections would re-run the whole candidate pipeline (scan
+    // included) once per branch (the round-1 lesson), and even a persist
+    // only papers over that with a cache write
+    val sym = pairEndpoints(
+        candidateCosines(embeddings, bands, bitsPerBand)
+          .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos")))
+      .withColumnRenamed("cos", "cos6")
+      .filter(col("cos6").isNotNull)
     val w = Window.partitionBy("vec_id").orderBy(desc("cos6"), asc("nbr_id"))
     sym.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
@@ -1165,9 +1165,12 @@ object SimilarityOps {
     val tauMicro = math.round(tau * 1e6)
     val c = corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .filter(col("nrm") > 0)
     val e = evals.filter(col("enrm") > 0)
-    c.join(broadcast(e))
+    // LEFT join so the output keeps its one-row-per-corpus-vector contract
+    // even for an empty eval set or a zero-norm vector (max_cos/nearest
+    // NULL, contaminated false) — an inner cross join would silently drop
+    // those rows and make "not scored" indistinguishable from "no output"
+    c.join(broadcast(e), lit(true), "left")
       .select(col("vec_id"), col("eval_id"),
         round(safeCos(dot(col("v"), col("ev")), col("nrm"), col("enrm"))
           * lit(1000000.0), 0).cast("bigint").as("c6i"))
@@ -1177,7 +1180,7 @@ object SimilarityOps {
       .select(col("vec_id"),
         (col("mc").cast("double") / lit(1000000.0)).as("max_cos"),
         (col("mc") * lit(shift) - col("k")).as("nearest_eval_id"),
-        (col("mc") >= tauMicro).as("contaminated"))
+        coalesce(col("mc") >= tauMicro, lit(false)).as("contaminated"))
   }
 
   /** q91: semantic decontamination of the embeddings table against a

@@ -77,9 +77,12 @@ object WebOps {
     * identically in the DuckDB oracle):
     *  1. drop the fragment (`#...` never reaches the server);
     *  2. lowercase the scheme+host prefix (case-insensitive per RFC 3986);
-    *  3. drop an explicit default port (`:443` for https, `:80` for http);
+    *  3. drop an explicit default port (`:443` for https, `:80` for http —
+    *     also when the port ends the URL or is followed by `?`);
     *  4. drop `utm_*` tracking parameters, then repair a query string
-    *     whose first parameter was removed (`&` → `?`);
+    *     whose FIRST parameter was removed (`&` → `?`) — the repair fires
+    *     only when the URL actually had a query (a literal `&` is legal in
+    *     an RFC 3986 path and must survive);
     *  5. drop a single trailing slash.
     * Anchored patterns match at most once, so Spark's replace-all and the
     * oracle's replace-first agree; the utm rule is the one deliberate
@@ -91,10 +94,11 @@ object WebOps {
       lower(regexp_extract(c1, "^([A-Za-z]+://[^/?#]*)", 1)),
       regexp_replace(c1, "^[A-Za-z]+://[^/?#]*", ""))
     val c3 = regexp_replace(
-      regexp_replace(c2, "^(https://[^/?#]*):443/", "$1/"),
-      "^(http://[^/?#]*):80/", "$1/")
+      regexp_replace(c2, "^(https://[^/?#]*):443(/|\\?|$)", "$1$2"),
+      "^(http://[^/?#]*):80(/|\\?|$)", "$1$2")
     val c4 = regexp_replace(c3, "[?&]utm_[a-z]+=[^&#]*", "")
-    val c5 = regexp_replace(c4, "^([^?#&]*)&", "$1?")
+    val c5 = when(instr(c3, "?") > 0, regexp_replace(c4, "^([^?#&]*)&", "$1?"))
+      .otherwise(c4)
     regexp_replace(c5, "/$", "")
   }
 

@@ -579,12 +579,13 @@ object SqlQueries {
         |  concat(lower(regexp_extract(s, '^([A-Za-z]+://[^/?#]*)', 1)),
         |    regexp_replace(s, '^[A-Za-z]+://[^/?#]*', '')) AS s FROM c1),
         |c3 AS (SELECT doc_id, url, regexp_replace(regexp_replace(s,
-        |  '^(https://[^/?#]*):443/', '$1/'), '^(http://[^/?#]*):80/', '$1/') AS s
+        |  '^(https://[^/?#]*):443(/|\\?|$)', '$1$2'),
+        |  '^(http://[^/?#]*):80(/|\\?|$)', '$1$2') AS s
         | FROM c2),
-        |c4 AS (SELECT doc_id, url,
+        |c4 AS (SELECT doc_id, url, s AS s3,
         |  regexp_replace(s, '[?&]utm_[a-z]+=[^&#]*', '') AS s FROM c3),
-        |c5 AS (SELECT doc_id, url,
-        |  regexp_replace(s, '^([^?#&]*)&', '$1?') AS s FROM c4),
+        |c5 AS (SELECT doc_id, url, CASE WHEN instr(s3, '?') > 0
+        |  THEN regexp_replace(s, '^([^?#&]*)&', '$1?') ELSE s END AS s FROM c4),
         |c AS (SELECT doc_id, url, regexp_replace(s, '/$', '') AS canon_url FROM c5),
         |g AS (SELECT md5(canon_url) AS ch, min(doc_id) AS keep_id,
         |  count(*) AS n_copies FROM c GROUP BY md5(canon_url))

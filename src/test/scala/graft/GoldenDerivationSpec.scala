@@ -201,7 +201,9 @@ class GoldenDerivationSpec extends SparkSpec {
       else {
         val best = mine.map(_._2).max
         val eid = mine.filter(_._2 == best).map(_._1).min
-        (id, mine.size.toLong, best.toDouble / 1000000.0, eid, best >= 500000L)
+        // n_eval_matches counts pairs clearing tau, not raw candidates
+        (id, mine.count(_._2 >= 500000L).toLong,
+          best.toDouble / 1000000.0, eid, best >= 500000L)
       }
     }.toSet
     // the staging must light up: doc 4's edit flags 4 AND its chain twin 5;

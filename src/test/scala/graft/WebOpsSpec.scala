@@ -47,10 +47,16 @@ class WebOpsSpec extends SparkSpec {
       "https://h.com/p?utm_source=a&ref=keep" -> "https://h.com/p?ref=keep",
       "https://h.com/p/" -> "https://h.com/p",
       "https://h.com/p?ref=keep#frag" -> "https://h.com/p?ref=keep",
-      // NOT normalized: path case, non-default port, non-utm params
+      // default port stripped also at end-of-URL and before a query
+      "https://h.com:443" -> "https://h.com",
+      "https://h.com:443?x=1" -> "https://h.com?x=1",
+      // NOT normalized: path case, non-default port, non-utm params,
+      // and a literal '&' in a query-less path (legal per RFC 3986 —
+      // the '&'→'?' repair must not fire without a query)
       "https://h.com/PATH" -> "https://h.com/PATH",
       "https://h.com:8443/p" -> "https://h.com:8443/p",
-      "https://h.com/p?b=2&a=1" -> "https://h.com/p?b=2&a=1")
+      "https://h.com/p?b=2&a=1" -> "https://h.com/p?b=2&a=1",
+      "https://h.com/a&b" -> "https://h.com/a&b")
     val out = cases.map(_._1).toDF("url")
       .select(WebOps.urlCanonicalize(col("url"))).as[String].collect().toSeq
     assert(out == cases.map(_._2))
