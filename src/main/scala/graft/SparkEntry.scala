@@ -125,6 +125,7 @@ object SparkEntry {
     "q97_knn_graph" -> (SimilarityOps.qKnnGraph _),
     "q98_temperature_mix" -> (SamplingOps.qTemperatureMix _),
     "q99_fuzzy_decon" -> (DedupOps.qFuzzyDecon _),
+    "q100_coreset" -> (SimilarityOps.qKCenterCoreset _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -991,7 +992,7 @@ object SparkEntry {
     "q76_bpe_apply", "q77_curate", "q78_image_dedup", "q79_audio_dedup",
     "q80_video_dedup", "q81_shared_spans", "q84_span_scrub",
     "q85_image_clusters", "q86_audio_incremental", "q87_pca_whiten",
-    "q92_keep_best", "q97_knn_graph", "q99_fuzzy_decon",
+    "q92_keep_best", "q97_knn_graph", "q99_fuzzy_decon", "q100_coreset",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

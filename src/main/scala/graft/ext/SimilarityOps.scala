@@ -1133,6 +1133,95 @@ object SimilarityOps {
   def qKnnGraph(spark: SparkSession, dir: String): DataFrame =
     knnGraph(Tables(spark, dir).embeddings).orderBy("vec_id", "rank")
 
+  /** k-CENTER GREEDY CORESET (Gonzalez 1985) over the embedding table —
+    * diversity-based exemplar selection, the coverage-driven member of
+    * the sampling family (uniform/stratified/mixture/DSIR/temperature
+    * pick by hash or weight; a coreset picks the k points that MINIMIZE
+    * the maximum distance from any point to its nearest exemplar, the
+    * 2-approximation every active-learning / diverse-subset pipeline
+    * uses). Distance = cosine distance (1 − cos).
+    *
+    * Scale shape: the standard iterative-driver discipline (Lloyd / CC /
+    * BPE): per-round state is one narrow persisted frame carrying an
+    * integer micro-distance per vector; each round is ONE narrow update
+    * against the newest center (a broadcast-literal 64-float vector) +
+    * ONE aggregate that finds the farthest point — `max_by` over the
+    * unique key dm·2⁴⁰ − vec_id, so the argmax (tie → lowest id) comes
+    * back in a single 1-row collect, never a sort. k rounds total, k
+    * bounded and small; no vector ever collects except the k centers.
+    * Zero-norm vectors have no defined direction: never selected,
+    * reported with NULL center/distance.
+    */
+  def kCenterCoreset(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val shift = 1L << 40
+    val base = embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    var state = graft.CacheRegistry.persist(base
+      .withColumn("min_dm", lit(Long.MaxValue))
+      .withColumn("center_id", lit(null).cast("bigint")))
+    val seedRows = state.filter(col("nrm") > 0).orderBy("vec_id")
+      .select(col("vec_id"), col("v")).take(1)
+    if (seedRows.isEmpty) {
+      // no vector has a direction: nothing selectable, all-NULL verdicts
+      return state.select(col("vec_id"),
+        lit(null).cast("bigint").as("center_id"),
+        lit(null).cast("double").as("center_dist"),
+        lit(false).as("is_center"))
+    }
+    val seed = seedRows.head
+    var centers = List(seed.getLong(0))
+    var cVec: Seq[Double] = seed.getSeq[Double](1)
+    var done = false
+    var i = 0
+    while (i < k && !done) {
+      val cid = centers.head
+      val cArr = array(cVec.map(lit): _*)
+      val cn = math.sqrt(cVec.map(x => x * x).sum)
+      val d = when(col("nrm") > 0,
+        round((lit(1.0) - dot(col("v"), cArr) / (col("nrm") * lit(cn)))
+          * lit(1000000.0), 0).cast("bigint"))
+      val next = graft.CacheRegistry.persist(state
+        .withColumn("__d", d)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          when(col("__d") < col("min_dm"), col("__d")).otherwise(col("min_dm"))
+            .as("min_dm"),
+          when(col("__d") < col("min_dm"), lit(cid)).otherwise(col("center_id"))
+            .as("center_id")))
+      if (i < k - 1) {
+        // farthest-uncovered point in ONE aggregate; unique key ⇒ the
+        // max_by tie policy is exactly (max dm, then lowest vec_id)
+        val far = next.filter(col("nrm") > 0)
+          .agg(max(col("min_dm")).as("mx"),
+            max_by(struct(col("vec_id"), col("v")),
+              col("min_dm") * lit(shift) - col("vec_id")).as("best"))
+          .head()
+        if (far.isNullAt(0) || far.getLong(0) <= 0L) done = true
+        else {
+          val best = far.getStruct(1)
+          centers = best.getLong(0) :: centers
+          cVec = best.getSeq[Double](1)
+        }
+      }
+      state.unpersist(blocking = false)
+      state = next
+      i += 1
+    }
+    val centerArr = centers.reverse.toArray
+    state.select(col("vec_id"),
+      when(col("nrm") > 0, col("center_id")).as("center_id"),
+      when(col("nrm") > 0, col("min_dm").cast("double") / lit(1000000.0))
+        .as("center_dist"),
+      col("vec_id").isin(centerArr: _*).as("is_center"))
+  }
+
+  /** q100: 8-center greedy coreset over the embeddings table (golden
+    * oracle — iterative argmax selection is not SQL-expressible);
+    * SimilaritySpec re-derives the full greedy trace in plain Scala.
+    */
+  def qKCenterCoreset(spark: SparkSession, dir: String): DataFrame =
+    kCenterCoreset(Tables(spark, dir).embeddings).orderBy("vec_id")
+
   /** SEMANTIC decontamination: flag corpus vectors whose embedding is
     * near-identical to some member of a held-out evaluation set — the
     * embedding-space complement of q58's n-gram decontamination (catches

@@ -362,6 +362,63 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kCenterCoreset: full greedy trace re-derived in plain Scala") {
+    val dim = 8; val k = 4
+    val vecs: Seq[(Long, Seq[Float])] =
+      Seq(0L -> Seq.fill(dim)(1.0f),
+          1L -> Seq.fill(dim)(2.0f),   // same direction as 0 → dist 0
+          2L -> Seq.fill(dim)(-1.0f)) ++ // antipode → dist 2, must be picked
+        (3L until 24L).map(i => i ->
+          Seq.tabulate(dim)(j => math.sin(i * 2.39996 + j * 1.618).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val engine = SimilarityOps.kCenterCoreset(df, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    // derivation — identical FP op order to the engine's column exprs
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    val dv = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val nrm = dv.view.mapValues(v => math.sqrt(dot(v, v))).toMap
+    def dm(id: Long, c: Seq[Double]): Long = {
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      BigDecimal(java.math.BigDecimal.valueOf(
+        (1.0 - dot(dv(id), c) / (nrm(id) * cn)) * 1000000.0))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val minDm = scala.collection.mutable.Map(
+      vecs.map(_._1 -> Long.MaxValue): _*)
+    val centerOf = scala.collection.mutable.Map.empty[Long, Long]
+    var centers = List(0L) // seed = lowest id
+    var cVec = dv(0L)
+    var done = false
+    var i = 0
+    while (i < k && !done) {
+      val cid = centers.head
+      vecs.map(_._1).foreach { id =>
+        val d = dm(id, cVec)
+        if (d < minDm(id)) { minDm(id) = d; centerOf(id) = cid }
+      }
+      if (i < k - 1) {
+        val mx = minDm.values.max
+        if (mx <= 0L) done = true
+        else {
+          val nextId = minDm.filter(_._2 == mx).keys.min
+          centers = nextId :: centers
+          cVec = dv(nextId)
+        }
+      }
+      i += 1
+    }
+    val expected = vecs.map { case (id, _) =>
+      (id, centerOf(id), minDm(id).toDouble / 1000000.0, centers.contains(id))
+    }.toSet
+    // the antipode is maximally far from the seed — it MUST be a center
+    assert(centers.contains(2L))
+    // same-direction twin of the seed is covered at distance 0, not selected
+    assert(!centers.contains(1L) && minDm(1L) == 0L && centerOf(1L) == 0L)
+    assert(engine == expected)
+  }
+
   test("q31/q33 plans contain no self-join on a raw signature (bucket-local expansion)") {
     // the capped path builds pairs from collect_list inside one aggregation;
     // a SortMergeJoin/ShuffledHashJoin keyed on `sig` would be the uncapped
