@@ -362,6 +362,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("streaming semantic decon ≡ batch (stateless-narrow after the eval broadcast)") {
+    // the eval side is a bounded broadcast and the argmax collapses per
+    // corpus vector, so semanticDecon's plan is stateless per input row
+    // once grouped — composing it with readStream via foreachBatch-style
+    // per-batch evaluation must reproduce the batch verdicts exactly
+    val dir = java.nio.file.Files.createTempDirectory("emb-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SF/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"))
+    val emb = spark.read.parquet(dir.toString)
+    val evals = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("eval_id"),
+        concat(slice(SimilarityOps.toDouble(col("embedding")), 1, 56),
+          array_repeat(lit(0.0), 8)).as("ev"))
+      .withColumn("enrm", SimilarityOps.norm(col("ev")))
+    val want = SimilarityOps.semanticDecon(emb, evals, tau = 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val got = graft.streaming.EventStreaming.runToMemory(
+        SimilarityOps.semanticDecon(stream, evals, tau = 0.8), "stream_semdecon",
+        outputMode = "complete") // per-vector argmax is a streaming agg
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._2) && got.values.exists(!_._2))
+  }
+
   test("kCenterCoreset: full greedy trace re-derived in plain Scala") {
     val dim = 8; val k = 4
     val vecs: Seq[(Long, Seq[Float])] =
