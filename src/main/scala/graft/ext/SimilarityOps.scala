@@ -1153,15 +1153,19 @@ object SimilarityOps {
     * reported with NULL center/distance.
     */
   def kCenterCoreset(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k-center needs k >= 1, got $k")
     val shift = 1L << 40
+    val uncovered = Long.MaxValue // sentinel: no finite distance computed yet
     val base = embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     var state = graft.CacheRegistry.persist(base
-      .withColumn("min_dm", lit(Long.MaxValue))
+      .withColumn("min_dm", lit(uncovered))
       .withColumn("center_id", lit(null).cast("bigint")))
-    val seedRows = state.filter(col("nrm") > 0).orderBy("vec_id")
-      .select(col("vec_id"), col("v")).take(1)
+    // a NaN norm (NaN component in the vector) sorts ABOVE 0 in Spark's
+    // ordering — exclude it from seeding explicitly
+    val seedRows = state.filter(col("nrm") > 0 && !isnan(col("nrm")))
+      .orderBy("vec_id").select(col("vec_id"), col("v")).take(1)
     if (seedRows.isEmpty) {
       // no vector has a direction: nothing selectable, all-NULL verdicts
       return state.select(col("vec_id"),
@@ -1178,9 +1182,14 @@ object SimilarityOps {
       val cid = centers.head
       val cArr = array(cVec.map(lit): _*)
       val cn = math.sqrt(cVec.map(x => x * x).sum)
-      val d = when(col("nrm") > 0,
-        round((lit(1.0) - dot(col("v"), cArr) / (col("nrm") * lit(cn)))
-          * lit(1000000.0), 0).cast("bigint"))
+      // safeCos → NULL for a zero-norm row; nanvl → NULL for any NaN
+      // (NaN component / NaN norm) — under ANSI either would otherwise
+      // abort the round at the bigint cast. NULL d leaves the row at the
+      // `uncovered` sentinel, permanently out of selection.
+      val d = round(nanvl(
+          (lit(1.0) - safeCos(dot(col("v"), cArr), col("nrm"), lit(cn)))
+            * lit(1000000.0),
+          lit(null).cast("double")), 0).cast("bigint")
       val next = graft.CacheRegistry.persist(state
         .withColumn("__d", d)
         .select(col("vec_id"), col("v"), col("nrm"),
@@ -1189,9 +1198,11 @@ object SimilarityOps {
           when(col("__d") < col("min_dm"), lit(cid)).otherwise(col("center_id"))
             .as("center_id")))
       if (i < k - 1) {
-        // farthest-uncovered point in ONE aggregate; unique key ⇒ the
-        // max_by tie policy is exactly (max dm, then lowest vec_id)
-        val far = next.filter(col("nrm") > 0)
+        // farthest SCORED point in ONE aggregate; unique key ⇒ the max_by
+        // tie policy is exactly (max dm, then lowest vec_id). Rows still
+        // at the sentinel are excluded — they have no defined distance
+        // (and sentinel·2⁴⁰ would overflow the key under ANSI).
+        val far = next.filter(col("min_dm") =!= uncovered)
           .agg(max(col("min_dm")).as("mx"),
             max_by(struct(col("vec_id"), col("v")),
               col("min_dm") * lit(shift) - col("vec_id")).as("best"))
@@ -1202,6 +1213,11 @@ object SimilarityOps {
           centers = best.getLong(0) :: centers
           cVec = best.getSeq[Double](1)
         }
+      } else {
+        // final round runs no aggregate — materialize the cache before the
+        // parent generation is released, or the caller's first action
+        // would recompute the whole k-round lineage (the CC idiom)
+        next.count(): Unit
       }
       state.unpersist(blocking = false)
       state = next
@@ -1209,9 +1225,9 @@ object SimilarityOps {
     }
     val centerArr = centers.reverse.toArray
     state.select(col("vec_id"),
-      when(col("nrm") > 0, col("center_id")).as("center_id"),
-      when(col("nrm") > 0, col("min_dm").cast("double") / lit(1000000.0))
-        .as("center_dist"),
+      when(col("min_dm") =!= uncovered, col("center_id")).as("center_id"),
+      when(col("min_dm") =!= uncovered,
+        col("min_dm").cast("double") / lit(1000000.0)).as("center_dist"),
       col("vec_id").isin(centerArr: _*).as("is_center"))
   }
 

@@ -396,11 +396,17 @@ class SimilaritySpec extends SparkSpec {
           1L -> Seq.fill(dim)(2.0f),   // same direction as 0 → dist 0
           2L -> Seq.fill(dim)(-1.0f)) ++ // antipode → dist 2, must be picked
         (3L until 24L).map(i => i ->
-          Seq.tabulate(dim)(j => math.sin(i * 2.39996 + j * 1.618).toFloat))
+          Seq.tabulate(dim)(j => math.sin(i * 2.39996 + j * 1.618).toFloat)) :+
+        (24L -> Seq.fill(dim)(0.0f)) // zero-norm: NULL verdict, never selected
     val df = vecs.toDF("vec_id", "embedding")
     val engine = SimilarityOps.kCenterCoreset(df, k).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2),
+        r.getBoolean(3)))
       .toSet
+    // the zero-norm row gets the documented NULL verdict
+    assert(engine.contains((24L, -1L, -1.0, false)))
     // derivation — identical FP op order to the engine's column exprs
     def dot(a: Seq[Double], b: Seq[Double]): Double =
       a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
@@ -421,15 +427,16 @@ class SimilaritySpec extends SparkSpec {
     var i = 0
     while (i < k && !done) {
       val cid = centers.head
-      vecs.map(_._1).foreach { id =>
+      vecs.map(_._1).filter(id => nrm(id) > 0).foreach { id =>
         val d = dm(id, cVec)
         if (d < minDm(id)) { minDm(id) = d; centerOf(id) = cid }
       }
       if (i < k - 1) {
-        val mx = minDm.values.max
+        val scored = minDm.filter(_._2 != Long.MaxValue) // sentinel = unscored
+        val mx = scored.values.max
         if (mx <= 0L) done = true
         else {
-          val nextId = minDm.filter(_._2 == mx).keys.min
+          val nextId = scored.filter(_._2 == mx).keys.min
           centers = nextId :: centers
           cVec = dv(nextId)
         }
@@ -437,13 +444,25 @@ class SimilaritySpec extends SparkSpec {
       i += 1
     }
     val expected = vecs.map { case (id, _) =>
-      (id, centerOf(id), minDm(id).toDouble / 1000000.0, centers.contains(id))
+      if (minDm(id) == Long.MaxValue) (id, -1L, -1.0, false)
+      else (id, centerOf(id), minDm(id).toDouble / 1000000.0, centers.contains(id))
     }.toSet
     // the antipode is maximally far from the seed — it MUST be a center
     assert(centers.contains(2L))
     // same-direction twin of the seed is covered at distance 0, not selected
     assert(!centers.contains(1L) && minDm(1L) == 0L && centerOf(1L) == 0L)
     assert(engine == expected)
+    // degenerate inputs: k must be positive; an all-zero-norm table returns
+    // one all-NULL verdict per row instead of selecting anything
+    intercept[IllegalArgumentException] {
+      SimilarityOps.kCenterCoreset(df, 0)
+    }
+    val zeros = Seq(0L -> Seq.fill(dim)(0.0f), 1L -> Seq.fill(dim)(0.0f))
+      .toDF("vec_id", "embedding")
+    val zOut = SimilarityOps.kCenterCoreset(zeros, 3).collect()
+      .map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2), r.getBoolean(3)))
+      .toSet
+    assert(zOut == Set((0L, true, true, false), (1L, true, true, false)))
   }
 
   test("q31/q33 plans contain no self-join on a raw signature (bucket-local expansion)") {
