@@ -27,6 +27,7 @@ object SqlQueries {
     t.lineitem.createOrReplaceTempView("lineitem")
     t.events.createOrReplaceTempView("events")
     t.documents.createOrReplaceTempView("documents")
+    t.embeddings.createOrReplaceTempView("embeddings")
   }
 
   /** Stage GBAG bags from events and expose their binary blobs as the
@@ -592,6 +593,61 @@ object SqlQueries {
         |SELECT c.doc_id, c.url, c.canon_url, g.keep_id, g.n_copies,
         | (c.doc_id <> g.keep_id) AS is_dup
         |FROM c JOIN g ON md5(c.canon_url) = g.ch ORDER BY doc_id""".stripMargin,
+    "q91_semantic_decon" ->
+      """WITH b AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |           FROM embeddings),
+        |e AS (SELECT vec_id AS eval_id,
+        |  concat(slice(v, 1, 56), array_repeat(0D, 8)) AS ev
+        | FROM b WHERE vec_id % 50 = 0),
+        |en AS (SELECT eval_id, ev,
+        |  sqrt(aggregate(zip_with(ev, ev, (x, y) -> x * y), 0D, (a, x) -> a + x))
+        |    AS enrm
+        | FROM e),
+        |en2 AS (SELECT * FROM en WHERE enrm > 0),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, x) -> a + x))
+        |    AS nrm
+        | FROM b),
+        |p AS (SELECT n.vec_id, en2.eval_id,
+        |  CAST(round(try_divide(
+        |    aggregate(zip_with(n.v, en2.ev, (x, y) -> x * y), 0D, (a, x) -> a + x),
+        |    n.nrm * en2.enrm) * 1000000D, 0) AS BIGINT) AS c6i
+        | FROM n LEFT JOIN en2 ON true),
+        |a AS (SELECT vec_id, max(c6i) AS mc,
+        |  max(c6i * 1099511627776L - eval_id) AS k
+        | FROM p GROUP BY vec_id)
+        |SELECT vec_id, CAST(mc AS DOUBLE) / 1000000D AS max_cos,
+        | mc * 1099511627776L - k AS nearest_eval_id,
+        | COALESCE(mc >= 800000L, false) AS contaminated
+        |FROM a ORDER BY vec_id""".stripMargin,
+    "q95_quality_buckets" ->
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS ws FROM documents
+        |           WHERE size(split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, bg, substring_index(bg, ' ', 1) AS w1
+        |       FROM t LATERAL VIEW explode(word_shingles(ws, 2)) x AS bg),
+        |rbg AS (SELECT bg, count(*) AS c12 FROM bg WHERE doc_id % 7 = 0
+        |        GROUP BY bg),
+        |ru AS (SELECT w1, count(*) AS c1
+        |       FROM (SELECT doc_id, w1 FROM t LATERAL VIEW explode(ws) y AS w1)
+        |       WHERE doc_id % 7 = 0 GROUP BY w1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ru),
+        |s AS (SELECT e.doc_id,
+        |        -ln((coalesce(c12, 0L) + 1) / (coalesce(c1, 0L) + v)) AS nll
+        |      FROM bg e LEFT JOIN rbg USING (bg) LEFT JOIN ru USING (w1)
+        |      CROSS JOIN v
+        |      WHERE e.doc_id % 7 != 0),
+        |sc AS (SELECT doc_id, round(avg(nll), 6) AS avg_nll,
+        |        round(exp(avg(nll)), 4) AS ppl
+        |       FROM s GROUP BY doc_id),
+        |bkt AS (SELECT sc.doc_id, d.source, sc.avg_nll, sc.ppl,
+        |  CAST(ntile(3) OVER (PARTITION BY d.source
+        |    ORDER BY sc.avg_nll, sc.doc_id) AS BIGINT) AS bucket
+        | FROM sc JOIN documents d ON d.doc_id = sc.doc_id)
+        |SELECT doc_id, source, avg_nll, ppl, bucket,
+        | CASE bucket WHEN 1L THEN 'head' WHEN 2L THEN 'middle'
+        |   ELSE 'tail' END AS band,
+        | bucket <= 2L AS keep
+        |FROM bkt ORDER BY doc_id""".stripMargin,
     "q93_split_assign" ->
       """WITH h AS (SELECT doc_id, source,
         |  CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)
