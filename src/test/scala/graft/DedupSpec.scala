@@ -444,6 +444,51 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == mirrored)
   }
 
+  test("containmentPairs ≡ plain-Scala reference on seeded overlapping corpora") {
+    // docs = windows of a mother sequence → controlled 5-gram sharing with
+    // realistic df spread; the whole chain (distinct sets, df blocking,
+    // candidates, intersections, both containments) re-derives outside the
+    // engine for three seeds
+    def round6(x: Double): Double =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq(1, 2, 3).foreach { seed =>
+      val mother = (0 until 60).map(j => s"w${(j * 13 + seed * 7) % 97}")
+      val docs: Seq[(Long, String)] = (0L until 25L).map { i =>
+        val start = ((i * 7 + seed) % 46).toInt
+        val len = 8 + (i % 9).toInt
+        i -> mother.slice(start, start + len).mkString(" ")
+      } :+ (25L -> "too short") :+ // < 5 tokens: excluded from the op
+        (26L -> mother.slice(3, 15).mkString(" ")) // forced heavy overlap
+      val engine = DedupOps.containmentPairs(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+      // reference
+      val sets: Map[Long, Set[String]] = docs.collect {
+        case (id, t) if t.split(" ").length >= 5 =>
+          id -> t.split(" ").sliding(5).map(_.mkString(" ")).toSet
+      }.toMap
+      val df_ = sets.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size)
+      val rare = df_.filter { case (_, c) => c >= 2 && c <= 4 }.keySet
+      val ids = sets.keys.toSeq.sorted
+      val cand = for {
+        a <- ids; b <- ids if a < b
+        if (sets(a) & sets(b)).exists(rare.contains)
+      } yield (a, b)
+      val expected = cand.map { case (a, b) =>
+        val inter = (sets(a) & sets(b)).size.toLong
+        (a, b, inter, sets(a).size.toLong, sets(b).size.toLong,
+          round6(inter.toDouble / sets(a).size),
+          round6(inter.toDouble / sets(b).size))
+      }.toSet
+      assert(expected.nonEmpty, s"seed $seed generated no candidates")
+      assert(expected.exists(_._6 == 1.0) || expected.exists(_._7 == 1.0) ||
+        expected.exists(t => t._6 < 1.0), "degenerate fixture")
+      assert(engine == expected, s"seed $seed mismatch")
+    }
+  }
+
   test("keepBestDedup: argmax quality, ties to the lowest id, singletons kept") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
       .toDF("doc_id", "cluster_id")
