@@ -126,6 +126,12 @@ object SparkEntry {
     "q98_temperature_mix" -> (SamplingOps.qTemperatureMix _),
     "q99_fuzzy_decon" -> (DedupOps.qFuzzyDecon _),
     "q100_coreset" -> (SimilarityOps.qKCenterCoreset _),
+    "q101_hard_negatives" -> (SimilarityOps.qHardNegatives _),
+    "q102_length_batching" -> (SamplingOps.qLengthBucketBatches _),
+    "q103_sentence_dedup" -> (DedupOps.qSentenceDedup _),
+    "q105_ffd_pack" -> (SamplingOps.qFfdPack _),
+    "q106_chunk_docs" -> (TextOps.qChunkDocs _),
+    "q107_int8_quant" -> (SimilarityOps.qInt8Quantize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -971,6 +977,103 @@ object SparkEntry {
         |SELECT doc_id, source, n_source, w_micro, CAST(budget AS BIGINT) AS budget,
         | CAST(rk AS BIGINT) AS sample_rank
         |FROM r WHERE rk <= budget ORDER BY doc_id""".stripMargin,
+    "q101_hard_negatives" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  CAST(label AS BIGINT) AS label FROM embeddings),
+        |n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+        |a AS (SELECT vec_id AS anchor_id, v AS av, nrm AS anrm,
+        |  label AS anchor_label FROM n WHERE vec_id % 25 = 0),
+        |s AS (SELECT anchor_id, anchor_label, vec_id AS neg_id, label AS neg_label,
+        |  list_dot_product(v, av) / (nrm * anrm) AS cos
+        | FROM n, a WHERE label <> anchor_label AND nrm * anrm > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |  ORDER BY cos DESC, neg_id) AS rn FROM s)
+        |SELECT anchor_id, anchor_label, CAST(rn AS BIGINT) AS rank,
+        | neg_id, neg_label, round(cos, 4) AS cos
+        |FROM r WHERE rn <= 5 ORDER BY anchor_id, rank""".stripMargin,
+    "q102_length_batching" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  (doc_id*1103515245 + 12345) % 2147483648 % 8 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, shard, n_tokens,
+        |  CAST(CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+        |   WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+        |   WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+        |   WHEN n_tokens <= 1024 THEN 1024 WHEN n_tokens <= 2048 THEN 2048
+        |   WHEN n_tokens <= 4096 THEN 4096 ELSE 8192 END AS BIGINT) AS bucket
+        | FROM d),
+        |r AS (
+        | SELECT *, CAST((row_number() OVER (PARTITION BY shard, bucket
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) // 8 AS BIGINT)
+        |   AS batch_id
+        | FROM b)
+        |SELECT doc_id, shard, n_tokens, bucket, batch_id,
+        | max(n_tokens) OVER (PARTITION BY shard, bucket, batch_id) AS padded_len,
+        | max(n_tokens) OVER (PARTITION BY shard, bucket, batch_id) - n_tokens
+        |   AS pad_waste
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q103_sentence_dedup" ->
+      """WITH pool AS (
+        | SELECT doc_id AS pool_id,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS psent
+        | FROM documents WHERE doc_id < 40),
+        |staged AS (
+        | SELECT d.doc_id,
+        |  string_agg(psent || CASE (d.doc_id + t.j) % 3 WHEN 0 THEN '. '
+        |    WHEN 1 THEN '! ' ELSE '? ' END, '' ORDER BY t.j) AS text
+        | FROM documents d, LATERAL unnest(range(4)) AS t(j)
+        | JOIN pool ON pool.pool_id = (d.doc_id*7 + t.j*3) % 40
+        | GROUP BY d.doc_id),
+        |sents AS (
+        | SELECT doc_id, CAST(t.i AS BIGINT) AS sent_id, arr[CAST(t.i+1 AS INT)] AS sent
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?] ?') AS arr
+        |       FROM staged),
+        |  LATERAL unnest(range(len(arr))) AS t(i)
+        | WHERE len(arr[CAST(t.i+1 AS INT)]) > 0),
+        |s AS (SELECT sent, count(*) AS cnt,
+        |  min(doc_id*1000000 + sent_id) AS keep_pos FROM sents GROUP BY sent)
+        |SELECT doc_id, count(*) AS n_sents,
+        | CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_sents,
+        | CAST(sum(CASE WHEN cnt >= 2 AND doc_id*1000000 + sent_id <> keep_pos
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        | coalesce(string_agg(CASE WHEN cnt = 1 OR doc_id*1000000 + sent_id = keep_pos
+        |   THEN sent END, ' ' ORDER BY sent_id), '') AS clean_text
+        |FROM sents JOIN s USING (sent)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q106_chunk_docs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT doc_id, n_tokens, CAST(t.s AS BIGINT) AS start_tok,
+        | CAST(t.s // 24 AS BIGINT) AS chunk_id,
+        | CAST(least(32, n_tokens - t.s) AS BIGINT) AS chunk_tokens,
+        | array_to_string(list_slice(w, CAST(t.s+1 AS BIGINT),
+        |   CAST(t.s+32 AS BIGINT)), ' ') AS chunk_text
+        |FROM d, LATERAL unnest(range(0, n_tokens, 24)) AS t(s)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q107_int8_quant" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scl FROM base),
+        |c AS (SELECT vec_id, v, scl,
+        |  list_transform(v, x -> CAST(greatest(-127.0, least(127.0,
+        |    floor(x / scl + 0.5))) AS INT)) AS codes FROM q),
+        |e AS (SELECT vec_id, v, scl, codes,
+        |  list_transform(range(1, CAST(len(v)+1 AS BIGINT)),
+        |    i -> v[CAST(i AS INT)] - CAST(codes[CAST(i AS INT)] AS DOUBLE) * scl)
+        |    AS err,
+        |  list_transform(codes, x -> CAST(x AS DOUBLE)) AS qd FROM c)
+        |SELECT vec_id, round(scl, 6) AS scale,
+        | array_to_string(list_transform(list_slice(codes, 1, 8),
+        |   x -> CAST(x AS VARCHAR)), ',') AS codes8,
+        | round(sqrt(list_dot_product(err, err)) / sqrt(list_dot_product(v, v)), 6)
+        |   AS rel_err,
+        | round(list_dot_product(v, qd) /
+        |   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qd, qd))), 6)
+        |   AS cos_rec
+        |FROM e ORDER BY vec_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that
@@ -993,6 +1096,7 @@ object SparkEntry {
     "q80_video_dedup", "q81_shared_spans", "q84_span_scrub",
     "q85_image_clusters", "q86_audio_incremental", "q87_pca_whiten",
     "q92_keep_best", "q97_knn_graph", "q99_fuzzy_decon", "q100_coreset",
+    "q105_ffd_pack",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

@@ -934,21 +934,35 @@ object DedupOps {
             lit(") — raise lineWords or split the document"))))
           .as("line_id"),
         col("l.line").as("line"))
-    val pos = col("doc_id") * posBound + col("line_id")
-    val stats = lines.groupBy("line")
+    scrubUnits(lines, "line_id", "line", posBound)
+      .withColumnRenamed("n_units", "n_lines")
+      .withColumnRenamed("n_dup_units", "n_dup_lines")
+  }
+
+  /** The ONE keep-first-occurrence scrub over per-doc text units (lines,
+    * sentences — anything staged as (doc_id, unit index, unit text)):
+    * one hash aggregate per distinct unit (count + min encoded position),
+    * one equi-join back, one per-doc aggregate rebuilding the scrubbed
+    * text in unit order. Shared by [[lineDedupScrub]] and
+    * [[sentenceDedupScrub]] so the keeper semantics cannot drift.
+    */
+  private def scrubUnits(units: DataFrame, idCol: String, unitCol: String,
+      posBound: Long): DataFrame = {
+    val pos = col("doc_id") * posBound + col(idCol)
+    val stats = units.groupBy(unitCol)
       .agg(count(lit(1)).as("cnt"), min(pos).as("keep_pos"))
-    lines.join(stats, "line")
-      .select(col("doc_id"), col("line_id"), col("line"), col("cnt"),
+    units.join(stats, unitCol)
+      .select(col("doc_id"), col(idCol), col(unitCol), col("cnt"),
         (col("cnt") === 1 || pos === col("keep_pos")).as("keep"))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_lines"),
-        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_lines"),
+        count(lit(1)).as("n_units"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_units"),
         sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
         array_join(transform(
           sort_array(collect_list(when(col("keep"),
-            struct(col("line_id"), col("line"))))),
-          s => s.getField("line")), " ").as("clean_text"))
+            struct(col(idCol), col(unitCol))))),
+          s => s.getField(unitCol)), " ").as("clean_text"))
   }
 
   /** q82: repeated-line scrub over the documents table. Direct DuckDB
@@ -958,6 +972,76 @@ object DedupOps {
     */
   def qLineDedup(spark: SparkSession, dir: String): DataFrame =
     lineDedupScrub(Tables(spark, dir).documents).orderBy("doc_id")
+
+  /** SENTENCE-level dedup scrub — [[lineDedupScrub]]'s keeper machinery
+    * applied to PUNCTUATION-SEGMENTED units instead of fixed word runs:
+    * split on sentence terminators ([.!?] + optional space), drop empty
+    * fragments, and remove every cross-corpus repeated sentence except
+    * its first (doc_id, position) occurrence — the sentence-granularity
+    * boilerplate pass (cookie banners, share-this lines) that line
+    * windows miss when the repeated prose doesn't align to a fixed-width
+    * line grid. Terminators are segmentation delimiters and are
+    * normalized away in the rebuilt text (the scrub's contract is
+    * content, not punctuation). Segmentation is a regex both engines
+    * implement identically (character class + optional space — no
+    * lookbehind, which RE2 lacks), so the oracle stays DIRECT SQL.
+    *
+    * Scale shape identical to q82: narrow regex split in one projection,
+    * one combiner-friendly (count, min-position) aggregate per distinct
+    * sentence, one join back, one per-doc rebuild.
+    */
+  def sentenceDedupScrub(docs: DataFrame): DataFrame =
+    sentenceDedupScrub(docs, posBound = 1000000L)
+
+  private[graft] def sentenceDedupScrub(docs: DataFrame,
+      posBound: Long): DataFrame = {
+    val sents = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "[.!?] ?")).as(Seq("sent_id", "sent")))
+      .filter(length(col("sent")) > 0)
+      .select(col("doc_id"),
+        when(col("sent_id") < posBound, col("sent_id").cast("bigint"))
+          .otherwise(raise_error(concat(
+            lit("sentenceDedupScrub: sent_id overflows the doc_id*1e6+sent_id keeper encoding (doc_id="),
+            col("doc_id").cast("string"), lit(", sent_id="),
+            col("sent_id").cast("string"), lit(")"))))
+          .as("sent_id"),
+        col("sent"))
+    scrubUnits(sents, "sent_id", "sent", posBound)
+      .withColumnRenamed("n_units", "n_sents")
+      .withColumnRenamed("n_dup_units", "n_dup_sents")
+  }
+
+  /** q103: sentence dedup over a PUNCTUATED staging of the corpus (the
+    * natural corpus is unpunctuated word salad, so sentence segmentation
+    * would be one doc-sized fragment — NOTES round-9 lead). The staging
+    * is deterministic and engine-portable: a 40-sentence pool (first 8
+    * words of docs 0–39), each staged doc drawing 4 pool sentences by
+    * index arithmetic with a rotating . / ! / ? terminator — heavy
+    * cross-doc sentence duplication by construction, which is exactly
+    * the regime the scrub exists for. Direct DuckDB oracle reproduces
+    * staging and scrub.
+    */
+  def qSentenceDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pool = t.documents.filter(col("doc_id") < 40)
+      .select(col("doc_id").as("pool_id"),
+        array_join(slice(split(col("text"), " "), 1, 8), " ").as("psent"))
+    val staged = t.documents.select(col("doc_id"))
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("j"))
+      .withColumn("pool_id", (col("doc_id") * 7 + col("j") * 3) % 40)
+      .join(pool, "pool_id")
+      .withColumn("term",
+        when((col("doc_id") + col("j")) % 3 === 0, ". ")
+          .when((col("doc_id") + col("j")) % 3 === 1, "! ")
+          .otherwise("? "))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("j"), concat(col("psent"),
+          col("term")).as("s")))),
+        x => x.getField("s")), "").as("text"))
+    sentenceDedupScrub(staged).orderBy("doc_id")
+  }
 
   /** Asymmetric n-gram CONTAINMENT between candidate doc pairs —
     * |A∩B| / |A| (and /|B|) over distinct word n-gram sets. Jaccard

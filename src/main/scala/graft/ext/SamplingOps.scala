@@ -15,6 +15,15 @@ case class ShardOffset(nextOffset: Long)
 case class PackedDoc(doc_id: Long, shard: Long, n_tokens: Long,
     tok_offset: Long, seq_id: Long)
 
+/** One document arriving at the per-shard bin packer. */
+case class BinArrival(shard: Long, doc_id: Long, n_tokens: Long)
+
+/** A bin-packed document: its per-shard bin id, the bin's final token
+  * fill, and whether the doc alone overflows the budget (truncation).
+  */
+case class BinPackedDoc(doc_id: Long, shard: Long, n_tokens: Long,
+    bin_id: Long, bin_fill: Long, truncated: Boolean)
+
 /** [EXT] Deterministic distributed sampling for training-data pipelines.
   *
   * `df.sample()` is seed-dependent per partitioning and not reproducible
@@ -373,4 +382,119 @@ object SamplingOps {
   def qDsirResample(spark: SparkSession, dir: String): DataFrame =
     dsirResample(Tables(spark, dir).documents, col("lang") === "en")
       .orderBy("rank")
+
+  /** LENGTH-BUCKET BATCHING — group documents of similar token length
+    * into fixed-size training batches so sequence padding is bounded by
+    * the bucket width (the dynamic-batching trick every seq2seq /
+    * finetune loader uses: batching a 10-token doc with a 500-token doc
+    * wastes ~98 % of the batch as pad).
+    *
+    * Buckets are power-of-two length classes with EXACT integer bounds
+    * (a float log2 would disagree between engines at exact powers of
+    * two); batch membership is the deterministic hash order within each
+    * (shard, bucket) group. Sharding FIRST is the scale move: a window
+    * keyed by bucket alone has ~15 distinct keys at any corpus size —
+    * ~15 hot tasks at 100 TB — while (shard, bucket) spreads to
+    * nShards·15 with nShards sized to the corpus. That matches training
+    * reality too: each data-parallel worker batches its own shard.
+    *
+    * Per doc: its batch id, the batch's padded length (max tokens in the
+    * batch — what the collator pads to), and the doc's own pad waste.
+    * Two windows share the (shard, bucket) partitioning — ONE exchange,
+    * the (shard, bucket, batch) max adds no extra shuffle ancestry.
+    * Direct DuckDB oracle.
+    */
+  def lengthBucketBatches(docs: DataFrame, nShards: Int = 8,
+      batchSize: Int = 8): DataFrame = {
+    val n = col("n_tokens")
+    val bucket =
+      when(n <= 16, 16L).when(n <= 32, 32L).when(n <= 64, 64L)
+        .when(n <= 128, 128L).when(n <= 256, 256L).when(n <= 512, 512L)
+        .when(n <= 1024, 1024L).when(n <= 2048, 2048L).when(n <= 4096, 4096L)
+        .otherwise(8192L)
+    val wBatch = Window.partitionBy(col("shard"), col("bucket"), col("batch_id"))
+    docs
+      .withColumn("shard", lcgShard(col("doc_id"), nShards))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      .withColumn("bucket", bucket)
+      .withColumn("batch_id",
+        expr(s"(row_number() OVER (PARTITION BY shard, bucket ORDER BY " +
+          s"md5(cast(doc_id AS string)), doc_id) - 1) div $batchSize"))
+      .withColumn("padded_len", max(col("n_tokens")).over(wBatch))
+      .withColumn("pad_waste", col("padded_len") - col("n_tokens"))
+  }
+
+  /** q102: length-bucket batching over documents (batch size 8, 8
+    * shards). Direct DuckDB oracle.
+    */
+  def qLengthBucketBatches(spark: SparkSession, dir: String): DataFrame =
+    lengthBucketBatches(Tables(spark, dir).documents.select("doc_id", "text"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("bucket"),
+        col("batch_id"), col("padded_len"), col("pad_waste"))
+      .orderBy("doc_id")
+
+  /** FIRST-FIT-DECREASING BIN PACKING — the "fewer truncations" packing:
+    * where [[sequencePack]] concatenates and cuts (documents straddle
+    * sequence boundaries), FFD places each document WHOLE into the first
+    * bin with room, so no document is ever split across training
+    * sequences. The classic guarantee: FFD uses ≤ 11/9·OPT + 6/9 bins.
+    * A document alone exceeding the budget gets its own bin, flagged
+    * `truncated` (the trainer clips it — packing cannot help).
+    *
+    * Scale shape: packing is inherently sequential WITHIN a bin stream,
+    * so the parallel unit is the shard — hash-sharded docs, one
+    * groupByKey exchange, each shard packed independently in one task
+    * (the q71 discipline; nShards scales with the corpus so a shard
+    * holds ~10⁵ docs at any size). Per-shard cost is the first-fit scan,
+    * O(n·open-bins) worst case, with the scan start advanced past
+    * permanently-full bins; with doc sizes ≪ budget most bins fill to
+    * within the smallest doc and close quickly, so the open set stays
+    * small. Deterministic: sort by (tokens desc, doc_id). Golden oracle
+    * (sequential placement is not SQL-expressible); SamplingSpec
+    * re-derives placements independently and asserts the FFD invariants.
+    */
+  def ffdPack(docs: DataFrame, nShards: Int = 8,
+      budget: Long = 512): Dataset[BinPackedDoc] = {
+    require(budget >= 1, s"bin budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        lcgShard(col("doc_id"), nShards).as("shard"),
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .as[BinArrival]
+      .groupByKey(_.shard)
+      .flatMapGroups { (shard, rows) =>
+        val sorted = rows.toArray.sortBy(r => (-r.n_tokens, r.doc_id))
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        // the scan may only skip PERMANENTLY full bins (fill == budget):
+        // a bin merely too full for the current doc can still fit a later
+        // smaller one, so first-fit correctness requires starting at the
+        // first non-full bin, not the first bin that fits this size
+        var firstOpen = 0
+        val placed = sorted.map { r =>
+          val take = math.min(r.n_tokens, budget)
+          var i = firstOpen
+          while (i < fills.length && fills(i) + take > budget) i += 1
+          val bin = if (i < fills.length) { fills(i) += take; i }
+          else { fills += take; fills.length - 1 }
+          while (firstOpen < fills.length && fills(firstOpen) >= budget)
+            firstOpen += 1
+          (r, bin)
+        }
+        placed.iterator.map { case (r, bin) =>
+          BinPackedDoc(r.doc_id, shard, r.n_tokens, bin.toLong,
+            fills(bin), r.n_tokens > budget)
+        }
+      }
+  }
+
+  /** q105: FFD packing of documents into 512-token bins across 8 shards
+    * (golden oracle; placements re-derived independently in
+    * SamplingSpec).
+    */
+  def qFfdPack(spark: SparkSession, dir: String): DataFrame =
+    ffdPack(Tables(spark, dir).documents.select("doc_id", "text"))
+      .toDF()
+      .orderBy("doc_id")
 }

@@ -127,7 +127,7 @@ object SimilarityOps {
     memo(dimCache, embeddings,
       (df: DataFrame) => Int.box(df.select(size(col("embedding"))).head().getInt(0))).toInt
 
-  private def tableCount(embeddings: DataFrame): Long =
+  private[graft] def tableCount(embeddings: DataFrame): Long =
     memo(countCache, embeddings, (df: DataFrame) => Long.box(df.count())).toLong
 
   /** Banded hyperplane signatures: `bands` independent sigs of `bits` sign
@@ -151,7 +151,7 @@ object SimilarityOps {
     * same-bucket pair count ~N²/2^bits, i.e. quadratic in N; scaling bits
     * with log₂(N) keeps it linear.
     */
-  private def bitsFor(n: Long): Int =
+  private[graft] def bitsFor(n: Long): Int =
     math.min(62, math.max(4,
       math.ceil(math.log(math.max(1.0, n / 8.0)) / math.log(2.0)).toInt))
 
@@ -1306,4 +1306,109 @@ object SimilarityOps {
       .withColumn("enrm", norm(col("ev")))
     semanticDecon(t.embeddings, evals, tau = 0.8).orderBy("vec_id")
   }
+
+  /** HARD-NEGATIVE MINING for contrastive / embedding-model training:
+    * for each anchor in a bounded probe set, the k highest-cosine corpus
+    * vectors carrying a DIFFERENT label — the "hardest" negatives, the
+    * pairs a contrastive loss learns the most from (easy negatives are
+    * already far; random negatives are mostly easy).
+    *
+    * Scale shape = q91's bounded-probe discipline: the anchor set is
+    * broadcast (mining runs per training batch / per probe list, anchors
+    * ≪ corpus), the N×A scored intermediate pipelines straight into a
+    * per-anchor top-k window where WindowGroupLimit keeps ≤k rows per
+    * anchor per map partition BEFORE the exchange — the shuffle carries
+    * O(A·k·partitions) rows, never N×A. Exact by construction over the
+    * anchor set (a missed hard negative silently weakens training — same
+    * reasoning as exact decon); the corpus side is one narrow pass.
+    * Zero-norm vectors have no direction: NULL cosine (try_divide) drops
+    * them from candidacy on either side. Direct DuckDB oracle via
+    * list_dot_product (the q30 arithmetic, so rank ties agree).
+    */
+  def hardNegatives(embeddings: DataFrame, anchors: DataFrame,
+      k: Int = 5): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"),
+        col("label").cast("bigint").as("neg_label"))
+      .withColumn("nrm", norm(col("v")))
+    val sims = base
+      .join(broadcast(anchors), col("neg_label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("vec_id").as("neg_id"), col("neg_label"),
+        safeCos(dot(col("v"), col("av")), col("nrm"), col("anrm")).as("cos"))
+      .filter(col("cos").isNotNull)
+    val w = Window.partitionBy("anchor_id").orderBy(desc("cos"), col("neg_id"))
+    sims.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("anchor_label"), col("rank"),
+        col("neg_id"), col("neg_label"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** q101: top-5 hard negatives for every 25th vector as anchor (bounded
+    * probe set at any SF). Direct DuckDB oracle.
+    */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val anchors = t.embeddings.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("anchor_id"),
+        toDouble(col("embedding")).as("av"),
+        col("label").cast("bigint").as("anchor_label"))
+      .withColumn("anrm", norm(col("av")))
+    hardNegatives(t.embeddings, anchors, k = 5).orderBy("anchor_id", "rank")
+  }
+
+  /** SYMMETRIC INT8 QUANTIZATION of the embedding column — the 4×
+    * compression every billion-vector ANN index applies before anything
+    * else (scalar quantization: q_i = round(x_i · 127 / max|x|), decode
+    * q_i · scale). Reports per vector the scale, the quantized codes,
+    * and the two fidelity numbers an index builder actually checks:
+    * relative L2 reconstruction error and cosine(original, dequantized).
+    *
+    * Engine-portable rounding: round() differs at exact .5 between
+    * Spark (shortest-decimal HALF_UP) and DuckDB (binary-double), so the
+    * code is floor(x·127/max + 0.5) — floor is exact IEEE in both, and
+    * both engines evaluate the identical double expression. max|x| uses
+    * array_max of the absolute values (exact). Zero vectors (max|x| = 0)
+    * get scale 0 with NULL codes/fidelity — try_divide keeps ANSI mode
+    * from aborting on them.
+    *
+    * Scale shape: ONE narrow codegen'd projection — per-row HOFs only,
+    * no shuffle, no UDF.
+    */
+  def int8Quantize(embeddings: DataFrame): DataFrame = {
+    val v = toDouble(col("embedding"))
+    val mx = array_max(transform(v, x => abs(x)))
+    val scl = try_divide(mx, lit(127.0))
+    // floor(x/scale + 0.5) with x possibly negative: floor rounds toward
+    // -inf, matching round-half-up on negatives' MAGNITUDE being half-down
+    // — but both engines compute the same floor, which is all portability
+    // needs; clamp to the int8 range for the -128 edge floor can reach
+    val q = transform(v, x =>
+      greatest(lit(-127.0), least(lit(127.0),
+        floor(try_divide(x, scl) + lit(0.5)))).cast("int"))
+    embeddings
+      .select(col("vec_id"), v.as("__v"), scl.as("__scl"), q.as("__q"))
+      .select(col("vec_id"), col("__v"), col("__scl"), col("__q"),
+        zip_with(col("__v"), col("__q"),
+          (x, c) => x - c.cast("double") * col("__scl")).as("__e"))
+      .select(col("vec_id"),
+        round(col("__scl"), 6).as("scale"),
+        col("__q").as("codes"),
+        round(try_divide(sqrt(dot(col("__e"), col("__e"))),
+          norm(col("__v"))), 6).as("rel_err"),
+        round(cosine(col("__v"),
+          transform(col("__q"), c => c.cast("double"))), 6).as("cos_rec"))
+  }
+
+  /** q107: int8 quantization over embeddings — scale, first-8 codes (as
+    * a portable CSV string), and reconstruction fidelity per vector.
+    * Direct DuckDB oracle.
+    */
+  def qInt8Quantize(spark: SparkSession, dir: String): DataFrame =
+    int8Quantize(Tables(spark, dir).embeddings)
+      .select(col("vec_id"), col("scale"),
+        array_join(transform(slice(col("codes"), 1, 8),
+          c => c.cast("string")), ",").as("codes8"),
+        col("rel_err"), col("cos_rec"))
+      .orderBy("vec_id")
 }

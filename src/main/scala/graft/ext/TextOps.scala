@@ -851,4 +851,44 @@ object TextOps {
         substring(col("__n"), 1, 30).as("norm_prefix"))
       .orderBy("doc_id")
   }
+
+  /** OVERLAPPING-WINDOW CHUNKING — the retrieval/embedding-pipeline
+    * splitter: cut each document into `chunkTokens`-token windows that
+    * advance by `stride` tokens (stride < chunkTokens ⇒ consecutive
+    * chunks overlap by chunkTokens − stride tokens, so a sentence
+    * straddling a cut still appears whole in some chunk). Start offsets
+    * are 0, stride, 2·stride, … while start < n_tokens; the final
+    * window may be short. Every RAG indexer and long-context embedding
+    * pipeline runs exactly this before embedding.
+    *
+    * Scale shape: ONE narrow projection + explode — per-row output is
+    * ⌈n/stride⌉ chunks, no shuffle, no state; the chunk table inherits
+    * the scan's partitioning. Slice lengths are explicit (the
+    * slice-to-MaxValue overflow gotcha). Direct DuckDB oracle
+    * (range + list_slice reproduce the same windows).
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1,
+      s"chunkTokens and stride must be positive, got $chunkTokens/$stride")
+    val words = split(col("text"), " ")
+    val n = size(words).cast("bigint")
+    val starts = sequence(lit(0L), n - 1, lit(stride.toLong))
+    docs
+      .select(col("doc_id"), words.as("__w"), n.as("n_tokens"),
+        explode(starts).as("start_tok"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        (col("start_tok") / stride).cast("bigint").as("chunk_id"),
+        least(lit(chunkTokens.toLong), col("n_tokens") - col("start_tok"))
+          .as("chunk_tokens"),
+        array_join(slice(col("__w"), col("start_tok") + 1,
+          lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
+  /** q106: 32-token chunks at stride 24 over the documents table.
+    * Direct DuckDB oracle.
+    */
+  def qChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables(spark, dir).documents.select("doc_id", "text"))
+      .orderBy("doc_id", "chunk_id")
 }

@@ -517,4 +517,36 @@ class DedupSpec extends SparkSpec {
     assert(by.values.exists(ms => ms.head.getLong(4) != ms.map(_.getLong(0)).min),
       "keep-best never diverges from keep-min-id at this SF — policy untested")
   }
+
+  test("sentenceDedupScrub: planted fixture — segmentation, keeper, rebuild") {
+    val docs = Seq(
+      (1L, "red fox jumps. blue sky falls! red fox jumps? tail one."),
+      (2L, "blue sky falls. green leaf turns! red fox jumps."),
+      (3L, "green leaf turns? green leaf turns.")).toDF("doc_id", "text")
+    val out = DedupOps.sentenceDedupScrub(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // doc 1: 4 sentences; "red fox jumps" appears 3× corpus-wide (twice in
+    // doc 1 itself) — keeper is (1, 0); "blue sky falls" keeper (1, 1)
+    assert(out(0) == ((1L, 4L, 3L, 1L, "red fox jumps blue sky falls tail one")))
+    // doc 2: all three sentences are dups of earlier occurrences except
+    // "green leaf turns" (first seen here at position 1)
+    assert(out(1) == ((2L, 3L, 3L, 2L, "green leaf turns")))
+    // doc 3: both sentences are later copies — fully scrubbed
+    assert(out(2) == ((3L, 2L, 2L, 2L, "")))
+  }
+
+  test("q103: staged corpus has heavy sentence duplication, keepers unique") {
+    val rows = DedupOps.qSentenceDedup(spark, SF).collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getLong(1) == 4L), "every staged doc has 4 sentences")
+    // 40-sentence pool over 2000 draws: massive duplication by construction
+    val totalRemoved = rows.map(_.getLong(3)).sum
+    assert(totalRemoved >= 1900, s"expected ~1960 removals, got $totalRemoved")
+    // each distinct sentence survives exactly once corpus-wide: total kept
+    // occurrences == number of distinct pool sentences actually drawn
+    val totalKept = rows.map(r => r.getLong(1) - r.getLong(3)).sum
+    assert(totalKept <= 40, s"more survivors than pool sentences: $totalKept")
+    assert(totalKept >= 30, s"suspiciously few survivors: $totalKept")
+  }
 }

@@ -211,4 +211,77 @@ class SamplingSpec extends SparkSpec {
       SamplingOps.splitAssign(docs, "doc_id", Seq("train" -> 900), denom = 1000)
     }
   }
+
+  test("q102 length batching: bucket bounds, batch size, padded lengths") {
+    val out = SamplingOps.qLengthBucketBatches(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.length == Tables(spark, SF).documents.count())
+    out.foreach { case (id, _, n, bucket, _, padded, waste) =>
+      assert(n <= bucket, s"doc $id exceeds its bucket")
+      assert(bucket == 16 || n > bucket / 2, s"doc $id in too-large bucket")
+      assert(waste == padded - n, s"doc $id waste")
+      assert(waste < bucket, s"doc $id waste exceeds bucket width")
+    }
+    out.groupBy(t => (t._2, t._4, t._5)).foreach { case (key, rows) =>
+      assert(rows.length <= 8, s"batch $key over size")
+      val mx = rows.map(_._3).max
+      assert(rows.forall(_._6 == mx), s"batch $key padded_len != max tokens")
+    }
+    // batches fill in order: within (shard, bucket) only the LAST batch
+    // may be short
+    out.groupBy(t => (t._2, t._4)).foreach { case (key, rows) =>
+      val sizes = rows.groupBy(_._5).toSeq.sortBy(_._1).map(_._2.length)
+      assert(sizes.init.forall(_ == 8), s"non-final short batch in $key")
+    }
+  }
+
+  test("q105 FFD packing: placements re-derived independently, invariants hold") {
+    val budget = 512L
+    val out = SamplingOps.qFfdPack(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val docs = Tables(spark, SF).documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == docs.length)
+    // independent FFD: walk each shard in (tokens desc, id) order keeping
+    // per-bin remaining capacity — deliberately structured differently
+    // from the operator (remaining-capacity map instead of fill buffer)
+    val expected = docs
+      .groupBy { case (id, _) => (id * 1103515245L + 12345L) % 2147483648L % 8L }
+      .iterator.flatMap { case (shard, members) =>
+        val order = members.sortBy { case (id, n) => (-n, id) }
+        val remaining = scala.collection.mutable.LinkedHashMap[Long, Long]()
+        order.map { case (id, n) =>
+          val take = math.min(n, budget)
+          val hit = remaining.find { case (_, rem) => rem >= take }
+          val bin = hit match {
+            case Some((b, rem)) => remaining(b) = rem - take; b
+            case None =>
+              val b = remaining.size.toLong; remaining(b) = budget - take; b
+          }
+          (id, (shard, n, bin, n > budget))
+        }
+      }.toMap
+    out.foreach { case (id, shard, n, bin, fill, trunc) =>
+      val (eShard, eN, eBin, eTrunc) = expected(id)
+      assert(shard == eShard && n == eN && bin == eBin && trunc == eTrunc,
+        s"doc $id placement ($shard,$n,$bin,$trunc) != ($eShard,$eN,$eBin,$eTrunc)")
+      assert(trunc || fill <= budget, s"doc $id bin overfilled: $fill")
+    }
+    // bin_fill is consistent: it equals the sum of capped takes in the bin
+    out.groupBy(t => (t._2, t._4)).foreach { case (key, rows) =>
+      val total = rows.map(t => math.min(t._3, budget)).sum
+      assert(rows.forall(_._5 == total), s"bin $key fill mismatch")
+    }
+    // FFD uses no more bins than pack-by-concatenation's ceiling would
+    // allow being wasteful about: every bin except possibly one per shard
+    // is more than half full OR was closed by the smallest remaining doc
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val bins = rows.groupBy(_._4).view.mapValues(_.head._5).toMap
+      val under = bins.values.count(_ <= budget / 2)
+      assert(under <= 1, s"shard $shard has $under half-empty bins")
+    }
+  }
 }

@@ -475,4 +475,65 @@ class SimilaritySpec extends SparkSpec {
         assert(!plan.contains("Join [sig"), s"unexpected sig-keyed join:\n$plan")
       }
   }
+
+  test("q101 hard negatives: brute-force re-derivation, label constraint, ranks") {
+    val vecs = Tables(spark, SF).embeddings.collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2).toLong))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val out = SimilarityOps.qHardNegatives(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val anchors = vecs.filter(_._1 % 25 == 0)
+    assert(out.map(_._1).distinct.sorted.toSeq == anchors.map(_._1).sorted.toSeq)
+    anchors.foreach { case (aid, av, albl) =>
+      val expect = vecs.filter(_._3 != albl)
+        .map { case (id, v, lbl) => (id, lbl, cos(av, v)) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(5)
+      val got = out.filter(_._1 == aid).sortBy(_._3)
+      assert(got.map(_._3).toSeq == (1L to 5L), s"anchor $aid ranks")
+      got.zip(expect).foreach { case ((_, gal, _, nid, nlbl, gc), (eid, elbl, ec)) =>
+        assert(gal == albl && nid == eid && nlbl == elbl, s"anchor $aid neighbor")
+        assert(math.abs(gc - ec) < 5e-5, s"anchor $aid cos $gc vs $ec")
+        assert(nlbl != albl, s"anchor $aid negative shares its label")
+      }
+    }
+  }
+
+  test("q107 int8 quantization: plain-Scala re-derivation + zero-vector edge") {
+    val out = SimilarityOps.qInt8Quantize(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getDouble(3),
+        r.getDouble(4)))
+    val vecs = Tables(spark, SF).embeddings.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    assert(out.length == vecs.size)
+    out.foreach { case (id, scale, codes8, relErr, cosRec) =>
+      val v = vecs(id)
+      val mx = v.map(math.abs).max
+      val scl = mx / 127.0
+      val codes = v.map(x => math.max(-127.0, math.min(127.0,
+        math.floor(x / scl + 0.5))))
+      assert(math.abs(scale - scl) < 1e-6, s"vec $id scale")
+      assert(codes8 == codes.take(8).map(_.toInt.toString).mkString(","),
+        s"vec $id codes")
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      val err = v.zip(codes).map { case (x, c) => x - c * scl }
+      val rel = math.sqrt(err.map(e => e * e).sum) /
+        math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(relErr - rel) < 5e-5, s"vec $id rel_err $relErr vs $rel")
+      // int8 scalar quantization keeps cosine fidelity high
+      assert(cosRec > 0.999, s"vec $id cos_rec $cosRec")
+      assert(relErr < 0.01, s"vec $id rel_err $relErr")
+    }
+    // zero vector: scale 0, NULL codes/fidelity — and no ANSI abort
+    val z = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(3.0f, -4.0f)))
+      .toDF("vec_id", "embedding")
+    val zr = SimilarityOps.int8Quantize(z).orderBy("vec_id").collect()
+    assert(zr(0).getDouble(1) == 0.0 && zr(0).isNullAt(3) && zr(0).isNullAt(4))
+    assert(zr(1).getDouble(1) > 0.0 && !zr(1).isNullAt(3))
+  }
 }

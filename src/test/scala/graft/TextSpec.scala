@@ -498,4 +498,41 @@ class TextSpec extends SparkSpec {
     }
     assert(rows.map(_.getString(5)).toSet == Set("head", "middle", "tail"))
   }
+
+  test("q106 chunking: coverage, overlap, boundary arithmetic") {
+    val out = TextOps.qChunkDocs(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    val docs = Tables(spark, SF).documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.map(_._1).distinct.length == docs.size)
+    out.groupBy(_._1).foreach { case (id, chunks) =>
+      val words = docs(id).split(" ", -1)
+      val n = words.length.toLong
+      val sorted = chunks.sortBy(_._4)
+      // start offsets are exactly 0, 24, 48, … while < n
+      assert(sorted.map(_._3).toSeq ==
+        (0L until n by 24L).toSeq, s"doc $id starts")
+      assert(sorted.map(_._4).toSeq ==
+        sorted.indices.map(_.toLong).toSeq, s"doc $id chunk ids")
+      sorted.foreach { case (_, nTok, start, _, cTok, text) =>
+        assert(nTok == n)
+        assert(cTok == math.min(32L, n - start), s"doc $id chunk_tokens")
+        val expect = words.slice(start.toInt,
+          math.min(start + 32, n).toInt).mkString(" ")
+        assert(text == expect, s"doc $id chunk at $start")
+      }
+      // stride < chunk ⇒ consecutive full chunks share 32-24 = 8 tokens
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, _, s1, _, t1, txt1), (_, _, s2, _, _, txt2)) if t1 == 32 =>
+          val tail1 = txt1.split(" ", -1).drop((s2 - s1).toInt).mkString(" ")
+          assert(txt2.startsWith(tail1), s"doc $id overlap at $s2")
+        case _ =>
+      }
+      // every word appears in some chunk (coverage)
+      val covered = sorted.flatMap { case (_, _, start, _, cTok, _) =>
+        start until (start + cTok) }.toSet
+      assert(covered == (0L until n).toSet, s"doc $id coverage")
+    }
+  }
 }
