@@ -129,6 +129,7 @@ object SparkEntry {
     "q101_hard_negatives" -> (SimilarityOps.qHardNegatives _),
     "q102_length_batching" -> (SamplingOps.qLengthBucketBatches _),
     "q103_sentence_dedup" -> (DedupOps.qSentenceDedup _),
+    "q104_incremental_knn" -> (SimilarityOps.qIncrementalKnn _),
     "q105_ffd_pack" -> (SamplingOps.qFfdPack _),
     "q106_chunk_docs" -> (TextOps.qChunkDocs _),
     "q107_int8_quant" -> (SimilarityOps.qInt8Quantize _),
@@ -1096,7 +1097,7 @@ object SparkEntry {
     "q80_video_dedup", "q81_shared_spans", "q84_span_scrub",
     "q85_image_clusters", "q86_audio_incremental", "q87_pca_whiten",
     "q92_keep_best", "q97_knn_graph", "q99_fuzzy_decon", "q100_coreset",
-    "q105_ffd_pack",
+    "q104_incremental_knn", "q105_ffd_pack",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

@@ -1411,4 +1411,145 @@ object SimilarityOps {
           c => c.cast("string")), ",").as("codes8"),
         col("rel_err"), col("cos_rec"))
       .orderBy("vec_id")
+
+  /** One row per (vector, band) with the LSH signature, the vector, and its
+    * norm — the standing index [[incrementalKnnGraph]] probes. Carrying
+    * v/nrm costs dim+1 doubles per row but means a probe NEVER joins back
+    * to the embedding table (the q52/q86 persisted-state discipline: the
+    * index is self-contained, the base corpus is not re-read).
+    */
+  def indexEmbeddingSigs(embeddings: DataFrame, stateDir: String,
+      bands: Int = 4, bitsPerBand: Int): Unit = {
+    val dim = embeddingDim(embeddings)
+    embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"),
+        explode(bandSigs(col("v"), bands, bitsPerBand, dim)).as("bs"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .write.mode("overwrite").parquet(stateDir)
+  }
+
+  /** INCREMENTAL kNN-GRAPH MAINTENANCE — the q52/q86 persisted-index
+    * workflow applied to q97: a batch of NEW vectors merges into a standing
+    * kNN graph without recomputing it. Candidates are generated
+    * ASYMMETRICALLY (batch-vs-index and batch-vs-batch; old-vs-old pairs
+    * are never formed — the standing graph already holds them), affected
+    * old nodes re-rank their kept top-k against the incoming edges, and
+    * every other node's rows pass through UNTOUCHED.
+    *
+    * Scale shape: the batch's (band, sig) bucket keys are broadcast into
+    * the index scan, so only index rows in a bucket the batch touches are
+    * ever grouped — probe cost is batch-bounded, not corpus-bounded. Index
+    * posting lists are capped at maxBucket keep-lowest-ids (the q86
+    * posting-cap: a hot boilerplate bucket serves bounded candidates
+    * instead of exploding), and the final re-rank window runs only over
+    * affected ∪ new nodes (≤ batch · bands · maxBucket partitions), with
+    * WindowGroupLimit pruning to ≤k per node before the exchange. The
+    * merged list is exact for a new node (over its candidates) and for an
+    * old node approximates a rebuild the standard way: its true top-k is
+    * recovered whenever it lies within kept-k ∪ incoming edges.
+    *
+    * Contract: batch vec_ids are disjoint from the index's (new data gets
+    * new ids); bitsPerBand must equal the value the index was built with
+    * (signatures are meaningless across different plane counts).
+    * `status`: kept = untouched base row, merged = re-ranked old node,
+    * new = batch node.
+    */
+  def incrementalKnnGraph(batch: DataFrame, sigTable: DataFrame,
+      baseGraph: DataFrame, k: Int = 5, bands: Int = 4, bitsPerBand: Int = 0,
+      maxBucket: Int = 100): DataFrame = {
+    val dim = embeddingDim(batch)
+    val bits = if (bitsPerBand > 0) bitsPerBand else bitsFor(tableCount(batch))
+    val member = struct(col("vec_id"), col("v"), col("nrm"))
+    // persisted: probed-bucket join + new-new pairs both read this frame
+    val batchBuckets = graft.CacheRegistry.persist(
+      batch.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"),
+          explode(bandSigs(col("v"), bands, bits, dim)).as("bs"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("bs.band").as("band"), col("bs.sig").as("sig"))
+        .groupBy("band", "sig")
+        .agg(slice(sort_array(collect_list(member)), 1, maxBucket).as("news")))
+    val oldBuckets = sigTable
+      .join(broadcast(batchBuckets.select("band", "sig")), Seq("band", "sig"))
+      .groupBy("band", "sig")
+      .agg(slice(sort_array(collect_list(member)), 1, maxBucket).as("olds"))
+    // a pair found by several bands computes bit-identical cos6 → ONE
+    // distinct over the unioned batch-vs-index and batch-vs-batch pairs
+    // collapses it (the candidateCosines rule, single exchange)
+    val cross = batchBuckets.join(oldBuckets, Seq("band", "sig"))
+      .select(explode(col("news")).as("n"), col("olds"))
+      .select(col("n"), explode(col("olds")).as("o"))
+      .select(col("n.vec_id").as("id1"), col("o.vec_id").as("id2"),
+        round(safeCos(dot(col("n.v"), col("o.v")), col("n.nrm"),
+          col("o.nrm")), 6).as("cos6"),
+        lit(true).as("is_cross"))
+    val newnew = batchBuckets.filter(size(col("news")) >= 2)
+      .withColumnRenamed("news", "ids")
+      .select(explode(expr(DedupOps.orderedPairsExpr("a", "b"))).as("p"))
+      .select(col("p.a.vec_id").as("id1"), col("p.b.vec_id").as("id2"),
+        round(safeCos(dot(col("p.a.v"), col("p.b.v")), col("p.a.nrm"),
+          col("p.b.nrm")), 6).as("cos6"),
+        lit(false).as("is_cross"))
+    // persisted: new-node edges, old-node deltas, and the affected set all
+    // read this frame
+    val cand = graft.CacheRegistry.persist(cross.unionByName(newnew).distinct())
+    // cross rows fan out one direction per role (new→old edge here,
+    // old→new delta below); new-new rows fan out both — ONE explode, and
+    // the edge carries its node's role so status needs NO join later
+    val newNodeEdges = cand
+      .select(explode(when(col("is_cross"),
+          array(struct(col("id1").as("vec_id"), col("id2").as("nbr_id"), col("cos6"))))
+        .otherwise(
+          array(struct(col("id1").as("vec_id"), col("id2").as("nbr_id"), col("cos6")),
+            struct(col("id2").as("vec_id"), col("id1").as("nbr_id"), col("cos6"))))).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("r.nbr_id").as("nbr_id"),
+        col("r.cos6").as("cos6"), lit(true).as("is_new_node"))
+    val oldDelta = cand.filter(col("is_cross"))
+      .select(col("id2").as("vec_id"), col("id1").as("nbr_id"), col("cos6"),
+        lit(false).as("is_new_node"))
+    val affected = oldDelta.select("vec_id").distinct()
+    val untouched = baseGraph.join(broadcast(affected), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("cos"),
+        lit("kept").as("status"))
+    val touchedOld = baseGraph.join(broadcast(affected), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("nbr_id"), col("cos").as("cos6"),
+        lit(false).as("is_new_node"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos6"), asc("nbr_id"))
+    val rerank = touchedOld.unionByName(oldDelta).unionByName(newNodeEdges)
+      .filter(col("cos6").isNotNull) // zero-norm endpoints have no direction
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      // every edge row of a node carries the node's role, so the status
+      // projection is narrow — no join back to the affected set
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("cos6").as("cos"),
+        when(col("is_new_node"), lit("new")).otherwise(lit("merged")).as("status"))
+    untouched.unionByName(rerank)
+  }
+
+  /** q104: incremental kNN maintenance in the q52 workflow shape — 90% of
+    * vectors are the standing corpus (signature index + 5-NN graph
+    * persisted to parquet first), the remaining 10% arrive as the new
+    * batch and merge in without recomputing the standing graph. Golden
+    * oracle (hyperplane LSH is hash-seeded); GoldenDerivationSpec
+    * re-derives full rows and SimilaritySpec proves ≡ full rebuild when
+    * nothing is capped.
+    */
+  def qIncrementalKnn(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = t.embeddings.filter(col("vec_id") % 10 =!= 7)
+    val batch = t.embeddings.filter(col("vec_id") % 10 === 7)
+    val bits = bitsFor(tableCount(base))
+    val state = java.nio.file.Files.createTempDirectory("graft-knnstate")
+    graft.queries.PipelineQueries.registerTempDirForCleanup(state)
+    val sigDir = state.resolve("sigs").toString
+    val graphDir = state.resolve("graph").toString
+    indexEmbeddingSigs(base, sigDir, bands = 4, bitsPerBand = bits)
+    knnGraph(base, k = 5, bands = 4, bitsPerBand = bits)
+      .write.mode("overwrite").parquet(graphDir)
+    incrementalKnnGraph(batch, spark.read.parquet(sigDir),
+        spark.read.parquet(graphDir), k = 5, bands = 4, bitsPerBand = bits)
+      .orderBy("vec_id", "rank")
+  }
 }

@@ -1,0 +1,35 @@
+package graft.tools
+
+import graft.{CacheRegistry, GraftSession}
+import graft.ext.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** Scratch phase-timer for q104: staging (count/sigs/graph) vs merge. */
+object KnnIncProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.build("knn-inc-probe")
+    val t = graft.Tables(spark, dir)
+    def tm[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    (1 to 3).foreach { i =>
+      val base = t.embeddings.filter(col("vec_id") % 10 =!= 7)
+      val batch = t.embeddings.filter(col("vec_id") % 10 === 7)
+      val bits = tm("count+bits")(SimilarityOps.bitsFor(SimilarityOps.tableCount(base)))
+      val state = java.nio.file.Files.createTempDirectory("knn-probe")
+      val sigDir = state.resolve("sigs").toString
+      val graphDir = state.resolve("graph").toString
+      tm("index sigs")(SimilarityOps.indexEmbeddingSigs(base, sigDir, 4, bits))
+      tm("base graph")(SimilarityOps.knnGraph(base, 5, 4, bits)
+        .write.mode("overwrite").parquet(graphDir))
+      tm("merge")(SimilarityOps.incrementalKnnGraph(batch,
+          spark.read.parquet(sigDir), spark.read.parquet(graphDir), 5, 4, bits)
+        .write.format("noop").mode("overwrite").save())
+      CacheRegistry.release()
+      println(s"[probe] --- run $i done")
+    }
+    spark.stop()
+  }
+}

@@ -264,6 +264,107 @@ class GoldenDerivationSpec extends SparkSpec {
     assert(engine == expected)
   }
 
+  test("q104 incremental knn re-derived: base graph, asymmetric probe, merge, statuses") {
+    val bands = 2; val bits = 4; val dim = 8; val k = 3
+    val vecs: Seq[(Long, Seq[Float])] =
+      Seq(0L -> Seq.fill(dim)(1.0f),
+          1L -> Seq.fill(dim)(2.0f),
+          2L -> Seq.fill(dim)(-1.0f)) ++
+        (3L until 24L).map(i => i ->
+          Seq.tabulate(dim)(j => math.sin(i * 2.39996 + j * 1.618).toFloat))
+    val all = vecs.toDF("vec_id", "embedding")
+    val baseDf = all.filter(col("vec_id") % 5 =!= 2)
+    val batchDf = all.filter(col("vec_id") % 5 === 2)
+    val state = java.nio.file.Files.createTempDirectory("knn-inc-derive")
+    val sigDir = state.resolve("sigs").toString
+    val graphDir = state.resolve("graph").toString
+    SimilarityOps.indexEmbeddingSigs(baseDf, sigDir, bands, bits)
+    SimilarityOps.knnGraph(baseDf, k, bands, bits)
+      .write.mode("overwrite").parquet(graphDir)
+    val engine = SimilarityOps.incrementalKnnGraph(batchDf,
+        spark.read.parquet(sigDir), spark.read.parquet(graphDir),
+        k, bands, bits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4))).toSet
+    // ---- plain-Scala derivation of the whole incremental chain ----
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    val planes = Seq.fill(bands * bits)(Seq.fill(dim)(next()))
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    val dvecs: Map[Long, Seq[Double]] =
+      vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val norms: Map[Long, Double] = dvecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    def sig(id: Long, band: Int): Long =
+      (0 until bits).foldLeft(0L)((acc, r) =>
+        if (dot(dvecs(id), planes(band * bits + r)) > 0) acc | (1L << r) else acc)
+    def cos6Of(a: Long, b: Long): Double =
+      round6(dot(dvecs(a), dvecs(b)) / (norms(a) * norms(b)))
+    val baseIds = vecs.map(_._1).filter(_ % 5 != 2)
+    val batchIds = vecs.map(_._1).filter(_ % 5 == 2)
+    // 1. the standing graph: capped-bucket base pairs, symmetrized, top-k
+    val basePairs: Set[(Long, Long)] = (0 until bands).flatMap { b =>
+      baseIds.groupBy(sig(_, b)).values
+        .filter(g => g.size >= 2 && g.size <= 100)
+        .flatMap { g =>
+          val ids = g.sorted
+          for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+        }
+    }.toSet
+    def topK(edges: Seq[(Long, Double)]): Seq[(Long, Double, Long)] =
+      edges.sortBy { case (nbr, c) => (-c, nbr) }.take(k)
+        .zipWithIndex.map { case ((nbr, c), i) => (nbr, c, (i + 1).toLong) }
+    val baseGraph: Map[Long, Seq[(Long, Double, Long)]] = baseIds.map { id =>
+      id -> topK(basePairs.toSeq.collect {
+        case (a, b) if a == id => (b, cos6Of(a, b))
+        case (a, b) if b == id => (a, cos6Of(a, b))
+      })
+    }.toMap
+    // 2. asymmetric probe: batch buckets keyed by (band, sig); old posting
+    // lists are the base members of the SAME bucket, sorted, capped
+    val crossPairs: Set[(Long, Long)] = (0 until bands).flatMap { b =>
+      // .toSeq first: flatMapping a Map with a tuple-producing body would
+      // rebuild a MAP and silently keep one pair per new id
+      batchIds.groupBy(sig(_, b)).toSeq.flatMap { case (sg, news) =>
+        val olds = baseIds.filter(sig(_, b) == sg).sorted.take(100)
+        for (n <- news.sorted.take(100); o <- olds) yield (n, o)
+      }
+    }.toSet
+    val newnewPairs: Set[(Long, Long)] = (0 until bands).flatMap { b =>
+      batchIds.groupBy(sig(_, b)).values.map(_.sorted.take(100))
+        .filter(_.size >= 2)
+        .flatMap { ids =>
+          for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+        }
+    }.toSet
+    // 3. merge: untouched pass through; affected re-rank kept ∪ delta;
+    // new nodes rank their candidate edges
+    val affected: Set[Long] = crossPairs.map(_._2)
+    val expected: Set[(Long, Long, Long, Double, String)] =
+      (baseIds.filterNot(affected).flatMap { id =>
+        baseGraph(id).map { case (nbr, c, r) => (id, r, nbr, c, "kept") }
+      } ++ affected.toSeq.flatMap { id =>
+        val kept = baseGraph(id).map { case (nbr, c, _) => (nbr, c) }
+        val delta = crossPairs.toSeq.collect { case (n, o) if o == id => (n, cos6Of(n, o)) }
+        topK(kept ++ delta).map { case (nbr, c, r) => (id, r, nbr, c, "merged") }
+      } ++ batchIds.flatMap { id =>
+        val fromOld = crossPairs.toSeq.collect { case (n, o) if n == id => (o, cos6Of(n, o)) }
+        val fromNew = newnewPairs.toSeq.collect {
+          case (a, b) if a == id => (b, cos6Of(a, b))
+          case (a, b) if b == id => (a, cos6Of(a, b))
+        }
+        topK(fromOld ++ fromNew).map { case (nbr, c, r) => (id, r, nbr, c, "new") }
+      }).toSet
+    // the fixture must exercise every status and both candidate kinds
+    assert(affected.nonEmpty && affected.size < baseIds.size)
+    assert(expected.exists(_._5 == "kept") && expected.exists(_._5 == "merged")
+      && expected.exists(_._5 == "new"))
+    assert(engine == expected)
+  }
+
   test("q92 keep-best re-derived: union-find clusters + plain-Scala quality argmax") {
     // synthetic quality that BREAKS ties inside the planted clusters (the
     // fixture's dup texts are equal-length, so the real q22 score would tie

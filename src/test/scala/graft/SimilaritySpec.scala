@@ -536,4 +536,79 @@ class SimilaritySpec extends SparkSpec {
     assert(zr(0).getDouble(1) == 0.0 && zr(0).isNullAt(3) && zr(0).isNullAt(4))
     assert(zr(1).getDouble(1) > 0.0 && !zr(1).isNullAt(3))
   }
+
+  // the planted q97 vector fixture: three axis-aligned extremes + a sine fan
+  private def knnFixture(dim: Int): Seq[(Long, Seq[Float])] =
+    Seq(0L -> Seq.fill(dim)(1.0f),
+        1L -> Seq.fill(dim)(2.0f),
+        2L -> Seq.fill(dim)(-1.0f)) ++
+      (3L until 24L).map(i => i ->
+        Seq.tabulate(dim)(j => math.sin(i * 2.39996 + j * 1.618).toFloat))
+
+  private def stageKnnState(base: org.apache.spark.sql.DataFrame,
+      k: Int, bands: Int, bits: Int): (String, String) = {
+    val state = java.nio.file.Files.createTempDirectory("knn-inc-spec")
+    val sigDir = state.resolve("sigs").toString
+    val graphDir = state.resolve("graph").toString
+    SimilarityOps.indexEmbeddingSigs(base, sigDir, bands, bits)
+    SimilarityOps.knnGraph(base, k, bands, bits)
+      .write.mode("overwrite").parquet(graphDir)
+    (sigDir, graphDir)
+  }
+
+  test("incrementalKnnGraph ≡ full rebuild when k and caps don't bind") {
+    // k=50 ≥ any node degree on 24 vectors, buckets ≤24 < maxBucket: the
+    // base graph retains EVERY old-old edge, so merged = rebuild exactly
+    val dim = 8; val bands = 2; val bits = 4; val k = 50
+    val vecs = knnFixture(dim)
+    val all = vecs.toDF("vec_id", "embedding")
+    val base = all.filter(col("vec_id") % 5 =!= 2)
+    val batch = all.filter(col("vec_id") % 5 === 2)
+    val (sigDir, graphDir) = stageKnnState(base, k, bands, bits)
+    val merged = SimilarityOps.incrementalKnnGraph(batch,
+        spark.read.parquet(sigDir), spark.read.parquet(graphDir),
+        k, bands, bits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val rebuild = SimilarityOps.knnGraph(all, k, bands, bits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(merged == rebuild)
+  }
+
+  test("incrementalKnnGraph: kept rows byte-identical, planted pair found both ways") {
+    val dim = 8; val bands = 2; val bits = 4; val k = 3
+    // batch id 100 is a near-copy of base id 3 (guaranteed same-bucket in
+    // every band); batch id 101 is a far-off vector
+    val vecs = knnFixture(dim)
+    val base = vecs.toDF("vec_id", "embedding")
+    val batch = Seq(
+        100L -> vecs.find(_._1 == 3L).get._2.map(x => x * 1.001f),
+        101L -> Seq.tabulate(dim)(j => math.cos(j * 2.7).toFloat))
+      .toDF("vec_id", "embedding")
+    val (sigDir, graphDir) = stageKnnState(base, k, bands, bits)
+    val baseRows = spark.read.parquet(graphDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val out = SimilarityOps.incrementalKnnGraph(batch,
+        spark.read.parquet(sigDir), spark.read.parquet(graphDir),
+        k, bands, bits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))
+    // status is a partition of the nodes: kept ∪ merged = base, new = batch
+    val byStatus = out.groupBy(_._5)
+    assert(byStatus.keySet.subsetOf(Set("kept", "merged", "new")))
+    byStatus.getOrElse("new", Array.empty).foreach(r => assert(r._1 >= 100L))
+    byStatus.getOrElse("merged", Array.empty).foreach(r => assert(r._1 < 100L))
+    // kept rows are the base graph's rows, untouched
+    val kept = byStatus.getOrElse("kept", Array.empty)
+      .map(r => (r._1, r._2, r._3, r._4)).toSet
+    assert(kept.subsetOf(baseRows))
+    val keptIds = kept.map(_._1)
+    assert(baseRows.filter(r => keptIds.contains(r._1)) == kept)
+    // the planted near-copy edge appears in BOTH directions at rank 1
+    val n100 = out.filter(r => r._1 == 100L && r._2 == 1L).head
+    assert(n100._3 == 3L && n100._4 > 0.999 && n100._5 == "new")
+    val o3 = out.filter(r => r._1 == 3L && r._2 == 1L).head
+    assert(o3._3 == 100L && o3._4 > 0.999 && o3._5 == "merged")
+    // node 3 was re-ranked: its status is merged, and it still has ≤ k rows
+    assert(out.count(_._1 == 3L) <= k)
+  }
 }
