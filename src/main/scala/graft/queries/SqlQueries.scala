@@ -708,6 +708,122 @@ object SqlQueries {
         |SELECT doc_id, source, n_source, w_micro, budget,
         | CAST(rk AS BIGINT) AS sample_rank
         |FROM r WHERE rk <= budget ORDER BY doc_id""".stripMargin,
+    "q101_hard_negatives" ->
+      """WITH b AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v,
+        |             CAST(label AS BIGINT) AS lbl FROM embeddings),
+        |n AS (SELECT vec_id, v, lbl,
+        |  sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, x) -> a + x))
+        |    AS nrm FROM b),
+        |a AS (SELECT vec_id AS anchor_id, v AS av, lbl AS anchor_label,
+        |        nrm AS anrm FROM n WHERE vec_id % 25 = 0),
+        |s AS (SELECT a.anchor_id, a.anchor_label, n.vec_id AS neg_id,
+        |  n.lbl AS neg_label,
+        |  try_divide(aggregate(zip_with(n.v, a.av, (x, y) -> x * y), 0D,
+        |    (ac, x) -> ac + x), n.nrm * a.anrm) AS cos
+        | FROM n JOIN a ON n.lbl != a.anchor_label),
+        |r AS (SELECT anchor_id, anchor_label, neg_id, neg_label, cos,
+        |  CAST(row_number() OVER (PARTITION BY anchor_id
+        |    ORDER BY cos DESC, neg_id) AS BIGINT) AS rank
+        | FROM s WHERE cos IS NOT NULL)
+        |SELECT anchor_id, anchor_label, rank, neg_id, neg_label,
+        | round(cos, 4) AS cos
+        |FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+    "q102_length_batching" ->
+      """WITH d AS (SELECT doc_id,
+        |    (doc_id * 1103515245L + 12345L) % 2147483648L % 8 AS shard,
+        |    CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT doc_id, shard, n_tokens,
+        |  CASE WHEN n_tokens <= 16 THEN 16L WHEN n_tokens <= 32 THEN 32L
+        |    WHEN n_tokens <= 64 THEN 64L WHEN n_tokens <= 128 THEN 128L
+        |    WHEN n_tokens <= 256 THEN 256L WHEN n_tokens <= 512 THEN 512L
+        |    WHEN n_tokens <= 1024 THEN 1024L WHEN n_tokens <= 2048 THEN 2048L
+        |    WHEN n_tokens <= 4096 THEN 4096L ELSE 8192L END AS bucket
+        | FROM d),
+        |r AS (SELECT doc_id, shard, n_tokens, bucket,
+        |  (row_number() OVER (PARTITION BY shard, bucket
+        |     ORDER BY md5(CAST(doc_id AS STRING)), doc_id) - 1) div 8
+        |    AS batch_id
+        | FROM b)
+        |SELECT doc_id, shard, n_tokens, bucket, batch_id,
+        | max(n_tokens) OVER (PARTITION BY shard, bucket, batch_id)
+        |   AS padded_len,
+        | max(n_tokens) OVER (PARTITION BY shard, bucket, batch_id) - n_tokens
+        |   AS pad_waste
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q103_sentence_dedup" ->
+      """WITH pool AS (SELECT doc_id AS pool_id,
+        |    array_join(slice(split(text, ' '), 1, 8), ' ') AS psent
+        |  FROM documents WHERE doc_id < 40),
+        |st AS (SELECT doc_id, j, (doc_id * 7 + j * 3) % 40 AS pool_id
+        |  FROM documents LATERAL VIEW explode(sequence(0L, 3L)) e AS j),
+        |frag AS (SELECT st.doc_id, st.j,
+        |    concat(p.psent, CASE WHEN (st.doc_id + st.j) % 3 = 0 THEN '. '
+        |      WHEN (st.doc_id + st.j) % 3 = 1 THEN '! ' ELSE '? ' END) AS s2
+        |  FROM st JOIN pool p USING (pool_id)),
+        |staged AS (SELECT doc_id,
+        |    array_join(transform(sort_array(collect_list(struct(j, s2))),
+        |      x -> x.s2), '') AS text
+        |  FROM frag GROUP BY doc_id),
+        |sents AS (SELECT doc_id, CAST(sent_id AS BIGINT) AS sent_id, sent
+        |  FROM staged
+        |  LATERAL VIEW posexplode(split(text, '[.!?] ?')) t AS sent_id, sent
+        |  WHERE length(sent) > 0),
+        |stats AS (SELECT sent, count(1) AS cnt,
+        |    min(doc_id * 1000000L + sent_id) AS keep_pos
+        |  FROM sents GROUP BY sent),
+        |k AS (SELECT s.doc_id, s.sent_id, s.sent, stats.cnt,
+        |   (stats.cnt = 1 OR s.doc_id * 1000000L + s.sent_id = stats.keep_pos)
+        |     AS keep
+        |  FROM sents s JOIN stats USING (sent))
+        |SELECT doc_id, count(1) AS n_sents,
+        | sum(CASE WHEN cnt >= 2 THEN 1L ELSE 0L END) AS n_dup_sents,
+        | sum(CASE WHEN NOT keep THEN 1L ELSE 0L END) AS n_removed,
+        | array_join(transform(sort_array(collect_list(
+        |   CASE WHEN keep THEN struct(sent_id, sent) END)), x -> x.sent), ' ')
+        |   AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q106_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS w,
+        |    CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |e AS (SELECT doc_id, w, n_tokens, start_tok
+        |  FROM t
+        |  LATERAL VIEW explode(sequence(0L, n_tokens - 1, 24L)) s AS start_tok)
+        |SELECT doc_id, n_tokens, start_tok,
+        | CAST(start_tok / 24 AS BIGINT) AS chunk_id,
+        | least(32L, n_tokens - start_tok) AS chunk_tokens,
+        | array_join(slice(w, start_tok + 1, 32), ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    "q107_int8_quant" ->
+      """WITH b AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  try_divide(array_max(transform(v, x -> abs(x))), 127D) AS scl
+        | FROM b),
+        |c AS (SELECT vec_id, v, scl,
+        |  transform(v, x -> CAST(greatest(-127D, least(127D,
+        |    floor(try_divide(x, scl) + 0.5D))) AS INT)) AS q
+        | FROM s),
+        |e AS (SELECT vec_id, v, scl, q,
+        |  zip_with(v, q, (x, cd) -> x - CAST(cd AS DOUBLE) * scl) AS err,
+        |  transform(q, cd -> CAST(cd AS DOUBLE)) AS qd
+        | FROM c)
+        |SELECT vec_id, round(scl, 6) AS scale,
+        | array_join(transform(slice(q, 1, 8), cd -> CAST(cd AS STRING)), ',')
+        |   AS codes8,
+        | round(try_divide(
+        |   sqrt(aggregate(zip_with(err, err, (x, y) -> x * y), 0D,
+        |     (a, x) -> a + x)),
+        |   sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D,
+        |     (a, x) -> a + x))), 6) AS rel_err,
+        | round(try_divide(
+        |   aggregate(zip_with(v, qd, (x, y) -> x * y), 0D, (a, x) -> a + x),
+        |   sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D,
+        |     (a, x) -> a + x)) *
+        |   sqrt(aggregate(zip_with(qd, qd, (x, y) -> x * y), 0D,
+        |     (a, x) -> a + x))), 6) AS cos_rec
+        |FROM e ORDER BY vec_id""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs
