@@ -133,6 +133,7 @@ object SparkEntry {
     "q105_ffd_pack" -> (SamplingOps.qFfdPack _),
     "q106_chunk_docs" -> (TextOps.qChunkDocs _),
     "q107_int8_quant" -> (SimilarityOps.qInt8Quantize _),
+    "q108_mean_pool" -> (SimilarityOps.qMeanPool _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1075,6 +1076,27 @@ object SparkEntry {
         |   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qd, qd))), 6)
         |   AS cos_rec
         |FROM e ORDER BY vec_id""".stripMargin,
+    "q108_mean_pool" ->
+      """WITH c AS (SELECT vec_id // 4 AS doc_id,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT doc_id,
+        |    generate_subscripts(v, 1) AS i,
+        |    CAST(floor(unnest(v) * 1000000000.0 + 0.5) AS BIGINT) AS m
+        |  FROM c),
+        |s AS (SELECT doc_id, i, CAST(sum(m) AS BIGINT) AS s,
+        |    count(*) AS n FROM u GROUP BY doc_id, i),
+        |m2 AS (SELECT doc_id, i, n,
+        |    CAST(floor(CAST(s AS DOUBLE) / (n * 1000.0) + 0.5) AS BIGINT) AS u6
+        |  FROM s),
+        |a AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chunks,
+        |    list(u6 ORDER BY i) AS u6l,
+        |    CAST(sum(u6) AS BIGINT) AS mean_sum_u6
+        |  FROM m2 GROUP BY doc_id)
+        |SELECT doc_id, n_chunks,
+        | array_to_string(list_transform(list_slice(u6l, 1, 8),
+        |   x -> CAST(x AS VARCHAR)), ',') AS mean8_u6,
+        | mean_sum_u6
+        |FROM a ORDER BY doc_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

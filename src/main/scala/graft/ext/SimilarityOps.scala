@@ -1412,6 +1412,60 @@ object SimilarityOps {
         col("rel_err"), col("cos_rec"))
       .orderBy("vec_id")
 
+  /** CHUNK→DOCUMENT EMBEDDING MEAN POOLING — the aggregation every RAG /
+    * long-context embedding pipeline runs after [[graft.ext.TextOps.chunkDocs]]:
+    * a document's embedding is the element-wise mean of its chunk
+    * embeddings. (No L2 normalization here on purpose: cosine is
+    * scale-invariant, so normalizing before the cosine ops is redundant —
+    * they normalize on use.)
+    *
+    * Engine-exact, ORDER-INDEPENDENT summation: floating-point addition
+    * is not associative, so a distributed fp sum varies with partition
+    * order run to run — the classic reproducibility leak. Elements are
+    * fixed-pointed to nano-units (floor(x·1e9 + 0.5), exact IEEE in both
+    * engines) and summed as LONGS, so any partial-aggregation order gives
+    * the bit-identical total; the mean is then reported in micro-units
+    * (u6). Overflow headroom: |x| ≤ O(1) floats → |nano| ≤ ~2³¹, 2³²
+    * chunks per doc before a long sum could wrap.
+    *
+    * Scale shape: ONE hash aggregate (map-side combinable by doc);
+    * collect_list is bounded by chunks-per-doc (the chunker's contract);
+    * no per-dimension row explosion — the dim-explode shape shuffles
+    * dim× the rows for the same information. Direct DuckDB oracle
+    * (unnest + generate_subscripts re-derives per-dimension sums).
+    */
+  def meanPoolChunks(chunks: DataFrame): DataFrame = {
+    val dim = embeddingDim(chunks)
+    val micro = transform(toDouble(col("embedding")),
+      x => floor(x * lit(1000000000.0) + lit(0.5)).cast("long"))
+    chunks
+      .select(col("doc_id"), micro.as("m"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        reduce(collect_list(col("m")),
+          array_repeat(lit(0L), lit(dim)),
+          (acc, e) => zip_with(acc, e, _ + _)).as("s"))
+      .select(col("doc_id"), col("n_chunks"),
+        transform(col("s"), si =>
+          floor(si.cast("double") / (col("n_chunks") * lit(1000.0)) + lit(0.5))
+            .cast("long")).as("u6"))
+      .select(col("doc_id"), col("n_chunks"),
+        array_join(transform(slice(col("u6"), 1, 8), x => x.cast("string")), ",")
+          .as("mean8_u6"),
+        aggregate(col("u6"), lit(0L), (a, x) => a + x).as("mean_sum_u6"))
+  }
+
+  /** q108: mean pooling over a 4-chunks-per-doc staging of the embeddings
+    * table (doc_id = vec_id div 4). First-8 pooled micro-units as a
+    * portable CSV plus the all-dimensions checksum. Direct DuckDB oracle.
+    */
+  def qMeanPool(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    meanPoolChunks(t.embeddings.select(expr("vec_id div 4").as("doc_id"),
+        col("embedding")))
+      .orderBy("doc_id")
+  }
+
   /** One row per (vector, band) with the LSH signature, the vector, and its
     * norm — the standing index [[incrementalKnnGraph]] probes. Carrying
     * v/nrm costs dim+1 doubles per row but means a probe NEVER joins back

@@ -824,6 +824,24 @@ object SqlQueries {
         |   sqrt(aggregate(zip_with(qd, qd, (x, y) -> x * y), 0D,
         |     (a, x) -> a + x))), 6) AS cos_rec
         |FROM e ORDER BY vec_id""".stripMargin,
+    "q108_mean_pool" ->
+      """WITH c AS (SELECT vec_id div 4 AS doc_id,
+        |    transform(CAST(embedding AS ARRAY<DOUBLE>),
+        |      x -> CAST(floor(x * 1000000000D + 0.5D) AS BIGINT)) AS m
+        |  FROM embeddings),
+        |g AS (SELECT doc_id, count(1) AS n_chunks,
+        |    reduce(collect_list(m), transform(first(m), x -> 0L),
+        |      (acc, e) -> zip_with(acc, e, (a, b) -> a + b)) AS s
+        |  FROM c GROUP BY doc_id),
+        |u AS (SELECT doc_id, n_chunks,
+        |    transform(s, si -> CAST(floor(CAST(si AS DOUBLE)
+        |      / (n_chunks * 1000D) + 0.5D) AS BIGINT)) AS u6
+        |  FROM g)
+        |SELECT doc_id, n_chunks,
+        | array_join(transform(slice(u6, 1, 8), x -> CAST(x AS STRING)), ',')
+        |   AS mean8_u6,
+        | aggregate(u6, 0L, (a, x) -> a + x) AS mean_sum_u6
+        |FROM u ORDER BY doc_id""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs

@@ -537,6 +537,32 @@ class SimilaritySpec extends SparkSpec {
     assert(zr(1).getDouble(1) > 0.0 && !zr(1).isNullAt(3))
   }
 
+  test("q108 mean pooling: plain-Scala re-derivation; identical chunks pool to themselves") {
+    val out = SimilarityOps.qMeanPool(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val vecs = Tables(spark, SF).embeddings.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val byDoc = vecs.groupBy(_._1 / 4)
+    assert(out.length == byDoc.size)
+    out.foreach { case (docId, nChunks, mean8, meanSum) =>
+      val chunks = byDoc(docId).map(_._2)
+      assert(nChunks == chunks.length)
+      val dim = chunks.head.length
+      val sums = Array.tabulate(dim)(i =>
+        chunks.map(v => math.floor(v(i) * 1e9 + 0.5).toLong).sum)
+      val u6 = sums.map(s => math.floor(s.toDouble / (nChunks * 1000.0) + 0.5).toLong)
+      assert(mean8 == u6.take(8).mkString(","), s"doc $docId mean8")
+      assert(meanSum == u6.sum, s"doc $docId checksum")
+    }
+    // a doc of identical chunks pools to the chunk itself (u6 units)
+    val same = Seq((1L, Seq(0.25f, -0.5f)), (1L, Seq(0.25f, -0.5f)),
+        (2L, Seq(1.0f, 0.0f)))
+      .toDF("doc_id", "embedding")
+    val sr = SimilarityOps.meanPoolChunks(same).orderBy("doc_id").collect()
+    assert(sr(0).getString(2) == "250000,-500000" && sr(0).getLong(1) == 2L)
+    assert(sr(1).getString(2) == "1000000,0")
+  }
+
   // the planted q97 vector fixture: three axis-aligned extremes + a sine fan
   private def knnFixture(dim: Int): Seq[(Long, Seq[Float])] =
     Seq(0L -> Seq.fill(dim)(1.0f),
