@@ -134,6 +134,7 @@ object SparkEntry {
     "q106_chunk_docs" -> (TextOps.qChunkDocs _),
     "q107_int8_quant" -> (SimilarityOps.qInt8Quantize _),
     "q108_mean_pool" -> (SimilarityOps.qMeanPool _),
+    "q109_span_corrupt" -> (TextOps.qSpanCorrupt _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1097,6 +1098,33 @@ object SparkEntry {
         |   x -> CAST(x AS VARCHAR)), ',') AS mean8_u6,
         | mean_sum_u6
         |FROM a ORDER BY doc_id""".stripMargin,
+    "q109_span_corrupt" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS token,
+        |    len(w) AS n FROM t),
+        |f AS (SELECT doc_id, i, token, n,
+        |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(i - 1 AS VARCHAR)), 1, 8) AS BIGINT) % 100) < 15 AS m
+        |  FROM tok),
+        |s AS (SELECT *, m AND NOT coalesce(
+        |    lag(m) OVER (PARTITION BY doc_id ORDER BY i), false) AS st FROM f),
+        |sp AS (SELECT *, CAST(sum(CASE WHEN st THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) - 1 AS span_id
+        |  FROM s),
+        |g AS (SELECT doc_id,
+        |    CAST(max(n) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |    CAST(sum(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |    coalesce(string_agg(CASE WHEN st THEN '<extra_id_' || span_id || '>'
+        |      WHEN NOT m THEN token END, ' ' ORDER BY i)
+        |      FILTER (WHERE st OR NOT m), '') AS input_text,
+        |    string_agg(CASE WHEN st THEN '<extra_id_' || span_id || '> ' || token
+        |      ELSE token END, ' ' ORDER BY i) FILTER (WHERE m) AS target_body
+        |  FROM sp GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_masked, n_spans, input_text,
+        | coalesce(target_body || ' ', '') || '<extra_id_' || n_spans || '>'
+        |   AS target_text
+        |FROM g ORDER BY doc_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

@@ -891,4 +891,71 @@ object TextOps {
   def qChunkDocs(spark: SparkSession, dir: String): DataFrame =
     chunkDocs(Tables(spark, dir).documents.select("doc_id", "text"))
       .orderBy("doc_id", "chunk_id")
+
+  /** T5-STYLE SPAN CORRUPTION — the denoising-objective sample prep
+    * (Raffel et al. 2020): mask ~`ratePct`% of tokens, collapse each
+    * maximal masked run to one `<extra_id_k>` sentinel in the input, and
+    * emit the masked spans (each prefixed by its sentinel, terminated by
+    * the final sentinel) as the target. Masking is DETERMINISTIC — the
+    * portable hash of (doc_id, token index) — so the corruption is
+    * reproducible across runs and engines (a data-prep requirement:
+    * re-sharding must not re-roll the masks).
+    *
+    * Scale shape: ONE narrow projection per document — the span walk is
+    * an O(n) `aggregate` fold over the token indices with a
+    * (prev, k, input, target) struct accumulator; no per-token row
+    * explosion, no window, no shuffle. The relational form (posexplode +
+    * lag + running sum + re-group) shuffles tokens×rows for the same
+    * answer — that's the DuckDB ORACLE's job, which makes the check
+    * genuinely independent.
+    */
+  def spanCorrupt(docs: DataFrame, ratePct: Int = 15): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100, s"ratePct out of range: $ratePct")
+    val words = split(col("text"), " ")
+    val n = size(words)
+    // portable (doc_id, idx) hash: conv(substr(md5, 1, 8), 16, 10) ≡
+    // DuckDB CAST('0x' || substr(md5, 1, 8) AS BIGINT)
+    val flags = transform(sequence(lit(0), n - 1), i =>
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        i.cast("string"))), 1, 8), 16, 10).cast("long") % 100 < ratePct)
+    val init = struct(lit(false).as("prev"), lit(0L).as("k"),
+      array().cast("array<string>").as("inp"),
+      array().cast("array<string>").as("tgt"))
+    docs
+      .select(col("doc_id"), words.as("__w"), n.cast("bigint").as("n_tokens"),
+        flags.as("__f"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(filter(col("__f"), f => f)).cast("bigint").as("n_masked"),
+        aggregate(sequence(lit(0), (col("n_tokens") - 1).cast("int")), init,
+          (a, i) => {
+            val m = element_at(col("__f"), (i + 1).cast("int"))
+            val tok = element_at(col("__w"), (i + 1).cast("int"))
+            val isStart = m && !a.getField("prev")
+            val sent = concat(lit("<extra_id_"),
+              a.getField("k").cast("string"), lit(">"))
+            struct(
+              m.as("prev"),
+              (a.getField("k") + when(isStart, 1L).otherwise(0L)).as("k"),
+              when(isStart, concat(a.getField("inp"), array(sent)))
+                .when(!m, concat(a.getField("inp"), array(tok)))
+                .otherwise(a.getField("inp")).as("inp"),
+              when(isStart, concat(a.getField("tgt"), array(sent, tok)))
+                .when(m, concat(a.getField("tgt"), array(tok)))
+                .otherwise(a.getField("tgt")).as("tgt"))
+          }).as("__a"))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        col("__a.k").as("n_spans"),
+        array_join(col("__a.inp"), " ").as("input_text"),
+        array_join(concat(col("__a.tgt"),
+          array(concat(lit("<extra_id_"), col("__a.k").cast("string"),
+            lit(">")))), " ").as("target_text"))
+  }
+
+  /** q109: 15% span corruption over the documents table. Direct DuckDB
+    * oracle (relational re-derivation: lag + running span ids +
+    * filtered ordered string_agg).
+    */
+  def qSpanCorrupt(spark: SparkSession, dir: String): DataFrame =
+    spanCorrupt(Tables(spark, dir).documents.select("doc_id", "text"))
+      .orderBy("doc_id")
 }

@@ -842,6 +842,44 @@ object SqlQueries {
         |   AS mean8_u6,
         | aggregate(u6, 0L, (a, x) -> a + x) AS mean_sum_u6
         |FROM u ORDER BY doc_id""".stripMargin,
+    "q109_span_corrupt" ->
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, w, CAST(size(w) AS BIGINT) AS n_tokens,
+        |  transform(sequence(0, size(w) - 1), i ->
+        |    CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
+        |      CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 < 15) AS f
+        | FROM t),
+        |g AS (SELECT doc_id, n_tokens,
+        |  CAST(size(filter(f, x -> x)) AS BIGINT) AS n_masked,
+        |  aggregate(sequence(0, CAST(n_tokens - 1 AS INT)),
+        |    named_struct('prev', false, 'k', 0L,
+        |      'inp', CAST(array() AS ARRAY<STRING>),
+        |      'tgt', CAST(array() AS ARRAY<STRING>)),
+        |    (ac, i) -> named_struct(
+        |      'prev', element_at(f, CAST(i + 1 AS INT)),
+        |      'k', ac.k + CASE WHEN element_at(f, CAST(i + 1 AS INT))
+        |        AND NOT ac.prev THEN 1L ELSE 0L END,
+        |      'inp', CASE
+        |        WHEN element_at(f, CAST(i + 1 AS INT)) AND NOT ac.prev THEN
+        |          concat(ac.inp, array(concat('<extra_id_',
+        |            CAST(ac.k AS STRING), '>')))
+        |        WHEN NOT element_at(f, CAST(i + 1 AS INT)) THEN
+        |          concat(ac.inp, array(element_at(w, CAST(i + 1 AS INT))))
+        |        ELSE ac.inp END,
+        |      'tgt', CASE
+        |        WHEN element_at(f, CAST(i + 1 AS INT)) AND NOT ac.prev THEN
+        |          concat(ac.tgt, array(concat('<extra_id_',
+        |            CAST(ac.k AS STRING), '>'),
+        |            element_at(w, CAST(i + 1 AS INT))))
+        |        WHEN element_at(f, CAST(i + 1 AS INT)) THEN
+        |          concat(ac.tgt, array(element_at(w, CAST(i + 1 AS INT))))
+        |        ELSE ac.tgt END)) AS acc
+        | FROM p)
+        |SELECT doc_id, n_tokens, n_masked, acc.k AS n_spans,
+        | array_join(acc.inp, ' ') AS input_text,
+        | array_join(concat(acc.tgt, array(concat('<extra_id_',
+        |   CAST(acc.k AS STRING), '>'))), ' ') AS target_text
+        |FROM g ORDER BY doc_id""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs

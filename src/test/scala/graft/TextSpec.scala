@@ -535,4 +535,57 @@ class TextSpec extends SparkSpec {
       assert(covered == (0L until n).toSet, s"doc $id coverage")
     }
   }
+
+  test("q109 span corruption: plain-Scala re-derivation of the fold") {
+    val out = TextOps.qSpanCorrupt(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    val docs = Tables(spark, SF).documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.length == docs.size)
+    // the engine's portable hash, restated via MessageDigest
+    def masked(docId: Long, i: Int): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$docId:$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 100 < 15
+    }
+    var sawLeading = false; var sawTrailing = false
+    out.foreach { case (id, nTok, nMask, nSpans, input, target) =>
+      val words = docs(id).split(" ", -1)
+      assert(nTok == words.length)
+      val flags = words.indices.map(i => masked(id, i))
+      assert(nMask == flags.count(identity))
+      // independent span walk
+      val inp = scala.collection.mutable.ArrayBuffer.empty[String]
+      val tgt = scala.collection.mutable.ArrayBuffer.empty[String]
+      var k = 0; var prev = false
+      words.indices.foreach { i =>
+        val m = flags(i)
+        if (m && !prev) {
+          inp += s"<extra_id_$k>"; tgt += s"<extra_id_$k>"; tgt += words(i)
+          k += 1
+        } else if (m) tgt += words(i)
+        else inp += words(i)
+        prev = m
+      }
+      assert(nSpans == k, s"doc $id spans")
+      assert(input == inp.mkString(" "), s"doc $id input")
+      assert(target == (tgt :+ s"<extra_id_$k>").mkString(" "), s"doc $id target")
+      if (flags.nonEmpty && flags.head) sawLeading = true
+      if (flags.nonEmpty && flags.last) sawTrailing = true
+    }
+    // the corpus must exercise the two boundary shapes the fold gets wrong
+    // first: a span at position 0 (prev=false init) and one ending at n-1
+    assert(sawLeading && sawTrailing)
+    // synthetic edges: fully masked and never masked (rate 100 / 0)
+    import spark.implicits._
+    val tiny = Seq((5L, "x y z")).toDF("doc_id", "text")
+    val full = TextOps.spanCorrupt(tiny, ratePct = 100).head()
+    assert(full.getString(4) == "<extra_id_0>" &&
+      full.getString(5) == "<extra_id_0> x y z <extra_id_1>")
+    val none = TextOps.spanCorrupt(tiny, ratePct = 0).head()
+    assert(none.getString(4) == "x y z" && none.getString(5) == "<extra_id_0>"
+      && none.getLong(3) == 0L)
+  }
 }
