@@ -1061,16 +1061,17 @@ object SparkEntry {
         |q AS (SELECT vec_id, v,
         |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scl FROM base),
         |c AS (SELECT vec_id, v, scl,
-        |  list_transform(v, x -> CAST(greatest(-127.0, least(127.0,
-        |    floor(x / scl + 0.5))) AS INT)) AS codes FROM q),
+        |  CASE WHEN scl = 0 THEN NULL ELSE
+        |    list_transform(v, x -> CAST(greatest(-127.0, least(127.0,
+        |      floor(x / scl + 0.5))) AS INT)) END AS codes FROM q),
         |e AS (SELECT vec_id, v, scl, codes,
         |  list_transform(range(1, CAST(len(v)+1 AS BIGINT)),
         |    i -> v[CAST(i AS INT)] - CAST(codes[CAST(i AS INT)] AS DOUBLE) * scl)
         |    AS err,
         |  list_transform(codes, x -> CAST(x AS DOUBLE)) AS qd FROM c)
         |SELECT vec_id, round(scl, 6) AS scale,
-        | array_to_string(list_transform(list_slice(codes, 1, 8),
-        |   x -> CAST(x AS VARCHAR)), ',') AS codes8,
+        | coalesce(array_to_string(list_transform(list_slice(codes, 1, 8),
+        |   x -> CAST(x AS VARCHAR)), ','), '') AS codes8,
         | round(sqrt(list_dot_product(err, err)) / sqrt(list_dot_product(v, v)), 6)
         |   AS rel_err,
         | round(list_dot_product(v, qd) /

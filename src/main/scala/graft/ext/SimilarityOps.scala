@@ -1424,8 +1424,10 @@ object SimilarityOps {
     * order run to run — the classic reproducibility leak. Elements are
     * fixed-pointed to nano-units (floor(x·1e9 + 0.5), exact IEEE in both
     * engines) and summed as LONGS, so any partial-aggregation order gives
-    * the bit-identical total; the mean is then reported in micro-units
-    * (u6). Overflow headroom: |x| ≤ O(1) floats → |nano| ≤ ~2³¹, 2³²
+    * the bit-identical total. Output per doc: `n_chunks`, the exact
+    * `sum_nano` array, and the pooled `embedding` (ARRAY<DOUBLE> — one
+    * exact-input IEEE division per dim, so it's deterministic too).
+    * Overflow headroom: |x| ≤ O(1) floats → |nano| ≤ ~2³¹, 2³²
     * chunks per doc before a long sum could wrap.
     *
     * Scale shape: ONE hash aggregate (map-side combinable by doc);
@@ -1444,25 +1446,32 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_chunks"),
         reduce(collect_list(col("m")),
           array_repeat(lit(0L), lit(dim)),
-          (acc, e) => zip_with(acc, e, _ + _)).as("s"))
+          (acc, e) => zip_with(acc, e, _ + _)).as("sum_nano"))
+      // the pooled vector in double space (deterministic: the division is
+      // one exact-input IEEE op per dim) — chainable into the cosine /
+      // kNN / decon ops, which normalize on use
+      .withColumn("embedding", transform(col("sum_nano"), si =>
+        si.cast("double") / (col("n_chunks").cast("double") * lit(1e9))))
+  }
+
+  /** q108: mean pooling over a 4-chunks-per-doc staging of the embeddings
+    * table (doc_id = vec_id div 4). The portable projection: first-8
+    * pooled micro-units as a CSV plus the all-dimensions checksum, both
+    * derived from the exact nano-unit sums (not the double embedding, so
+    * no float rounding crosses an engine boundary). Direct DuckDB oracle.
+    */
+  def qMeanPool(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    meanPoolChunks(t.embeddings.select(expr("vec_id div 4").as("doc_id"),
+        col("embedding")))
       .select(col("doc_id"), col("n_chunks"),
-        transform(col("s"), si =>
+        transform(col("sum_nano"), si =>
           floor(si.cast("double") / (col("n_chunks") * lit(1000.0)) + lit(0.5))
             .cast("long")).as("u6"))
       .select(col("doc_id"), col("n_chunks"),
         array_join(transform(slice(col("u6"), 1, 8), x => x.cast("string")), ",")
           .as("mean8_u6"),
         aggregate(col("u6"), lit(0L), (a, x) => a + x).as("mean_sum_u6"))
-  }
-
-  /** q108: mean pooling over a 4-chunks-per-doc staging of the embeddings
-    * table (doc_id = vec_id div 4). First-8 pooled micro-units as a
-    * portable CSV plus the all-dimensions checksum. Direct DuckDB oracle.
-    */
-  def qMeanPool(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    meanPoolChunks(t.embeddings.select(expr("vec_id div 4").as("doc_id"),
-        col("embedding")))
       .orderBy("doc_id")
   }
 
@@ -1505,16 +1514,22 @@ object SimilarityOps {
     * recovered whenever it lies within kept-k ∪ incoming edges.
     *
     * Contract: batch vec_ids are disjoint from the index's (new data gets
-    * new ids); bitsPerBand must equal the value the index was built with
-    * (signatures are meaningless across different plane counts).
-    * `status`: kept = untouched base row, merged = re-ranked old node,
-    * new = batch node.
+    * new ids); bitsPerBand is REQUIRED and must equal the value the index
+    * was built with — signatures are meaningless across different plane
+    * counts, and a batch-count-derived default would almost always
+    * mismatch a big index silently (every batch node would vanish from
+    * the merge with no error, since non-matching keys just produce zero
+    * candidates). `status`: kept = untouched base row, merged =
+    * re-ranked old node, new = batch node.
     */
   def incrementalKnnGraph(batch: DataFrame, sigTable: DataFrame,
-      baseGraph: DataFrame, k: Int = 5, bands: Int = 4, bitsPerBand: Int = 0,
+      baseGraph: DataFrame, k: Int = 5, bands: Int = 4, bitsPerBand: Int,
       maxBucket: Int = 100): DataFrame = {
+    require(bitsPerBand > 0,
+      s"bitsPerBand must be the index's own value (got $bitsPerBand): " +
+        "deriving it from the batch would silently mismatch the index")
     val dim = embeddingDim(batch)
-    val bits = if (bitsPerBand > 0) bitsPerBand else bitsFor(tableCount(batch))
+    val bits = bitsPerBand
     val member = struct(col("vec_id"), col("v"), col("nrm"))
     // persisted: probed-bucket join + new-new pairs both read this frame
     val batchBuckets = graft.CacheRegistry.persist(

@@ -871,6 +871,10 @@ object TextOps {
       stride: Int = 24): DataFrame = {
     require(chunkTokens >= 1 && stride >= 1,
       s"chunkTokens and stride must be positive, got $chunkTokens/$stride")
+    // stride > chunkTokens would silently leave tokens in NO chunk —
+    // gap-sampling contradicts this op's full-coverage contract
+    require(stride <= chunkTokens,
+      s"stride ($stride) > chunkTokens ($chunkTokens) drops tokens from coverage")
     val words = split(col("text"), " ")
     val n = size(words).cast("bigint")
     val starts = sequence(lit(0L), n - 1, lit(stride.toLong))
@@ -902,12 +906,17 @@ object TextOps {
     * re-sharding must not re-roll the masks).
     *
     * Scale shape: ONE narrow projection per document — the span walk is
-    * an O(n) `aggregate` fold over the token indices with a
-    * (prev, k, input, target) struct accumulator; no per-token row
-    * explosion, no window, no shuffle. The relational form (posexplode +
-    * lag + running sum + re-group) shuffles tokens×rows for the same
-    * answer — that's the DuckDB ORACLE's job, which makes the check
-    * genuinely independent.
+    * an `aggregate` fold over the token indices with a (prev, k, input,
+    * target) struct accumulator; no per-token row explosion, no window,
+    * no shuffle. Honest cost note: the fold runs n steps but each append
+    * COPIES the immutable accumulator arrays, so element copies are
+    * O(n²) worst case per document — fine at chunk-scale inputs (run
+    * AFTER [[chunkDocs]] for long documents, which is also what T5 does:
+    * corruption applies to fixed-length training windows). For
+    * unchunked long documents the relational shape (posexplode + lag +
+    * running sum + re-group) is the scalable alternative — which is
+    * exactly the DuckDB ORACLE's form, making the check genuinely
+    * independent as a bonus.
     */
   def spanCorrupt(docs: DataFrame, ratePct: Int = 15): DataFrame = {
     require(ratePct >= 0 && ratePct <= 100, s"ratePct out of range: $ratePct")

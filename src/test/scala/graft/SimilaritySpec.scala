@@ -559,8 +559,12 @@ class SimilaritySpec extends SparkSpec {
         (2L, Seq(1.0f, 0.0f)))
       .toDF("doc_id", "embedding")
     val sr = SimilarityOps.meanPoolChunks(same).orderBy("doc_id").collect()
-    assert(sr(0).getString(2) == "250000,-500000" && sr(0).getLong(1) == 2L)
-    assert(sr(1).getString(2) == "1000000,0")
+    assert(sr(0).getLong(1) == 2L)
+    // the library op returns the chainable pooled embedding itself
+    assert(sr(0).getSeq[Double](3).map(x => math.round(x * 1e6)).toSeq ==
+      Seq(250000L, -500000L))
+    assert(sr(1).getSeq[Double](3).map(x => math.round(x * 1e6)).toSeq ==
+      Seq(1000000L, 0L))
   }
 
   // the planted q97 vector fixture: three axis-aligned extremes + a sine fan
