@@ -135,6 +135,7 @@ object SparkEntry {
     "q107_int8_quant" -> (SimilarityOps.qInt8Quantize _),
     "q108_mean_pool" -> (SimilarityOps.qMeanPool _),
     "q109_span_corrupt" -> (TextOps.qSpanCorrupt _),
+    "q110_leakage_safe_split" -> (SamplingOps.qLeakageSafeSplit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1126,6 +1127,21 @@ object SparkEntry {
         | coalesce(target_body || ' ', '') || '<extra_id_' || n_spans || '>'
         |   AS target_text
         |FROM g ORDER BY doc_id""".stripMargin,
+    "q110_leakage_safe_split" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000000, text FROM documents
+        |  WHERE doc_id % 9 = 4),
+        |h AS (SELECT doc_id, md5(text) AS th FROM d),
+        |c AS (SELECT th, min(doc_id) AS cluster_id FROM h GROUP BY th),
+        |j AS (SELECT h.doc_id, c.cluster_id FROM h JOIN c USING (th)),
+        |b AS (SELECT doc_id, cluster_id,
+        |    CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 1000 AS split_bucket
+        |  FROM j)
+        |SELECT doc_id, cluster_id, split_bucket,
+        | CASE WHEN split_bucket < 900 THEN 'train'
+        |   WHEN split_bucket < 950 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

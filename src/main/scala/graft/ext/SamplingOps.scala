@@ -308,6 +308,51 @@ object SamplingOps {
       .orderBy("doc_id")
   }
 
+  /** LEAKAGE-SAFE SPLIT — cluster-aware holdout: assign every DUPLICATE
+    * CLUSTER (not every document) to a split, so no exact/near duplicate
+    * straddles the train/eval boundary. A doc-keyed split ([[splitAssign]]
+    * on doc_id) silently leaks: a test document whose twin sits in train
+    * was effectively trained on, and dedup-after-split can't fix it
+    * (whichever copy survives, the split boundary already crossed the
+    * cluster). `clusters` is ANY (doc_id, cluster_id) frame — exact md5
+    * clusters, q51's LSH connected components, q85's perceptual image
+    * clusters — and the assignment is [[splitAssign]] on cluster_id:
+    * hash-stable under re-sharding and under corpus growth that doesn't
+    * touch the cluster.
+    *
+    * Scale shape: one equi-join docs↔clusters on doc_id (both sides
+    * usually derive from the same scan, so AQE co-partitions) + the
+    * narrow md5-bucket projection; nothing new shuffles beyond what the
+    * clustering itself cost.
+    */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+      ranges: Seq[(String, Int)] = Seq("train" -> 900, "val" -> 950, "test" -> 1000),
+      denom: Int = 1000): DataFrame =
+    splitAssign(docs.join(clusters, Seq("doc_id")), "cluster_id", ranges, denom)
+
+  /** q110: leakage-safe split over EXACT-dup content clusters (cluster id
+    * = lowest doc_id sharing the text's md5 — hash-free clustering, so
+    * the oracle reproduces it relationally and stays DIRECT; the near-dup
+    * variant over q51's LSH clusters is spec-verified in SamplingSpec).
+    * Staged mirrors (the q96 device) keep the leakage case live at every
+    * SF: every 9th-plus-4 doc is re-ingested verbatim under id + 10⁷ —
+    * the natural corpus has exact dups only at sf0.1 — so multi-doc
+    * clusters exist and must land whole in one split.
+    */
+  def qLeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val staged = t.documents.select(col("doc_id"), col("text"))
+      .unionByName(t.documents.filter(col("doc_id") % 9 === 4)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    val hashed = staged.select(col("doc_id"), md5(col("text")).as("th"))
+    val clusters = hashed.groupBy("th").agg(min("doc_id").as("cluster_id"))
+    leakageSafeSplit(
+        staged.select("doc_id"),
+        hashed.join(clusters, Seq("th")).select("doc_id", "cluster_id"))
+      .select("doc_id", "cluster_id", "split_bucket", "split")
+      .orderBy("doc_id")
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     * arXiv:2302.03169): select raw-corpus documents whose hashed n-gram
     * feature distribution looks like a TARGET corpus. Per feature bucket

@@ -880,6 +880,21 @@ object SqlQueries {
         | array_join(concat(acc.tgt, array(concat('<extra_id_',
         |   CAST(acc.k AS STRING), '>'))), ' ') AS target_text
         |FROM g ORDER BY doc_id""".stripMargin,
+    "q110_leakage_safe_split" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000000L AS doc_id, text FROM documents
+        |  WHERE doc_id % 9 = 4),
+        |h AS (SELECT doc_id, md5(text) AS th FROM d),
+        |c AS (SELECT th, min(doc_id) AS cluster_id FROM h GROUP BY th),
+        |j AS (SELECT h.doc_id, c.cluster_id FROM h JOIN c USING (th)),
+        |b AS (SELECT doc_id, cluster_id,
+        |    CAST(conv(substring(md5(CAST(cluster_id AS STRING)), 1, 8),
+        |      16, 10) AS BIGINT) % 1000 AS split_bucket
+        |  FROM j)
+        |SELECT doc_id, cluster_id, split_bucket,
+        | CASE WHEN split_bucket < 900 THEN 'train'
+        |   WHEN split_bucket < 950 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs

@@ -284,4 +284,47 @@ class SamplingSpec extends SparkSpec {
       assert(under <= 1, s"shard $shard has $under half-empty bins")
     }
   }
+
+  test("q110 leakage-safe split: whole clusters per split, bucket path, live dups") {
+    val out = SamplingOps.qLeakageSafeSplit(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val natural = Tables(spark, SF).documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // the query's staged mirrors: every 9th-plus-4 doc duplicated at +1e7
+    val docs = natural ++ natural.collect {
+      case (id, text) if id % 9 == 4 => (id + 10000000L, text)
+    }
+    assert(out.length == docs.length) // exhaustive
+    // independent clustering + bucket arithmetic
+    val byText = docs.groupBy(_._2)
+    val clusterOf = byText.values.flatMap { g =>
+      val cid = g.map(_._1).min; g.map(d => d._1 -> cid)
+    }.toMap
+    def bucketOf(cid: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(cid.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 1000
+    }
+    out.foreach { case (id, cid, bucket, split) =>
+      assert(cid == clusterOf(id), s"doc $id cluster")
+      assert(bucket == bucketOf(cid), s"doc $id bucket")
+      assert(split == (if (bucket < 900) "train"
+        else if (bucket < 950) "val" else "test"), s"doc $id split")
+    }
+    // the leakage case is live: a multi-doc cluster exists, lands whole
+    val multi = out.groupBy(_._2).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "corpus has no exact dups — leakage case dead")
+    multi.values.foreach(g =>
+      assert(g.map(_._4).distinct.length == 1, "cluster split straddle"))
+    // the generic op keeps NEAR-dup clusters whole too (q51's CC labels)
+    val nearClusters = graft.ext.DedupOps
+      .minHashDedupClusters(Tables(spark, SF).documents)
+    val near = SamplingOps.leakageSafeSplit(
+        Tables(spark, SF).documents.select("doc_id"), nearClusters)
+      .select("cluster_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    near.groupBy(_._1).values.foreach(g =>
+      assert(g.map(_._2).distinct.length == 1, "near-dup cluster straddle"))
+  }
 }
