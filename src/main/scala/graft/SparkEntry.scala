@@ -136,6 +136,12 @@ object SparkEntry {
     "q108_mean_pool" -> (SimilarityOps.qMeanPool _),
     "q109_span_corrupt" -> (TextOps.qSpanCorrupt _),
     "q110_leakage_safe_split" -> (SamplingOps.qLeakageSafeSplit _),
+    "q111_secret_scrub" -> (TextOps.qSecretScrub _),
+    "q113_epoch_shuffle" -> (SamplingOps.qEpochShuffle _),
+    "q112_token_divergence" -> (TextOps.qTokenDivergence _),
+    "q114_caption_align" -> (SimilarityOps.qCaptionAlign _),
+    "q115_readability" -> (TextOps.qReadability _),
+    "q116_lm_train" -> (TextOps.qLmTrain _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1142,6 +1148,162 @@ object SparkEntry {
         | CASE WHEN split_bucket < 900 THEN 'train'
         |   WHEN split_bucket < 950 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q111_secret_scrub" ->
+      """WITH staged AS (
+        | SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 4 = 1 THEN ' AKIA' ||
+        |    upper(substr(md5('a' || CAST(doc_id AS VARCHAR)), 1, 16))
+        |   WHEN doc_id % 4 = 2 THEN ' ' || md5('h' || CAST(doc_id AS VARCHAR)) ||
+        |    substr(md5('h2' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |   WHEN doc_id % 4 = 3 THEN ' Tk57' ||
+        |    substr(md5('b' || CAST(doc_id AS VARCHAR)), 1, 20) || '=='
+        |   ELSE '' END ||
+        |  CASE WHEN doc_id % 8 = 0 THEN ' ' || repeat('z', 26) ELSE '' END AS text
+        | FROM documents),
+        |det AS (
+        | SELECT doc_id, text,
+        |  regexp_extract_all(text, '\bAKIA[0-9A-Z]{16}\b') AS aws,
+        |  regexp_extract_all(text, '\b[0-9a-f]{32,}\b') AS hexs,
+        |  list_filter(regexp_extract_all(text, '\b[A-Za-z0-9+/]{24,}={0,2}'),
+        |    t -> regexp_matches(t, '[A-Z]') AND regexp_matches(t, '[a-z]')
+        |     AND regexp_matches(t, '[0-9]')) AS b64
+        | FROM staged),
+        |sc AS (
+        | SELECT doc_id, aws, hexs, b64,
+        |  regexp_replace(regexp_replace(text,
+        |    '\bAKIA[0-9A-Z]{16}\b', '<AWS_KEY>', 'g'),
+        |    '\b[0-9a-f]{32,}\b', '<HEX_SECRET>', 'g') AS t1
+        | FROM det)
+        |SELECT doc_id,
+        | CAST(len(aws) AS BIGINT) AS n_aws,
+        | CAST(len(hexs) AS BIGINT) AS n_hex,
+        | CAST(len(b64) AS BIGINT) AS n_b64,
+        | CAST(len(aws) + len(hexs) + len(b64) AS BIGINT) AS n_secrets,
+        | coalesce(array_to_string(list_concat(list_concat(aws, hexs), b64), ','),
+        |   '') AS secrets,
+        | CASE WHEN len(b64) = 0 THEN t1
+        |  ELSE list_reduce(list_prepend(t1, b64),
+        |   (acc, t) -> replace(acc, t, '<B64_SECRET>')) END AS clean_text
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q112_token_divergence" ->
+      """WITH srcc AS (
+        | SELECT source, token, count(*) AS c_s FROM (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents)
+        | GROUP BY source, token),
+        |gl AS (SELECT token, sum(c_s) AS c_g FROM srcc GROUP BY token),
+        |st AS (SELECT source, sum(c_s) AS n_s, count(*) AS v_s
+        |  FROM srcc GROUP BY source),
+        |tot AS (SELECT sum(c_g) AS n_g, count(*) AS v_g FROM gl),
+        |grid AS (
+        | SELECT st.source, st.n_s, st.v_s, tot.n_g, tot.v_g,
+        |  gl.token, gl.c_g, s2.c_s
+        | FROM st CROSS JOIN tot CROSS JOIN gl
+        | LEFT JOIN srcc s2 ON s2.source = st.source AND s2.token = gl.token),
+        |terms AS (
+        | SELECT source, n_s, v_s, v_g, c_s,
+        |  CAST(coalesce(c_s, 0) AS DOUBLE) / n_s AS p,
+        |  CAST(c_g AS DOUBLE) / n_g AS q,
+        |  (CAST(coalesce(c_s, 0) AS DOUBLE) / n_s
+        |    + CAST(c_g AS DOUBLE) / n_g) / 2.0 AS m
+        | FROM grid),
+        |mi AS (
+        | SELECT source, n_s, v_s, v_g,
+        |  CASE WHEN c_s > 0 THEN
+        |    CAST(floor(p * ln(p / q) * 1000000.0 + 0.5) AS BIGINT)
+        |   ELSE 0 END AS klt,
+        |  CASE WHEN c_s > 0 THEN
+        |    CAST(floor(p * ln(p / m) * 500000.0 + 0.5) AS BIGINT)
+        |   ELSE 0 END
+        |   + CAST(floor(q * ln(q / m) * 500000.0 + 0.5) AS BIGINT) AS jst
+        | FROM terms)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+        | CAST(max(v_s) AS BIGINT) AS src_vocab,
+        | CAST(max(v_g) AS BIGINT) AS corpus_vocab,
+        | CAST(sum(klt) AS BIGINT) AS kl_micro,
+        | CAST(sum(jst) AS BIGINT) AS js_micro
+        |FROM mi GROUP BY source ORDER BY source""".stripMargin,
+    "q113_epoch_shuffle" ->
+      """WITH e AS (
+        | SELECT doc_id, CAST(t.epoch AS BIGINT) AS epoch
+        | FROM documents, LATERAL unnest(range(2)) AS t(epoch)),
+        |k AS (
+        | SELECT doc_id, epoch,
+        |  CAST('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS order_key
+        | FROM e)
+        |SELECT doc_id, epoch,
+        | (order_key * 8) // 281474976710656 AS shard, order_key,
+        | CAST(row_number() OVER (PARTITION BY epoch,
+        |    (order_key * 8) // 281474976710656
+        |   ORDER BY order_key, doc_id) - 1 AS BIGINT) AS position
+        |FROM k ORDER BY doc_id, epoch""".stripMargin,
+    "q114_caption_align" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base),
+        |i AS (SELECT vec_id // 2 AS pair_id, vec_id AS img_id, v AS iv,
+        |  nrm AS inrm FROM n WHERE vec_id % 2 = 0),
+        |c AS (SELECT vec_id // 2 AS pair_id, vec_id AS cap_id, v AS cv,
+        |  nrm AS cnrm FROM n WHERE vec_id % 2 = 1),
+        |g AS (SELECT c.pair_id - 1 AS pair_id, cv AS nv, cnrm AS nnrm FROM c),
+        |s AS (SELECT i.pair_id, img_id, cap_id,
+        |  round(CASE WHEN inrm * cnrm = 0 THEN NULL
+        |    ELSE list_dot_product(iv, cv) / (inrm * cnrm) END, 4) AS cos,
+        |  round(CASE WHEN inrm * nnrm = 0 THEN NULL
+        |    ELSE list_dot_product(iv, nv) / (inrm * nnrm) END, 4) AS neg_cos
+        | FROM i JOIN c ON i.pair_id = c.pair_id
+        | LEFT JOIN g ON i.pair_id = g.pair_id)
+        |SELECT pair_id, img_id, cap_id, cos, neg_cos,
+        | round(cos - neg_cos, 4) AS margin,
+        | cos >= 0.1 AS aligned,
+        | cos > neg_cos AS beats_shuffled
+        |FROM s ORDER BY pair_id""".stripMargin,
+    "q115_readability" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |  6 + doc_id % 5 AS L FROM documents),
+        |st AS (SELECT doc_id,
+        |  string_agg(array_to_string(list_slice(w, CAST(t.s+1 AS BIGINT),
+        |    CAST(t.s+L AS BIGINT)), ' ') || '.', ' ' ORDER BY t.s) AS text
+        | FROM d, LATERAL unnest(range(0, n, L)) AS t(s) GROUP BY doc_id),
+        |sig AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sents,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |    AS n_syll
+        | FROM st),
+        |f AS (SELECT doc_id, n_words, n_sents, n_syll,
+        |  round(CAST(n_words AS DOUBLE) / n_sents, 4) AS words_per_sent,
+        |  round(CAST(n_syll AS DOUBLE) / n_words, 4) AS syll_per_word,
+        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+        |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch
+        | FROM sig)
+        |SELECT doc_id, n_words, n_sents, n_syll, words_per_sent, syll_per_word,
+        | flesch,
+        | CASE WHEN flesch >= 70 THEN 'easy' WHEN flesch >= 50 THEN 'medium'
+        |  ELSE 'hard' END AS band
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q116_lm_train" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT ws[CAST(i AS INTEGER)] || ' ' ||
+        |         ws[CAST(i AS INTEGER) + 1] AS bg
+        |       FROM t, unnest(range(1, len(ws))) AS r(i)),
+        |rbg AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+        |ru AS (SELECT w1, count(*) AS c1
+        |       FROM (SELECT unnest(ws) AS w1 FROM t) GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ru),
+        |m AS (SELECT bg, c12,
+        |        string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+        |      FROM rbg WHERE c12 >= 2)
+        |SELECT m.bg, m.w1, m.w2, m.c12, ru.c1, CAST(v AS BIGINT) AS vocab,
+        | CAST(floor(CAST(c12 + 1 AS DOUBLE) / (c1 + v) * 1000000.0 + 0.5)
+        |   AS BIGINT) AS cond_p_micro,
+        | CAST(floor(-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)) * 1000000.0 + 0.5)
+        |   AS BIGINT) AS nll_micro
+        |FROM m JOIN ru USING (w1) CROSS JOIN v
+        |ORDER BY bg""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

@@ -542,4 +542,55 @@ object SamplingOps {
     ffdPack(Tables(spark, dir).documents.select("doc_id", "text"))
       .toDF()
       .orderBy("doc_id")
+
+  /** Deterministic per-epoch training order: every epoch is an
+    * independent md5-keyed permutation of the corpus, materialized as
+    * (shard, position-within-shard) so a trainer streams shard files in
+    * position order and sees a fresh global-quality shuffle each epoch —
+    * the "global shuffle" step every LLM data loader wants but cannot
+    * afford to do online (Megatron/GPT-NeoX pre-shuffle exactly like
+    * this, once per epoch, at indexing time).
+    *
+    * Scale design: the tempting single `row_number() OVER (ORDER BY
+    * hash)` is a GLOBAL sort into one ordered partition chain — fine at
+    * 60k docs, dead at 100 TB. Instead the hash's top bits pick the shard
+    * (narrow, no coordination) and the position window partitions BY
+    * (epoch, shard) — shards number in the hundreds-to-thousands, so the
+    * sort is per-shard and embarrassingly parallel, and concatenating
+    * shards in shard order IS the global hash order because the shard id
+    * is the hash's most significant part. Within a shard, order by the
+    * remaining hash bits, doc_id ties last.
+    */
+  def epochShuffle(df: DataFrame, key: String, epochs: Int,
+      shards: Int): DataFrame = {
+    require(epochs >= 1 && shards >= 1, "epochs and shards must be positive")
+    val epoch = explode(sequence(lit(0), lit(epochs - 1))).as("epoch")
+    val h = conv(substring(md5(concat(col("epoch").cast("string"), lit(":"),
+      col(key).cast("string"))), 1, 12), 16, 10).cast("bigint")
+    val w = Window.partitionBy("epoch", "shard")
+      .orderBy(asc("order_key"), asc(key))
+    df.select(col("*"), epoch)
+      .withColumn("order_key", h)
+      // order_key < 16^12 = 2^48, so shard = ⌊key·shards/2^48⌋ is the
+      // key's most-significant slice (integer `div`, exact for any shard
+      // count; no overflow: 2^48 · shards ≪ 2^63 for shards ≤ 16k)
+      .withColumn("shard",
+        expr(s"(order_key * $shards) div ${1L << 48}").cast("bigint"))
+      .withColumn("position", (row_number().over(w) - 1).cast("bigint"))
+  }
+
+  /** q113: two training epochs over documents, 8 shards each — emits the
+    * full (epoch, shard, position) order book. SamplingSpec asserts each
+    * epoch is a permutation (positions dense per shard, every doc exactly
+    * once per epoch) and that the two epochs genuinely differ. Direct
+    * DuckDB oracle.
+    */
+  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    epochShuffle(t.documents.select("doc_id"), "doc_id", epochs = 2,
+      shards = 8)
+      .select(col("doc_id"), col("epoch").cast("bigint").as("epoch"),
+        col("shard"), col("order_key"), col("position"))
+      .orderBy("doc_id", "epoch")
+  }
 }

@@ -1621,4 +1621,57 @@ object SimilarityOps {
         spark.read.parquet(graphDir), k = 5, bands = 4, bitsPerBand = bits)
       .orderBy("vec_id", "rank")
   }
+
+  /** CLIP-score-style image↔caption alignment gate — the LAION filtering
+    * recipe: for each (image embedding, caption embedding) record pair,
+    * keep the pair only if their cosine clears a threshold, and sanity-
+    * check each positive score against a SHUFFLED negative (the next
+    * record's caption) so a systematically-miscalibrated encoder shows up
+    * as positives that fail to beat random pairings.
+    *
+    * Scale shape: two narrow projections of the embedding table and two
+    * equi-joins on the derived record key — sort-merge-friendly,
+    * hash-spread, no broadcast needed and no all-pairs anything; the
+    * shuffled negative reuses the caption projection shifted by one key
+    * (no extra scan). Thresholding compares the ROUNDED 4-decimal cosine
+    * (q64 discipline) so both engines gate the same number.
+    *
+    * `embeddings` rows are treated as interleaved modality outputs:
+    * even vec_id = image-encoder vector, odd vec_id = the same record's
+    * caption vector (in a real multimodal pipeline the two encoder
+    * outputs arrive as columns of one record; the interleave is this
+    * corpus's stand-in).
+    */
+  def captionAlign(embeddings: DataFrame, tau: Double): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val img = base.filter(col("vec_id") % 2 === 0)
+      .select(expr("vec_id div 2").as("pair_id"), col("vec_id").as("img_id"),
+        col("v").as("iv"), col("nrm").as("inrm"))
+    val cap = base.filter(col("vec_id") % 2 === 1)
+      .select(expr("vec_id div 2").as("pair_id"), col("vec_id").as("cap_id"),
+        col("v").as("cv"), col("nrm").as("cnrm"))
+    val negCap = cap.select((col("pair_id") - 1).as("pair_id"),
+      col("cv").as("nv"), col("cnrm").as("nnrm"))
+    img.join(cap, "pair_id")
+      .join(negCap, Seq("pair_id"), "left")
+      .select(col("pair_id"), col("img_id"), col("cap_id"),
+        round(safeCos(dot(col("iv"), col("cv")), col("inrm"), col("cnrm")), 4)
+          .as("cos"),
+        round(safeCos(dot(col("iv"), col("nv")), col("inrm"), col("nnrm")), 4)
+          .as("neg_cos"))
+      .select(col("pair_id"), col("img_id"), col("cap_id"), col("cos"),
+        col("neg_cos"),
+        round(col("cos") - col("neg_cos"), 4).as("margin"),
+        (col("cos") >= tau).as("aligned"),
+        (col("cos") > col("neg_cos")).as("beats_shuffled"))
+  }
+
+  /** q114: alignment gate at τ=0.1 over the embeddings table. Direct
+    * DuckDB oracle.
+    */
+  def qCaptionAlign(spark: SparkSession, dir: String): DataFrame =
+    captionAlign(Tables(spark, dir).embeddings, tau = 0.1)
+      .orderBy("pair_id")
 }

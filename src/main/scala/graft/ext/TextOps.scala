@@ -558,6 +558,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q116: TRAIN the perplexity-filter language model as a first-class
+    * artifact — the CCNet pipeline stage that precedes q66's scoring
+    * (CCNet trains a KenLM per language on a reference corpus, ships the
+    * model table, and scores everything else against it). The output is
+    * the bigram model itself: for every reference bigram kept after
+    * count-pruning (c12 ≥ 2, KenLM's singleton-pruning default shape),
+    * its counts and its Laplace-smoothed conditional probability /
+    * negative-log-likelihood in fixed-point micro units. Count
+    * conventions match [[lmPerplexity]] EXACTLY (reference = doc_id%7==0,
+    * docs with < 2 tokens excluded from both bigram AND unigram counts),
+    * so scoring a bigram with this table reproduces q66's arithmetic —
+    * TextSpec asserts that consistency.
+    *
+    * Scale shape: two map-side-combined count aggregations (vocabulary-
+    * bounded outputs), a vocab-sized broadcast join for c1, and a scalar
+    * V — the corpus is scanned once per count no matter the size; the
+    * model table is |V|²-bounded and count-pruned, the thing you can
+    * broadcast back out for scoring. Direct DuckDB oracle.
+    */
+  def qLmTrain(spark: SparkSession, dir: String): DataFrame = {
+    val ref = Tables(spark, dir).documents
+      .filter(col("doc_id") % 7 === 0)
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val refP = graft.CacheRegistry.persist(ref)
+    val bigr = refP
+      .select(explode(
+        graft.functions.WordShingles.word_shingles(col("ws"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    val uni = refP.select(explode(col("ws")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+    val condP = (col("c12") + 1).cast("double") / (col("c1") + col("v"))
+    bigr.filter(col("c12") >= 2)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(broadcast(uni), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("bg"), col("w1"), col("w2"), col("c12"), col("c1"),
+        col("v").cast("bigint").as("vocab"),
+        floor(condP * 1000000.0 + 0.5).cast("bigint").as("cond_p_micro"),
+        floor(-log(condP) * 1000000.0 + 0.5).cast("bigint").as("nll_micro"))
+      .orderBy("bg")
+  }
+
   /** See [[qLmPerplexity]]. `refPred` selects the reference (model-
     * training) documents; every other doc with ≥ 2 tokens is scored.
     */
@@ -786,6 +831,206 @@ object TextOps {
         size(regexp_extract_all(col("__t"), lit(longIdRe), lit(0))).cast("bigint").as("n_ids"),
         length(scrubPii(col("__t"))).cast("bigint").as("clean_len"),
         md5(scrubPii(col("__t"))).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  // Secret/credential patterns — like the PII set, the RE2/Java common
+  // subset (no lookaround), so the DuckDB oracle runs them verbatim.
+  // Rules are disjoint by construction: AWS key ids are 20 chars (< the
+  // 24-char base64 floor) and uppercase (excluded from the lowercase hex
+  // class); hex blobs are lowercase-only, so they fail the base64 rule's
+  // has-uppercase diversity test.
+  private[ext] val awsKeyRe = "\\bAKIA[0-9A-Z]{16}\\b"
+  private[ext] val hexSecretRe = "\\b[0-9a-f]{32,}\\b"
+  private[ext] val b64TokenRe = "\\b[A-Za-z0-9+/]{24,}={0,2}"
+
+  /** Candidate base64-ish tokens that pass the character-class diversity
+    * test (≥1 upper, ≥1 lower, ≥1 digit) — the detect-secrets/BigCode
+    * heuristic that separates real keys from ordinary long words: a
+    * 24+-char single-class run (a long lowercase word, a page of digits)
+    * is noise, a mixed-class run is almost certainly machine-generated.
+    * Plain regex can't express the conjunction without lookahead (which
+    * RE2 lacks), so candidates are extracted first and filtered with a
+    * codegen'd array HOF — still one narrow pass.
+    */
+  def b64Secrets(text: Column): Column =
+    filter(
+      regexp_extract_all(text, lit(b64TokenRe), lit(0)),
+      t => t.rlike("[A-Z]") && t.rlike("[a-z]") && t.rlike("[0-9]"))
+
+  /** Redact detected secrets: the two single-class rules are direct
+    * regexp_replace passes; the diversity-gated base64 rule replaces each
+    * DETECTED token exactly (fold over the detected array), so the decoys
+    * the diversity test cleared are left untouched.
+    */
+  def scrubSecrets(text: Column): Column = {
+    val t1 = regexp_replace(
+      regexp_replace(text, awsKeyRe, "<AWS_KEY>"),
+      hexSecretRe, "<HEX_SECRET>")
+    aggregate(b64Secrets(text), t1,
+      (acc, tok) => replace(acc, tok, lit("<B64_SECRET>")))
+  }
+
+  /** q111: secret/credential detection + redaction — the pass every
+    * code/web pre-training pipeline runs before release (the BigCode/
+    * StarCoder "Stack" pipeline redacts AWS ids, hex API keys and
+    * high-entropy base64 blobs the same way). The corpus carries no
+    * secrets, so deterministic ones are INJECTED from doc_id (md5-derived,
+    * so the oracle rebuilds the identical strings): doc_id%4==1 an
+    * AKIA+16 AWS key id, %4==2 a 40-char lowercase hex blob, %4==3 a
+    * 26-char mixed-class base64ish token, and every 8th doc a 26-char
+    * pure-lowercase DECOY that matches the base64 charset+length but must
+    * fail the diversity test. Everything is narrow codegen'd string work —
+    * zero shuffle at any corpus size. Direct DuckDB oracle.
+    */
+  def qSecretScrub(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val id = col("doc_id")
+    val idS = id.cast("string")
+    val aug = concat(
+      col("text"),
+      when(id % 4 === 1,
+        concat(lit(" AKIA"), upper(substring(md5(concat(lit("a"), idS)), 1, 16))))
+        .when(id % 4 === 2,
+          concat(lit(" "), md5(concat(lit("h"), idS)),
+            substring(md5(concat(lit("h2"), idS)), 1, 8)))
+        .when(id % 4 === 3,
+          concat(lit(" Tk57"), substring(md5(concat(lit("b"), idS)), 1, 20),
+            lit("==")))
+        .otherwise(lit("")),
+      when(id % 8 === 0, concat(lit(" "), lit("z" * 26))).otherwise(lit("")))
+    t.documents
+      .select(id, aug.as("__t"))
+      .select(id, col("__t"),
+        regexp_extract_all(col("__t"), lit(awsKeyRe), lit(0)).as("__aws"),
+        regexp_extract_all(col("__t"), lit(hexSecretRe), lit(0)).as("__hex"),
+        b64Secrets(col("__t")).as("__b64"))
+      .select(id,
+        size(col("__aws")).cast("bigint").as("n_aws"),
+        size(col("__hex")).cast("bigint").as("n_hex"),
+        size(col("__b64")).cast("bigint").as("n_b64"),
+        (size(col("__aws")) + size(col("__hex")) + size(col("__b64")))
+          .cast("bigint").as("n_secrets"),
+        concat_ws(",", concat(col("__aws"), col("__hex"), col("__b64")))
+          .as("secrets"),
+        scrubSecrets(col("__t")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source token-distribution drift vs the corpus-wide distribution
+    * — KL(Pₛ‖Q) and Jensen-Shannon divergence per source, the monitoring
+    * pass a pipeline runs between corpus snapshots / over incoming
+    * sources to catch distribution shift before it reaches training
+    * (ingest-mix drift shows up here long before eval metrics move).
+    *
+    * Scale shape: ONE token-count aggregation over the corpus (map-side
+    * combined, vocabulary-bounded output); everything downstream operates
+    * on the |S|×|V| source×vocab grid — sources are tens-to-hundreds and
+    * V is vocabulary- not corpus-sized, so the grid is negligible next to
+    * the corpus no matter how many TB feed the counts. The global table
+    * is derived from the per-source one (no second corpus scan).
+    *
+    * Numeric discipline: divergences are summed in FIXED-POINT micro-nats
+    * (each term floor(x·10⁶+0.5) on doubles built from exact integer
+    * ratios, q108's order-independence trick) — a distributed double sum
+    * would leak partition order into the result. KL terms with pₛ=0
+    * contribute 0 (standard convention); q>0 always since vocab ⊇ every
+    * source's tokens. Direct DuckDB oracle (identical expression shapes,
+    * so both engines round the same doubles).
+    */
+  def tokenDivergence(docs: DataFrame): DataFrame = {
+    val src = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c_s"))
+    val srcP = graft.CacheRegistry.persist(src)
+    val glob = srcP.groupBy("token").agg(sum("c_s").as("c_g"))
+    val srcTot = srcP.groupBy("source")
+      .agg(sum("c_s").as("n_s"), count(lit(1)).as("v_s"))
+    val tot = glob.agg(sum("c_g").as("n_g"), count(lit(1)).as("v_g"))
+    // absent (source, token) pairs arrive as NULL c_s from the left join
+    // — p must be 0.0 there, not NULL (NULL would poison m and silently
+    // drop the q-side JS term for exactly the tokens a source is missing,
+    // which are the tokens that carry its divergence)
+    val p = coalesce(col("c_s"), lit(0L)).cast("double") / col("n_s")
+    val q = col("c_g").cast("double") / col("n_g")
+    val m = (p + q) / 2.0
+    val klTerm = when(col("c_s") > 0,
+      floor(p * log(p / q) * 1000000.0 + 0.5)).otherwise(0L)
+    val jsTermP = when(col("c_s") > 0,
+      floor(p * log(p / m) * 500000.0 + 0.5)).otherwise(0L)
+    val jsTermQ = floor(q * log(q / m) * 500000.0 + 0.5)
+    srcTot.crossJoin(broadcast(tot))
+      .crossJoin(glob)
+      .join(srcP, Seq("source", "token"), "left")
+      .groupBy("source")
+      .agg(
+        first(col("n_s")).as("n_tokens"),
+        first(col("v_s")).as("src_vocab"),
+        first(col("v_g")).as("corpus_vocab"),
+        sum(klTerm).cast("bigint").as("kl_micro"),
+        sum(jsTermP + jsTermQ).cast("bigint").as("js_micro"))
+      .orderBy("source")
+  }
+
+  /** q112: drift report for every source in `documents`. */
+  def qTokenDivergence(spark: SparkSession, dir: String): DataFrame =
+    tokenDivergence(Tables(spark, dir).documents)
+
+  /** Surface readability signals: word count (whitespace tokens),
+    * sentence count (terminator runs), and a syllable ESTIMATE (vowel
+    * groups, the standard dictionary-free heuristic — exact syllable
+    * counting needs a pronunciation lexicon no 100 TB pass can afford).
+    * One narrow codegen'd pass, all three regex counts over the same row.
+    */
+  def readabilitySignals(text: Column): Column = struct(
+    size(split(text, " ")).cast("bigint").as("n_words"),
+    size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("bigint")
+      .as("n_sents"),
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("bigint").as("n_syll"))
+
+  /** q115: Flesch-reading-ease scoring per document — the classic
+    * surface-difficulty filter (readability banding is a standard
+    * curriculum/quality axis next to q66's perplexity and q22's quality
+    * heuristics). The corpus is unpunctuated word salad, so sentence
+    * structure is first STAGED deterministically — each doc is re-cut
+    * into sentences of `6 + doc_id % 5` words with a '.' terminator
+    * (both engines rebuild the identical string; same slice-window shape
+    * as q106) — then scored: FRE = 206.835 − 1.015·(words/sentence) −
+    * 84.6·(syllables/word), banded on the ROUNDED score so both engines
+    * threshold the same 4-decimal number (q64 discipline). Zero shuffle.
+    * Direct DuckDB oracle.
+    */
+  def qReadability(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val id = col("doc_id")
+    val base = t.documents.select(id, col("text"))
+      .withColumn("__L", (lit(6) + id % 5).cast("int"))
+      .withColumn("__n", size(split(col("text"), " ")))
+      .withColumn("__ns", expr("(__n + __L - 1) div __L"))
+    val staged = base.withColumn("__staged",
+      array_join(
+        transform(sequence(lit(0), col("__ns") - 1),
+          j => concat(
+            array_join(
+              slice(split(col("text"), " "), j * col("__L") + 1, col("__L")),
+              " "),
+            lit("."))),
+        " "))
+    val wps = col("n_words").cast("double") / col("n_sents")
+    val spw = col("n_syll").cast("double") / col("n_words")
+    val flesch = round(
+      lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
+    staged
+      .select(id, readabilitySignals(col("__staged")).as("__s"))
+      .select(id, col("__s.n_words").as("n_words"),
+        col("__s.n_sents").as("n_sents"), col("__s.n_syll").as("n_syll"))
+      .select(id, col("n_words"), col("n_sents"), col("n_syll"),
+        round(wps, 4).as("words_per_sent"),
+        round(spw, 4).as("syll_per_word"),
+        flesch.as("flesch"),
+        when(flesch >= 70, "easy").when(flesch >= 50, "medium")
+          .otherwise("hard").as("band"))
       .orderBy("doc_id")
   }
 
