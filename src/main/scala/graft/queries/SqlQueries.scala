@@ -895,6 +895,154 @@ object SqlQueries {
         | CASE WHEN split_bucket < 900 THEN 'train'
         |   WHEN split_bucket < 950 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q111_secret_scrub" ->
+      """WITH staged AS (SELECT doc_id, concat(text,
+        |  CASE WHEN doc_id % 4 = 1 THEN concat(' AKIA',
+        |    upper(substring(md5(concat('a', CAST(doc_id AS STRING))), 1, 16)))
+        |   WHEN doc_id % 4 = 2 THEN concat(' ',
+        |    md5(concat('h', CAST(doc_id AS STRING))),
+        |    substring(md5(concat('h2', CAST(doc_id AS STRING))), 1, 8))
+        |   WHEN doc_id % 4 = 3 THEN concat(' Tk57',
+        |    substring(md5(concat('b', CAST(doc_id AS STRING))), 1, 20), '==')
+        |   ELSE '' END,
+        |  CASE WHEN doc_id % 8 = 0 THEN concat(' ', repeat('z', 26))
+        |   ELSE '' END) AS t
+        | FROM documents),
+        |det AS (SELECT doc_id, t,
+        |  regexp_extract_all(t, '\\bAKIA[0-9A-Z]{16}\\b', 0) AS aws,
+        |  regexp_extract_all(t, '\\b[0-9a-f]{32,}\\b', 0) AS hexs,
+        |  filter(regexp_extract_all(t, '\\b[A-Za-z0-9+/]{24,}={0,2}', 0),
+        |    x -> x RLIKE '[A-Z]' AND x RLIKE '[a-z]' AND x RLIKE '[0-9]') AS b64
+        | FROM staged),
+        |sc AS (SELECT doc_id, aws, hexs, b64,
+        |  aggregate(b64,
+        |    regexp_replace(regexp_replace(t,
+        |      '\\bAKIA[0-9A-Z]{16}\\b', '<AWS_KEY>'),
+        |      '\\b[0-9a-f]{32,}\\b', '<HEX_SECRET>'),
+        |    (acc, tok) -> replace(acc, tok, '<B64_SECRET>')) AS clean_text
+        | FROM det)
+        |SELECT doc_id,
+        | CAST(size(aws) AS BIGINT) AS n_aws,
+        | CAST(size(hexs) AS BIGINT) AS n_hex,
+        | CAST(size(b64) AS BIGINT) AS n_b64,
+        | CAST(size(aws) + size(hexs) + size(b64) AS BIGINT) AS n_secrets,
+        | concat_ws(',', concat(aws, hexs, b64)) AS secrets,
+        | clean_text
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q112_token_divergence" ->
+      """WITH srcc AS (SELECT source, token, count(*) AS c_s FROM
+        |  (SELECT source, explode(split(text, ' ')) AS token FROM documents)
+        | GROUP BY source, token),
+        |gl AS (SELECT token, sum(c_s) AS c_g FROM srcc GROUP BY token),
+        |stt AS (SELECT source, sum(c_s) AS n_s, count(*) AS v_s
+        |  FROM srcc GROUP BY source),
+        |tot AS (SELECT sum(c_g) AS n_g, count(*) AS v_g FROM gl),
+        |grid AS (SELECT stt.source, n_s, v_s, n_g, v_g, gl.token, gl.c_g,
+        |  s2.c_s
+        | FROM stt CROSS JOIN tot CROSS JOIN gl
+        | LEFT JOIN srcc s2 ON s2.source = stt.source AND s2.token = gl.token),
+        |terms AS (SELECT source, n_s, v_s, v_g, c_s,
+        |  CAST(coalesce(c_s, 0L) AS DOUBLE) / n_s AS p,
+        |  CAST(c_g AS DOUBLE) / n_g AS q,
+        |  (CAST(coalesce(c_s, 0L) AS DOUBLE) / n_s
+        |    + CAST(c_g AS DOUBLE) / n_g) / 2.0 AS m
+        | FROM grid),
+        |mi AS (SELECT source, n_s, v_s, v_g,
+        |  CASE WHEN c_s > 0 THEN floor(p * ln(p / q) * 1000000.0 + 0.5)
+        |   ELSE 0L END AS klt,
+        |  CASE WHEN c_s > 0 THEN floor(p * ln(p / m) * 500000.0 + 0.5)
+        |   ELSE 0L END
+        |   + floor(q * ln(q / m) * 500000.0 + 0.5) AS jst
+        | FROM terms)
+        |SELECT source, first(n_s) AS n_tokens, first(v_s) AS src_vocab,
+        | first(v_g) AS corpus_vocab,
+        | CAST(sum(klt) AS BIGINT) AS kl_micro,
+        | CAST(sum(jst) AS BIGINT) AS js_micro
+        |FROM mi GROUP BY source ORDER BY source""".stripMargin,
+    "q113_epoch_shuffle" ->
+      """WITH e AS (SELECT doc_id, explode(sequence(0, 1)) AS epoch
+        |  FROM documents),
+        |k AS (SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(conv(substring(md5(concat(CAST(epoch AS STRING), ':',
+        |    CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT) AS order_key
+        | FROM e)
+        |SELECT doc_id, epoch,
+        | CAST((order_key * 8) div 281474976710656L AS BIGINT) AS shard,
+        | order_key,
+        | CAST(row_number() OVER (PARTITION BY epoch,
+        |    (order_key * 8) div 281474976710656L
+        |   ORDER BY order_key, doc_id) - 1 AS BIGINT) AS position
+        |FROM k ORDER BY doc_id, epoch""".stripMargin,
+    "q114_caption_align" ->
+      """WITH b AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, x) -> a + x))
+        |    AS nrm
+        | FROM b),
+        |i AS (SELECT vec_id div 2 AS pair_id, vec_id AS img_id, v AS iv,
+        |  nrm AS inrm FROM n WHERE vec_id % 2 = 0),
+        |c AS (SELECT vec_id div 2 AS pair_id, vec_id AS cap_id, v AS cv,
+        |  nrm AS cnrm FROM n WHERE vec_id % 2 = 1),
+        |g AS (SELECT pair_id - 1 AS pair_id, cv AS nv, cnrm AS nnrm FROM c),
+        |s AS (SELECT i.pair_id, img_id, cap_id,
+        |  round(try_divide(aggregate(zip_with(iv, cv, (x, y) -> x * y), 0D,
+        |    (a, x) -> a + x), inrm * cnrm), 4) AS cos,
+        |  round(try_divide(aggregate(zip_with(iv, nv, (x, y) -> x * y), 0D,
+        |    (a, x) -> a + x), inrm * nnrm), 4) AS neg_cos
+        | FROM i JOIN c ON i.pair_id = c.pair_id
+        | LEFT JOIN g ON i.pair_id = g.pair_id)
+        |SELECT pair_id, img_id, cap_id, cos, neg_cos,
+        | round(cos - neg_cos, 4) AS margin,
+        | (cos >= 0.1) AS aligned,
+        | (cos > neg_cos) AS beats_shuffled
+        |FROM s ORDER BY pair_id""".stripMargin,
+    "q115_readability" ->
+      """WITH base AS (SELECT doc_id, text, CAST(6 + doc_id % 5 AS INT) AS L,
+        |  size(split(text, ' ')) AS n FROM documents),
+        |b2 AS (SELECT doc_id, text, L, n, (n + L - 1) div L AS ns FROM base),
+        |st AS (SELECT doc_id,
+        |  array_join(transform(sequence(0, ns - 1),
+        |    j -> concat(array_join(slice(split(text, ' '), j * L + 1, L), ' '),
+        |      '.')), ' ') AS staged
+        | FROM b2),
+        |sig AS (SELECT doc_id,
+        |  CAST(size(split(staged, ' ')) AS BIGINT) AS n_words,
+        |  CAST(size(regexp_extract_all(staged, '[.!?]+', 0)) AS BIGINT)
+        |    AS n_sents,
+        |  CAST(size(regexp_extract_all(lower(staged), '[aeiouy]+', 0))
+        |    AS BIGINT) AS n_syll
+        | FROM st),
+        |f AS (SELECT doc_id, n_words, n_sents, n_syll,
+        |  round(CAST(n_words AS DOUBLE) / n_sents, 4) AS words_per_sent,
+        |  round(CAST(n_syll AS DOUBLE) / n_words, 4) AS syll_per_word,
+        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+        |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch
+        | FROM sig)
+        |SELECT doc_id, n_words, n_sents, n_syll, words_per_sent, syll_per_word,
+        | flesch,
+        | CASE WHEN flesch >= 70 THEN 'easy' WHEN flesch >= 50 THEN 'medium'
+        |  ELSE 'hard' END AS band
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q116_lm_train" ->
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS ws FROM documents
+        |           WHERE doc_id % 7 = 0 AND size(split(text, ' ')) >= 2),
+        |bgc AS (SELECT bg, count(*) AS c12
+        |        FROM t LATERAL VIEW explode(word_shingles(ws, 2)) x AS bg
+        |        GROUP BY bg),
+        |ru AS (SELECT w1, count(*) AS c1
+        |       FROM t LATERAL VIEW explode(ws) y AS w1 GROUP BY w1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ru),
+        |m AS (SELECT bg, c12, substring_index(bg, ' ', 1) AS w1,
+        |        substring_index(bg, ' ', -1) AS w2
+        |      FROM bgc WHERE c12 >= 2)
+        |SELECT m.bg, m.w1, m.w2, m.c12, ru.c1, CAST(v AS BIGINT) AS vocab,
+        | CAST(floor(CAST(m.c12 + 1 AS DOUBLE) / (ru.c1 + v) * 1000000.0 + 0.5)
+        |   AS BIGINT) AS cond_p_micro,
+        | CAST(floor(-ln(CAST(m.c12 + 1 AS DOUBLE) / (ru.c1 + v)) * 1000000.0
+        |   + 0.5) AS BIGINT) AS nll_micro
+        |FROM m JOIN ru ON m.w1 = ru.w1 CROSS JOIN v
+        |ORDER BY bg""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs

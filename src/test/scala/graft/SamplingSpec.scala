@@ -327,4 +327,30 @@ class SamplingSpec extends SparkSpec {
     near.groupBy(_._1).values.foreach(g =>
       assert(g.map(_._2).distinct.length == 1, "near-dup cluster straddle"))
   }
+
+  test("q113 epoch shuffle: per-epoch permutation, dense shard positions, global order") {
+    val rows = ext.SamplingOps.qEpochShuffle(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nDocs = Tables(spark, SF).documents.count()
+    assert(rows.length == 2 * nDocs)
+    (0L to 1L).foreach { e =>
+      val ep = rows.filter(_._2 == e)
+      // every doc exactly once per epoch
+      assert(ep.map(_._1).distinct.length == nDocs)
+      // positions dense 0..n-1 within each shard
+      ep.groupBy(_._3).foreach { case (shard, g) =>
+        assert(shard >= 0 && shard < 8)
+        assert(g.map(_._5).sorted.toSeq == (0L until g.length).toSeq,
+          s"epoch $e shard $shard positions not dense")
+      }
+      // concatenating shards in shard order IS the global hash order
+      val byShardPos = ep.sortBy(r => (r._3, r._5)).map(_._1).toSeq
+      val byKey = ep.sortBy(r => (r._4, r._1)).map(_._1).toSeq
+      assert(byShardPos == byKey, s"epoch $e shard-ranged order != global order")
+    }
+    // the two epochs produce genuinely different orders
+    val o0 = rows.filter(_._2 == 0L).sortBy(r => (r._3, r._5)).map(_._1).toSeq
+    val o1 = rows.filter(_._2 == 1L).sortBy(r => (r._3, r._5)).map(_._1).toSeq
+    assert(o0 != o1, "epochs 0 and 1 gave the identical order")
+  }
 }

@@ -641,4 +641,31 @@ class SimilaritySpec extends SparkSpec {
     // node 3 was re-ranked: its status is merged, and it still has ≤ k rows
     assert(out.count(_._1 == 3L) <= k)
   }
+
+  test("q114 caption alignment: cosines, gate, and shuffled negative") {
+    val out = ext.SimilarityOps.qCaptionAlign(spark, SF).collect()
+    val vecs = Tables(spark, SF).embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(out.length == vecs.size / 2)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    out.foreach { r =>
+      val pid = r.getLong(0)
+      assert(r.getLong(1) == 2 * pid && r.getLong(2) == 2 * pid + 1)
+      val expect = cos(vecs(2 * pid), vecs(2 * pid + 1))
+      assert(math.abs(r.getDouble(3) - expect) < 1e-3, s"pair $pid cos")
+      assert(r.getBoolean(6) == (r.getDouble(3) >= 0.1), s"pair $pid gate")
+      if (pid == out.map(_.getLong(0)).max) assert(r.isNullAt(4), "last pair neg")
+      else {
+        val negExpect = cos(vecs(2 * pid), vecs(2 * pid + 3))
+        assert(math.abs(r.getDouble(4) - negExpect) < 1e-3, s"pair $pid neg")
+        assert(r.getBoolean(7) == (r.getDouble(3) > r.getDouble(4)))
+      }
+    }
+    // the gate actually separates: some aligned, some not
+    val n = out.count(_.getBoolean(6))
+    assert(n > 0 && n < out.length)
+  }
 }

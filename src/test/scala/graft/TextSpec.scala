@@ -588,4 +588,116 @@ class TextSpec extends SparkSpec {
     assert(none.getString(4) == "x y z" && none.getString(5) == "<extra_id_0>"
       && none.getLong(3) == 0L)
   }
+
+  test("q111 secret scrub: each planted class detected, decoy rejected") {
+    val rows = TextOps.qSecretScrub(spark, SF).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (nAws, nHex, nB64) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val clean = r.getString(6)
+      id % 4 match {
+        case 1 => assert(nAws == 1 && nHex == 0 && nB64 == 0, s"doc $id")
+        case 2 => assert(nAws == 0 && nHex == 1 && nB64 == 0, s"doc $id")
+        case 3 => assert(nAws == 0 && nHex == 0 && nB64 == 1, s"doc $id")
+        case _ => assert(r.getLong(4) == 0, s"doc $id should be clean")
+      }
+      // the pure-lowercase decoy must survive redaction untouched
+      if (id % 8 == 0) assert(clean.contains("z" * 26), s"doc $id decoy")
+      // no detected secret string survives in the redacted text
+      if (r.getLong(4) > 0) {
+        r.getString(5).split(",").foreach(sec =>
+          assert(!clean.contains(sec), s"doc $id leaked $sec"))
+        assert(clean.contains("<AWS_KEY>") || clean.contains("<HEX_SECRET>")
+          || clean.contains("<B64_SECRET>"))
+      }
+    }
+    assert(rows.count(_.getLong(4) > 0) == rows.count(r => r.getLong(0) % 4 != 0))
+  }
+
+  test("q112 token divergence: hand-computed tiny case and invariants") {
+    import spark.implicits._
+    val docs = Seq(
+      ("srcA", "a a b"),
+      ("srcB", "a b b b")).toDF("source", "text")
+    val out = TextOps.tokenDivergence(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // global: a=3, b=4, N=7, V=2
+    def micro(x: Double, scale: Double) = math.floor(x * scale + 0.5).toLong
+    def kl(ps: Map[String, Double], qs: Map[String, Double]): Long =
+      ps.collect { case (t, p) if p > 0 =>
+        micro(p * math.log(p / qs(t)), 1e6)
+      }.sum
+    def js(ps: Map[String, Double], qs: Map[String, Double]): Long =
+      qs.map { case (t, q) =>
+        val p = ps.getOrElse(t, 0.0)
+        val m = (p + q) / 2.0
+        (if (p > 0) micro(p * math.log(p / m), 5e5) else 0L) +
+          micro(q * math.log(q / m), 5e5)
+      }.sum
+    val g = Map("a" -> 3.0 / 7, "b" -> 4.0 / 7)
+    val pa = Map("a" -> 2.0 / 3, "b" -> 1.0 / 3)
+    val pb = Map("a" -> 1.0 / 4, "b" -> 3.0 / 4)
+    assert(out("srcA") == ((3L, 2L, 2L, kl(pa, g), js(pa, g))))
+    assert(out("srcB") == ((4L, 2L, 2L, kl(pb, g), js(pb, g))))
+    // a source identical to the global mix diverges by ~0
+    val same = Seq(("s1", "a b"), ("s2", "a b")).toDF("source", "text")
+    TextOps.tokenDivergence(same).collect().foreach { r =>
+      assert(r.getLong(4) == 0L && r.getLong(5) == 0L)
+    }
+    // real corpus: KL and JS non-negative, JS bounded by ln 2
+    TextOps.qTokenDivergence(spark, SF).collect().foreach { r =>
+      assert(r.getLong(4) >= 0L, s"KL negative for ${r.getString(0)}")
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 693148L,
+        s"JS out of [0, ln2] for ${r.getString(0)}")
+    }
+  }
+
+  test("q115 readability: staging arithmetic and formula consistency") {
+    val rows = TextOps.qReadability(spark, SF).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, s_, y) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val L = 6 + id % 5
+      // staged sentence count is ceil(words / L); staging adds no words
+      assert(s_ == (w + L - 1) / L, s"doc $id sentence count")
+      val wps = w.toDouble / s_
+      val spw = y.toDouble / w
+      val expect = BigDecimal(206.835 - 1.015 * wps - 84.6 * spw)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(6) - expect) < 1e-9, s"doc $id flesch")
+      val band = r.getString(7)
+      if (r.getDouble(6) >= 70) assert(band == "easy")
+      else if (r.getDouble(6) >= 50) assert(band == "medium")
+      else assert(band == "hard")
+    }
+    assert(rows.map(_.getString(7)).distinct.length > 1,
+      "banding degenerate: all docs in one band")
+  }
+
+  test("q116 LM training: model table reproduces q66's smoothing") {
+    val model = TextOps.qLmTrain(spark, SF).collect()
+    assert(model.nonEmpty)
+    val docs = Tables(spark, SF).documents
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("text")).collect().map(_.getString(0).split(" ").toSeq)
+      .filter(_.length >= 2)
+    val uni = docs.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val big = docs.flatMap(ws => ws.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val v = uni.size.toDouble
+    // every pruned-model row matches the independent count + smoothing
+    model.foreach { r =>
+      val (bg, w1, c12, c1) = (r.getString(0), r.getString(1), r.getLong(3), r.getLong(4))
+      assert(c12 >= 2, s"$bg under prune floor")
+      assert(big(bg) == c12 && uni(w1) == c1, s"$bg counts")
+      val condP = (c12 + 1).toDouble / (c1 + v)
+      assert(r.getLong(6) == math.floor(condP * 1e6 + 0.5).toLong, s"$bg p")
+      assert(r.getLong(7) == math.floor(-math.log(condP) * 1e6 + 0.5).toLong, s"$bg nll")
+      assert(r.getLong(5) == uni.size.toLong)
+    }
+    // pruning dropped only singletons
+    assert(model.length == big.count(_._2 >= 2))
+  }
 }
