@@ -142,6 +142,9 @@ object SparkEntry {
     "q114_caption_align" -> (SimilarityOps.qCaptionAlign _),
     "q115_readability" -> (TextOps.qReadability _),
     "q116_lm_train" -> (TextOps.qLmTrain _),
+    "q117_classifier_train" -> (TextOps.qClassifierTrain _),
+    "q118_pr_curve" -> (TextOps.qPrCurve _),
+    "q119_snapshot_diff" -> (ext.VersioningOps.qSnapshotDiff _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1304,6 +1307,48 @@ object SparkEntry {
         |   AS BIGINT) AS nll_micro
         |FROM m JOIN ru USING (w1) CROSS JOIN v
         |ORDER BY bg""".stripMargin,
+    "q118_pr_curve" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(list_aggregate(list_transform(string_split(text, ' '), t ->
+        |    (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 256)
+        |      * 2654435761 % 1000 - 500), 'sum') AS BIGINT) AS wsum,
+        |  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END AS y
+        | FROM documents),
+        |sc AS (SELECT CAST(floor(CAST(wsum AS DOUBLE) * 1000.0 / n_tokens
+        |    + 0.5) AS BIGINT) AS score_milli, y FROM s),
+        |g AS (SELECT score_milli, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |  FROM sc GROUP BY score_milli),
+        |tt AS (SELECT CAST(sum(pos) AS BIGINT) AS p_total FROM g),
+        |cw AS (SELECT score_milli AS threshold,
+        |  CAST(sum(n) OVER w AS BIGINT) AS n_kept,
+        |  CAST(sum(pos) OVER w AS BIGINT) AS tp, p_total
+        | FROM g CROSS JOIN tt
+        | WINDOW w AS (ORDER BY score_milli DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT threshold, n_kept, tp, n_kept - tp AS fp, p_total - tp AS fn,
+        | (tp * 1000000) // n_kept AS precision_micro,
+        | (tp * 1000000) // p_total AS recall_micro,
+        | CASE WHEN (tp * 1000000) // n_kept + (tp * 1000000) // p_total > 0
+        |  THEN (2 * ((tp * 1000000) // n_kept) * ((tp * 1000000) // p_total))
+        |    // ((tp * 1000000) // n_kept + (tp * 1000000) // p_total)
+        |  ELSE 0 END AS f1_micro
+        |FROM cw ORDER BY threshold""".stripMargin,
+    "q119_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS v1_hash FROM documents),
+        |v2s AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 4 THEN text || ' rev2' ELSE text END AS text
+        | FROM documents WHERE doc_id % 13 <> 0
+        | UNION ALL
+        | SELECT doc_id + 10000000 AS doc_id, 'new ' || text AS text
+        | FROM documents WHERE doc_id % 17 = 0),
+        |v2 AS (SELECT doc_id, md5(text) AS v2_hash FROM v2s)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, v1_hash, v2_hash,
+        | CASE WHEN v1_hash IS NULL THEN 'added'
+        |  WHEN v2_hash IS NULL THEN 'removed'
+        |  WHEN v1_hash = v2_hash THEN 'unchanged' ELSE 'modified' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that
@@ -1326,7 +1371,7 @@ object SparkEntry {
     "q80_video_dedup", "q81_shared_spans", "q84_span_scrub",
     "q85_image_clusters", "q86_audio_incremental", "q87_pca_whiten",
     "q92_keep_best", "q97_knn_graph", "q99_fuzzy_decon", "q100_coreset",
-    "q104_incremental_knn", "q105_ffd_pack",
+    "q104_incremental_knn", "q105_ffd_pack", "q117_classifier_train",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

@@ -394,6 +394,134 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q118: precision/recall threshold sweep — the calibration pass that
+    * turns a trained quality scorer into an operating point: score every
+    * document with q74's classifier, label it with the weak supervision
+    * signal (source ∈ the curated high-quality set, the GPT-3 recipe's
+    * "positives = curated corpora"), and emit the full PR/F1 curve over
+    * every distinct score threshold so the pipeline owner picks the
+    * keep-rate/precision trade they want.
+    *
+    * Scale shape: scoring+labeling is one narrow pass; the corpus then
+    * collapses to a (score → count, positives) table whose size is
+    * bounded by DISTINCT SCORES (milli-mean-weight of a bounded-weight
+    * model — thousands of values at any corpus size), and the cumulative
+    * windows run over that bounded table, not the corpus. Counts and
+    * ratios are all integers (micro-ratios via nonneg integer division,
+    * identical in both engines) — no float crosses a threshold. Direct
+    * DuckDB oracle.
+    */
+  def qPrCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val scored = t.documents.select(
+      classifierWsum(col("text")).as("wsum"),
+      size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+      when(col("source").isin("src0", "src1", "src2"), 1L).otherwise(0L)
+        .as("y"))
+      .select(
+        // floor(x+0.5) on a double, not integer div: wsum is signed and
+        // Spark `div` truncates toward zero while DuckDB `//` floors
+        floor(col("wsum").cast("double") * 1000.0 / col("n_tokens") + 0.5)
+          .cast("bigint").as("score_milli"),
+        col("y"))
+    val byScore = scored.groupBy("score_milli")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val tot = byScore.agg(sum("pos").as("p_total"))
+    val w = Window.orderBy(desc("score_milli"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore.crossJoin(broadcast(tot))
+      .withColumn("n_kept", sum("n").over(w).cast("bigint"))
+      .withColumn("tp", sum("pos").over(w).cast("bigint"))
+      .select(col("score_milli").as("threshold"), col("n_kept"), col("tp"),
+        (col("n_kept") - col("tp")).as("fp"),
+        (col("p_total") - col("tp")).cast("bigint").as("fn"),
+        expr("(tp * 1000000) div n_kept").as("precision_micro"),
+        expr("(tp * 1000000) div p_total").as("recall_micro"))
+      .withColumn("f1_micro",
+        when(col("precision_micro") + col("recall_micro") > 0,
+          expr("(2 * precision_micro * recall_micro) div " +
+            "(precision_micro + recall_micro)")).otherwise(0L))
+      .orderBy("threshold")
+  }
+
+  /** Feature names for [[trainQualityClassifier]] — the q64 Gopher
+    * signals plus a bias term, scaled into O(1) ranges so one learning
+    * rate fits all coordinates.
+    */
+  val classifierFeatures: Seq[String] =
+    Seq("bias", "n_words_h", "mean_word_len_d", "stop_hits_d", "top_word_frac")
+
+  /** q117: TRAIN the quality classifier in-engine — the distillation
+    * step of the CCNet/LLaMA recipe run at corpus scale: fit a logistic
+    * regression to REPRODUCE the rule-based verdict (q64's Gopher keep)
+    * from its own cheap signals, exactly how production seeds a fastText
+    * quality model from rule-labeled data before applying it to the
+    * long tail. Batch gradient descent, `nIters` driver-bounded rounds.
+    *
+    * Scale shape: the MLlib-GD shape — each iteration is ONE narrow
+    * codegen'd pass over the corpus (features + sigmoid + per-feature
+    * gradient terms, with the current weights inlined as broadcast
+    * literals) feeding a map-side-combined global aggregate of 5 sums;
+    * driver state is the 5-weight vector, independent of corpus size.
+    *
+    * Numeric discipline: distributed DOUBLE sums would leak partition
+    * order into the learned weights (fp addition is not associative), so
+    * per-document gradient and loss contributions are micro-unit-rounded
+    * LONGs (q108's trick) — integer sums are order-independent, making
+    * the whole trajectory bit-deterministic under ANY partitioning; the
+    * spec replays it exactly in plain Scala. The logistic loss uses the
+    * overflow-stable `max(z,0) − z·y + ln(1+exp(−|z|))` form. Golden
+    * oracle (iterative — not SQL-expressible); TextSpec re-derives every
+    * iteration and asserts the loss is non-increasing.
+    */
+  def trainQualityClassifier(docs: DataFrame, nIters: Int = 12,
+      eta: Double = 1.0): Seq[(Long, String, Long, Long)] = {
+    val sig = graft.CacheRegistry.persist(
+      gopherVerdict(docs).select(
+        lit(1.0).as("x0"),
+        (col("n_words").cast("double") / 100.0).as("x1"),
+        (col("mean_word_len") / 10.0).as("x2"),
+        (col("stop_hits").cast("double") / 10.0).as("x3"),
+        col("top_word_frac").as("x4"),
+        when(col("keep"), 1.0).otherwise(0.0).as("y")))
+    val xs = Seq("x0", "x1", "x2", "x3", "x4")
+    var w = Array.fill(xs.length)(0L) // micro units
+    val out = Seq.newBuilder[(Long, String, Long, Long)]
+    for (iter <- 1 to nIters) {
+      val z = xs.zipWithIndex
+        .map { case (x, j) => lit(w(j).toDouble / 1e6) * col(x) }
+        .reduce(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val err = p - col("y")
+      val lossTerm = greatest(z, lit(0.0)) - z * col("y") +
+        log(lit(1.0) + exp(-abs(z)))
+      val aggs =
+        xs.map(x => sum(floor(err * col(x) * 1e6 + 0.5)).cast("bigint")) :+
+          sum(floor(lossTerm * 1e6 + 0.5)).cast("bigint") :+
+          count(lit(1L))
+      val row = sig.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getLong(aggs.length - 1)
+      val meanLoss =
+        math.floor(row.getLong(xs.length).toDouble / n + 0.5).toLong
+      for (j <- xs.indices) {
+        w(j) -= math.floor(eta * row.getLong(j).toDouble / n + 0.5).toLong
+        out += ((iter.toLong, classifierFeatures(j), w(j), meanLoss))
+      }
+    }
+    out.result()
+  }
+
+  /** q117: 12 GD iterations over documents; emits the full (iteration,
+    * feature) weight trajectory with the pre-update mean loss.
+    */
+  def qClassifierTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainQualityClassifier(Tables(spark, dir).documents)
+      .toDF("iter", "feature", "w_micro", "loss_micro")
+      .orderBy("iter", "feature")
+  }
+
   /** q75: BPE tokenizer training — learn the first `nMerges` byte-pair
     * merges from the corpus (Sennrich et al. 2016; the GPT-2 recipe).
     * The corpus-wide work is ONE narrow `word_counts` pass collapsed to

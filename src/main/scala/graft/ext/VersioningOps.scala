@@ -1,0 +1,57 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Dataset-versioning operators — the corpus-management layer a
+  * long-lived training-data pipeline needs around its content operators:
+  * every curation iteration produces a new corpus snapshot, and the diff
+  * between snapshots (what was added / removed / edited) is both the
+  * audit artifact reviewers sign off on and the input to incremental
+  * reprocessing (only `added`/`modified` docs need re-scoring, dedup
+  * probing, etc. — the q52/q86/q104 incremental family consumes exactly
+  * this set).
+  */
+object VersioningOps {
+
+  /** Diff two corpus snapshots by document id + content hash. One
+    * full-outer equi-join on the id (sort-merge-friendly, hash-spread —
+    * the only shuffle) over narrow (id, md5) projections; text itself
+    * never shuffles. Status per id: `added` (only in v2), `removed`
+    * (only in v1), `modified` (both, hash differs), `unchanged`.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, key: String = "doc_id")
+      : DataFrame = {
+    val a = v1.select(col(key), md5(col("text")).as("v1_hash"))
+    val b = v2.select(col(key), md5(col("text")).as("v2_hash"))
+    a.join(b, Seq(key), "full_outer")
+      .select(col(key), col("v1_hash"), col("v2_hash"),
+        when(col("v1_hash").isNull, "added")
+          .when(col("v2_hash").isNull, "removed")
+          .when(col("v1_hash") === col("v2_hash"), "unchanged")
+          .otherwise("modified").as("status"))
+  }
+
+  /** q119: diff `documents` (v1) against a deterministically staged v2
+    * (every 13th doc dropped, every 9th-mod-4 surviving doc edited by an
+    * appended revision marker, a new doc minted for every 17th id at
+    * id+10⁷) — both engines rebuild the identical v2, so the oracle is
+    * direct. The edit rule intentionally overlaps the drop rule (ids
+    * divisible by both 13 and 9-mod-4 are dropped, not modified) to pin
+    * the precedence a real snapshot would exhibit. Direct DuckDB oracle.
+    */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val id = col("doc_id")
+    val v1 = t.documents.select(id, col("text"))
+    val survivors = t.documents.filter(id % 13 =!= 0)
+    val v2 = survivors.select(id,
+      when(id % 9 === 4, concat(col("text"), lit(" rev2")))
+        .otherwise(col("text")).as("text"))
+      .unionAll(t.documents.filter(id % 17 === 0)
+        .select((id + 10000000L).as("doc_id"),
+          concat(lit("new "), col("text")).as("text")))
+    snapshotDiff(v1, v2).orderBy("doc_id")
+  }
+}

@@ -1043,6 +1043,50 @@ object SqlQueries {
         |   + 0.5) AS BIGINT) AS nll_micro
         |FROM m JOIN ru ON m.w1 = ru.w1 CROSS JOIN v
         |ORDER BY bg""".stripMargin,
+    "q118_pr_curve" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  aggregate(transform(split(text, ' '), t ->
+        |    (CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % 256)
+        |      * 2654435761L % 1000 - 500), 0L, (acc, w) -> acc + w) AS wsum,
+        |  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1L ELSE 0L END AS y
+        | FROM documents),
+        |sc AS (SELECT CAST(floor(CAST(wsum AS DOUBLE) * 1000.0 / n_tokens
+        |    + 0.5) AS BIGINT) AS score_milli, y FROM s),
+        |g AS (SELECT score_milli, count(1) AS n, sum(y) AS pos
+        |  FROM sc GROUP BY score_milli),
+        |tt AS (SELECT sum(pos) AS p_total FROM g),
+        |cw AS (SELECT score_milli AS threshold,
+        |  CAST(sum(n) OVER w AS BIGINT) AS n_kept,
+        |  CAST(sum(pos) OVER w AS BIGINT) AS tp, p_total
+        | FROM g CROSS JOIN tt
+        | WINDOW w AS (ORDER BY score_milli DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT threshold, n_kept, tp, n_kept - tp AS fp,
+        | CAST(p_total - tp AS BIGINT) AS fn,
+        | (tp * 1000000) div n_kept AS precision_micro,
+        | (tp * 1000000) div p_total AS recall_micro,
+        | CASE WHEN (tp * 1000000) div n_kept + (tp * 1000000) div p_total > 0
+        |  THEN (2 * ((tp * 1000000) div n_kept) * ((tp * 1000000) div p_total))
+        |    div ((tp * 1000000) div n_kept + (tp * 1000000) div p_total)
+        |  ELSE 0L END AS f1_micro
+        |FROM cw ORDER BY threshold""".stripMargin,
+    "q119_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS v1_hash FROM documents),
+        |v2s AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 4 THEN concat(text, ' rev2') ELSE text END
+        |    AS text
+        | FROM documents WHERE doc_id % 13 != 0
+        | UNION ALL
+        | SELECT doc_id + 10000000L AS doc_id, concat('new ', text) AS text
+        | FROM documents WHERE doc_id % 17 = 0),
+        |v2 AS (SELECT doc_id, md5(text) AS v2_hash FROM v2s)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, v1_hash, v2_hash,
+        | CASE WHEN v1_hash IS NULL THEN 'added'
+        |  WHEN v2_hash IS NULL THEN 'removed'
+        |  WHEN v1_hash = v2_hash THEN 'unchanged' ELSE 'modified' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs

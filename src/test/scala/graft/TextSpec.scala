@@ -700,4 +700,74 @@ class TextSpec extends SparkSpec {
     // pruning dropped only singletons
     assert(model.length == big.count(_._2 >= 2))
   }
+
+  test("q117 classifier training: exact plain-Scala replay of the trajectory") {
+    val feats = TextOps.gopherVerdict(Tables(spark, SF).documents).select(
+      lit(1.0).as("x0"),
+      (col("n_words").cast("double") / 100.0).as("x1"),
+      (col("mean_word_len") / 10.0).as("x2"),
+      (col("stop_hits").cast("double") / 10.0).as("x3"),
+      col("top_word_frac").as("x4"),
+      when(col("keep"), 1.0).otherwise(0.0).as("y"))
+      .collect().map(r => (Array.tabulate(5)(r.getDouble), r.getDouble(5)))
+    val w = Array.fill(5)(0L)
+    val expect = Seq.newBuilder[(Long, String, Long, Long)]
+    for (iter <- 1 to 12) {
+      val g = Array.fill(5)(0L)
+      var lossSum = 0L
+      var n = 0L
+      feats.foreach { case (x, y) =>
+        val z = x.indices.foldLeft(0.0)((acc, j) =>
+          acc + (w(j).toDouble / 1e6) * x(j))
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val err = p - y
+        for (j <- 0 until 5) g(j) += math.floor(err * x(j) * 1e6 + 0.5).toLong
+        val loss = math.max(z, 0.0) - z * y +
+          math.log(1.0 + math.exp(-math.abs(z)))
+        lossSum += math.floor(loss * 1e6 + 0.5).toLong
+        n += 1
+      }
+      val meanLoss = math.floor(lossSum.toDouble / n + 0.5).toLong
+      for (j <- 0 until 5) {
+        w(j) -= math.floor(1.0 * g(j).toDouble / n + 0.5).toLong
+        expect += ((iter.toLong, TextOps.classifierFeatures(j), w(j), meanLoss))
+      }
+    }
+    val got = TextOps.trainQualityClassifier(Tables(spark, SF).documents)
+    assert(got == expect.result(), "engine trajectory != plain-Scala replay")
+    // training actually converges: mean loss strictly decreases from ln 2
+    val losses = got.map(_._4).distinct
+    assert(losses.head == 693147L)
+    assert(losses.sliding(2).forall { case Seq(a, b) => b < a; case _ => true })
+  }
+
+  test("q118 PR curve: exact recomputation from per-doc scores") {
+    val rows = TextOps.qPrCurve(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val docs = Tables(spark, SF).documents.select(
+      TextOps.classifierWsum(col("text")).as("wsum"),
+      size(split(col("text"), " ")).cast("bigint").as("n"),
+      col("source")).collect()
+      .map { r =>
+        val score =
+          math.floor(r.getLong(0).toDouble * 1000.0 / r.getLong(1) + 0.5).toLong
+        val y = if (Set("src0", "src1", "src2")(r.getString(2))) 1L else 0L
+        (score, y)
+      }
+    val pTotal = docs.map(_._2).sum
+    val expect = docs.groupBy(_._1).toSeq.sortBy(-_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, kept, tp), (score, g)) =>
+        (score, kept + g.length, tp + g.map(_._2).sum)
+      }.drop(1)
+      .map { case (score, kept, tp) =>
+        val pm = tp * 1000000L / kept
+        val rm = tp * 1000000L / pTotal
+        val f1 = if (pm + rm > 0) 2 * pm * rm / (pm + rm) else 0L
+        (score, kept, tp, kept - tp, pTotal - tp, pm, rm, f1)
+      }.sortBy(_._1)
+    assert(rows.toSeq == expect)
+    // curve endpoints: everything kept at the lowest threshold
+    assert(rows.head._2 == docs.length && rows.head._7 == 1000000L)
+  }
 }

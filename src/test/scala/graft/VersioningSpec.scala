@@ -1,0 +1,37 @@
+package graft
+
+import graft.ext.VersioningOps
+import org.apache.spark.sql.functions._
+
+class VersioningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q119 snapshot diff: statuses match an independent recomputation") {
+    val rows = VersioningOps.qSnapshotDiff(spark, SF).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val ids = Tables(spark, SF).documents.select("doc_id")
+      .collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val expected =
+        if (id % 13 == 0) "removed"
+        else if (id % 9 == 4) "modified"
+        else "unchanged"
+      assert(rows(id) == expected, s"doc $id")
+      if (id % 17 == 0) assert(rows(id + 10000000L) == "added", s"new doc $id")
+    }
+    // every v2-only id is one of the staged additions
+    rows.keys.filter(_ >= 10000000L).foreach { nid =>
+      assert((nid - 10000000L) % 17 == 0 && rows(nid) == "added")
+    }
+    assert(rows.size == ids.length + ids.count(_ % 17 == 0))
+  }
+
+  test("snapshotDiff generic contract on a tiny staged pair") {
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "beta"), (3L, "gamma prime"), (4L, "delta")).toDF("doc_id", "text")
+    val out = VersioningOps.snapshotDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "modified", 4L -> "added"))
+  }
+}
