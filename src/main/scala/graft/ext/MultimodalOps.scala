@@ -7,6 +7,17 @@ import org.apache.spark.sql.functions._
 /** One dHash-band posting on the wire: which 16-bit band bucket an
   * image's hash lands in (streaming image dedup state traffic).
   */
+/** One fingerprint arrival at the state-store audio dedup. */
+case class FpArrival(clipId: Long, fp: Long)
+
+/** Per-fingerprint state: clip ids already holding this fingerprint. */
+case class FpPostingState(ids: Seq[Long])
+
+/** One shared-fingerprint hit between two clips (verdicts need a
+  * downstream aggregation — see `audioPairVerdicts`).
+  */
+case class FpHit(clip_a: Long, clip_b: Long, fp: Long)
+
 case class ImgBandArrival(band: Int, sig: Long, imageId: Long, dhash: Long)
 
 /** A dHash band bucket's checkpointed members (ids + full 64-bit hashes,
@@ -729,6 +740,75 @@ object MultimodalOps {
       .start()
     q.awaitTermination()
   }
+
+  /** STATE-STORE streaming audio dedup, keyed by FINGERPRINT — the
+    * always-on sibling of [[streamingIncrementalAudioDedup]] (which is a
+    * foreachBatch workflow around the parquet posting table). Here the
+    * posting table lives in Spark's checkpointed state store itself:
+    * clips explode to (clip_id, fp) arrivals in-stream, the stream keys
+    * by fp, and each fingerprint's state holds its capped posting list —
+    * a new arrival emits one [[FpHit]] per co-holder and is admitted if
+    * the list has room.
+    *
+    * Emissions SPAN keys (a clip pair shares many fingerprints, each
+    * managed by a different state key), so the match verdict needs a
+    * downstream aggregation — [[audioPairVerdicts]] over the hit sink.
+    * That split is the design point: per-key state stays O(maxPosting),
+    * no key ever sees another key's state, and the cross-key count is a
+    * plain idempotent aggregate the sink can re-run any time.
+    *
+    * Cap semantics (documented divergence from the batch path): the
+    * batch prober DROPS a fingerprint whose bucket exceeds maxPosting
+    * (boilerplate suppression with hindsight); a stream cannot know a
+    * bucket's final size, so the state keeps the FIRST maxPosting
+    * holders and later arrivals still match against that prefix —
+    * [[DedupOps.statefulStreamingNearDup]]'s rule. Re-delivered
+    * (clip, fp) arrivals already in state are ignored idempotently;
+    * past the cap, replay is at-least-once (verdicts stay correct
+    * because [[audioPairVerdicts]] counts DISTINCT (pair, fp)).
+    */
+  def statefulStreamingAudioDedup(clips: DataFrame, maxPosting: Int = 100,
+      id: String = "clip_id", content: String = "content"): Dataset[FpHit] = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.select(col(id).cast("long").as("clipId"),
+        explode(array_distinct(audioFingerprintUdf(col(content)))).as("fp"))
+      .as[FpArrival]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[FpPostingState, FpHit](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (fp, rows, state) =>
+          var st = state.getOption.getOrElse(FpPostingState(Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FpHit]
+          // clip_id order: deterministic regardless of shuffle arrival
+          // order within the micro-batch
+          rows.toSeq.sortBy(_.clipId).foreach { a =>
+            if (!st.ids.contains(a.clipId)) {
+              st.ids.foreach { other =>
+                out += FpHit(math.min(other, a.clipId),
+                  math.max(other, a.clipId), fp)
+              }
+              if (st.ids.size < maxPosting)
+                st = FpPostingState(st.ids :+ a.clipId)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Pair verdicts over a [[statefulStreamingAudioDedup]] hit sink:
+    * distinct (pair, fp) counting (so at-least-once hit delivery cannot
+    * inflate a count) with the same minShared gate as the batch prober.
+    * Idempotent — re-run it over the growing sink whenever verdicts are
+    * needed.
+    */
+  def audioPairVerdicts(hits: DataFrame, minShared: Int = 30): DataFrame =
+    hits.select("clip_a", "clip_b", "fp").distinct()
+      .groupBy("clip_a", "clip_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
 
   /** q79: audio near-dup via constellation fingerprints as a driver
     * query. 48 one-second clips are staged executor-side (real WAV

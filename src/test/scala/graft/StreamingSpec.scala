@@ -563,4 +563,80 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
     assert(got.values.forall(_._3.startsWith("x <ID> y")), "scrub not applied in-stream")
   }
+
+  test("streaming secret scrub equals the batch redaction") {
+    import graft.ext.TextOps
+    val docsDir = java.nio.file.Files.createTempDirectory("docs-secret-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$SF/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val docs = spark.read.parquet(docsDir.toString)
+    // detection + redaction are stateless narrow string transforms —
+    // the dedup-on-ingest shape needs no state store at all
+    def scrub(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" AKIA"),
+            upper(substring(md5(col("doc_id").cast("string")), 1, 16))))
+          .otherwise(lit(""))).as("__t"))
+      .select(col("doc_id"),
+        size(TextOps.b64Secrets(col("__t"))).as("n_b64"),
+        TextOps.scrubSecrets(col("__t")).as("clean"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir.toString)
+    val got = EventStreaming.runToMemory(scrub(stream), "stream_secrets")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    val want = scrub(docs)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(got == want)
+    assert(got.filter(_._1 % 3 == 0).values.forall(_._2.endsWith("<AWS_KEY>")),
+      "planted keys not redacted in-stream")
+  }
+
+  test("state-store audio dedup keyed by fingerprint: hits match simulation, verdicts match batch gate") {
+    import graft.ext.MultimodalOps
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audio-fpstate")
+    val ckpt = java.nio.file.Files.createTempDirectory("audio-fpstate-ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("audio-fpstate-out")
+    val b1 = (0L until 8L by 2).map(i => (i, MultimodalOps.stagedClip(i)))
+      .toDF("clip_id", "content")
+    val b2 = (1L until 8L by 2).map(i => (i, MultimodalOps.stagedClip(i)))
+      .toDF("clip_id", "content")
+    stageBatchFile(dir, b1, "b1.parquet", 1700000000000L)
+    stageBatchFile(dir, b2, "b2.parquet", 1700000060000L)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = MultimodalOps.statefulStreamingAudioDedup(stream).toDF().writeStream
+      .format("parquet").option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hits = spark.read.parquet(outDir.toString)
+    val got = hits.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exact simulation: replay every (clip, fp) posting in batch-then-id
+    // order through the per-fingerprint capped-state rule
+    val postings = MultimodalOps.audioPostings(
+      b1.unionByName(b2)).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val isB2 = (id: Long) => id % 2 == 1
+    var expect = Set.empty[(Long, Long, Long)]
+    postings.groupBy(_._2).foreach { case (fp, ps) =>
+      val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+      ps.map(_._1).sortBy(id => (isB2(id), id)).foreach { cid =>
+        members.foreach(m =>
+          expect += ((math.min(m, cid), math.max(m, cid), fp)))
+        if (members.size < 100) members += cid
+      }
+    }
+    assert(got == expect, "hit stream != per-fingerprint simulation")
+    // downstream verdict aggregation reproduces the batch pair gate:
+    // each noisy re-record (odd) matches its clean partner (even)
+    val verdicts = MultimodalOps.audioPairVerdicts(hits).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verdicts == (0L until 8L by 2).map(k => (k, k + 1)).toSet,
+      s"verdicts $verdicts")
+  }
 }
