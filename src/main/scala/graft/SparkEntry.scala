@@ -145,6 +145,9 @@ object SparkEntry {
     "q117_classifier_train" -> (TextOps.qClassifierTrain _),
     "q118_pr_curve" -> (TextOps.qPrCurve _),
     "q119_snapshot_diff" -> (ext.VersioningOps.qSnapshotDiff _),
+    "q120_funnel_report" -> (ext.Curation.qFunnelReport _),
+    "q121_repetition_plan" -> (SamplingOps.qRepetitionPlan _),
+    "q122_token_ids" -> (TextOps.qTokenIds _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1349,6 +1352,79 @@ object SparkEntry {
         |  WHEN v1_hash = v2_hash THEN 'unchanged' ELSE 'modified' END AS status
         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q120_funnel_report" ->
+      """WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS ws
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |wrd AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM wrd GROUP BY 1, 2),
+        |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, max(c) AS topw
+        |       FROM wc GROUP BY 1),
+        |gv AS (SELECT t.doc_id,
+        |  NOT (len(ws) < 30 OR len(ws) > 10000
+        |   OR round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / len(ws), 6) < 2.0
+        |   OR round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / len(ws), 6) > 12.0
+        |   OR len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) < 2
+        |   OR round(topw / CAST(n AS DOUBLE), 6) > 0.15) AS g
+        | FROM t JOIN wa ON t.doc_id = wa.doc_id),
+        |cls AS (SELECT doc_id,
+        |  CAST(list_aggregate(list_transform(string_split(text, ' '), tk ->
+        |    (CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT) % 256)
+        |      * 2654435761 % 1000 - 500), 'sum') AS BIGINT) > 0 AS c
+        | FROM documents),
+        |kp AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+        |       FROM documents GROUP BY 1),
+        |st AS (SELECT t.doc_id, t.source, CAST(len(t.ws) AS BIGINT) AS n_tok,
+        |   (t.doc_id = kp.keep_id) AS d, gv.g, cls.c
+        | FROM t JOIN kp ON md5(t.text) = kp.h
+        | JOIN gv ON t.doc_id = gv.doc_id JOIN cls ON t.doc_id = cls.doc_id),
+        |agg AS (SELECT source,
+        |  CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup,
+        |  CAST(sum(CASE WHEN d AND g THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after_rules,
+        |  CAST(sum(CASE WHEN d AND g AND c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN d AND g AND c THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept
+        | FROM st GROUP BY source),
+        |tot AS (SELECT source, count(*) AS n_docs FROM documents
+        |        GROUP BY source)
+        |SELECT tot.source, n_docs,
+        | CAST(coalesce(n_after_dedup, 0) AS BIGINT) AS n_after_dedup,
+        | CAST(coalesce(n_after_rules, 0) AS BIGINT) AS n_after_rules,
+        | CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        | CAST(coalesce(tokens_kept, 0) AS BIGINT) AS tokens_kept,
+        | (CAST(coalesce(n_kept, 0) AS BIGINT) * 1000000) // n_docs
+        |   AS kept_micro
+        |FROM tot LEFT JOIN agg ON tot.source = agg.source
+        |ORDER BY tot.source""".stripMargin,
+    "q121_repetition_plan" ->
+      """WITH src AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 3
+        |   WHEN source LIKE 'src1%' THEN 2 ELSE 1 END AS weight
+        | FROM src),
+        |m AS (SELECT source, n_docs, n_tokens, weight,
+        |  weight * n_tokens AS wmass FROM w),
+        |tot AS (SELECT CAST(sum(wmass) AS BIGINT) AS total_wmass,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM m),
+        |tg AS (SELECT source, n_docs, n_tokens, CAST(weight AS BIGINT)
+        |   AS weight,
+        |  CAST(floor(2.0 * CAST(total_tokens AS DOUBLE) * wmass / total_wmass
+        |    + 0.5) AS BIGINT) AS target_tokens
+        | FROM m CROSS JOIN tot),
+        |fin AS (SELECT source, n_docs, n_tokens, weight, target_tokens,
+        |  target_tokens // n_tokens AS full_epochs,
+        |  target_tokens % n_tokens AS partial_tokens,
+        |  CAST(floor(CAST(target_tokens AS DOUBLE) * 1000000.0 / n_tokens
+        |    + 0.5) AS BIGINT) AS epochs_micro
+        | FROM tg)
+        |SELECT source, n_docs, n_tokens, weight, target_tokens, full_epochs,
+        | partial_tokens, epochs_micro, epochs_micro > 4000000 AS over_repeated
+        |FROM fin ORDER BY source""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that
@@ -1372,6 +1448,7 @@ object SparkEntry {
     "q85_image_clusters", "q86_audio_incremental", "q87_pca_whiten",
     "q92_keep_best", "q97_knn_graph", "q99_fuzzy_decon", "q100_coreset",
     "q104_incremental_knn", "q105_ffd_pack", "q117_classifier_train",
+    "q122_token_ids",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

@@ -83,4 +83,65 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         col("tok_offset"), col("seq_id"), md5(col("text")).as("text_hash"))
       .orderBy("doc_id")
+
+  /** Per-source curation funnel — the survival report every pipeline
+    * publishes with a release: how many documents each source brings in
+    * and how many remain after each filter stage, in the canonical
+    * order (exact dedup → rule filter → model filter), plus the token
+    * mass the source contributes to the final corpus. Reviewers read
+    * this to catch a mis-tuned filter nuking one source before any
+    * training run is wasted; the percentage is integer micro units so
+    * no float crosses a reporting boundary.
+    *
+    * Scale shape: one narrow enrichment pass computes hash + classifier
+    * + token count alongside the Gopher verdict (text is read once and
+    * never shuffled — the dedup join key is the 16-byte hash, the
+    * verdict join is [[TextOps.gopherVerdict]]'s passthrough so there is
+    * NO doc-keyed join-back); the total-docs count is a second scan that
+    * prunes to the `source` column only (columnar scan, no text IO).
+    * Stage counts are map-side-combined conditional sums per source.
+    * Sub-2-word docs (which gopherVerdict excludes by construction — the
+    * q64 convention) appear in `n_docs` but in NO post-ingest stage
+    * count; their hash groups still elect dedup keepers, so a longer
+    * duplicate of a short doc correctly reports as a dedup drop.
+    */
+  def funnelReport(docs: DataFrame): DataFrame = {
+    val enriched = TextOps.gopherVerdict(
+      docs
+        .withColumn("__h", md5(col("text")))
+        .withColumn("__c", classifierKeep(col("text")))
+        .withColumn("__n", size(split(col("text"), " ")).cast("bigint")),
+      passthrough = Seq("source", "__h", "__c", "__n"))
+      .select(col("doc_id"), col("source"), col("__h"), col("__c"),
+        col("__n"), col("keep").as("__g"))
+    val keepIds = DedupOps.exactDedup(docs)
+      .select(col("text_hash").as("__h"), col("keep_id"))
+    val stages = enriched.join(keepIds, "__h")
+      .withColumn("__d", col("doc_id") === col("keep_id"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("__d"), 1L).otherwise(0L)).as("n_after_dedup"),
+        sum(when(col("__d") && col("__g"), 1L).otherwise(0L))
+          .as("n_after_rules"),
+        sum(when(col("__d") && col("__g") && col("__c"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("__d") && col("__g") && col("__c"), col("__n"))
+          .otherwise(0L)).as("tokens_kept"))
+    val totals = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    totals.join(stages, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_after_dedup"), lit(0L)).as("n_after_dedup"),
+        coalesce(col("n_after_rules"), lit(0L)).as("n_after_rules"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .withColumn("kept_micro", expr("(n_kept * 1000000) div n_docs"))
+      .orderBy("source")
+  }
+
+  /** q120: the funnel over `documents`. Direct DuckDB oracle. */
+  def qFunnelReport(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : DataFrame =
+    funnelReport(
+      graft.Tables(spark, dir).documents
+        .select(col("doc_id"), col("source"), col("text")))
 }

@@ -543,6 +543,52 @@ object SamplingOps {
       .toDF()
       .orderBy("doc_id")
 
+  /** q121: token-budget repetition plan — the data-constrained mixing
+    * artifact (the Llama-2 / "Scaling Data-Constrained Language Models"
+    * shape): given per-source weights and a total token budget, compute
+    * each source's target token allocation and the REPETITION factor
+    * (epochs) needed to serve it — upsampled small high-quality sources
+    * run multiple epochs, big low-weight sources are subsampled — and
+    * flag sources pushed past the ~4-epoch point where repetition stops
+    * buying quality (Muennighoff et al. 2023). The budget here is 2×
+    * the corpus (a repetition-visible operating point); weights reuse
+    * q68's source classes.
+    *
+    * Scale shape: ONE map-side-combined per-source token count (the only
+    * corpus-sized work), then |S|-row arithmetic against a broadcast
+    * 1-row total. The two WIDE products (budget×mass, target×10⁶) are
+    * computed in double with floor(x+0.5) — a pure-BIGINT form overflows
+    * at real scale (total_tokens·wmass ≈ 10²⁷ at 100 TB), and the double
+    * form is deterministic in both engines with ≤1-token slack above
+    * 2⁵³, which a PLAN can tolerate; the per-source epoch split stays
+    * exact integer div/%. Direct DuckDB oracle.
+    */
+  def qRepetitionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val src = t.documents
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("bigint").as("n_tokens"))
+      .withColumn("weight",
+        when(col("source").isin("src0", "src1", "src2"), 3L)
+          .when(col("source").like("src1%"), 2L).otherwise(1L))
+      .withColumn("wmass", col("weight") * col("n_tokens"))
+    val tot = src.agg(sum("wmass").as("total_wmass"),
+      sum("n_tokens").as("total_tokens"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        floor(lit(2.0) * col("total_tokens").cast("double") * col("wmass") /
+          col("total_wmass") + 0.5).cast("bigint").as("target_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_tokens"),
+        expr("target_tokens div n_tokens").as("full_epochs"),
+        expr("target_tokens % n_tokens").as("partial_tokens"),
+        floor(col("target_tokens").cast("double") * 1000000.0 /
+          col("n_tokens") + 0.5).cast("bigint").as("epochs_micro"))
+      .withColumn("over_repeated", col("epochs_micro") > 4000000L)
+      .orderBy("source")
+  }
+
   /** Deterministic per-epoch training order: every epoch is an
     * independent md5-keyed permutation of the corpus, materialized as
     * (shard, position-within-shard) so a trainer streams shard files in

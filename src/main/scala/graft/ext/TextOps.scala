@@ -610,6 +610,56 @@ object TextOps {
       bpeMerges(spark, dir).map(m => (m._2, m._3)))
       .orderBy("doc_id")
 
+  /** q122: tokenizer serialization — the export artifact a trainer
+    * actually consumes (the Megatron .bin/.idx shape): apply the trained
+    * BPE merges, assign every vocabulary piece a dense integer id, and
+    * emit each document's token-id sequence (head + an order-sensitive
+    * checksum, keeping the golden compact). The id table is the
+    * tokenizer's frozen vocab: sorted piece strings, ids by position —
+    * reproducible from the merges alone, no RNG.
+    *
+    * Scale shape: tokenization is one narrow partition-local pass; the
+    * vocab is a BOUNDED distinct table (chars + one entry per merge —
+    * the q75 word-table cap argument) collected once and broadcast back
+    * as the id map, so the corpus-sized pass never shuffles and piece→id
+    * needs no join. Golden oracle (BPE is iterative); TextSpec decodes
+    * ids back to pieces and re-derives the checksum.
+    */
+  def tokenIds(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms: Array[(String, String)] = merges.toArray
+    def pieces(text: String): Array[String] =
+      text.split(" ", -1).flatMap { w =>
+        var syms = w.split("").filter(_.nonEmpty) :+ "</w>"
+        ms.foreach { case (l, r) => syms = applyMergePass(syms, l, r) }
+        syms
+      }
+    val pieceDs = graft.CacheRegistry.persist(
+      docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, pieces(text)) }
+        .toDF("doc_id", "pieces"))
+    val vocab = pieceDs.select(explode(col("pieces")).as("p")).distinct()
+      .orderBy("p").collect().map(_.getString(0))
+    val idOf = vocab.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(idOf)
+    val vocabSize = vocab.length.toLong
+    pieceDs.as[(Long, Seq[String])].map { case (id, ps) =>
+      val ids = ps.map(bc.value(_).toLong)
+      val checksum = ids.iterator.zipWithIndex
+        .map { case (v, i) => (i + 1) * v }.sum
+      (id, ids.length.toLong, vocabSize, ids.take(8).mkString(","), checksum)
+    }.toDF("doc_id", "n_pieces", "vocab_size", "ids8", "ids_checksum")
+  }
+
+  /** q122: train-and-export over `documents` (same merge table as
+    * q75/q76).
+    */
+  def qTokenIds(spark: SparkSession, dir: String): DataFrame =
+    tokenIds(Tables(spark, dir).documents,
+      bpeMerges(spark, dir).map(m => (m._2, m._3)))
+      .orderBy("doc_id")
+
   /** Library entry point: tokenize `docs` with an already-trained merge
     * table (train once with [[bpeMerges]], apply to any number of
     * corpora — no retraining).

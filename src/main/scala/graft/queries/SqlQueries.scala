@@ -1087,6 +1087,67 @@ object SqlQueries {
         |  WHEN v1_hash = v2_hash THEN 'unchanged' ELSE 'modified' END AS status
         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q120_funnel_report" ->
+      """WITH t AS (SELECT doc_id, source, text, split(text, ' ') AS ws
+        |           FROM documents WHERE size(split(text, ' ')) >= 2),
+        |gv AS (SELECT doc_id, source, text, CAST(size(ws) AS BIGINT) AS n_tok,
+        |  NOT (size(ws) < 30 OR size(ws) > 10000
+        |   OR round(CAST(length(regexp_replace(text, ' ', '')) AS DOUBLE)
+        |      / size(ws), 6) < 2.0
+        |   OR round(CAST(length(regexp_replace(text, ' ', '')) AS DOUBLE)
+        |      / size(ws), 6) > 12.0
+        |   OR size(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b', 0)) < 2
+        |   OR round(repetition_signals(ws).top_word_frac, 6) > 0.15) AS g,
+        |  aggregate(transform(ws, tk ->
+        |    (CAST(conv(substr(md5(tk), 1, 8), 16, 10) AS BIGINT) % 256)
+        |      * 2654435761L % 1000 - 500), 0L, (acc, w) -> acc + w) > 0 AS c
+        | FROM t),
+        |kp AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+        |       FROM documents GROUP BY md5(text)),
+        |st AS (SELECT gv.source, gv.n_tok, (gv.doc_id = kp.keep_id) AS d,
+        |   gv.g, gv.c
+        | FROM gv JOIN kp ON md5(gv.text) = kp.h),
+        |agg AS (SELECT source,
+        |  sum(CASE WHEN d THEN 1L ELSE 0L END) AS n_after_dedup,
+        |  sum(CASE WHEN d AND g THEN 1L ELSE 0L END) AS n_after_rules,
+        |  sum(CASE WHEN d AND g AND c THEN 1L ELSE 0L END) AS n_kept,
+        |  sum(CASE WHEN d AND g AND c THEN n_tok ELSE 0L END) AS tokens_kept
+        | FROM st GROUP BY source),
+        |tot AS (SELECT source, count(1) AS n_docs FROM documents
+        |        GROUP BY source)
+        |SELECT tot.source, n_docs,
+        | coalesce(n_after_dedup, 0L) AS n_after_dedup,
+        | coalesce(n_after_rules, 0L) AS n_after_rules,
+        | coalesce(n_kept, 0L) AS n_kept,
+        | coalesce(tokens_kept, 0L) AS tokens_kept,
+        | (coalesce(n_kept, 0L) * 1000000) div n_docs AS kept_micro
+        |FROM tot LEFT JOIN agg ON tot.source = agg.source
+        |ORDER BY tot.source""".stripMargin,
+    "q121_repetition_plan" ->
+      """WITH src AS (SELECT source, count(1) AS n_docs,
+        |  CAST(sum(size(split(text, ' '))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 3L
+        |   WHEN source LIKE 'src1%' THEN 2L ELSE 1L END AS weight
+        | FROM src),
+        |m AS (SELECT source, n_docs, n_tokens, weight,
+        |  weight * n_tokens AS wmass FROM w),
+        |tot AS (SELECT sum(wmass) AS total_wmass,
+        |  sum(n_tokens) AS total_tokens FROM m),
+        |tg AS (SELECT source, n_docs, n_tokens, weight,
+        |  CAST(floor(2.0D * CAST(total_tokens AS DOUBLE) * wmass / total_wmass
+        |    + 0.5D) AS BIGINT) AS target_tokens
+        | FROM m CROSS JOIN tot),
+        |fin AS (SELECT source, n_docs, n_tokens, weight, target_tokens,
+        |  target_tokens div n_tokens AS full_epochs,
+        |  target_tokens % n_tokens AS partial_tokens,
+        |  CAST(floor(CAST(target_tokens AS DOUBLE) * 1000000.0D / n_tokens
+        |    + 0.5D) AS BIGINT) AS epochs_micro
+        | FROM tg)
+        |SELECT source, n_docs, n_tokens, weight, target_tokens, full_epochs,
+        | partial_tokens, epochs_micro, epochs_micro > 4000000L AS over_repeated
+        |FROM fin ORDER BY source""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs

@@ -73,4 +73,35 @@ class CurationSpec extends SparkSpec {
     assert(withDup.map(t => (t._1, t._2)) == base.map(t => (t._1, t._2)),
       "planting a duplicate changed the kept set")
   }
+
+  test("q120 funnel report: stages recomputed independently, monotone") {
+    val rows = Curation.qFunnelReport(spark, SF).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // independent per-doc recomputation from the component operators
+    val docs = Tables(spark, SF).documents
+    val g = TextOps.gopherVerdict(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val c = docs.select(col("doc_id"),
+        (TextOps.classifierWsum(col("text")) > 0).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val keep = DedupOps.exactDedup(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perDoc = docs.select(col("doc_id"), col("source"),
+        md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("bigint").as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    perDoc.groupBy(_._2).foreach { case (srcName, ds) =>
+      val d = ds.filter(x => keep(x._3) == x._1)
+      val rules = d.filter(x => g.getOrElse(x._1, false))
+      val kept = rules.filter(x => c(x._1))
+      val expect = (ds.length.toLong, d.length.toLong, rules.length.toLong,
+        kept.length.toLong, kept.map(_._4).sum,
+        kept.length.toLong * 1000000L / ds.length)
+      assert(rows(srcName) == expect, s"source $srcName")
+      // funnel is monotone by construction
+      val (n0, n1, n2, n3, _, _) = rows(srcName)
+      assert(n0 >= n1 && n1 >= n2 && n2 >= n3)
+    }
+  }
 }

@@ -353,4 +353,33 @@ class SamplingSpec extends SparkSpec {
     val o1 = rows.filter(_._2 == 1L).sortBy(r => (r._3, r._5)).map(_._1).toSeq
     assert(o0 != o1, "epochs 0 and 1 gave the identical order")
   }
+
+  test("q121 repetition plan: budget conservation and epoch arithmetic") {
+    val rows = ext.SamplingOps.qRepetitionPlan(spark, SF).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getBoolean(8)))
+    val totalTokens = rows.map(_._3).sum
+    val totalWmass = rows.map(r => r._4 * r._3).sum
+    rows.foreach { case (src, _, nTok, w, target, fe, pt, em, over) =>
+      // weight classes per the q68 rule
+      val expectW = if (Set("src0", "src1", "src2")(src)) 3L
+        else if (src.startsWith("src1")) 2L else 1L
+      assert(w == expectW, s"$src weight")
+      val expectTarget = math.floor(
+        2.0 * totalTokens.toDouble * (w * nTok) / totalWmass + 0.5).toLong
+      assert(target == expectTarget, s"$src target")
+      assert(fe == target / nTok && pt == target % nTok, s"$src epoch split")
+      assert(em == math.floor(target.toDouble * 1000000.0 / nTok + 0.5).toLong)
+      assert(over == (em > 4000000L))
+    }
+    // allocations sum to ~the 2x budget (rounding slack ≤ one per source)
+    val alloc = rows.map(_._5).sum
+    assert(math.abs(alloc - 2 * totalTokens) <= rows.length,
+      s"allocated $alloc vs budget ${2 * totalTokens}")
+    // the weighting genuinely up- and down-samples
+    assert(rows.exists(!_._9), "every source over-repeated — degenerate plan")
+    assert(rows.exists(r => r._4 == 3L && r._6 >= 3L), "no upsampled source")
+    assert(rows.exists(r => r._4 == 1L && r._6 <= 1L), "no downsampled source")
+  }
 }

@@ -770,4 +770,35 @@ class TextSpec extends SparkSpec {
     // curve endpoints: everything kept at the lowest threshold
     assert(rows.head._2 == docs.length && rows.head._7 == 1000000L)
   }
+
+  test("q122 token ids: decode round-trip, checksum, q76 consistency") {
+    val merges = TextOps.bpeMerges(spark, SF).map(m => (m._2, m._3))
+    val out = TextOps.qTokenIds(spark, SF).collect()
+    val bpe = TextOps.qBpeApply(spark, SF).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // rebuild the vocab exactly as the op defines it
+    val ms = merges.toArray
+    def pieces(text: String): Array[String] =
+      text.split(" ", -1).flatMap { w =>
+        var syms = w.split("").filter(_.nonEmpty) :+ "</w>"
+        ms.foreach { case (l, r) => syms = TextOps.applyMergePass(syms, l, r) }
+        syms
+      }
+    val docs = Tables(spark, SF).documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vocab = docs.values.flatMap(pieces).toSeq.distinct.sorted
+    val idOf = vocab.zipWithIndex.toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val ps = pieces(docs(id))
+      assert(r.getLong(1) == ps.length, s"doc $id n_pieces")
+      // n_pieces must agree with q76's bpe_symbols count
+      assert(r.getLong(1) == bpe(id), s"doc $id vs q76")
+      assert(r.getLong(2) == vocab.length, s"doc $id vocab_size")
+      val ids = ps.map(p => idOf(p).toLong)
+      assert(r.getString(3) == ids.take(8).mkString(","), s"doc $id ids8")
+      val checksum = ids.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+      assert(r.getLong(4) == checksum, s"doc $id checksum")
+    }
+  }
 }
