@@ -148,6 +148,8 @@ object SparkEntry {
     "q120_funnel_report" -> (ext.Curation.qFunnelReport _),
     "q121_repetition_plan" -> (SamplingOps.qRepetitionPlan _),
     "q122_token_ids" -> (TextOps.qTokenIds _),
+    "q123_soft_dedup_sample" -> (SamplingOps.qSoftDedupSample _),
+    "q124_positive_pairs" -> (TextOps.qPositivePairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1425,6 +1427,37 @@ object SparkEntry {
         |SELECT source, n_docs, n_tokens, weight, target_tokens, full_epochs,
         | partial_tokens, epochs_micro, epochs_micro > 4000000 AS over_repeated
         |FROM fin ORDER BY source""".stripMargin,
+    "q123_soft_dedup_sample" ->
+      """WITH staged AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 9 = 4),
+        |g AS (SELECT md5(text) AS h, count(*) AS n_copies FROM staged
+        |      GROUP BY md5(text))
+        |SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+        | CAST('0x' || substr(md5('sds' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |   AS BIGINT) % 1000000 AS u_micro,
+        | (CAST('0x' || substr(md5('sds' || CAST(doc_id AS VARCHAR)), 1, 8)
+        |   AS BIGINT) % 1000000) * n_copies < 1000000 AS kept
+        |FROM staged JOIN g ON md5(staged.text) = g.h
+        |ORDER BY doc_id""".stripMargin,
+    "q124_positive_pairs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, CAST(t.s AS BIGINT) AS start_tok,
+        |  CAST(t.s // 24 AS BIGINT) AS chunk_id,
+        |  CAST(least(32, n_tokens - t.s) AS BIGINT) AS chunk_tokens
+        | FROM d, LATERAL unnest(range(0, n_tokens, 24)) AS t(s)),
+        |p AS (SELECT doc_id, chunk_id, start_tok, chunk_tokens,
+        |  lead(chunk_id) OVER w AS pos_chunk,
+        |  lead(start_tok) OVER w AS pos_start,
+        |  lead(chunk_tokens) OVER w AS pos_tokens
+        | FROM c WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_id))
+        |SELECT doc_id, chunk_id AS anchor_chunk, pos_chunk,
+        | chunk_tokens AS anchor_tokens, pos_tokens,
+        | greatest(0, start_tok + chunk_tokens - pos_start) AS overlap_tokens
+        |FROM p WHERE pos_chunk IS NOT NULL
+        |ORDER BY doc_id, anchor_chunk""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

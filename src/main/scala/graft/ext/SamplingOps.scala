@@ -543,6 +543,39 @@ object SamplingOps {
       .toDF()
       .orderBy("doc_id")
 
+  /** q123: SOFT dedup sampling — keep each member of an exact-duplicate
+    * group with probability 1/n_copies (deterministic hash uniform), so
+    * ONE copy survives in expectation without the keep-lowest-id rule's
+    * systematic bias toward early-crawled/low-id copies (hard dedup
+    * skews any statistic correlated with crawl order; soft dedup keeps
+    * corpus-frequency estimates unbiased — the trade RefinedWeb-style
+    * pipelines weigh against exact reproducibility of the survivor
+    * set, which the deterministic hash restores here). Exact-dup groups
+    * are staged by mirroring every 9th doc at id+10⁷ (the q110
+    * staging) so multi-copy groups exist at every SF.
+    *
+    * Scale shape: one (hash → count) map-side-combined aggregate (the
+    * q26 exchange — 16-byte keys, text never shuffled) joined back on
+    * the hash; the keep test is integer micro arithmetic
+    * (u·n < 10⁶ ⟺ u < 10⁶/n) — no float crosses the boundary. Direct
+    * DuckDB oracle.
+    */
+  def qSoftDedupSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val staged = t.documents.select(col("doc_id"), col("text"))
+      .unionAll(t.documents.filter(col("doc_id") % 9 === 4)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    val groups = staged.groupBy(md5(col("text")).as("__h"))
+      .agg(count(lit(1)).as("n_copies"))
+    val u = conv(substring(md5(concat(lit("sds"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("bigint") % 1000000L
+    staged.withColumn("__h", md5(col("text")))
+      .join(groups, "__h")
+      .select(col("doc_id"), col("n_copies"), u.as("u_micro"),
+        (u * col("n_copies") < 1000000L).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** q121: token-budget repetition plan — the data-constrained mixing
     * artifact (the Llama-2 / "Scaling Data-Constrained Language Models"
     * shape): given per-source weights and a total token budget, compute

@@ -1319,6 +1319,45 @@ object TextOps {
     chunkDocs(Tables(spark, dir).documents.select("doc_id", "text"))
       .orderBy("doc_id", "chunk_id")
 
+  /** q124: contrastive POSITIVE pair mining — the complement of q101's
+    * hard negatives: adjacent overlapping chunks of the same document
+    * are the standard self-supervised positive pair (ICT/Contriever/
+    * cropping-style augmentation — two views of the same passage that
+    * share `chunkTokens − stride` tokens of context). Emits each
+    * (anchor, next-chunk) pair with both lengths and the exact token
+    * overlap so a sampler can threshold pair quality.
+    *
+    * Scale shape: chunking is q106's narrow explode; pairing is ONE
+    * window (`lead` over chunk_id) partitioned by doc — chunks per doc
+    * are bounded by tokens/stride, so partitions are tiny and the
+    * exchange is the only shuffle. Direct DuckDB oracle.
+    */
+  def positivePairs(docs: DataFrame, chunkTokens: Int = 32,
+      stride: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("chunk_id")
+    chunkDocs(docs, chunkTokens, stride)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("chunk_tokens"))
+      .withColumn("pos_chunk", lead(col("chunk_id"), 1).over(w))
+      .withColumn("pos_start", lead(col("start_tok"), 1).over(w))
+      .withColumn("pos_tokens", lead(col("chunk_tokens"), 1).over(w))
+      .filter(col("pos_chunk").isNotNull)
+      .select(col("doc_id"), col("chunk_id").as("anchor_chunk"),
+        col("pos_chunk"), col("chunk_tokens").as("anchor_tokens"),
+        col("pos_tokens"),
+        greatest(lit(0L),
+          col("start_tok") + col("chunk_tokens") - col("pos_start"))
+          .as("overlap_tokens"))
+  }
+
+  /** q124: positive pairs over the documents table (q106's chunk
+    * geometry). Direct DuckDB oracle.
+    */
+  def qPositivePairs(spark: SparkSession, dir: String): DataFrame =
+    positivePairs(Tables(spark, dir).documents.select("doc_id", "text"))
+      .orderBy("doc_id", "anchor_chunk")
+
   /** T5-STYLE SPAN CORRUPTION — the denoising-objective sample prep
     * (Raffel et al. 2020): mask ~`ratePct`% of tokens, collapse each
     * maximal masked run to one `<extra_id_k>` sentinel in the input, and

@@ -1148,6 +1148,37 @@ object SqlQueries {
         |SELECT source, n_docs, n_tokens, weight, target_tokens, full_epochs,
         | partial_tokens, epochs_micro, epochs_micro > 4000000L AS over_repeated
         |FROM fin ORDER BY source""".stripMargin,
+    "q123_soft_dedup_sample" ->
+      """WITH staged AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000000L AS doc_id, text FROM documents
+        |  WHERE doc_id % 9 = 4),
+        |g AS (SELECT md5(text) AS h, count(1) AS n_copies FROM staged
+        |      GROUP BY md5(text))
+        |SELECT doc_id, n_copies,
+        | CAST(conv(substring(md5(concat('sds', CAST(doc_id AS STRING))), 1, 8),
+        |   16, 10) AS BIGINT) % 1000000L AS u_micro,
+        | (CAST(conv(substring(md5(concat('sds', CAST(doc_id AS STRING))), 1, 8),
+        |   16, 10) AS BIGINT) % 1000000L) * n_copies < 1000000L AS kept
+        |FROM staged JOIN g ON md5(staged.text) = g.h
+        |ORDER BY doc_id""".stripMargin,
+    "q124_positive_pairs" ->
+      """WITH d AS (SELECT doc_id, split(text, ' ') AS w,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, start_tok,
+        |  CAST(start_tok / 24 AS BIGINT) AS chunk_id,
+        |  least(32L, n_tokens - start_tok) AS chunk_tokens
+        | FROM d LATERAL VIEW explode(sequence(0L, n_tokens - 1, 24L)) t
+        |   AS start_tok),
+        |p AS (SELECT doc_id, chunk_id, start_tok, chunk_tokens,
+        |  lead(chunk_id, 1) OVER w AS pos_chunk,
+        |  lead(start_tok, 1) OVER w AS pos_start,
+        |  lead(chunk_tokens, 1) OVER w AS pos_tokens
+        | FROM c WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_id))
+        |SELECT doc_id, chunk_id AS anchor_chunk, pos_chunk,
+        | chunk_tokens AS anchor_tokens, pos_tokens,
+        | greatest(0L, start_tok + chunk_tokens - pos_start) AS overlap_tokens
+        |FROM p WHERE pos_chunk IS NOT NULL
+        |ORDER BY doc_id, anchor_chunk""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs

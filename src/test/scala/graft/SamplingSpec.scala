@@ -382,4 +382,33 @@ class SamplingSpec extends SparkSpec {
     assert(rows.exists(r => r._4 == 3L && r._6 >= 3L), "no upsampled source")
     assert(rows.exists(r => r._4 == 1L && r._6 <= 1L), "no downsampled source")
   }
+
+  test("q123 soft dedup sampling: unbiased keep rule, singletons always kept") {
+    val rows = ext.SamplingOps.qSoftDedupSample(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // u recomputation + keep rule
+    rows.foreach { case (id, n, u, kept) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sds$id".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      assert(u == java.lang.Long.parseLong(h, 16) % 1000000L, s"doc $id u")
+      assert(kept == (u * n < 1000000L), s"doc $id keep rule")
+      if (n == 1L) assert(kept, s"singleton $id must always survive")
+    }
+    // staged mirrors create 2-copy groups; soft dedup keeps ~1 per group
+    val twoGroups = rows.filter(_._2 == 2L)
+    assert(twoGroups.nonEmpty, "staging produced no duplicate groups")
+    val survivors = twoGroups.count(_._4)
+    // E[survivors] = #pairs·2·(1/2)·... each member kept w.p. 1/2 →
+    // mean 1 per group; allow generous binomial slack
+    val groups = twoGroups.length / 2
+    assert(survivors > groups / 2 && survivors < groups * 2,
+      s"$survivors survivors across $groups two-copy groups")
+    // hard dedup would ALWAYS keep the low id; soft dedup must sometimes
+    // keep only the mirror (high id) — the bias it exists to remove
+    val byText = twoGroups.groupBy(t => t._1 % 10000000L)
+    assert(byText.exists { case (_, g) =>
+      g.exists(t => t._1 >= 10000000L && t._4) && g.exists(t => t._1 < 10000000L && !t._4)
+    }, "no group kept only the mirror copy — low-id bias not removed")
+  }
 }

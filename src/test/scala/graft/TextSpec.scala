@@ -801,4 +801,28 @@ class TextSpec extends SparkSpec {
       assert(r.getLong(4) == checksum, s"doc $id checksum")
     }
   }
+
+  test("q124 positive pairs: chunk geometry recomputed per doc") {
+    val rows = TextOps.qPositivePairs(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val docs = Tables(spark, SF).documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong)
+      .toMap
+    val byDoc = rows.groupBy(_._1)
+    docs.foreach { case (id, n) =>
+      val starts = 0L until n by 24L
+      val expectPairs = starts.length - 1
+      val got = byDoc.getOrElse(id, Array.empty)
+      assert(got.length == expectPairs, s"doc $id pair count")
+      got.sortBy(_._2).zipWithIndex.foreach { case ((_, a, p, at, pt, ov), i) =>
+        val sa = starts(i); val sb = starts(i + 1)
+        assert(a == i.toLong && p == i + 1L)
+        assert(at == math.min(32L, n - sa) && pt == math.min(32L, n - sb))
+        assert(ov == math.max(0L, sa + at - sb), s"doc $id pair $i overlap")
+        // a full anchor always shares chunkTokens - stride = 8 tokens
+        if (at == 32L) assert(ov == 8L, s"doc $id pair $i full-overlap")
+      }
+    }
+  }
 }
