@@ -628,9 +628,18 @@ object MultimodalOps {
     */
   def audioPostings(clips: DataFrame, id: String = "clip_id",
       content: String = "content"): DataFrame =
+    audioPostingRows(clips, id, content).distinct()
+
+  /** The shared (clip_id, fp) posting projection — per-clip-distinct
+    * fingerprints, NOT globally distinct (the streaming state path does
+    * its own idempotent admission; the batch index adds `.distinct()`
+    * on top). One definition so the batch and streaming dedup paths
+    * cannot silently diverge.
+    */
+  private def audioPostingRows(clips: DataFrame, id: String,
+      content: String): DataFrame =
     clips.select(col(id).cast("long").as("clip_id"),
-        explode(array_distinct(audioFingerprintUdf(col(content)))).as("fp"))
-      .distinct()
+      explode(array_distinct(audioFingerprintUdf(col(content)))).as("fp"))
 
   /** Index a batch's fingerprints into the posting table WITHOUT
     * matching — the initial corpus load ([[DedupOps.indexSignatures]]
@@ -771,8 +780,8 @@ object MultimodalOps {
       id: String = "clip_id", content: String = "content"): Dataset[FpHit] = {
     val spark = clips.sparkSession
     import spark.implicits._
-    clips.select(col(id).cast("long").as("clipId"),
-        explode(array_distinct(audioFingerprintUdf(col(content)))).as("fp"))
+    audioPostingRows(clips, id, content)
+      .withColumnRenamed("clip_id", "clipId")
       .as[FpArrival]
       .groupByKey(_.fp)
       .flatMapGroupsWithState[FpPostingState, FpHit](

@@ -562,9 +562,12 @@ object SamplingOps {
     */
   def qSoftDedupSample(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val staged = t.documents.select(col("doc_id"), col("text"))
-      .unionAll(t.documents.filter(col("doc_id") % 9 === 4)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    // persisted: the hash join reads the union on BOTH sides (Spark
+    // recomputes shared subtrees per branch — the q38 double-scan lesson)
+    val staged = graft.CacheRegistry.persist(
+      t.documents.select(col("doc_id"), col("text"))
+        .unionAll(t.documents.filter(col("doc_id") % 9 === 4)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))))
     val groups = staged.groupBy(md5(col("text")).as("__h"))
       .agg(count(lit(1)).as("n_copies"))
     val u = conv(substring(md5(concat(lit("sds"),
@@ -643,6 +646,10 @@ object SamplingOps {
   def epochShuffle(df: DataFrame, key: String, epochs: Int,
       shards: Int): DataFrame = {
     require(epochs >= 1 && shards >= 1, "epochs and shards must be positive")
+    // the shard slice multiplies a 48-bit key by the shard count in a
+    // LONG — past 16k shards the product wraps and shard ids go negative
+    require(shards <= 16384,
+      s"shards ($shards) > 16384 overflows the 48-bit-key shard slice")
     val epoch = explode(sequence(lit(0), lit(epochs - 1))).as("epoch")
     val h = conv(substring(md5(concat(col("epoch").cast("string"), lit(":"),
       col(key).cast("string"))), 1, 12), 16, 10).cast("bigint")

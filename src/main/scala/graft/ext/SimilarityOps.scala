@@ -1643,9 +1643,12 @@ object SimilarityOps {
     * corpus's stand-in).
     */
   def captionAlign(embeddings: DataFrame, tau: Double): DataFrame = {
-    val base = embeddings
+    // persisted: the img/cap/negCap branches would otherwise re-scan the
+    // table and recompute every norm three times (per-branch subtree
+    // recomputation — the q38 double-scan lesson)
+    val base = graft.CacheRegistry.persist(embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", norm(col("v"))))
     val img = base.filter(col("vec_id") % 2 === 0)
       .select(expr("vec_id div 2").as("pair_id"), col("vec_id").as("img_id"),
         col("v").as("iv"), col("nrm").as("inrm"))

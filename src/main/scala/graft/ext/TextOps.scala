@@ -502,6 +502,8 @@ object TextOps {
           count(lit(1L))
       val row = sig.agg(aggs.head, aggs.tail: _*).head()
       val n = row.getLong(aggs.length - 1)
+      require(n > 0, "trainQualityClassifier: no trainable documents — " +
+        "every input doc has < 2 tokens (gopherVerdict excludes them)")
       val meanLoss =
         math.floor(row.getLong(xs.length).toDouble / n + 0.5).toLong
       for (j <- xs.indices) {
