@@ -1,0 +1,55 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property coverage of the pure arithmetic inside the sampling ops:
+  * the epoch-shuffle shard slice (q113) and the soft-dedup keep rule
+  * (q123) — both run as SQL expressions, so these properties pin the
+  * formulas' contracts over the FULL input domain rather than the
+  * corpus's values.
+  */
+object SamplingProps extends Properties("graft.sampling") {
+
+  private val genKey: Gen[Long] = Gen.choose(0L, (1L << 48) - 1)
+  private val genShards: Gen[Int] = Gen.choose(1, 16384)
+
+  // shard = (key · shards) div 2^48 — the q113 formula
+  private def shardOf(key: Long, shards: Int): Long = (key * shards) / (1L << 48)
+
+  property("shard slice stays in [0, shards) over the whole key domain") =
+    Prop.forAll(genKey, genShards) { (k, s) =>
+      val sh = shardOf(k, s)
+      sh >= 0 && sh < s
+    }
+
+  property("shard slice never overflows at the guarded shard bound") =
+    Prop.forAll(genKey) { k =>
+      // 16384 = the require() bound in epochShuffle; the product must
+      // stay positive (no Long wrap) at the domain edge
+      k * 16384L >= 0
+    }
+
+  property("shard slice is monotone in the key (shard order ≡ key order)") =
+    Prop.forAll(genKey, genKey, genShards) { (k1, k2, s) =>
+      val (lo, hi) = (math.min(k1, k2), math.max(k1, k2))
+      shardOf(lo, s) <= shardOf(hi, s)
+    }
+
+  property("shard slice partitions the key space into contiguous ranges") =
+    Prop.forAll(genKey, genShards) { (k, s) =>
+      // a key's immediate successor lands in the same shard or the next
+      val sh = shardOf(k, s)
+      val next = if (k == (1L << 48) - 1) sh else shardOf(k + 1, s)
+      next == sh || next == sh + 1
+    }
+
+  // keep ⟺ u·n < 10⁶ — the q123 rule with u uniform on [0, 10⁶)
+  property("soft-dedup keep rule: singletons always survive") =
+    Prop.forAll(Gen.choose(0L, 999999L)) { u => u * 1L < 1000000L }
+
+  property("soft-dedup keep rule: kept ⟺ u < ⌈10⁶/n⌉ (region ∝ 1/n)") =
+    Prop.forAll(Gen.choose(0L, 999999L), Gen.choose(1L, 1000L)) { (u, n) =>
+      val kept = u * n < 1000000L
+      kept == (u < (1000000L + n - 1) / n)
+    }
+}
