@@ -1,8 +1,20 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** One document version arriving at the streaming differ. */
+case class DocArrival(docId: Long, hash: String)
+
+/** Per-document state: the last content hash seen. */
+case class DocHashState(hash: String)
+
+/** An observed change: `added` (first sighting) or `modified` (hash
+  * moved); unchanged re-deliveries emit nothing.
+  */
+case class DocChange(doc_id: Long, change: String, prev_hash: String,
+    new_hash: String)
 
 /** [EXT] Dataset-versioning operators — the corpus-management layer a
   * long-lived training-data pipeline needs around its content operators:
@@ -31,6 +43,51 @@ object VersioningOps {
           .when(col("v2_hash").isNull, "removed")
           .when(col("v1_hash") === col("v2_hash"), "unchanged")
           .otherwise("modified").as("status"))
+  }
+
+  /** STREAMING change detection — the CDC form of [[snapshotDiff]] for a
+    * corpus that arrives as a stream of document versions instead of
+    * complete snapshots: per-document state holds the last content hash
+    * in the checkpointed state store; a first sighting emits `added`, a
+    * hash move emits `modified` with both hashes (the incremental
+    * reprocessing families consume exactly these rows), an unchanged
+    * re-delivery emits NOTHING — so at-least-once upstream delivery
+    * cannot produce duplicate work items.
+    *
+    * Contract notes: `removed` is UNOBSERVABLE in a pure arrival stream
+    * (no tombstones) — run the batch [[snapshotDiff]] against a
+    * snapshot listing when removals matter. Multiple DISTINCT versions
+    * of one doc inside a single micro-batch are applied in hash order
+    * (the stream carries no version column; the intended cadence is ≤1
+    * version per doc per batch, and the spec pins the tie rule).
+    * State is one 32-char hash per document — the keyed-state-store
+    * shape (RocksDB-backed at scale), same class as the dedup states.
+    */
+  def streamingSnapshotDiff(docs: DataFrame, key: String = "doc_id")
+      : Dataset[DocChange] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(key).cast("long").as("docId"),
+        md5(col("text")).as("hash"))
+      .as[DocArrival]
+      .groupByKey(_.docId)
+      .flatMapGroupsWithState[DocHashState, DocChange](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (id, rows, state) =>
+          var prev = state.getOption.map(_.hash)
+          val out = scala.collection.mutable.ArrayBuffer.empty[DocChange]
+          rows.toSeq.map(_.hash).distinct.sorted.foreach { h =>
+            prev match {
+              case None => out += DocChange(id, "added", null, h)
+              case Some(p) if p != h => out += DocChange(id, "modified", p, h)
+              case _ => ()
+            }
+            prev = Some(h)
+          }
+          prev.foreach(h => state.update(DocHashState(h)))
+          out.iterator
+      }
   }
 
   /** q119: diff `documents` (v1) against a deterministically staged v2

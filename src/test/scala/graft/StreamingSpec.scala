@@ -639,4 +639,53 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts == (0L until 8L by 2).map(k => (k, k + 1)).toSet,
       s"verdicts $verdicts")
   }
+
+  test("streaming snapshot diff: added/modified match the batch diff; re-deliveries silent") {
+    import graft.ext.VersioningOps
+    val dir = java.nio.file.Files.createTempDirectory("cdc-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc-ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("cdc-out")
+    val v1 = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // v2 = the q119 staging: drops (unobservable in-stream), edits, adds
+    val v2 = v1.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 9 === 4, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(v1.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("new "), col("text")).as("text")))
+    stageBatchFile(dir, v1, "b1.parquet", 1700000000000L)
+    stageBatchFile(dir, v2, "b2.parquet", 1700000060000L)
+    val stream = spark.readStream.schema(v1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = VersioningOps.streamingSnapshotDiff(stream).toDF().writeStream
+      .format("parquet").option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(outDir.toString).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), r.getString(3)))
+    // batch 1: every doc is an 'added'
+    val v1Ids = v1.collect().map(_.getLong(0)).toSet
+    val added1 = got.filter(t => v1Ids(t._1) && t._2 == "added")
+    assert(added1.length == v1Ids.size)
+    // batch 2 emissions ≡ the BATCH diff's modified/added statuses
+    val batch = VersioningOps.snapshotDiff(v1, v2).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getString(2)), r.getString(3)))
+    val expectMod = batch.filter(_._4 == "modified")
+      .map(t => (t._1, "modified", t._2, t._3.get)).toSet
+    val expectAdd = batch.filter(_._4 == "added")
+      .map(t => (t._1, "added", None: Option[String], t._3.get)).toSet
+    val batch2Emissions = got.filterNot(t => v1Ids(t._1) && t._2 == "added")
+      .map(t => (t._1, t._2, t._3, t._4)).toSet
+    assert(batch2Emissions == expectMod ++ expectAdd,
+      "stream CDC != batch diff added/modified set")
+    // unchanged re-deliveries (most of v2) emitted nothing beyond the above
+    assert(got.length == v1Ids.size + expectMod.size + expectAdd.size)
+  }
 }
