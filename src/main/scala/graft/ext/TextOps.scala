@@ -1020,9 +1020,9 @@ object TextOps {
   // 24-char base64 floor) and uppercase (excluded from the lowercase hex
   // class); hex blobs are lowercase-only, so they fail the base64 rule's
   // has-uppercase diversity test.
-  private[ext] val awsKeyRe = "\\bAKIA[0-9A-Z]{16}\\b"
-  private[ext] val hexSecretRe = "\\b[0-9a-f]{32,}\\b"
-  private[ext] val b64TokenRe = "\\b[A-Za-z0-9+/]{24,}={0,2}"
+  private[graft] val awsKeyRe = "\\bAKIA[0-9A-Z]{16}\\b"
+  private[graft] val hexSecretRe = "\\b[0-9a-f]{32,}\\b"
+  private[graft] val b64TokenRe = "\\b[A-Za-z0-9+/]{24,}={0,2}"
 
   /** Candidate base64-ish tokens that pass the character-class diversity
     * test (≥1 upper, ≥1 lower, ≥1 digit) — the detect-secrets/BigCode
