@@ -688,4 +688,42 @@ class StreamingSpec extends SparkSpec {
     // unchanged re-deliveries (most of v2) emitted nothing beyond the above
     assert(got.length == v1Ids.size + expectMod.size + expectAdd.size)
   }
+
+  test("streaming snapshot diff: per-doc hash state survives a checkpointed restart") {
+    import graft.ext.VersioningOps
+    val dir = java.nio.file.Files.createTempDirectory("cdc-restart")
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc-restart-ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("cdc-restart-out")
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 50)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val q = VersioningOps.streamingSnapshotDiff(stream).toDF().writeStream
+        .format("parquet").option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    stageBatchFile(dir, docs, "b1.parquet", 1700000000000L)
+    runOnce()
+    // RESTART with: an unchanged re-delivery (must be silent from
+    // RESTORED state), one edit, one new doc
+    val b2 = docs.filter(col("doc_id") <= 1)
+      .select(col("doc_id"),
+        when(col("doc_id") === 1, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") === 2)
+        .select((col("doc_id") + 777000L).as("doc_id"), col("text")))
+    stageBatchFile(dir, b2, "b2.parquet", 1700000060000L)
+    runOnce()
+    val got = spark.read.parquet(outDir.toString).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.count(_._2 == "added") == 51)           // 50 + the new doc
+    assert(got.filter(_._2 == "modified").map(_._1).toSeq == Seq(1L))
+    // doc 0's unchanged re-delivery after restart emitted nothing
+    assert(got.count(_._1 == 0L) == 1)
+  }
 }
