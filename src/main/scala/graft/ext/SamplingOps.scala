@@ -647,9 +647,10 @@ object SamplingOps {
       shards: Int): DataFrame = {
     require(epochs >= 1 && shards >= 1, "epochs and shards must be positive")
     // the shard slice multiplies a 48-bit key by the shard count in a
-    // LONG — past 16k shards the product wraps and shard ids go negative
-    require(shards <= 16384,
-      s"shards ($shards) > 16384 overflows the 48-bit-key shard slice")
+    // LONG: (2^48-1)·shards stays below 2^63 exactly up to 32768 shards
+    // — past that the product wraps and shard ids go negative
+    require(shards <= 32768,
+      s"shards ($shards) > 32768 overflows the 48-bit-key shard slice")
     val epoch = explode(sequence(lit(0), lit(epochs - 1))).as("epoch")
     val h = conv(substring(md5(concat(col("epoch").cast("string"), lit(":"),
       col(key).cast("string"))), 1, 12), 16, 10).cast("bigint")
@@ -659,7 +660,7 @@ object SamplingOps {
       .withColumn("order_key", h)
       // order_key < 16^12 = 2^48, so shard = ⌊key·shards/2^48⌋ is the
       // key's most-significant slice (integer `div`, exact for any shard
-      // count; no overflow: 2^48 · shards ≪ 2^63 for shards ≤ 16k)
+      // count; no overflow: 2^48 · shards < 2^63 for shards ≤ 32768, enforced)
       .withColumn("shard",
         expr(s"(order_key * $shards) div ${1L << 48}").cast("bigint"))
       .withColumn("position", (row_number().over(w) - 1).cast("bigint"))

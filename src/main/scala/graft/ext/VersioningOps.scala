@@ -67,24 +67,34 @@ object VersioningOps {
       : Dataset[DocChange] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(key).cast("long").as("docId"),
-        md5(col("text")).as("hash"))
+    docs
+      // a null id or null text has no identity/content to diff —
+      // dropped here rather than NPE-ing the state function (md5(null)
+      // is null and null hashes neither sort nor compare)
+      .filter(col(key).isNotNull && col("text").isNotNull)
+      .select(col(key).cast("long").as("docId"), md5(col("text")).as("hash"))
       .as[DocArrival]
       .groupByKey(_.docId)
       .flatMapGroupsWithState[DocHashState, DocChange](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
         case (id, rows, state) =>
-          var prev = state.getOption.map(_.hash)
+          val entering = state.getOption.map(_.hash)
+          var prev = entering
           val out = scala.collection.mutable.ArrayBuffer.empty[DocChange]
-          rows.toSeq.map(_.hash).distinct.sorted.foreach { h =>
-            prev match {
-              case None => out += DocChange(id, "added", null, h)
-              case Some(p) if p != h => out += DocChange(id, "modified", p, h)
-              case _ => ()
+          // a redelivery of the ENTERING state hash is noise regardless
+          // of where it sorts — without this filter, (redelivery + new
+          // version) in one micro-batch would emit a spurious
+          // modified-back pair and roll state to the old hash
+          rows.toSeq.map(_.hash).distinct
+            .filterNot(h => entering.contains(h)).sorted
+            .foreach { h =>
+              prev match {
+                case None => out += DocChange(id, "added", null, h)
+                case Some(p) => out += DocChange(id, "modified", p, h)
+              }
+              prev = Some(h)
             }
-            prev = Some(h)
-          }
           prev.foreach(h => state.update(DocHashState(h)))
           out.iterator
       }
@@ -98,17 +108,22 @@ object VersioningOps {
     * divisible by both 13 and 9-mod-4 are dropped, not modified) to pin
     * the precedence a real snapshot would exhibit. Direct DuckDB oracle.
     */
-  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
+  /** The deterministic staged v2 snapshot both q119 and the streaming
+    * CDC spec diff against — ONE definition so they cannot drift.
+    */
+  private[graft] def stageV2(v1: DataFrame): DataFrame = {
     val id = col("doc_id")
-    val v1 = t.documents.select(id, col("text"))
-    val survivors = t.documents.filter(id % 13 =!= 0)
-    val v2 = survivors.select(id,
-      when(id % 9 === 4, concat(col("text"), lit(" rev2")))
-        .otherwise(col("text")).as("text"))
-      .unionAll(t.documents.filter(id % 17 === 0)
+    v1.filter(id % 13 =!= 0)
+      .select(id,
+        when(id % 9 === 4, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(v1.filter(id % 17 === 0)
         .select((id + 10000000L).as("doc_id"),
           concat(lit("new "), col("text")).as("text")))
-    snapshotDiff(v1, v2).orderBy("doc_id")
+  }
+
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    snapshotDiff(v1, stageV2(v1)).orderBy("doc_id")
   }
 }

@@ -4,14 +4,16 @@ import org.scalacheck.{Gen, Prop, Properties}
 
 /** Property coverage of the pure arithmetic inside the sampling ops:
   * the epoch-shuffle shard slice (q113) and the soft-dedup keep rule
-  * (q123) — both run as SQL expressions, so these properties pin the
-  * formulas' contracts over the FULL input domain rather than the
-  * corpus's values.
+  * (q123). The production forms are SQL expression strings, so these
+  * properties exercise FAITHFUL Scala mirrors over the full input
+  * domain (the corpus only reaches a sliver of it); the engine-side
+  * contracts themselves are pinned by SamplingSpec's permutation /
+  * keep-rule tests against the real expressions.
   */
 object SamplingProps extends Properties("graft.sampling") {
 
   private val genKey: Gen[Long] = Gen.choose(0L, (1L << 48) - 1)
-  private val genShards: Gen[Int] = Gen.choose(1, 16384)
+  private val genShards: Gen[Int] = Gen.choose(1, 32768)
 
   // shard = (key · shards) div 2^48 — the q113 formula
   private def shardOf(key: Long, shards: Int): Long = (key * shards) / (1L << 48)
@@ -24,9 +26,9 @@ object SamplingProps extends Properties("graft.sampling") {
 
   property("shard slice never overflows at the guarded shard bound") =
     Prop.forAll(genKey) { k =>
-      // 16384 = the require() bound in epochShuffle; the product must
-      // stay positive (no Long wrap) at the domain edge
-      k * 16384L >= 0
+      // 32768 = the require() bound in epochShuffle ((2^48-1)·2^15 <
+      // 2^63); the product must stay positive (no Long wrap) at the edge
+      k * 32768L >= 0
     }
 
   property("shard slice is monotone in the key (shard order ≡ key order)") =
@@ -44,9 +46,6 @@ object SamplingProps extends Properties("graft.sampling") {
     }
 
   // keep ⟺ u·n < 10⁶ — the q123 rule with u uniform on [0, 10⁶)
-  property("soft-dedup keep rule: singletons always survive") =
-    Prop.forAll(Gen.choose(0L, 999999L)) { u => u * 1L < 1000000L }
-
   property("soft-dedup keep rule: kept ⟺ u < ⌈10⁶/n⌉ (region ∝ 1/n)") =
     Prop.forAll(Gen.choose(0L, 999999L), Gen.choose(1L, 1000L)) { (u, n) =>
       val kept = u * n < 1000000L

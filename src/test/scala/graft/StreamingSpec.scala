@@ -647,14 +647,8 @@ class StreamingSpec extends SparkSpec {
     val outDir = java.nio.file.Files.createTempDirectory("cdc-out")
     val v1 = spark.read.parquet(s"$SF/documents.parquet")
       .select(col("doc_id"), col("text"))
-    // v2 = the q119 staging: drops (unobservable in-stream), edits, adds
-    val v2 = v1.filter(col("doc_id") % 13 =!= 0)
-      .select(col("doc_id"),
-        when(col("doc_id") % 9 === 4, concat(col("text"), lit(" rev2")))
-          .otherwise(col("text")).as("text"))
-      .unionByName(v1.filter(col("doc_id") % 17 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
-          concat(lit("new "), col("text")).as("text")))
+    // v2 = the q119 staging (shared definition — cannot drift)
+    val v2 = VersioningOps.stageV2(v1)
     stageBatchFile(dir, v1, "b1.parquet", 1700000000000L)
     stageBatchFile(dir, v2, "b2.parquet", 1700000060000L)
     val stream = spark.readStream.schema(v1.schema)
