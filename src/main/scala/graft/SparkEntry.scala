@@ -150,6 +150,7 @@ object SparkEntry {
     "q122_token_ids" -> (TextOps.qTokenIds _),
     "q123_soft_dedup_sample" -> (SamplingOps.qSoftDedupSample _),
     "q124_positive_pairs" -> (TextOps.qPositivePairs _),
+    "q125_snapshot_apply" -> (ext.VersioningOps.qSnapshotApply _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1458,6 +1459,15 @@ object SparkEntry {
         | greatest(0, start_tok + chunk_tokens - pos_start) AS overlap_tokens
         |FROM p WHERE pos_chunk IS NOT NULL
         |ORDER BY doc_id, anchor_chunk""".stripMargin,
+    "q125_snapshot_apply" ->
+      """WITH v2 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 4 THEN text || ' rev2' ELSE text END AS text
+        | FROM documents WHERE doc_id % 13 <> 0
+        | UNION ALL
+        | SELECT doc_id + 10000000 AS doc_id, 'new ' || text AS text
+        | FROM documents WHERE doc_id % 17 = 0)
+        |SELECT doc_id, md5(text) AS text_hash FROM v2
+        |ORDER BY doc_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

@@ -108,6 +108,43 @@ object VersioningOps {
     * divisible by both 13 and 9-mod-4 are dropped, not modified) to pin
     * the precedence a real snapshot would exhibit. Direct DuckDB oracle.
     */
+  /** Apply a change set to a snapshot — hand-rolled MERGE semantics
+    * (the Delta/Iceberg MERGE INTO shape, expressed with the engine's
+    * own joins): `removed` ids are deleted, `added`/`modified` rows
+    * upsert their new text, untouched rows pass through. The inverse of
+    * [[snapshotDiff]]: `applyChanges(v1, changes(v1→v2)) ≡ v2` — the
+    * round-trip q125's oracle pins end-to-end.
+    *
+    * Scale shape: ONE id-keyed anti-join (sort-merge/hash, narrow
+    * projections) + a union with the change set — cost ∝ snapshot +
+    * changes, no full rewrite of unchanged content needed by the plan
+    * (a columnar table format would turn this into file-level pruning;
+    * the relational shape is the same).
+    */
+  def applyChanges(v1: DataFrame, changes: DataFrame,
+      key: String = "doc_id"): DataFrame =
+    v1.join(changes.select(col(key)), Seq(key), "left_anti")
+      .unionByName(changes.filter(col("status") =!= "removed")
+        .select(col(key), col("new_text").as("text")))
+
+  /** q125: reconstruct v2 from v1 plus the diff-derived change set —
+    * diff → changes → apply must land EXACTLY on the independently
+    * staged v2 (the oracle builds v2 directly and compares content
+    * hashes). Direct DuckDB oracle.
+    */
+  def qSnapshotApply(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val v2 = stageV2(v1)
+    val changes = snapshotDiff(v1, v2)
+      .filter(col("status") =!= "unchanged")
+      .join(v2.select(col("doc_id"), col("text").as("new_text")),
+        Seq("doc_id"), "left")
+      .select("doc_id", "status", "new_text")
+    applyChanges(v1, changes)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .orderBy("doc_id")
+  }
+
   /** The deterministic staged v2 snapshot both q119 and the streaming
     * CDC spec diff against — ONE definition so they cannot drift.
     */

@@ -1179,6 +1179,32 @@ object SqlQueries {
         | greatest(0L, start_tok + chunk_tokens - pos_start) AS overlap_tokens
         |FROM p WHERE pos_chunk IS NOT NULL
         |ORDER BY doc_id, anchor_chunk""".stripMargin,
+    "q125_snapshot_apply" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 4 THEN concat(text, ' rev2') ELSE text END
+        |    AS text
+        | FROM documents WHERE doc_id % 13 != 0
+        | UNION ALL
+        | SELECT doc_id + 10000000L AS doc_id, concat('new ', text) AS text
+        | FROM documents WHERE doc_id % 17 = 0),
+        |d1 AS (SELECT doc_id, md5(text) AS h1 FROM v1),
+        |d2 AS (SELECT doc_id, md5(text) AS h2, text AS new_text FROM v2),
+        |diff AS (SELECT coalesce(d1.doc_id, d2.doc_id) AS doc_id,
+        |  CASE WHEN d1.doc_id IS NULL THEN 'added'
+        |   WHEN d2.doc_id IS NULL THEN 'removed'
+        |   WHEN h1 = h2 THEN 'unchanged' ELSE 'modified' END AS status,
+        |  d2.new_text
+        | FROM d1 FULL OUTER JOIN d2 ON d1.doc_id = d2.doc_id),
+        |changes AS (SELECT * FROM diff WHERE status != 'unchanged'),
+        |applied AS (
+        | SELECT v1.doc_id, v1.text FROM v1
+        | LEFT ANTI JOIN changes ON v1.doc_id = changes.doc_id
+        | UNION ALL
+        | SELECT doc_id, new_text AS text FROM changes
+        | WHERE status != 'removed')
+        |SELECT doc_id, md5(text) AS text_hash FROM applied
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs

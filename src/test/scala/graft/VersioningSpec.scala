@@ -34,4 +34,29 @@ class VersioningSpec extends SparkSpec {
     assert(out == Map(1L -> "removed", 2L -> "unchanged",
       3L -> "modified", 4L -> "added"))
   }
+
+  test("q125 snapshot apply: diff then apply round-trips to v2 exactly") {
+    val out = VersioningOps.qSnapshotApply(spark, SF).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val v1 = Tables(spark, SF).documents.select(col("doc_id"), col("text"))
+    val v2 = VersioningOps.stageV2(v1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == v2.keySet, "applied snapshot has wrong id set")
+    v2.foreach { case (id, text) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(text.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      assert(out(id) == h, s"doc $id content differs after apply")
+    }
+  }
+
+  test("applyChanges generic contract: delete, upsert, passthrough") {
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val changes = Seq(
+      (1L, "removed", null.asInstanceOf[String]),
+      (3L, "modified", "gamma prime"),
+      (4L, "added", "delta")).toDF("doc_id", "status", "new_text")
+    val out = VersioningOps.applyChanges(v1, changes).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "beta", 3L -> "gamma prime", 4L -> "delta"))
+  }
 }
