@@ -151,6 +151,7 @@ object SparkEntry {
     "q123_soft_dedup_sample" -> (SamplingOps.qSoftDedupSample _),
     "q124_positive_pairs" -> (TextOps.qPositivePairs _),
     "q125_snapshot_apply" -> (ext.VersioningOps.qSnapshotApply _),
+    "q126_retrieval_eval" -> (ext.RetrievalOps.qRetrievalEval _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1468,6 +1469,81 @@ object SparkEntry {
         | FROM documents WHERE doc_id % 17 = 0)
         |SELECT doc_id, md5(text) AS text_hash FROM v2
         |ORDER BY doc_id""".stripMargin,
+    "q126_retrieval_eval" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM docs),
+        |queries(query_id, terms) AS (VALUES
+        |  (0, ['fast','table']), (1, ['spark','query','join']),
+        |  (2, ['vector','batch','merge'])),
+        |qt AS (SELECT query_id, unnest(terms) AS term FROM queries),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |df AS (SELECT t.term,
+        |  CAST(sum(CASE WHEN list_contains(d.toks, t.term) THEN 1 ELSE 0 END)
+        |    AS DOUBLE) AS df
+        | FROM (SELECT DISTINCT unnest(terms) AS term FROM queries) t
+        | CROSS JOIN docs d GROUP BY 1),
+        |scored AS (SELECT qt.query_id, d.doc_id,
+        |  sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+        |      * COALESCE(tf.c, 0) * 2.2
+        |      / (COALESCE(tf.c, 0) + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+        |    AS score
+        | FROM qt CROSS JOIN docs d CROSS JOIN stats s
+        | JOIN df ON df.term = qt.term
+        | LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.tok = qt.term
+        | GROUP BY 1, 2),
+        |run AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(score, 6) DESC, doc_id) AS rank
+        | FROM scored QUALIFY rank <= 20),
+        |grades AS (SELECT CAST(qt.query_id AS BIGINT) AS query_id, d.doc_id,
+        |  CAST(sum(CASE WHEN COALESCE(tf.c, 0) >= 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS grade
+        | FROM qt CROSS JOIN docs d
+        | LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.tok = qt.term
+        | GROUP BY 1, 2),
+        |qn AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  len(terms) AS n_terms FROM queries),
+        |hist AS (SELECT g.query_id,
+        |  CAST(sum(CASE WHEN g.grade = qn.n_terms THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+        |  CAST(sum(CASE WHEN g.grade = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_g3,
+        |  CAST(sum(CASE WHEN g.grade = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_g2,
+        |  CAST(sum(CASE WHEN g.grade = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_g1
+        | FROM grades g JOIN qn ON qn.query_id = g.query_id GROUP BY 1),
+        |weights(r, w) AS (VALUES (1,1000000),(2,630930),(3,500000),(4,430677),
+        |  (5,386853),(6,356207),(7,333333),(8,315465),(9,301030),(10,289065)),
+        |idcg AS (SELECT h.query_id, CAST(sum(
+        |  (CASE WHEN wt.r <= h.n_g3 THEN 7
+        |        WHEN wt.r <= h.n_g3 + h.n_g2 THEN 3
+        |        WHEN wt.r <= h.n_g3 + h.n_g2 + h.n_g1 THEN 1
+        |        ELSE 0 END) * wt.w) AS BIGINT) AS idcg10_micro
+        | FROM hist h CROSS JOIN weights wt GROUP BY 1),
+        |pq AS (SELECT r.query_id,
+        |  CAST(sum(CASE WHEN r.rank <= 10 AND g.grade = qn.n_terms
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
+        |  CAST(sum(CASE WHEN r.rank <= 10 THEN
+        |    (CASE g.grade WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)
+        |      * wt.w ELSE 0 END) AS BIGINT) AS dcg10_micro,
+        |  min(CASE WHEN g.grade = qn.n_terms THEN r.rank END) AS first_rel
+        | FROM run r
+        | JOIN grades g ON g.query_id = r.query_id AND g.doc_id = r.doc_id
+        | JOIN qn ON qn.query_id = r.query_id
+        | LEFT JOIN weights wt ON wt.r = r.rank
+        | GROUP BY 1)
+        |SELECT p.query_id, h.n_rel, p.hits10,
+        | CASE WHEN h.n_rel > 0 THEN (1000000 * p.hits10) // h.n_rel END
+        |   AS recall10_micro,
+        | COALESCE(p.first_rel, 0) AS first_rel,
+        | CASE WHEN p.first_rel IS NOT NULL THEN 1000000 // p.first_rel
+        |   ELSE 0 END AS rr_micro,
+        | p.dcg10_micro, i.idcg10_micro,
+        | CASE WHEN i.idcg10_micro > 0
+        |   THEN (1000000 * p.dcg10_micro) // i.idcg10_micro END AS ndcg10_micro
+        |FROM pq p JOIN hist h ON h.query_id = p.query_id
+        |JOIN idcg i ON i.query_id = p.query_id
+        |ORDER BY p.query_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

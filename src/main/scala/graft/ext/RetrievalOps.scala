@@ -96,4 +96,123 @@ object RetrievalOps {
         dense.select(col("query_id"), col("doc_id"), col("rank")), topK = 10)
       .orderBy("query_id", "rank")
   }
+
+  /** Micro-unit discount weights for nDCG@10: w_r = floor(10⁶/log2(1+r)
+    * + 0.5) for rank r = 1..10. FIXED LITERALS in both engines (the q90
+    * pre-verified-constants discipline) — the metric's discount curve is
+    * a constant of the metric, so hardcoding it removes the only
+    * transcendental (log2) from the whole evaluation and every derived
+    * number stays in exact integer space.
+    */
+  val NdcgWeights: Seq[Long] = Seq(1000000L, 630930L, 500000L, 430677L,
+    386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** Retrieval-quality evaluation of a ranked run against graded
+    * relevance judgments: recall@10, MRR@20, DCG@10 / ideal DCG@10 /
+    * nDCG@10 per query — the standard IR eval stack (TREC-style),
+    * needed whenever a pipeline tunes its retrieval stage (RAG corpus
+    * curation, hybrid-ranker weighting).
+    *
+    * All metrics live in EXACT integer micro-units: gains are 2^grade−1
+    * (grades 0..3 → 0/1/3/7), discounts are the [[NdcgWeights]] literal
+    * table, and every ratio is nonnegative-integer `div` (Spark `div` ≡
+    * DuckDB `//` for nonnegative operands — the q113 rule). No float
+    * ever crosses an output boundary, so the DuckDB oracle is DIRECT.
+    *
+    * Scale shape: the ranked run is top-k-pruned BEFORE it reaches the
+    * metrics (≤20·|queries| rows); judgments are ONE narrow pass over
+    * the corpus (per-doc grade via an array fold — no token explode,
+    * no shuffle of text) feeding two consumers: a 4-bucket-per-query
+    * grade histogram (map-side combinable hash agg; the ideal-DCG input
+    * is |queries|×4 counts, never a sorted list) and a broadcast-sized
+    * join against the run. The corpus is scanned twice (once by BM25's
+    * own projection, once by the judgment pass) — two different
+    * aggregations of the same scan, the honest floor for run+judgment
+    * evaluation.
+    */
+  def retrievalEval(graded: DataFrame, ranked: DataFrame): DataFrame = {
+    val wArr = array(NdcgWeights.map(lit): _*)
+    // 2^grade − 1 for grades 0..3, spelled as a CASE so no shift/pow
+    val gain = (g: Column) => when(g === 3, 7L).when(g === 2, 3L)
+      .when(g === 1, 1L).otherwise(0L)
+    // per-query grade histogram + binary-relevant count (grade == n_terms)
+    val hist = graded.groupBy("query_id").agg(
+      sum(when(col("grade") === col("n_terms"), 1L).otherwise(0L)).as("n_rel"),
+      sum(when(col("grade") === 3, 1L).otherwise(0L)).as("n_g3"),
+      sum(when(col("grade") === 2, 1L).otherwise(0L)).as("n_g2"),
+      sum(when(col("grade") === 1, 1L).otherwise(0L)).as("n_g1"))
+    // ideal DCG@10 straight from the histogram: position r holds grade 3
+    // while r ≤ n_g3, then grade 2, then grade 1 — no sort, no explode
+    val idcg = (1 to 10).map { r =>
+      val g = when(lit(r) <= col("n_g3"), lit(3))
+        .when(lit(r) <= col("n_g3") + col("n_g2"), lit(2))
+        .when(lit(r) <= col("n_g3") + col("n_g2") + col("n_g1"), lit(1))
+        .otherwise(lit(0))
+      gain(g) * lit(NdcgWeights(r - 1))
+    }.reduce(_ + _)
+    // the run is tiny (≤20 rows/query) — broadcast it into the judgment
+    // frame; grades exist for every corpus doc so the join is inner
+    val run = broadcast(ranked.select(col("query_id"), col("rank"),
+        col("doc_id")))
+      .join(graded.select(col("query_id"), col("doc_id"), col("grade"),
+        col("n_terms")), Seq("query_id", "doc_id"))
+    val perQuery = run.groupBy("query_id").agg(
+      sum(when(col("rank") <= 10 && col("grade") === col("n_terms"), 1L)
+        .otherwise(0L)).as("hits10"),
+      sum(when(col("rank") <= 10,
+          gain(col("grade")) * element_at(wArr, col("rank").cast("int")))
+        .otherwise(0L)).as("dcg10_micro"),
+      min(when(col("grade") === col("n_terms"), col("rank"))).as("first_rel"))
+    perQuery.join(hist, Seq("query_id"))
+      .withColumn("idcg10_micro", idcg)
+      .withColumn("recall10_micro",
+        when(col("n_rel") > 0, expr("(1000000 * hits10) div n_rel")))
+      .withColumn("rr_micro",
+        when(col("first_rel").isNotNull, expr("1000000 div first_rel"))
+          .otherwise(0L))
+      .withColumn("ndcg10_micro",
+        when(col("idcg10_micro") > 0,
+          expr("(1000000 * dcg10_micro) div idcg10_micro")))
+      .select(
+        col("query_id"),
+        col("n_rel"),
+        col("hits10"),
+        col("recall10_micro").cast("long").as("recall10_micro"),
+        coalesce(col("first_rel"), lit(0L)).cast("long").as("first_rel"),
+        col("rr_micro").cast("long").as("rr_micro"),
+        col("dcg10_micro"),
+        col("idcg10_micro"),
+        col("ndcg10_micro").cast("long").as("ndcg10_micro"))
+      .orderBy("query_id")
+  }
+
+  /** q126: evaluate the BM25 ranker (q72/q90's machinery, top-20 depth)
+    * on the documents corpus against frequency-graded judgments —
+    * grade(doc, q) = #query terms with tf ≥ 3 (0..3), binary-relevant =
+    * every term frequent. Direct DuckDB oracle.
+    */
+  def qRetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val queryDefs = Seq(
+      0L -> Seq("fast", "table"),
+      1L -> Seq("spark", "query", "join"),
+      2L -> Seq("vector", "batch", "merge"))
+    val corpus = t.documents.select("doc_id", "text")
+    val ranked = TextOps.bm25Retrieve(corpus, queryDefs, topK = 20)
+    val queries = spark.createDataFrame(queryDefs.map { case (id, ts) =>
+      (id, ts)
+    }).toDF("query_id", "terms")
+    // one narrow judgment pass: grade = #terms with tf ≥ 3, computed by
+    // an array fold over the staged token array (tokens split ONCE per
+    // doc, shared across the |queries| broadcast copies); persisted
+    // because both the histogram agg and the run join consume it
+    val graded = graft.CacheRegistry.persist(
+      corpus.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .crossJoin(broadcast(queries))
+        .select(col("query_id"), col("doc_id"), size(col("terms")).as("n_terms"),
+          aggregate(col("terms"), lit(0), (acc, term) =>
+            acc + when(size(filter(col("toks"), tk => tk === term)) >= 3, 1)
+              .otherwise(0)).as("grade")))
+    retrievalEval(graded, ranked)
+  }
 }

@@ -57,4 +57,55 @@ class RetrievalSpec extends SparkSpec {
       assert(r.getLong(1) == 1L, "anchor not fused top-1")
     }
   }
+
+  test("NdcgWeights literals equal floor(1e6/log2(1+r) + 0.5)") {
+    val derived = (1 to 10).map(r =>
+      math.floor(1e6 / (math.log(1.0 + r) / math.log(2.0)) + 0.5).toLong)
+    assert(RetrievalOps.NdcgWeights == derived)
+  }
+
+  test("retrievalEval: hand-computed metrics on a tiny graded run") {
+    // 1 query, 3 terms; corpus of 5 docs with grades [3, 0, 1, 3, 2];
+    // ranked run = docs 1,2,3 (ranks 1..3)
+    val graded = Seq(
+      (0L, 1L, 3L, 3), (0L, 2L, 0L, 3), (0L, 3L, 1L, 3),
+      (0L, 4L, 3L, 3), (0L, 5L, 2L, 3))
+      .toDF("query_id", "doc_id", "grade", "n_terms")
+    val ranked = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L))
+      .toDF("query_id", "rank", "doc_id")
+      .select($"query_id", $"rank", $"doc_id")
+    val r = RetrievalOps.retrievalEval(graded, ranked).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val w = RetrievalOps.NdcgWeights
+    // n_rel: grades 3,3 → 2; hits10: only doc 1 of the run is grade-3
+    assert(row.getLong(1) == 2L, "n_rel")
+    assert(row.getLong(2) == 1L, "hits10")
+    assert(row.getLong(3) == 1000000L * 1 / 2, "recall10_micro")
+    assert(row.getLong(4) == 1L, "first_rel")
+    assert(row.getLong(5) == 1000000L, "rr_micro")
+    // DCG: rank1 grade3 gain7, rank2 grade0, rank3 grade1 gain1
+    assert(row.getLong(6) == 7 * w(0) + 1 * w(2), "dcg10_micro")
+    // ideal: grades sorted desc = 3,3,2,1,0 → gains 7,7,3,1
+    assert(row.getLong(7) == 7 * w(0) + 7 * w(1) + 3 * w(2) + 1 * w(3),
+      "idcg10_micro")
+    assert(row.getLong(8) ==
+      1000000L * row.getLong(6) / row.getLong(7), "ndcg10_micro")
+  }
+
+  test("q126: per-query invariants at SF") {
+    val rows = RetrievalOps.qRetrievalEval(spark, SF).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val Seq(nRel, hits, recall, firstRel, rr, dcg, idcg, ndcg) =
+        (1 to 8).map(r.getLong)
+      assert(nRel > 0 && hits >= 0 && hits <= 10)
+      assert(recall == 1000000L * hits / nRel)
+      assert(dcg <= idcg, "DCG must not exceed ideal DCG")
+      assert(ndcg <= 1000000L)
+      if (firstRel > 0) assert(rr == 1000000L / firstRel) else assert(rr == 0)
+      // a hit inside the top 10 implies a first relevant rank ≤ 10
+      if (hits > 0) assert(firstRel >= 1 && firstRel <= 10)
+    }
+  }
 }
