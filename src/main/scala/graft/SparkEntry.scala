@@ -152,6 +152,7 @@ object SparkEntry {
     "q124_positive_pairs" -> (TextOps.qPositivePairs _),
     "q125_snapshot_apply" -> (ext.VersioningOps.qSnapshotApply _),
     "q126_retrieval_eval" -> (ext.RetrievalOps.qRetrievalEval _),
+    "q127_pagerank" -> (SimilarityOps.qPageRank _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1567,7 +1568,7 @@ object SparkEntry {
     "q85_image_clusters", "q86_audio_incremental", "q87_pca_whiten",
     "q92_keep_best", "q97_knn_graph", "q99_fuzzy_decon", "q100_coreset",
     "q104_incremental_knn", "q105_ffd_pack", "q117_classifier_train",
-    "q122_token_ids",
+    "q122_token_ids", "q127_pagerank",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

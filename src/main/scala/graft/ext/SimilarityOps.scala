@@ -1133,6 +1133,82 @@ object SimilarityOps {
   def qKnnGraph(spark: SparkSession, dir: String): DataFrame =
     knnGraph(Tables(spark, dir).embeddings).orderBy("vec_id", "rank")
 
+  /** Deterministic integer PageRank over a directed edge list — the
+    * centrality member of the data-selection family: scoring each
+    * document by how often its neighbors' random walks land on it,
+    * so a curation pass can keep "hub" documents (or downweight them —
+    * hubs in a near-dup kNN graph are often boilerplate).
+    *
+    * Every quantity is an exact long in pico-units (SCALE = 10¹²):
+    * p₀ = SCALE div N, and each round
+    * p'(v) = base + (d_num · Σ_{u→v} (p(u) div outdeg(u))) div d_den
+    * with base = ((d_den − d_num) · (SCALE div N)) div d_den.
+    * Integer `div` truncation replaces float rounding, so the result is
+    * bit-identical under ANY partitioning (long sums are associative —
+    * the q108 rule) and re-derivable outside the engine. Mass lost to
+    * truncation and to dangling nodes (no out-edges) is NOT
+    * redistributed — the standard sink-loss contract, documented so the
+    * scores are comparable, not a probability distribution.
+    *
+    * Scale shape: per round, one equi-join of the score table against
+    * the persisted (src, dst, outdeg) edge list (≤ k·N rows for a kNN
+    * graph) and one map-side-combinable sum per dst — O(iters) bounded
+    * shuffles, the q51 connected-components discipline (persist each
+    * generation, free the previous one immediately). No global sort,
+    * no driver-side state beyond the node count.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 8,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen,
+      "pageRank: need iters ≥ 1 and 0 ≤ dampNum ≤ dampDen")
+    val Scale = 1000000000000L
+    val nodeIds = graft.CacheRegistry.persist(nodes.select(col("node_id")))
+    val n = nodeIds.count()
+    require(n > 0, "pageRank needs at least one node")
+    val p0 = Scale / n
+    val base = (dampDen - dampNum) * p0 / dampDen
+    // persisting (src, dst, outdeg) freezes the caller's whole edge
+    // pipeline (for a kNN graph: LSH buckets + cosine + top-k window) —
+    // unpersisted it would re-execute once per iteration
+    val withDeg = graft.CacheRegistry.persist(
+      edges.select(col("src"), col("dst"))
+        .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"))
+    var p = graft.CacheRegistry.persist(
+      nodeIds.select(col("node_id"), lit(p0).as("pr")))
+    p.count() // materialize generation 0 before the loop reads it
+    for (_ <- 1 to iters) {
+      val sums = withDeg
+        .join(p.select(col("node_id").as("src"), col("pr")), Seq("src"))
+        .select(col("dst").as("node_id"), expr("pr div outdeg").as("c"))
+        .groupBy("node_id").agg(sum("c").as("s"))
+      val next = graft.CacheRegistry.persist(
+        nodeIds.join(sums, Seq("node_id"), "left")
+          .select(col("node_id"), (lit(base) +
+            expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("pr")))
+      next.count() // materialize before freeing the superseded generation
+      p.unpersist(blocking = false)
+      p = next
+    }
+    p
+  }
+
+  /** q127: document centrality — 8-round integer PageRank over the q97
+    * 5-NN graph (every embedded doc is a node; edges are its top-5
+    * LSH-candidate neighbors). Golden oracle (hyperplane LSH edges are
+    * hash-seeded); SimilaritySpec re-derives the full iteration in
+    * plain Scala.
+    */
+  def qPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    pageRank(
+        t.embeddings.select(col("vec_id").as("node_id")),
+        knnGraph(t.embeddings)
+          .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+      .select(col("node_id").as("vec_id"), col("pr").as("pr_pico"))
+      .orderBy("vec_id")
+  }
+
   /** k-CENTER GREEDY CORESET (Gonzalez 1985) over the embedding table —
     * diversity-based exemplar selection, the coverage-driven member of
     * the sampling family (uniform/stratified/mixture/DSIR/temperature

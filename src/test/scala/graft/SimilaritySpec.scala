@@ -668,4 +668,49 @@ class SimilaritySpec extends SparkSpec {
     val n = out.count(_.getBoolean(6))
     assert(n > 0 && n < out.length)
   }
+
+  test("pageRank: hand-computed two-round trace with a dangling node") {
+    // 1 → 2, 1 → 3, 2 → 1; node 3 is dangling (its mass drains)
+    val nodes = Seq(1L, 2L, 3L).toDF("node_id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    val out = ext.SimilarityOps.pageRank(nodes, edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scale = 1000000000000L
+    val p0 = scale / 3
+    val base = 15L * p0 / 100L
+    // round 1: node1 ← p0/1 (from 2); node2,3 ← p0/2 (from 1)
+    val r1 = Map(1L -> (base + 85L * (p0 / 1) / 100L),
+      2L -> (base + 85L * (p0 / 2) / 100L),
+      3L -> (base + 85L * (p0 / 2) / 100L))
+    val r2 = Map(1L -> (base + 85L * (r1(2L) / 1) / 100L),
+      2L -> (base + 85L * (r1(1L) / 2) / 100L),
+      3L -> (base + 85L * (r1(1L) / 2) / 100L))
+    assert(out == r2)
+    // dangling node 3 contributes nothing anywhere: total mass shrinks
+    assert(out.values.sum < scale)
+  }
+
+  test("q127: full integer PageRank re-derived in plain Scala") {
+    val out = ext.SimilarityOps.qPageRank(spark, SF).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = ext.SimilarityOps.knnGraph(Tables(spark, SF).embeddings)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = Tables(spark, SF).embeddings.select("vec_id").collect()
+      .map(_.getLong(0))
+    val scale = 1000000000000L
+    val n = nodes.length
+    val p0 = scale / n
+    val base = 15L * p0 / 100L
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length }
+    var p = nodes.map(_ -> p0).toMap
+    for (_ <- 1 to 8) {
+      val sums = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => p(s) / outdeg(s) }.sum
+      }
+      p = nodes.map(v => v -> (base + 85L * sums.getOrElse(v, 0L) / 100L)).toMap
+    }
+    assert(out.size == n)
+    assert(out == p, "engine PageRank != plain-Scala re-derivation")
+  }
 }
