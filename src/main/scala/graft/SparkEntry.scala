@@ -153,6 +153,7 @@ object SparkEntry {
     "q125_snapshot_apply" -> (ext.VersioningOps.qSnapshotApply _),
     "q126_retrieval_eval" -> (ext.RetrievalOps.qRetrievalEval _),
     "q127_pagerank" -> (SimilarityOps.qPageRank _),
+    "q128_curriculum" -> (SamplingOps.qCurriculum _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1545,6 +1546,27 @@ object SparkEntry {
         |FROM pq p JOIN hist h ON h.query_id = p.query_id
         |JOIN idcg i ON i.query_id = p.query_id
         |ORDER BY p.query_id""".stripMargin,
+    "q128_curriculum" ->
+      """WITH base AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  md5(CAST(doc_id AS VARCHAR)) AS md5key FROM documents),
+        |b AS (SELECT doc_id, source, n_tokens,
+        |  CAST(CASE WHEN n_tokens <= 35 THEN 0 WHEN n_tokens <= 60 THEN 1
+        |       WHEN n_tokens <= 85 THEN 2 ELSE 3 END AS BIGINT) AS band,
+        |  md5key FROM base),
+        |p AS (SELECT doc_id, source, n_tokens, band,
+        |  CAST(row_number() OVER (PARTITION BY band, source
+        |    ORDER BY md5key, doc_id) - 1 AS BIGINT) AS pos FROM b),
+        |g AS (SELECT *, row_number() OVER (PARTITION BY band
+        |  ORDER BY pos, source) - 1 AS band_pos FROM p),
+        |t AS (SELECT band, count(*) AS total FROM p GROUP BY 1),
+        |o AS (SELECT band, CAST(COALESCE(sum(total) OVER (ORDER BY band
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |  AS band_off FROM t)
+        |SELECT g.doc_id, g.source, g.n_tokens, g.band, g.pos,
+        | CAST(o.band_off + g.band_pos AS BIGINT) AS global_pos
+        |FROM g JOIN o ON o.band = g.band
+        |ORDER BY global_pos""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

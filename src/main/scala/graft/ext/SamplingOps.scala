@@ -680,4 +680,89 @@ object SamplingOps {
         col("shard"), col("order_key"), col("position"))
       .orderBy("doc_id", "epoch")
   }
+
+  /** CURRICULUM INTERLEAVE — a global training order that is (a) a
+    * length curriculum (short documents first, by band) and (b)
+    * round-robin interleaved across sources inside each band, so no
+    * source is ever clumped (the "don't feed 10⁶ consecutive docs from
+    * one crawl" rule). Within a (band, source) cell the order is the
+    * md5 permutation (crawl-order bias removed, q113's rule).
+    *
+    * The global position is computed WITHOUT any global sort or hot
+    * window: cell-local positions come from per-(band, source, shard)
+    * windows (shard = top-48-bit slice of the SAME md5 ordering key, so
+    * shard boundaries respect the cell order — q113's proof) plus
+    * shard offsets from the tiny (band, source, shard) histogram; the
+    * cross-source interleave is then a CLOSED FORM over the band's
+    * per-source count vector: for a row at cell position p in source s,
+    *   band_pos = Σ_{s'} min(p, c_{s'})  +  |{s' < s : p < c_{s'}}|
+    * (rows of other sources that interleave strictly before (p, s)),
+    * evaluated as an array fold over the ≤|sources|-entry count vector
+    * broadcast per band — O(|sources|) per row, NO row-multiplying
+    * join, no shuffle beyond the histogram aggs. Band offsets close the
+    * order globally. Every rank is dense and exact, so the output is a
+    * permutation of 0..N−1 (spec-asserted). Direct DuckDB oracle (the
+    * oracle derives band_pos with a plain window — a genuinely
+    * different algorithm).
+    */
+  def curriculumInterleave(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    require(nShards >= 1 && nShards <= 32768,
+      s"nShards ($nShards) must be in [1, 32768] (48-bit shard slice)")
+    val n = col("n_tokens")
+    val band = when(n <= 35, 0L).when(n <= 60, 1L).when(n <= 85, 2L)
+      .otherwise(3L)
+    val base = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      .withColumn("band", band)
+      .withColumn("md5key", md5(col("doc_id").cast("string")))
+      .withColumn("shard", expr(
+        s"(cast(conv(substring(md5key, 1, 12), 16, 10) AS BIGINT)" +
+          s" * $nShards) div ${1L << 48}").cast("bigint"))
+    val wCell = Window.partitionBy("band", "source", "shard")
+      .orderBy(asc("md5key"), asc("doc_id"))
+    // persisted: the histogram agg AND the final projection both read it
+    val ranked = graft.CacheRegistry.persist(base
+      .withColumn("r", (row_number().over(wCell) - 1).cast("bigint"))
+      .select("doc_id", "source", "n_tokens", "band", "shard", "r"))
+    val hist = graft.CacheRegistry.persist(
+      ranked.groupBy("band", "source", "shard").agg(count(lit(1)).as("c")))
+    val wOff = Window.partitionBy("band", "source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist
+      .withColumn("shard_off", coalesce(sum("c").over(wOff), lit(0L)))
+      .select("band", "source", "shard", "shard_off")
+    val cellCounts = hist.groupBy("band", "source").agg(sum("c").as("c"))
+    // per-band count vector, sources in lexicographic order (array_sort
+    // on a struct array orders by the leading field)
+    val bandVec = cellCounts.groupBy("band").agg(
+      array_sort(collect_list(struct(col("source").as("s"), col("c"))))
+        .as("sc"))
+    val wBand = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ≤4 rows: the unpartitioned window runs over the band totals only
+    val bandOff = cellCounts.groupBy("band").agg(sum("c").as("total"))
+      .withColumn("band_off", coalesce(sum("total").over(wBand), lit(0L)))
+      .select("band", "band_off")
+    val sumMin = aggregate(col("sc"), lit(0L),
+      (acc, e) => acc + least(col("pos"), e.getField("c")))
+    val nBefore = size(filter(col("sc"), e =>
+      e.getField("s") < col("source") && col("pos") < e.getField("c")))
+      .cast("bigint")
+    ranked
+      .join(broadcast(offsets), Seq("band", "source", "shard"))
+      .withColumn("pos", col("shard_off") + col("r"))
+      .join(broadcast(bandVec), Seq("band"))
+      .join(broadcast(bandOff), Seq("band"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("band"),
+        col("pos"), (col("band_off") + sumMin + nBefore).as("global_pos"))
+  }
+
+  /** q128: curriculum order over documents — 4 length bands, md5 order
+    * within each (band, source) cell, sources round-robin interleaved
+    * per band. Direct DuckDB oracle.
+    */
+  def qCurriculum(spark: SparkSession, dir: String): DataFrame =
+    curriculumInterleave(
+        Tables(spark, dir).documents.select("doc_id", "source", "text"))
+      .orderBy("global_pos")
 }

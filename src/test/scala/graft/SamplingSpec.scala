@@ -411,4 +411,39 @@ class SamplingSpec extends SparkSpec {
       g.exists(t => t._1 >= 10000000L && t._4) && g.exists(t => t._1 < 10000000L && !t._4)
     }, "no group kept only the mirror copy — low-id bias not removed")
   }
+
+  test("q128 curriculum: permutation, band monotonicity, round-robin interleave") {
+    val rows = SamplingOps.qCurriculum(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val n = rows.length
+    // global_pos is a dense permutation of 0..N−1
+    assert(rows.map(_._6).sorted.toSeq == (0L until n))
+    val byPos = rows.sortBy(_._6)
+    // bands are contiguous and ascending along the global order
+    assert(byPos.map(_._4).zip(byPos.map(_._4).tail)
+      .forall { case (a, b) => a <= b }, "band order broken")
+    // within a band: cell positions are non-decreasing along the global
+    // order, and each source's own rows appear in cell-position order
+    byPos.groupBy(_._4).foreach { case (_, band) =>
+      val ordered = band.sortBy(_._6)
+      assert(ordered.map(_._5).zip(ordered.map(_._5).tail)
+        .forall { case (a, b) => a <= b }, "interleave not by cell position")
+      ordered.groupBy(_._2).foreach { case (_, ofSource) =>
+        val ps = ofSource.sortBy(_._6).map(_._5)
+        assert(ps.toSeq == (0L until ps.length), "cell positions not dense")
+      }
+      // the first |sources present| slots cycle through distinct sources
+      val nSources = band.map(_._2).distinct.length
+      val head = ordered.take(nSources).map(_._2)
+      assert(head.distinct.length == nSources,
+        "round-robin head repeats a source before covering all")
+    }
+    // band thresholds honored
+    rows.foreach { case (_, _, nt, band, _, _) =>
+      val expect = if (nt <= 35) 0L else if (nt <= 60) 1L
+        else if (nt <= 85) 2L else 3L
+      assert(band == expect)
+    }
+  }
 }
