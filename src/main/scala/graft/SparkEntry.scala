@@ -154,6 +154,7 @@ object SparkEntry {
     "q126_retrieval_eval" -> (ext.RetrievalOps.qRetrievalEval _),
     "q127_pagerank" -> (SimilarityOps.qPageRank _),
     "q128_curriculum" -> (SamplingOps.qCurriculum _),
+    "q129_fertility" -> (TextOps.qFertility _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1590,7 +1591,7 @@ object SparkEntry {
     "q85_image_clusters", "q86_audio_incremental", "q87_pca_whiten",
     "q92_keep_best", "q97_knn_graph", "q99_fuzzy_decon", "q100_coreset",
     "q104_incremental_knn", "q105_ffd_pack", "q117_classifier_train",
-    "q122_token_ids", "q127_pagerank",
+    "q122_token_ids", "q127_pagerank", "q129_fertility",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

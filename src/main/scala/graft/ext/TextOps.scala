@@ -1431,4 +1431,51 @@ object TextOps {
   def qSpanCorrupt(spark: SparkSession, dir: String): DataFrame =
     spanCorrupt(Tables(spark, dir).documents.select("doc_id", "text"))
       .orderBy("doc_id")
+
+  /** TOKENIZER FERTILITY by language — the report that decides whether
+    * a tokenizer is fair across a multilingual mix: pieces-per-word
+    * (fertility) and bytes-per-piece per language. A language whose
+    * fertility is 2× another's pays 2× the sequence length for the
+    * same text — the standard argument for retraining or enlarging a
+    * vocabulary before a multilingual run.
+    *
+    * Ratios are exact integer micro-units over EXACT long sums
+    * (nonnegative `div`, the q113 rule), so the report is
+    * bit-deterministic under any partitioning.
+    *
+    * Scale shape: the BPE application ([[bpeApply]], broadcast merge
+    * table, narrow map) dominates; its per-doc piece counts join the
+    * per-doc (lang, words, bytes) projection on doc_id and collapse
+    * into a per-language hash agg — map-side combine reduces each
+    * partition to |langs| rows before the only shuffle. Golden oracle
+    * (BPE merges are not SQL-expressible).
+    */
+  def fertilityReport(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val pieces = bpeApply(docs, merges)
+      .select(col("doc_id"), col("bpe_symbols"))
+    val meta = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("bigint").as("n_words"),
+      octet_length(col("text")).cast("bigint").as("n_bytes"))
+    meta.join(pieces, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("words"),
+        sum("bpe_symbols").as("pieces"), sum("n_bytes").as("bytes"))
+      .withColumn("fertility_micro",
+        when(col("words") > 0, expr("(1000000 * pieces) div words")))
+      .withColumn("bytes_per_piece_micro",
+        when(col("pieces") > 0, expr("(1000000 * bytes) div pieces")))
+      .select(col("lang"), col("n_docs"), col("words"), col("pieces"),
+        col("bytes"), col("fertility_micro").cast("long").as("fertility_micro"),
+        col("bytes_per_piece_micro").cast("long").as("bytes_per_piece_micro"))
+      .orderBy("lang")
+  }
+
+  /** q129: fertility of the q75-trained BPE tokenizer across the
+    * corpus's language labels. Golden oracle; TextSpec re-derives the
+    * aggregation from the audited q76 per-doc outputs.
+    */
+  def qFertility(spark: SparkSession, dir: String): DataFrame =
+    fertilityReport(Tables(spark, dir).documents,
+      bpeMerges(spark, dir).map(m => (m._2, m._3)))
 }

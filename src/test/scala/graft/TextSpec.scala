@@ -864,4 +864,30 @@ class TextSpec extends SparkSpec {
     assert(out(10L)._1 == 1 && out(10L)._2 == 1 && out(10L)._3 == 1)
     assert(out(10L)._4 == "<AWS_KEY> <HEX_SECRET> <B64_SECRET>")
   }
+
+  test("q129 fertility: aggregation re-derived from the audited q76 outputs") {
+    val report = TextOps.qFertility(spark, SF).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // independent aggregation: q76's per-doc piece counts (their own
+    // golden-verified chain) + a fresh (lang, words, bytes) projection
+    val perDoc = TextOps.qBpeApply(spark, SF).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val docs = Tables(spark, SF).documents
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = docs.groupBy(_._2).map { case (lang, ds) =>
+      val words = ds.map(_._3.split(" ", -1).length.toLong).sum
+      val pieces = ds.map(d => perDoc(d._1)).sum
+      val bytes = ds.map(_._3.getBytes("UTF-8").length.toLong).sum
+      lang -> (ds.length.toLong, words, pieces, bytes,
+        1000000L * pieces / words, 1000000L * bytes / pieces)
+    }
+    assert(report == expect)
+    // fertility must be > 1 piece/word everywhere (</w> markers alone
+    // guarantee it) and finite
+    report.values.foreach { case (_, _, _, _, fert, bpp) =>
+      assert(fert > 1000000L && bpp > 0L)
+    }
+  }
 }
