@@ -1205,6 +1205,104 @@ object SqlQueries {
         | WHERE status != 'removed')
         |SELECT doc_id, md5(text) AS text_hash FROM applied
         |ORDER BY doc_id""".stripMargin,
+    "q126_retrieval_eval" ->
+      """WITH docs AS (SELECT doc_id, split(text, ' ') AS toks,
+        |  CAST(size(split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM docs),
+        |queries AS (SELECT * FROM VALUES
+        |  (0L, array('fast','table')), (1L, array('spark','query','join')),
+        |  (2L, array('vector','batch','merge')) AS q(query_id, terms)),
+        |qt AS (SELECT query_id, explode(terms) AS term FROM queries),
+        |tok AS (SELECT doc_id, explode(toks) AS tok FROM docs),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |df AS (SELECT t.term,
+        |  CAST(sum(CASE WHEN array_contains(d.toks, t.term) THEN 1 ELSE 0 END)
+        |    AS DOUBLE) AS df
+        | FROM (SELECT DISTINCT term FROM qt) t
+        | CROSS JOIN docs d GROUP BY 1),
+        |scored AS (SELECT qt.query_id, d.doc_id,
+        |  sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+        |      * COALESCE(tf.c, 0) * 2.2
+        |      / (COALESCE(tf.c, 0) + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+        |    AS score
+        | FROM qt CROSS JOIN docs d CROSS JOIN stats s
+        | JOIN df ON df.term = qt.term
+        | LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.tok = qt.term
+        | GROUP BY 1, 2),
+        |run AS (SELECT * FROM (SELECT query_id, doc_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(score, 6) DESC, doc_id) AS rank
+        | FROM scored) WHERE rank <= 20),
+        |grades AS (SELECT qt.query_id, d.doc_id,
+        |  CAST(sum(CASE WHEN COALESCE(tf.c, 0) >= 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS grade
+        | FROM qt CROSS JOIN docs d
+        | LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.tok = qt.term
+        | GROUP BY 1, 2),
+        |qn AS (SELECT query_id, size(terms) AS n_terms FROM queries),
+        |hist AS (SELECT g.query_id,
+        |  sum(CASE WHEN g.grade = qn.n_terms THEN 1L ELSE 0L END) AS n_rel,
+        |  sum(CASE WHEN g.grade = 3 THEN 1L ELSE 0L END) AS n_g3,
+        |  sum(CASE WHEN g.grade = 2 THEN 1L ELSE 0L END) AS n_g2,
+        |  sum(CASE WHEN g.grade = 1 THEN 1L ELSE 0L END) AS n_g1
+        | FROM grades g JOIN qn ON qn.query_id = g.query_id GROUP BY 1),
+        |weights AS (SELECT * FROM VALUES (1,1000000L),(2,630930L),(3,500000L),
+        |  (4,430677L),(5,386853L),(6,356207L),(7,333333L),(8,315465L),
+        |  (9,301030L),(10,289065L) AS w(r, w)),
+        |idcg AS (SELECT h.query_id, sum(
+        |  (CASE WHEN wt.r <= h.n_g3 THEN 7L
+        |        WHEN wt.r <= h.n_g3 + h.n_g2 THEN 3L
+        |        WHEN wt.r <= h.n_g3 + h.n_g2 + h.n_g1 THEN 1L
+        |        ELSE 0L END) * wt.w) AS idcg10_micro
+        | FROM hist h CROSS JOIN weights wt GROUP BY 1),
+        |pq AS (SELECT r.query_id,
+        |  sum(CASE WHEN r.rank <= 10 AND g.grade = qn.n_terms
+        |    THEN 1L ELSE 0L END) AS hits10,
+        |  sum(CASE WHEN r.rank <= 10 THEN
+        |    (CASE g.grade WHEN 3 THEN 7L WHEN 2 THEN 3L WHEN 1 THEN 1L
+        |     ELSE 0L END) * wt.w ELSE 0L END) AS dcg10_micro,
+        |  min(CASE WHEN g.grade = qn.n_terms THEN CAST(r.rank AS BIGINT) END)
+        |    AS first_rel
+        | FROM run r
+        | JOIN grades g ON g.query_id = r.query_id AND g.doc_id = r.doc_id
+        | JOIN qn ON qn.query_id = r.query_id
+        | LEFT JOIN weights wt ON wt.r = r.rank
+        | GROUP BY 1)
+        |SELECT p.query_id, h.n_rel, p.hits10,
+        | CASE WHEN h.n_rel > 0 THEN (1000000 * p.hits10) div h.n_rel END
+        |   AS recall10_micro,
+        | COALESCE(p.first_rel, 0L) AS first_rel,
+        | CASE WHEN p.first_rel IS NOT NULL THEN 1000000 div p.first_rel
+        |   ELSE 0L END AS rr_micro,
+        | p.dcg10_micro, i.idcg10_micro,
+        | CASE WHEN i.idcg10_micro > 0
+        |   THEN (1000000 * p.dcg10_micro) div i.idcg10_micro END AS ndcg10_micro
+        |FROM pq p JOIN hist h ON h.query_id = p.query_id
+        |JOIN idcg i ON i.query_id = p.query_id
+        |ORDER BY p.query_id""".stripMargin,
+    "q128_curriculum" ->
+      """WITH base AS (SELECT doc_id, source,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  md5(CAST(doc_id AS STRING)) AS md5key FROM documents),
+        |b AS (SELECT doc_id, source, n_tokens,
+        |  CAST(CASE WHEN n_tokens <= 35 THEN 0 WHEN n_tokens <= 60 THEN 1
+        |       WHEN n_tokens <= 85 THEN 2 ELSE 3 END AS BIGINT) AS band,
+        |  md5key FROM base),
+        |p AS (SELECT doc_id, source, n_tokens, band,
+        |  CAST(row_number() OVER (PARTITION BY band, source
+        |    ORDER BY md5key, doc_id) - 1 AS BIGINT) AS pos FROM b),
+        |g AS (SELECT doc_id, source, n_tokens, band, pos,
+        |  row_number() OVER (PARTITION BY band ORDER BY pos, source) - 1
+        |    AS band_pos FROM p),
+        |t AS (SELECT band, count(*) AS total FROM p GROUP BY band),
+        |o AS (SELECT band, CAST(COALESCE(sum(total) OVER (ORDER BY band
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |  AS band_off FROM t)
+        |SELECT g.doc_id, g.source, g.n_tokens, g.band, g.pos,
+        | CAST(o.band_off + g.band_pos AS BIGINT) AS global_pos
+        |FROM g JOIN o ON o.band = g.band
+        |ORDER BY global_pos""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs
