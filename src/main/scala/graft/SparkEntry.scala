@@ -155,6 +155,7 @@ object SparkEntry {
     "q127_pagerank" -> (SimilarityOps.qPageRank _),
     "q128_curriculum" -> (SamplingOps.qCurriculum _),
     "q129_fertility" -> (TextOps.qFertility _),
+    "q130_bitext_mine" -> (SimilarityOps.qBitextMine _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1591,7 +1592,7 @@ object SparkEntry {
     "q85_image_clusters", "q86_audio_incremental", "q87_pca_whiten",
     "q92_keep_best", "q97_knn_graph", "q99_fuzzy_decon", "q100_coreset",
     "q104_incremental_knn", "q105_ffd_pack", "q117_classifier_train",
-    "q122_token_ids", "q127_pagerank", "q129_fertility",
+    "q122_token_ids", "q127_pagerank", "q129_fertility", "q130_bitext_mine",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

@@ -1193,6 +1193,90 @@ object SimilarityOps {
     p
   }
 
+  /** BITEXT MARGIN MINING (Artetxe & Schwenk 2019) — parallel-pair
+    * mining across two embedding sides (e.g. two languages through a
+    * shared encoder): a candidate pair (x, y) scores
+    * margin(x, y) = 2·cos(x, y) / (denom(x) + denom(y)), where denom(v)
+    * is the mean cosine of v's top-k cross-side candidates — the ratio
+    * test that suppresses "hub" vectors which are close to everything.
+    * Each source vector keeps its best-margin target; `mined` flags
+    * pairs clearing the margin threshold.
+    *
+    * Determinism: cosines are rounded to exact micro-longs before ANY
+    * ranking or division; denominators and margins are integer `div`
+    * (margins only ever computed over positive denominators — a
+    * non-positive denominator sum yields NULL margin → not mined).
+    *
+    * Scale shape: candidates come from [[candidateCosines]] over the
+    * union (capped LSH buckets — no cross-join of the sides); the
+    * symmetrized candidate list is persisted and feeds both the top-k
+    * denominator pass and the pair scoring; top-k is a rank-filtered
+    * window (WindowGroupLimit pre-exchange). Denominator join-back is
+    * on single keys. Golden oracle (hyperplane LSH); SimilaritySpec
+    * re-derives margins in plain Scala and checks planted-translation
+    * recovery.
+    */
+  def marginMining(srcEmb: DataFrame, tgtEmb: DataFrame, sideSplit: Long,
+      topKDenom: Int = 4, marginThresholdMicro: Long = 1020000L,
+      bands: Int = 4, bitsPerBand: Int = 0): DataFrame = {
+    require(topKDenom >= 1, "topKDenom must be ≥ 1")
+    val all = srcEmb.select(col("vec_id"), col("embedding"))
+      .unionByName(tgtEmb.select(col("vec_id"), col("embedding")))
+    val isSrc = (c: Column) => c < lit(sideSplit)
+    val sym = graft.CacheRegistry.persist(
+      pairEndpoints(candidateCosines(all, bands, bitsPerBand))
+        .filter(col("cos").isNotNull)
+        .filter(isSrc(col("vec_id")) =!= isSrc(col("nbr_id")))
+        .withColumn("cos_micro", round(col("cos") * 1000000, 0).cast("long"))
+        .select("vec_id", "nbr_id", "cos_micro"))
+    val wD = Window.partitionBy("vec_id")
+      .orderBy(desc("cos_micro"), asc("nbr_id"))
+    val denom = sym.withColumn("rk", row_number().over(wD))
+      .filter(col("rk") <= topKDenom)
+      .groupBy("vec_id")
+      .agg(sum("cos_micro").as("dsum"), count(lit(1)).as("dcnt"))
+      .select(col("vec_id"), expr("dsum div dcnt").as("denom_micro"))
+    val wBest = Window.partitionBy("src_id")
+      .orderBy(desc("margin_micro"), asc("tgt_id"))
+    sym.filter(isSrc(col("vec_id")))
+      .select(col("vec_id").as("src_id"), col("nbr_id").as("tgt_id"),
+        col("cos_micro"))
+      .join(denom.select(col("vec_id").as("src_id"),
+        col("denom_micro").as("src_denom")), "src_id")
+      .join(denom.select(col("vec_id").as("tgt_id"),
+        col("denom_micro").as("tgt_denom")), "tgt_id")
+      .withColumn("margin_micro",
+        when(col("src_denom") + col("tgt_denom") > 0,
+          expr("(2000000 * cos_micro) div (src_denom + tgt_denom)")))
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cos_micro"),
+        col("src_denom"), col("tgt_denom"),
+        col("margin_micro").cast("long").as("margin_micro"),
+        coalesce(col("margin_micro") >= marginThresholdMicro, lit(false))
+          .as("mined"))
+  }
+
+  /** q130: bitext mining over a staged second side — embeddings with
+    * vec_id % 3 ≠ 0 get a deterministic "translation" (ids +10⁷, every
+    * (i + id) % 5 -th component damped to 0.8); the % 3 == 0 third has
+    * NO true counterpart, so for those sources every candidate is a
+    * distractor and the margin test should refuse to mine. Golden
+    * oracle.
+    */
+  def qBitextMine(spark: SparkSession, dir: String): DataFrame = {
+    val Offset = 10000000L
+    val emb = Tables(spark, dir).embeddings
+    val src = emb.select(col("vec_id"),
+      toDouble(col("embedding")).as("embedding"))
+    val tgt = emb.filter(col("vec_id") % 3 =!= 0)
+      .select((col("vec_id") + Offset).as("vec_id"),
+        transform(toDouble(col("embedding")),
+          (e, i) => when((i.cast("long") + col("vec_id")) % 5 === 0, e * 0.8)
+            .otherwise(e)).as("embedding"))
+    marginMining(src, tgt, sideSplit = Offset).orderBy("src_id")
+  }
+
   /** q127: document centrality — 8-round integer PageRank over the q97
     * 5-NN graph (every embedded doc is a node; edges are its top-5
     * LSH-candidate neighbors). Golden oracle (hyperplane LSH edges are

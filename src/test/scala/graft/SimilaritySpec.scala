@@ -690,6 +690,66 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.sum < scale)
   }
 
+  test("q130 bitext mining: margins re-derived in plain Scala; planted recovery") {
+    val offset = 10000000L
+    val out = ext.SimilarityOps.qBitextMine(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    // every source WITH a planted translation recovers and mines it
+    val withTr = out.filter(_._1 % 3 != 0)
+    assert(withTr.nonEmpty)
+    withTr.foreach { case (s, t, _, _, _, _, mined) =>
+      assert(t == s + offset, s"src $s best match is not its translation")
+      assert(mined, s"src $s translation not mined")
+    }
+    // sources WITHOUT a translation mostly fail the margin test
+    val noTr = out.filter(_._1 % 3 == 0)
+    assert(noTr.nonEmpty)
+    assert(noTr.count(_._7).toDouble / noTr.length < 0.25,
+      "margin test fails to suppress distractors")
+    // re-derive denominators and margins in plain Scala from the
+    // engine's candidate pairs (candidateCosines is itself re-derived
+    // from first principles in GoldenDerivationSpec)
+    val emb = Tables(spark, SF).embeddings
+    val src = emb.select(col("vec_id"),
+      ext.SimilarityOps.toDouble(col("embedding")).as("embedding"))
+    val tgt = emb.filter(col("vec_id") % 3 =!= 0)
+      .select((col("vec_id") + offset).as("vec_id"),
+        transform(ext.SimilarityOps.toDouble(col("embedding")),
+          (e, i) => when((i.cast("long") + col("vec_id")) % 5 === 0, e * 0.8)
+            .otherwise(e)).as("embedding"))
+    val cands = ext.SimilarityOps.candidateCosines(src.unionByName(tgt))
+      .collect().filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def micro(c: Double): Long = BigDecimal(java.math.BigDecimal.valueOf(c * 1000000))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val sym = cands.flatMap { case (a, b, c) => Seq((a, b, micro(c)), (b, a, micro(c))) }
+      .filter { case (a, b, _) => (a < offset) != (b < offset) }
+    val denom = sym.groupBy(_._1).map { case (v, es) =>
+      val top = es.sortBy(e => (-e._3, e._2)).take(4).map(_._3)
+      v -> top.sum / top.length
+    }
+    val expect = sym.filter(_._1 < offset).groupBy(_._1).map { case (s, es) =>
+      val scored = es.map { case (_, t, c) =>
+        val d = denom(s) + denom(t)
+        val m = if (d > 0) Some(2000000L * c / d) else None
+        (t, c, m)
+      }
+      // NULL margins rank last (Spark desc puts NULLs last); negate via
+      // map so None never overflows
+      val best = scored.minBy { case (t, _, m) =>
+        (m.map(-_).getOrElse(Long.MaxValue), t)
+      }
+      s -> (best._1, best._2, denom(s), denom(best._1),
+        best._3.getOrElse(0L), best._3.exists(_ >= 1020000L))
+    }
+    out.foreach { case (s, t, c, ds, dt, m, mined) =>
+      val e = expect(s)
+      assert((t, c, ds, dt, mined) == ((e._1, e._2, e._3, e._4, e._6)), s"src $s")
+      if (e._5 != 0L) assert(m == e._5, s"src $s margin")
+    }
+  }
+
   test("q127: full integer PageRank re-derived in plain Scala") {
     val out = ext.SimilarityOps.qPageRank(spark, SF).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
