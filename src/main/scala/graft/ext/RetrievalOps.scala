@@ -119,6 +119,10 @@ object RetrievalOps {
     * DuckDB `//` for nonnegative operands — the q113 rule). No float
     * ever crosses an output boundary, so the DuckDB oracle is DIRECT.
     *
+    * Contract: every judged query (present in `graded`) gets a report
+    * row — a query with an empty run, or a run none of whose docs carry
+    * judgments, reports hits10 = dcg10 = rr = 0 rather than vanishing.
+    *
     * Scale shape: the ranked run is top-k-pruned BEFORE it reaches the
     * metrics (≤20·|queries| rows); judgments are ONE narrow pass over
     * the corpus (per-doc grade via an array fold — no token explode,
@@ -163,7 +167,13 @@ object RetrievalOps {
           gain(col("grade")) * element_at(wArr, col("rank").cast("int")))
         .otherwise(0L)).as("dcg10_micro"),
       min(when(col("grade") === col("n_terms"), col("rank"))).as("first_rel"))
-    perQuery.join(hist, Seq("query_id"))
+    // hist covers every JUDGED query; left-join so a query whose run is
+    // empty (or whose run docs carry no judgments) reports zero metrics
+    // instead of silently vanishing from the report — a mean-over-
+    // queries downstream would otherwise overstate retrieval quality
+    hist.join(perQuery, Seq("query_id"), "left")
+      .withColumn("hits10", coalesce(col("hits10"), lit(0L)))
+      .withColumn("dcg10_micro", coalesce(col("dcg10_micro"), lit(0L)))
       .withColumn("idcg10_micro", idcg)
       .withColumn("recall10_micro",
         when(col("n_rel") > 0, expr("(1000000 * hits10) div n_rel")))

@@ -1159,8 +1159,8 @@ object SimilarityOps {
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 8,
       dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
-    require(iters >= 1 && dampNum >= 0 && dampNum <= dampDen,
-      "pageRank: need iters ≥ 1 and 0 ≤ dampNum ≤ dampDen")
+    require(iters >= 1 && dampDen >= 1 && dampNum >= 0 && dampNum <= dampDen,
+      "pageRank: need iters ≥ 1 and 1 ≤ dampDen, 0 ≤ dampNum ≤ dampDen")
     val Scale = 1000000000000L
     val nodeIds = graft.CacheRegistry.persist(nodes.select(col("node_id")))
     val n = nodeIds.count()
@@ -1174,28 +1174,38 @@ object SimilarityOps {
     val e0 = graft.CacheRegistry.persist(edges.select(col("src"), col("dst")))
     val withDeg = graft.CacheRegistry.persist(
       e0.join(e0.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"))
-    // generations are localCheckpoint'ed, not merely persisted: each
-    // round's logical plan otherwise NESTS every earlier round's, and
-    // per-iteration analysis cost grows with the tree (measured
-    // 1.4 s → 4 s per round by iteration 8 at sf0.1). Truncating the
-    // lineage keeps planning O(1) per round; the checkpoint data is
-    // already-computed deterministic longs, so results are unchanged.
-    // (On a real cluster a reliable checkpoint dir would back this for
-    // fault tolerance — same API shape.)
-    var p = nodeIds.select(col("node_id"), lit(p0).as("pr"))
-      .localCheckpoint(true)
+    // each score generation is materialized as a PERSISTED RDD and
+    // re-wrapped via createDataFrame: each round's Catalyst plan
+    // otherwise NESTS every earlier round's, and per-iteration analysis
+    // cost grows with the tree (measured 1.4 s → 4 s per round by
+    // iteration 8 at sf0.1). The RDD boundary keeps planning O(1) per
+    // round AND gives a real handle to free the superseded generation
+    // (Dataset.unpersist is a CacheManager no-op on a checkpointed
+    // plan — only rdd.unpersist actually drops the blocks). The
+    // checkpointed data is already-computed deterministic longs, so
+    // results are unchanged; on a real cluster a reliable checkpoint
+    // dir would back this for fault tolerance.
+    val spark = nodes.sparkSession
+    def freeze(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val r = df.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count() // materialize this generation before the old one is freed
+      (spark.createDataFrame(r, df.schema), r)
+    }
+    var (p, pRdd) = freeze(nodeIds.select(col("node_id"), lit(p0).as("pr")))
     for (_ <- 1 to iters) {
       val sums = withDeg
         .join(p.select(col("node_id").as("src"), col("pr")), Seq("src"))
         .select(col("dst").as("node_id"), expr("pr div outdeg").as("c"))
         .groupBy("node_id").agg(sum("c").as("s"))
-      val next = nodeIds.join(sums, Seq("node_id"), "left")
+      val (next, nextRdd) = freeze(nodeIds.join(sums, Seq("node_id"), "left")
         .select(col("node_id"), (lit(base) +
           expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
-          .as("pr"))
-        .localCheckpoint(true) // eager: computed before the old gen is freed
-      p.unpersist(blocking = false)
+          .as("pr")))
+      pRdd.unpersist(blocking = false)
       p = next
+      pRdd = nextRdd
     }
     p
   }

@@ -93,6 +93,24 @@ class RetrievalSpec extends SparkSpec {
       1000000L * row.getLong(6) / row.getLong(7), "ndcg10_micro")
   }
 
+  test("retrievalEval: a judged query with an empty run reports zeros") {
+    val graded = Seq(
+      (0L, 1L, 3L, 3), (0L, 2L, 0L, 3),
+      (7L, 1L, 2L, 3), (7L, 2L, 3L, 3)) // query 7 judged but never ranked
+      .toDF("query_id", "doc_id", "grade", "n_terms")
+    val ranked = Seq((0L, 1L, 1L)).toDF("query_id", "rank", "doc_id")
+    val rows = RetrievalOps.retrievalEval(graded, ranked).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(0L, 7L), "judged query 7 must not vanish")
+    val q7 = rows(7L)
+    assert(q7.getLong(1) == 1L, "n_rel still counted from judgments")
+    assert(q7.getLong(2) == 0L && q7.getLong(4) == 0L && q7.getLong(5) == 0L
+      && q7.getLong(6) == 0L, "empty-run metrics must be zero")
+    assert(q7.getLong(3) == 0L, "recall 0 of n_rel")
+    assert(q7.getLong(7) > 0L, "ideal DCG from judgments alone")
+    assert(q7.getLong(8) == 0L, "nDCG zero for an empty run")
+  }
+
   test("q126: per-query invariants at SF") {
     val rows = RetrievalOps.qRetrievalEval(spark, SF).collect()
     assert(rows.length == 3)
