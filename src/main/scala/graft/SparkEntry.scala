@@ -156,6 +156,7 @@ object SparkEntry {
     "q128_curriculum" -> (SamplingOps.qCurriculum _),
     "q129_fertility" -> (TextOps.qFertility _),
     "q130_bitext_mine" -> (SimilarityOps.qBitextMine _),
+    "q131_novelty" -> (TextOps.qNovelty _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1569,6 +1570,28 @@ object SparkEntry {
         | CAST(o.band_off + g.band_pos AS BIGINT) AS global_pos
         |FROM g JOIN o ON o.band = g.band
         |ORDER BY global_pos""".stripMargin,
+    "q131_novelty" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        | WHERE doc_id % 11 = 0),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |sh AS (SELECT doc_id, substr(md5(s), 1, 16) AS h FROM (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))))
+        |    AS s FROM toks)),
+        |dfx AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
+        |per AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN dfx.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique
+        | FROM sh s JOIN dfx ON dfx.h = s.h GROUP BY 1)
+        |SELECT c.doc_id,
+        | COALESCE(per.n_distinct, 0) AS n_distinct,
+        | COALESCE(per.n_unique, 0) AS n_unique,
+        | CASE WHEN per.n_distinct > 0
+        |   THEN (1000000 * per.n_unique) // per.n_distinct END AS novelty_micro
+        |FROM corpus c LEFT JOIN per ON per.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

@@ -1478,4 +1478,65 @@ object TextOps {
   def qFertility(spark: SparkSession, dir: String): DataFrame =
     fertilityReport(Tables(spark, dir).documents,
       bpeMerges(spark, dir).map(m => (m._2, m._3)))
+
+  /** N-GRAM NOVELTY — per document, the fraction of its DISTINCT word
+    * n-grams that occur nowhere else in the corpus (df = 1). A
+    * templated / boilerplate / duplicated document scores near 0; fresh
+    * text scores near 1. The inverse-df signal curation uses to rank
+    * "how much new text does this doc actually contribute" — exact
+    * dups score 0 by construction, and partial overlap degrades the
+    * score in proportion to the shared n-gram mass.
+    *
+    * Exactness: n-grams are keyed by their 16-hex-char md5 prefix —
+    * computed identically by the DuckDB oracle, so counts are
+    * engine-equal by construction (the q26 discipline), not merely
+    * collision-improbable. Novelty is a nonneg integer micro ratio.
+    *
+    * Scale shape: one narrow pass explodes each doc's DISTINCT
+    * shingle hashes (16-byte keys — the n-gram STRINGS never shuffle);
+    * the persisted (doc, h) list feeds the df aggregation (map-side
+    * combinable) and the df join-back, then collapses to one row per
+    * doc. The exact-df shuffle is ~distinct-shingle mass — the honest
+    * floor for an exact document-frequency signal (an approximate
+    * variant would Bloom/CMS the df table; this op's contract is
+    * exact).
+    */
+  def noveltyScore(docs: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 1, "shingle size must be positive")
+    // docs shorter than n tokens have NO n-grams (word_shingles would
+    // emit its whole-text fallback shingle — not a real n-gram, and the
+    // novelty contract reports such docs as NULL, not trivially novel)
+    val sh = graft.CacheRegistry.persist(docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordShingles.word_shingles(col("toks"), n))).as("s"))
+      .select(col("doc_id"), substring(md5(col("s")), 1, 16).as("h")))
+    val dfT = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val per = sh.join(dfT, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(col("n_distinct") > 0,
+          expr("(1000000 * n_unique) div n_distinct")).cast("long")
+          .as("novelty_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** q131: 5-gram novelty over the documents corpus plus a staged
+    * mirror of every 11th doc (ids +10⁷) — the mirrors force their
+    * originals' novelty to exactly 0 and leave singleton docs' at
+    * 10⁶ unless they naturally share 5-grams. Direct DuckDB oracle.
+    */
+  def qNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select("doc_id", "text")
+    val mirrored = docs.unionByName(
+      docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    noveltyScore(mirrored)
+  }
 }

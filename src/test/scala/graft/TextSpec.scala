@@ -890,4 +890,39 @@ class TextSpec extends SparkSpec {
       assert(fert > 1000000L && bpp > 0L)
     }
   }
+
+  test("noveltyScore: hand-computed df on a tiny corpus; mirrors score zero") {
+    // doc 1 and 2 share their text; doc 3 overlaps doc 1 by one shingle
+    val docs = Seq(
+      (1L, "a b c d e f"),       // shingles: abcde, bcdef
+      (2L, "a b c d e f"),       // exact mirror of 1
+      (3L, "z b c d e f"),       // zbcde (unique), bcdef (shared with 1/2)
+      (4L, "p q r s t"),         // pqrst (unique)
+      (5L, "x y"))               // too short: no shingles
+      .toDF("doc_id", "text")
+    val out = ext.TextOps.noveltyScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 0L, 0L)), "mirrored doc must score 0")
+    assert(out(2L) == ((2L, 0L, 0L)))
+    assert(out(3L) == ((2L, 1L, 500000L)), "half-novel doc")
+    assert(out(4L) == ((1L, 1L, 1000000L)), "fully novel doc")
+    assert(out(5L) == ((0L, 0L, -1L)), "short doc: zero shingles, NULL score")
+  }
+
+  test("q131: staged mirrors force novelty 0; output covers the staged corpus") {
+    val rows = ext.TextOps.qNovelty(spark, SF).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    val nDocs = Tables(spark, SF).documents.count()
+    assert(rows.size == nDocs + rows.keys.count(_ >= 10000000L))
+    rows.keys.filter(_ >= 10000000L).foreach { mid =>
+      assert(rows(mid) == 0L, s"mirror $mid must score 0")
+      assert(rows(mid - 10000000L) == 0L, s"mirrored original must score 0")
+    }
+    // novelty is a proper fraction in micro units
+    rows.values.foreach(v => assert(v == -1L || (v >= 0L && v <= 1000000L)))
+    // discriminative: some docs are fully novel, some are not
+    assert(rows.values.exists(_ == 1000000L) && rows.values.exists(_ == 0L))
+  }
 }
