@@ -157,6 +157,7 @@ object SparkEntry {
     "q129_fertility" -> (TextOps.qFertility _),
     "q130_bitext_mine" -> (SimilarityOps.qBitextMine _),
     "q131_novelty" -> (TextOps.qNovelty _),
+    "q132_sft_mask" -> (TextOps.qSftMask _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1592,6 +1593,33 @@ object SparkEntry {
         |   THEN (1000000 * per.n_unique) // per.n_distinct END AS novelty_micro
         |FROM corpus c LEFT JOIN per ON per.doc_id = c.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+    "q132_sft_mask" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS tok,
+        |  generate_subscripts(t, 1) AS i FROM toks),
+        |a AS (SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_loss_tokens,
+        |  md5(string_agg(tok, ' ' ORDER BY i)) AS target_hash
+        | FROM tok WHERE ((i - 1) % 24) >= 12 GROUP BY 1),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST((len(t) + 11) // 12 AS BIGINT) AS n_turns FROM toks),
+        |spans AS (SELECT b.doc_id, COALESCE(array_to_string(list_transform(
+        |  list_filter(range(0, b.n_turns), tt -> tt % 2 = 1),
+        |  tt -> CAST(tt * 12 AS VARCHAR) || ':' ||
+        |    CAST(least(tt * 12 + 12, b.n_tokens) AS VARCHAR)), ','), '')
+        |  AS loss_spans
+        | FROM base b)
+        |SELECT b.doc_id, b.n_tokens, b.n_turns,
+        | COALESCE(a.n_loss_tokens, 0) AS n_loss_tokens,
+        | CASE WHEN b.n_tokens > 0
+        |   THEN (1000000 * COALESCE(a.n_loss_tokens, 0)) // b.n_tokens END
+        |   AS loss_ratio_micro,
+        | s.loss_spans,
+        | COALESCE(a.target_hash, md5('')) AS target_hash
+        |FROM base b LEFT JOIN a ON a.doc_id = b.doc_id
+        |JOIN spans s ON s.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

@@ -1527,6 +1527,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** SFT LOSS-MASK PREP — chat-format sample preparation for
+    * supervised fine-tuning: a document is segmented into fixed-width
+    * alternating turns (even turns = user, odd = assistant), and the
+    * sample carries exactly what an SFT trainer consumes: the
+    * assistant-token loss mask (only assistant turns contribute loss),
+    * the mask's span list in token offsets, and a hash of the masked
+    * target stream. Ratios in integer micro-units (nonneg `div`).
+    *
+    * Scale shape: one narrow codegen-friendly pass per document —
+    * token split, indexed-filter HOFs for the mask, a bounded
+    * span-list transform; no explode, no shuffle before the output
+    * sort. Direct DuckDB oracle (unnest + generate_subscripts
+    * re-derives the mask relationally — a different algorithm).
+    */
+  def sftTurnMask(docs: DataFrame, turnTokens: Int = 12): DataFrame = {
+    require(turnTokens >= 1, "turnTokens must be positive")
+    val toks = split(col("text"), " ")
+    // 0-based token index i sits in an assistant turn iff its position
+    // within each 2·T block is in the second half — pure modular
+    // arithmetic, no long division inside the lambda (Column `/` on
+    // longs is DOUBLE division)
+    val isAssistant = (i: Column) =>
+      pmod(i.cast("long"), lit(2L * turnTokens)) >= turnTokens
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        expr(s"(size(toks) + ${turnTokens - 1}) div $turnTokens")
+          .cast("bigint").as("n_turns"),
+        filter(col("toks"), (_, i) => isAssistant(i)).as("a_toks"))
+      .select(col("doc_id"), col("n_tokens"), col("n_turns"),
+        size(col("a_toks")).cast("bigint").as("n_loss_tokens"),
+        when(col("n_tokens") > 0,
+          expr("(1000000 * size(a_toks)) div n_tokens")).cast("long")
+          .as("loss_ratio_micro"),
+        // span list over odd turn ids: "start:end" half-open token offsets
+        array_join(transform(
+          filter(sequence(lit(0L), col("n_turns") - 1), t => t % 2 === 1),
+          t => concat((t * turnTokens).cast("string"), lit(":"),
+            least(t * turnTokens + turnTokens, col("n_tokens"))
+              .cast("string"))), ",").as("loss_spans"),
+        md5(array_join(col("a_toks"), " ")).as("target_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** q132: 12-token alternating-turn SFT prep over documents. Direct
+    * DuckDB oracle.
+    */
+  def qSftMask(spark: SparkSession, dir: String): DataFrame =
+    sftTurnMask(Tables(spark, dir).documents.select("doc_id", "text"))
+
   /** q131: 5-gram novelty over the documents corpus plus a staged
     * mirror of every 11th doc (ids +10⁷) — the mirrors force their
     * originals' novelty to exactly 0 and leave singleton docs' at

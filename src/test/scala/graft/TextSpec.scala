@@ -910,6 +910,35 @@ class TextSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0L, -1L)), "short doc: zero shingles, NULL score")
   }
 
+  test("sftTurnMask: hand-computed masks, spans and hashes") {
+    val docs = Seq(
+      (1L, (0 until 30).map(i => s"w$i").mkString(" ")), // 30 toks, 3 turns
+      (2L, "a b c"),                                     // 1 turn, no loss
+      (3L, (0 until 24).map(i => s"t$i").mkString(" "))) // exactly 2 turns
+      .toDF("doc_id", "text")
+    val out = ext.TextOps.sftTurnMask(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6))).toMap
+    // doc 1: turns [0:12)[12:24)[24:30); assistant = turn 1 → tokens 12..23
+    val a1 = (12 until 24).map(i => s"w$i").mkString(" ")
+    assert(out(1L) == ((30L, 3L, 12L, 1000000L * 12 / 30, "12:24",
+      java.security.MessageDigest.getInstance("MD5").digest(a1.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)))
+    // doc 2: single turn — all user, empty mask
+    assert(out(2L)._3 == 0L && out(2L)._4 == 0L && out(2L)._5 == "")
+    // doc 3: assistant turn truncates at n_tokens
+    assert(out(3L)._2 == 2L && out(3L)._3 == 12L && out(3L)._5 == "12:24")
+    // invariant at SF: span lengths sum to n_loss_tokens
+    ext.TextOps.qSftMask(spark, SF).collect().foreach { r =>
+      val spans = r.getString(5)
+      val total = if (spans.isEmpty) 0L else spans.split(",").map { s =>
+        val Array(a, b) = s.split(":").map(_.toLong); b - a
+      }.sum
+      assert(total == r.getLong(3), s"span mass != n_loss for ${r.getLong(0)}")
+      assert(r.getLong(4) == 1000000L * r.getLong(3) / r.getLong(1))
+    }
+  }
+
   test("q131: staged mirrors force novelty 0; output covers the staged corpus") {
     val rows = ext.TextOps.qNovelty(spark, SF).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
