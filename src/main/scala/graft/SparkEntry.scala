@@ -158,6 +158,7 @@ object SparkEntry {
     "q130_bitext_mine" -> (SimilarityOps.qBitextMine _),
     "q131_novelty" -> (TextOps.qNovelty _),
     "q132_sft_mask" -> (TextOps.qSftMask _),
+    "q133_sessionize" -> ((s, d) => CoreQueries.q133Sessionize(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1620,6 +1621,23 @@ object SparkEntry {
         |FROM base b LEFT JOIN a ON a.doc_id = b.doc_id
         |JOIN spans s ON s.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "q133_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30000000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, ts, value,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | count(*) AS n_events,
+        | epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+        | epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms,
+        | round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

@@ -513,4 +513,36 @@ object CoreQueries {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("window_start_ms", "event_type")
   }
+
+  /** St6-analog BATCH sessionization — gap-based session windows as a
+    * relational query (the streaming form is
+    * [[graft.streaming.EventStreaming.sessionize]]): per user, events
+    * sorted by time start a new session whenever the gap to the
+    * previous event exceeds `gapSeconds`; sessions get dense per-user
+    * ids and per-session stats. The classic lag → flag → running-sum
+    * pattern: ONE sort exchange on (user_id) feeds BOTH window passes
+    * (the q48 shared-exchange discipline), then one hash agg. Gap
+    * arithmetic in exact epoch micros. Direct DuckDB oracle.
+    */
+  def q133Sessionize(spark: SparkSession, dir: String,
+      gapSeconds: Long = 30000L): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("new_sess",
+        when(unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))
+          > gapSeconds * 1000000L, 1L).otherwise(
+          when(lag("ts", 1).over(w).isNull, 1L).otherwise(0L)))
+      .withColumn("session_id", sum("new_sess").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        unix_millis(min("ts")).as("start_ms"),
+        unix_millis(max("ts")).as("end_ms"),
+        (unix_millis(max("ts")) - unix_millis(min("ts"))).as("duration_ms"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
 }

@@ -74,4 +74,34 @@ class CoreQueriesSpec extends SparkSpec {
     assert(Set("Person", "Bicycle", "Motorcycle", "Car", "Dog",
       "ped_count", "bike_count", "motorbike_count").subsetOf(cols))
   }
+
+  test("q133 sessionize: re-derived sessions, gap semantics, dense ids") {
+    val gapUs = 30000L * 1000000L
+    val out = graft.queries.CoreQueries.q133Sessionize(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val events = Tables(spark, SF).events
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent plain-Scala sessionization
+    val expect = events.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val sessions = sorted.foldLeft(Vector.empty[Vector[Long]]) { (acc, e) =>
+        if (acc.nonEmpty && e._3 - acc.last.last <= gapUs)
+          acc.init :+ (acc.last :+ e._3)
+        else acc :+ Vector(e._3)
+      }
+      sessions.zipWithIndex.map { case (ts, i) =>
+        (u, i + 1L, ts.length.toLong, ts.head / 1000, ts.last / 1000,
+          ts.last / 1000 - ts.head / 1000)
+      }
+    }.toSet
+    assert(out.toSet == expect)
+    // session ids dense from 1 per user; per-user session count ≥ 1
+    out.groupBy(_._1).foreach { case (_, ss) =>
+      assert(ss.map(_._2).sorted.toSeq == (1L to ss.length))
+    }
+    // total event mass conserved
+    assert(out.map(_._3).sum == events.length)
+  }
 }
