@@ -1303,6 +1303,63 @@ object SqlQueries {
         | CAST(o.band_off + g.band_pos AS BIGINT) AS global_pos
         |FROM g JOIN o ON o.band = g.band
         |ORDER BY global_pos""".stripMargin,
+    "q131_novelty" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        | WHERE doc_id % 11 = 0),
+        |toks AS (SELECT doc_id, split(text, ' ') AS t FROM corpus),
+        |sh AS (SELECT doc_id,
+        |  substring(md5(s), 1, 16) AS h
+        | FROM (SELECT doc_id, explode(array_distinct(word_shingles(t, 5)))
+        |    AS s FROM toks WHERE size(t) >= 5)),
+        |dfx AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+        |per AS (SELECT s.doc_id, count(*) AS n_distinct,
+        |  sum(CASE WHEN dfx.df = 1 THEN 1L ELSE 0L END) AS n_unique
+        | FROM sh s JOIN dfx ON dfx.h = s.h GROUP BY s.doc_id)
+        |SELECT c.doc_id,
+        | COALESCE(per.n_distinct, 0L) AS n_distinct,
+        | COALESCE(per.n_unique, 0L) AS n_unique,
+        | CAST(CASE WHEN per.n_distinct > 0
+        |   THEN (1000000 * per.n_unique) div per.n_distinct END AS BIGINT)
+        |   AS novelty_micro
+        |FROM corpus c LEFT JOIN per ON per.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+    "q132_sft_mask" ->
+      """WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+        |base AS (SELECT doc_id, t,
+        |  CAST(size(t) AS BIGINT) AS n_tokens,
+        |  CAST((size(t) + 11) div 12 AS BIGINT) AS n_turns,
+        |  filter(t, (x, i) -> pmod(CAST(i AS BIGINT), 24) >= 12) AS a_toks
+        | FROM toks)
+        |SELECT doc_id, n_tokens, n_turns,
+        | CAST(size(a_toks) AS BIGINT) AS n_loss_tokens,
+        | CAST(CASE WHEN n_tokens > 0
+        |   THEN (1000000 * size(a_toks)) div n_tokens END AS BIGINT)
+        |   AS loss_ratio_micro,
+        | array_join(transform(
+        |   filter(sequence(0L, n_turns - 1), tt -> tt % 2 = 1),
+        |   tt -> concat(CAST(tt * 12 AS STRING), ':',
+        |     CAST(least(tt * 12 + 12, n_tokens) AS STRING))), ',')
+        |   AS loss_spans,
+        | md5(array_join(a_toks, ' ')) AS target_hash
+        |FROM base ORDER BY doc_id""".stripMargin,
+    "q133_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR unix_micros(ts) - unix_micros(lag(ts) OVER w)
+        |            > 30000000000 THEN 1L ELSE 0L END AS new_sess
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, ts, value,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | unix_millis(min(ts)) AS start_ms, unix_millis(max(ts)) AS end_ms,
+        | unix_millis(max(ts)) - unix_millis(min(ts)) AS duration_ms,
+        | round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs
