@@ -159,6 +159,7 @@ object SparkEntry {
     "q131_novelty" -> (TextOps.qNovelty _),
     "q132_sft_mask" -> (TextOps.qSftMask _),
     "q133_sessionize" -> ((s, d) => CoreQueries.q133Sessionize(s, d)),
+    "q134_source_sim" -> (SimilarityOps.qSourceSim _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1638,6 +1639,28 @@ object SparkEntry {
         | round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q134_source_sim" ->
+      """WITH emb AS (SELECT e.vec_id, d.source,
+        |  list_transform(CAST(e.embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT)) AS m
+        | FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |dims AS (SELECT source, unnest(m) AS v,
+        |  generate_subscripts(m, 1) AS pos FROM emb),
+        |counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vecs
+        |  FROM emb GROUP BY 1),
+        |sums AS (SELECT source, pos, CAST(sum(v) AS BIGINT) AS s
+        |  FROM dims GROUP BY 1, 2),
+        |cent AS (SELECT s.source, c.n_vecs,
+        |  list(s.s / (c.n_vecs * 1000000000.0) ORDER BY s.pos) AS v
+        | FROM sums s JOIN counts c ON c.source = s.source
+        | GROUP BY s.source, c.n_vecs),
+        |n AS (SELECT source, n_vecs, v,
+        |  sqrt(list_dot_product(v, v)) AS nrm FROM cent)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        | a.n_vecs AS n_a, b.n_vecs AS n_b,
+        | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos6
+        |FROM n a JOIN n b ON a.source < b.source
+        |ORDER BY src_a, src_b""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

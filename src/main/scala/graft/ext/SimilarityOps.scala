@@ -1210,6 +1210,63 @@ object SimilarityOps {
     p
   }
 
+  /** SOURCE-CENTROID SIMILARITY — the domain-similarity matrix mixture
+    * design reads before setting sampling weights: per source, the mean
+    * embedding of its documents (exact fixed-point nano-unit long sums,
+    * q108's rule — order-independent, so the centroid is bit-identical
+    * under any partitioning), then the cosine between every source
+    * pair. Near-identical sources (mirrors, re-crawls) show up as
+    * cos ≈ 1 and can be merged or down-weighted.
+    *
+    * Scale shape: unlike [[meanPoolChunks]] (which collect_lists its
+    * ≤4-chunk groups), sources can hold billions of vectors, so the
+    * centroid sum is a posexplode → per-(source, dim) map-side-combined
+    * `HashAggregate` — the shuffle carries |S|·dim partial sums, never
+    * vectors — reassembled into a dim-length array per source (bounded
+    * collect of dim structs). The pair matrix is |S|² rows over
+    * broadcast-sized centroid tables. Direct DuckDB oracle (unnest +
+    * generate_subscripts re-derivation).
+    */
+  def sourceCentroidSim(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val nano = transform(toDouble(col("embedding")),
+      x => floor(x * lit(1000000000.0) + lit(0.5)).cast("long"))
+    val tagged = embeddings
+      .join(docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .select(col("source"), nano.as("m"))
+    val dims = graft.CacheRegistry.persist(tagged
+      .select(col("source"), posexplode(col("m")).as(Seq("pos", "v"))))
+    val counts = dims.filter(col("pos") === 0)
+      .groupBy("source").agg(count(lit(1)).as("n_vecs"))
+    val cent = dims
+      .groupBy("source", "pos").agg(sum("v").as("s"))
+      .groupBy("source")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        e => e.getField("s")).as("sum_nano"))
+      .join(counts, "source")
+      .select(col("source"), col("n_vecs"),
+        transform(col("sum_nano"), si =>
+          si.cast("double") / (col("n_vecs").cast("double") * lit(1e9)))
+          .as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = cent.select(col("source").as("src_a"), col("n_vecs").as("n_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = cent.select(col("source").as("src_b"), col("n_vecs").as("n_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        round(safeCos(dot(col("va"), col("vb")), col("na"), col("nb")), 6)
+          .as("cos6"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** q134: source-centroid cosine matrix over documents ⋈ embeddings
+    * (doc_id = vec_id). Direct DuckDB oracle.
+    */
+  def qSourceSim(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    sourceCentroidSim(t.documents.select("doc_id", "source"), t.embeddings)
+  }
+
   /** BITEXT MARGIN MINING (Artetxe & Schwenk 2019) — parallel-pair
     * mining across two embedding sides (e.g. two languages through a
     * shared encoder): a candidate pair (x, y) scores

@@ -690,6 +690,38 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.sum < scale)
   }
 
+  test("q134 source similarity: centroids and cosines re-derived in plain Scala") {
+    val out = ext.SimilarityOps.qSourceSim(spark, SF).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val docs = Tables(spark, SF).documents.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = Tables(spark, SF).embeddings.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1e9 + 0.5).toLong))
+      .filter { case (id, _) => docs.contains(id) }
+    val bySource = vecs.groupBy { case (id, _) => docs(id) }
+    val cent = bySource.map { case (s, vs) =>
+      val n = vs.length.toLong
+      val sums = vs.toSeq.map(_._2.toSeq).transpose.map(_.sum)
+      s -> (n, sums.map(x => x.toDouble / (n.toDouble * 1e9)).toArray)
+    }
+    def round6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val srcs = cent.keys.toSeq.sorted
+    var checked = 0
+    for (a <- srcs; b <- srcs if a < b) {
+      val (na, va) = cent(a); val (nb, vb) = cent(b)
+      val dot = va.zip(vb).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      val nrm = (v: Array[Double]) =>
+        math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+      val expect = round6(dot / (nrm(va) * nrm(vb)))
+      assert(out((a, b)) == ((na, nb, expect)), s"pair ($a,$b)")
+      checked += 1
+    }
+    assert(checked == out.size && checked == srcs.length * (srcs.length - 1) / 2)
+  }
+
   test("q130 bitext mining: margins re-derived in plain Scala; planted recovery") {
     val offset = 10000000L
     val out = ext.SimilarityOps.qBitextMine(spark, SF).collect()
