@@ -160,6 +160,7 @@ object SparkEntry {
     "q132_sft_mask" -> (TextOps.qSftMask _),
     "q133_sessionize" -> ((s, d) => CoreQueries.q133Sessionize(s, d)),
     "q134_source_sim" -> (SimilarityOps.qSourceSim _),
+    "q135_blocklist" -> (TextOps.qBlocklist _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1661,6 +1662,30 @@ object SparkEntry {
         | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos6
         |FROM n a JOIN n b ON a.source < b.source
         |ORDER BY src_a, src_b""".stripMargin,
+    "q135_blocklist" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000000 AS doc_id,
+        |   translate(text, 'aes', '@3$') AS text
+        | FROM documents WHERE doc_id % 13 = 0),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS raw_toks,
+        |  string_split(lower(translate(text, '0134@$', 'oleaas')), ' ')
+        |    AS norm_toks FROM corpus),
+        |h AS (SELECT doc_id,
+        |  CAST(len(norm_toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(raw_toks, x ->
+        |    list_contains(['scan','merge','crash','leak'], x))) AS BIGINT)
+        |    AS raw_hits,
+        |  CAST(len(list_filter(norm_toks, x ->
+        |    list_contains(['scan','merge','crash','leak'], x))) AS BIGINT)
+        |    AS hits
+        | FROM t)
+        |SELECT doc_id, n_tokens, raw_hits, hits,
+        | hits - raw_hits AS obfuscated_hits,
+        | CASE WHEN n_tokens > 0 THEN (1000000 * hits) // n_tokens END
+        |   AS hit_ratio_micro,
+        | hits >= 2 AS flagged
+        |FROM h ORDER BY doc_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

@@ -1527,6 +1527,60 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BLOCKLIST FILTER with obfuscation normalization — the
+    * LDNOOBW-style word-list gate every web-scale curation pipeline
+    * runs, hardened against the trivial evasion: leetspeak/symbol
+    * substitution (0→o, 1→l, 3→e, 4→a, @→a, $→s) is normalized away
+    * BEFORE matching, so `sc@n`/`sc4n` still hit a blocklisted `scan`.
+    * Matching is exact-token (word-boundary by construction — substring
+    * matching is the classic "Scunthorpe" false-positive trap).
+    *
+    * Output per doc: token count, raw hits, normalized hits (the gate
+    * input), obfuscated hits = normalized − raw (evasion attempts
+    * caught), hit ratio in integer micro-units, and the flag.
+    *
+    * Scale shape: one narrow codegen pass (translate + lower + token
+    * filter folds against a literal blocklist); no shuffle before the
+    * output sort. Direct DuckDB oracle.
+    */
+  def blocklistFilter(docs: DataFrame, blocklist: Seq[String],
+      maxHits: Long = 2L): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    val blk = array(blocklist.map(lit): _*)
+    val countHits = (toks: Column) =>
+      size(filter(toks, t => array_contains(blk, t))).cast("bigint")
+    val norm = lower(translate(col("text"), "0134@$", "oleaas"))
+    docs
+      .select(col("doc_id"),
+        split(col("text"), " ").as("raw_toks"),
+        split(norm, " ").as("norm_toks"))
+      .select(col("doc_id"),
+        size(col("norm_toks")).cast("bigint").as("n_tokens"),
+        countHits(col("raw_toks")).as("raw_hits"),
+        countHits(col("norm_toks")).as("hits"))
+      .select(col("doc_id"), col("n_tokens"), col("raw_hits"), col("hits"),
+        (col("hits") - col("raw_hits")).as("obfuscated_hits"),
+        when(col("n_tokens") > 0, expr("(1000000 * hits) div n_tokens"))
+          .cast("long").as("hit_ratio_micro"),
+        (col("hits") >= maxHits).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** q135: blocklist gate over documents plus a staged obfuscated
+    * variant of every 13th doc (ids +10⁷, a→@ / e→3 / s→$) — the
+    * staged docs have raw_hits = 0 for the substituted words but the
+    * same normalized hits as their originals, so obfuscated_hits > 0
+    * exactly where evasion was staged. Direct DuckDB oracle.
+    */
+  def qBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select("doc_id", "text")
+    val staged = docs.unionByName(
+      docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          translate(col("text"), "aes", "@3$").as("text")))
+    blocklistFilter(staged, Seq("scan", "merge", "crash", "leak"))
+  }
+
   /** SFT LOSS-MASK PREP — chat-format sample preparation for
     * supervised fine-tuning: a document is segmented into fixed-width
     * alternating turns (even turns = user, odd = assistant), and the

@@ -910,6 +910,45 @@ class TextSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0L, -1L)), "short doc: zero shingles, NULL score")
   }
 
+  test("blocklistFilter: token-boundary matching, normalization, staged evasion") {
+    val docs = Seq(
+      (1L, "the scan is fast"),            // 1 raw hit
+      (2L, "sc@n and m3rg3 here"),         // 0 raw, 2 normalized
+      (3L, "scanner scans rescan"),        // substrings must NOT match
+      (4L, "scan merge crash"),            // 3 hits → flagged
+      (5L, "SCAN"),                        // lowercase normalization... raw token is uppercase
+      (6L, ""))                            // empty text
+      .toDF("doc_id", "text")
+    val out = ext.TextOps.blocklistFilter(docs,
+      Seq("scan", "merge", "crash", "leak")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(6))).toMap
+    assert(out(1L) == ((4L, 1L, 1L, 0L, false)))
+    assert(out(2L) == ((4L, 0L, 2L, 2L, true)), "evasion caught only after norm")
+    assert(out(3L) == ((3L, 0L, 0L, 0L, false)), "Scunthorpe guard: no substring hits")
+    assert(out(4L)._3 == 3L && out(4L)._5, "3 hits flagged")
+    assert(out(5L)._3 == 1L && out(5L)._2 == 0L, "case-normalized hit")
+    // split('', ' ') yields one empty token — n_tokens 1, no hits
+    assert(out(6L)._3 == 0L && !out(6L)._5)
+  }
+
+  test("q135: staged obfuscated docs match their originals after normalization") {
+    val rows = ext.TextOps.qBlocklist(spark, SF).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val staged = rows.keys.filter(_ >= 10000000L)
+    assert(staged.nonEmpty)
+    staged.foreach { sid =>
+      val (rawS, hitsS, _) = rows(sid)
+      val (_, hitsO, _) = rows(sid - 10000000L)
+      assert(hitsS == hitsO, s"normalized hits differ for staged $sid")
+      // raw hits on the staged text can only come from words WITHOUT
+      // a/e/s characters — 'scan'/'merge'/'crash'/'leak' all have them,
+      // so staged raw hits must be 0
+      assert(rawS == 0L, s"staged doc $sid should evade raw matching")
+    }
+  }
+
   test("sftTurnMask: hand-computed masks, spans and hashes") {
     val docs = Seq(
       (1L, (0 until 30).map(i => s"w$i").mkString(" ")), // 30 toks, 3 turns
