@@ -161,6 +161,7 @@ object SparkEntry {
     "q133_sessionize" -> ((s, d) => CoreQueries.q133Sessionize(s, d)),
     "q134_source_sim" -> (SimilarityOps.qSourceSim _),
     "q135_blocklist" -> (TextOps.qBlocklist _),
+    "q136_bleu_pairs" -> (TextOps.qBleuPairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1686,6 +1687,59 @@ object SparkEntry {
         |   AS hit_ratio_micro,
         | hits >= 2 AS flagged
         |FROM h ORDER BY doc_id""".stripMargin,
+    "q136_bleu_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS rt FROM documents),
+        |p AS (SELECT doc_id, rt, list_transform(range(1, len(rt) + 1),
+        |  i -> CASE WHEN (i - 1) % 7 = 6 THEN 'the' ELSE rt[i] END) AS ct
+        | FROM t),
+        |cg1 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ct) - 1 + 2),
+        |    i -> array_to_string(ct[i:i+0], ' '))) AS g FROM p) GROUP BY 1, 2),
+        |rg1 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(rt) - 1 + 2),
+        |    i -> array_to_string(rt[i:i+0], ' '))) AS g FROM p) GROUP BY 1, 2),
+        |cg2 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ct) - 2 + 2),
+        |    i -> array_to_string(ct[i:i+1], ' '))) AS g FROM p) GROUP BY 1, 2),
+        |rg2 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(rt) - 2 + 2),
+        |    i -> array_to_string(rt[i:i+1], ' '))) AS g FROM p) GROUP BY 1, 2),
+        |cg3 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ct) - 3 + 2),
+        |    i -> array_to_string(ct[i:i+2], ' '))) AS g FROM p) GROUP BY 1, 2),
+        |rg3 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(rt) - 3 + 2),
+        |    i -> array_to_string(rt[i:i+2], ' '))) AS g FROM p) GROUP BY 1, 2),
+        |cg4 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ct) - 4 + 2),
+        |    i -> array_to_string(ct[i:i+3], ' '))) AS g FROM p) GROUP BY 1, 2),
+        |rg4 AS (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(rt) - 4 + 2),
+        |    i -> array_to_string(rt[i:i+3], ' '))) AS g FROM p) GROUP BY 1, 2),
+        |p1 AS (SELECT c.doc_id, CAST(sum(least(c.c, COALESCE(r.c, 0))) AS BIGINT)
+        |  AS clip1, CAST(sum(c.c) AS BIGINT) AS tot1 FROM cg1 c
+        | LEFT JOIN rg1 r ON r.doc_id = c.doc_id AND r.g = c.g GROUP BY 1),
+        |p2 AS (SELECT c.doc_id, CAST(sum(least(c.c, COALESCE(r.c, 0))) AS BIGINT)
+        |  AS clip2, CAST(sum(c.c) AS BIGINT) AS tot2 FROM cg2 c
+        | LEFT JOIN rg2 r ON r.doc_id = c.doc_id AND r.g = c.g GROUP BY 1),
+        |p3 AS (SELECT c.doc_id, CAST(sum(least(c.c, COALESCE(r.c, 0))) AS BIGINT)
+        |  AS clip3, CAST(sum(c.c) AS BIGINT) AS tot3 FROM cg3 c
+        | LEFT JOIN rg3 r ON r.doc_id = c.doc_id AND r.g = c.g GROUP BY 1),
+        |p4 AS (SELECT c.doc_id, CAST(sum(least(c.c, COALESCE(r.c, 0))) AS BIGINT)
+        |  AS clip4, CAST(sum(c.c) AS BIGINT) AS tot4 FROM cg4 c
+        | LEFT JOIN rg4 r ON r.doc_id = c.doc_id AND r.g = c.g GROUP BY 1)
+        |SELECT b.doc_id, CAST(len(b.rt) AS BIGINT) AS ref_len,
+        | CAST(len(b.ct) AS BIGINT) AS cand_len,
+        | p1.clip1, p1.tot1, p2.clip2, p2.tot2,
+        | p3.clip3, p3.tot3, p4.clip4, p4.tot4,
+        | CASE WHEN p1.tot1 > 0 AND p2.tot2 > 0 AND p3.tot3 > 0
+        |   AND p4.tot4 > 0 THEN
+        |   (1000000 * p1.clip1 * p2.clip2 * p3.clip3 * p4.clip4)
+        |     // (p1.tot1 * p2.tot2 * p3.tot3 * p4.tot4) END AS bleu4_micro
+        |FROM p b JOIN p1 ON p1.doc_id = b.doc_id
+        |JOIN p2 ON p2.doc_id = b.doc_id JOIN p3 ON p3.doc_id = b.doc_id
+        |JOIN p4 ON p4.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that

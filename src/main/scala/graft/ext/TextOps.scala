@@ -1527,6 +1527,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BLEU-STYLE PAIR SCORING in exact integers — reference-based text
+    * evaluation (machine-translation / summarization QA, paraphrase
+    * mining): per (reference, candidate) pair, clipped n-gram matches
+    * and totals for n = 1..4 plus the standard BLEU aggregate. The
+    * aggregate is reported as `bleu4_micro` = 10⁶·Π p_n — the PRODUCT
+    * of the four modified precisions (BLEU⁴ when lengths match, since
+    * BP = 1) — a strictly monotone transform of BLEU that stays in
+    * EXACT nonneg-integer arithmetic: no exp/ln/4th-root ever runs, so
+    * the DuckDB oracle is DIRECT with zero float risk (the q126
+    * remove-the-transcendental discipline).
+    *
+    * Clipping is the Papineni rule: each candidate n-gram counts at
+    * most its reference frequency — Σ_g min(c_cand(g), c_ref(g)).
+    *
+    * Scale shape: one narrow pass per pair — n-gram count maps from
+    * the native word_counts over word_shingles, clipped sums as map
+    * folds; no explode, no shuffle before the output sort.
+    */
+  def bleuPairScore(pairs: DataFrame): DataFrame = {
+    import graft.functions.{WordCounts, WordShingles}
+    val gramsOf = (c: Column, n: Int) =>
+      when(size(c) >= n, WordShingles.word_shingles(c, n))
+        .otherwise(array().cast("array<string>"))
+    val scored = (1 to 4).foldLeft(
+      pairs.select(col("doc_id"),
+        size(col("ref_toks")).cast("bigint").as("ref_len"),
+        size(col("cand_toks")).cast("bigint").as("cand_len"),
+        col("ref_toks"), col("cand_toks"))) { (df, n) =>
+      val refMap = map_from_entries(
+        WordCounts.word_counts(gramsOf(col("ref_toks"), n)))
+      val candGrams = gramsOf(col("cand_toks"), n)
+      df.withColumn(s"tot$n", size(candGrams).cast("bigint"))
+        .withColumn(s"clip$n",
+          aggregate(WordCounts.word_counts(candGrams), lit(0L),
+            (acc, e) => acc + least(e.getField("c"),
+              coalesce(element_at(refMap, e.getField("term")), lit(0L)))))
+    }
+    scored.select(col("doc_id"), col("ref_len"), col("cand_len"),
+        col("clip1"), col("tot1"), col("clip2"), col("tot2"),
+        col("clip3"), col("tot3"), col("clip4"), col("tot4"),
+        when(col("tot1") > 0 && col("tot2") > 0 && col("tot3") > 0
+            && col("tot4") > 0,
+          expr("(1000000 * clip1 * clip2 * clip3 * clip4) div " +
+            "(tot1 * tot2 * tot3 * tot4)")).cast("long").as("bleu4_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** q136: BLEU pair scoring of a staged candidate against each doc —
+    * candidate = the doc with every 7th token replaced by "the"
+    * (substitution noise, same length → brevity penalty 1). Direct
+    * DuckDB oracle (relational n-gram counts + clipped join).
+    */
+  def qBleuPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    bleuPairScore(Tables(spark, dir).documents
+      .select(col("doc_id"), toks.as("ref_toks"),
+        transform(toks, (t, i) => when(pmod(i, lit(7)) === 6, lit("the"))
+          .otherwise(t)).as("cand_toks")))
+  }
+
   /** BLOCKLIST FILTER with obfuscation normalization — the
     * LDNOOBW-style word-list gate every web-scale curation pipeline
     * runs, hardened against the trivial evasion: leetspeak/symbol

@@ -910,6 +910,48 @@ class TextSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0L, -1L)), "short doc: zero shingles, NULL score")
   }
 
+  test("bleuPairScore: hand-computed clipping, identity, and short-pair NULLs") {
+    val pairs = Seq(
+      // identical pair: all precisions 1 → bleu4 = 1e6
+      (1L, "a b c d e", "a b c d e"),
+      // Papineni clipping: cand "the the the" vs ref with ONE "the"
+      (2L, "the cat sat on it", "the the the"),
+      // candidate shorter than 4 tokens in doc 2 already; doc 3 cand len 3 → tot4 = 0 → NULL
+      (3L, "a b c d", "a b c"))
+      .map { case (id, r, c) => (id, r.split(" ").toSeq, c.split(" ").toSeq) }
+      .toDF("doc_id", "ref_toks", "cand_toks")
+    val out = ext.TextOps.bleuPairScore(pairs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert((3 to 10).forall(i => r1.getLong(i) == Seq(5, 5, 4, 4, 3, 3, 2, 2)(i - 3)))
+    assert(r1.getLong(11) == 1000000L)
+    val r2 = out(2L)
+    // unigrams: clip = min(3, 1) = 1 of 3; bigrams "the the"×2: ref has 0
+    assert(r2.getLong(3) == 1L && r2.getLong(4) == 3L)
+    assert(r2.getLong(5) == 0L && r2.getLong(6) == 2L)
+    // 3-token candidate has NO 4-grams → tot4 = 0 → NULL aggregate
+    assert(r2.getLong(10) == 0L && r2.isNullAt(11))
+    val r3 = out(3L)
+    assert(r3.getLong(10) == 0L && r3.isNullAt(11), "tot4 = 0 → NULL bleu")
+  }
+
+  test("q136: pair-metric invariants at SF") {
+    val rows = ext.TextOps.qBleuPairs(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), "substitution staging keeps length")
+      (0 until 4).foreach { k =>
+        val clip = r.getLong(3 + 2 * k); val tot = r.getLong(4 + 2 * k)
+        assert(clip >= 0 && clip <= tot, s"clip$k out of range")
+      }
+      val bleu = r.getLong(11)
+      assert(bleu >= 0 && bleu <= 1000000L)
+      // candidate differs from reference (every 7th token swapped), so a
+      // perfect score is impossible for docs with ≥ 7 tokens
+      if (r.getLong(1) >= 7) assert(bleu < 1000000L)
+    }
+  }
+
   test("blocklistFilter: token-boundary matching, normalization, staged evasion") {
     val docs = Seq(
       (1L, "the scan is fast"),            // 1 raw hit
