@@ -1730,15 +1730,19 @@ object SparkEntry {
         | LEFT JOIN rg4 r ON r.doc_id = c.doc_id AND r.g = c.g GROUP BY 1)
         |SELECT b.doc_id, CAST(len(b.rt) AS BIGINT) AS ref_len,
         | CAST(len(b.ct) AS BIGINT) AS cand_len,
-        | p1.clip1, p1.tot1, p2.clip2, p2.tot2,
-        | p3.clip3, p3.tot3, p4.clip4, p4.tot4,
-        | CASE WHEN p1.tot1 > 0 AND p2.tot2 > 0 AND p3.tot3 > 0
-        |   AND p4.tot4 > 0 THEN
+        | COALESCE(p1.clip1, 0) AS clip1, COALESCE(p1.tot1, 0) AS tot1,
+        | COALESCE(p2.clip2, 0) AS clip2, COALESCE(p2.tot2, 0) AS tot2,
+        | COALESCE(p3.clip3, 0) AS clip3, COALESCE(p3.tot3, 0) AS tot3,
+        | COALESCE(p4.clip4, 0) AS clip4, COALESCE(p4.tot4, 0) AS tot4,
+        | CASE WHEN COALESCE(p1.tot1, 0) > 0 AND COALESCE(p2.tot2, 0) > 0
+        |   AND COALESCE(p3.tot3, 0) > 0 AND COALESCE(p4.tot4, 0) > 0
+        |   AND greatest(p1.tot1, p2.tot2, p3.tot3, p4.tot4) <= 1700 THEN
         |   (1000000 * p1.clip1 * p2.clip2 * p3.clip3 * p4.clip4)
         |     // (p1.tot1 * p2.tot2 * p3.tot3 * p4.tot4) END AS bleu4_micro
-        |FROM p b JOIN p1 ON p1.doc_id = b.doc_id
-        |JOIN p2 ON p2.doc_id = b.doc_id JOIN p3 ON p3.doc_id = b.doc_id
-        |JOIN p4 ON p4.doc_id = b.doc_id
+        |FROM p b LEFT JOIN p1 ON p1.doc_id = b.doc_id
+        |LEFT JOIN p2 ON p2.doc_id = b.doc_id
+        |LEFT JOIN p3 ON p3.doc_id = b.doc_id
+        |LEFT JOIN p4 ON p4.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
   ) ++ goldenOracles
 

@@ -1230,14 +1230,15 @@ object SimilarityOps {
   def sourceCentroidSim(docs: DataFrame, embeddings: DataFrame): DataFrame = {
     val nano = transform(toDouble(col("embedding")),
       x => floor(x * lit(1000000000.0) + lit(0.5)).cast("long"))
-    val tagged = embeddings
+    // persisted at the VECTOR level: the count agg reads one row per
+    // vector (a NULL/empty embedding still counts — engine-equal with
+    // the oracle's per-row count), the centroid agg explodes it
+    val tagged = graft.CacheRegistry.persist(embeddings
       .join(docs.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
-      .select(col("source"), nano.as("m"))
-    val dims = graft.CacheRegistry.persist(tagged
-      .select(col("source"), posexplode(col("m")).as(Seq("pos", "v"))))
-    val counts = dims.filter(col("pos") === 0)
-      .groupBy("source").agg(count(lit(1)).as("n_vecs"))
-    val cent = dims
+      .select(col("source"), nano.as("m")))
+    val counts = tagged.groupBy("source").agg(count(lit(1)).as("n_vecs"))
+    val cent = tagged
+      .select(col("source"), posexplode(col("m")).as(Seq("pos", "v")))
       .groupBy("source", "pos").agg(sum("v").as("s"))
       .groupBy("source")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),

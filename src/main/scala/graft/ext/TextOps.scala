@@ -1503,15 +1503,13 @@ object TextOps {
     */
   def noveltyScore(docs: DataFrame, n: Int = 5): DataFrame = {
     require(n >= 1, "shingle size must be positive")
-    // docs shorter than n tokens have NO n-grams (word_shingles would
-    // emit its whole-text fallback shingle — not a real n-gram, and the
-    // novelty contract reports such docs as NULL, not trivially novel)
-    val sh = graft.CacheRegistry.persist(docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(array_distinct(
-        graft.functions.WordShingles.word_shingles(col("toks"), n))).as("s"))
-      .select(col("doc_id"), substring(md5(col("s")), 1, 16).as("h")))
+    // docs shorter than n tokens have NO n-grams (DedupOps'
+    // distinctShingleRows keeps word_shingles' whole-text fallback out
+    // of play — not a real n-gram, and the novelty contract reports
+    // such docs as NULL, not trivially novel)
+    val sh = graft.CacheRegistry.persist(
+      DedupOps.distinctShingleRows(docs, n)
+        .select(col("doc_id"), substring(md5(col("sh")), 1, 16).as("h")))
     val dfT = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val per = sh.join(dfT, "h")
       .groupBy("doc_id")
@@ -1564,11 +1562,17 @@ object TextOps {
             (acc, e) => acc + least(e.getField("c"),
               coalesce(element_at(refMap, e.getField("term")), lit(0L)))))
     }
+    // 10⁶·Πclip overflows a long once any tot_n exceeds ~1742 (10⁶·L⁴ ≥
+    // 2⁶³): such pairs report NULL aggregate — the exact clip/tot
+    // columns still carry the full information and a caller can compute
+    // BLEU downstream in arbitrary precision
     scored.select(col("doc_id"), col("ref_len"), col("cand_len"),
         col("clip1"), col("tot1"), col("clip2"), col("tot2"),
         col("clip3"), col("tot3"), col("clip4"), col("tot4"),
         when(col("tot1") > 0 && col("tot2") > 0 && col("tot3") > 0
-            && col("tot4") > 0,
+            && col("tot4") > 0
+            && greatest(col("tot1"), col("tot2"), col("tot3"), col("tot4"))
+              <= 1700,
           expr("(1000000 * clip1 * clip2 * clip3 * clip4) div " +
             "(tot1 * tot2 * tot3 * tot4)")).cast("long").as("bleu4_micro"))
       .orderBy("doc_id")
@@ -1671,10 +1675,13 @@ object TextOps {
         expr(s"(size(toks) + ${turnTokens - 1}) div $turnTokens")
           .cast("bigint").as("n_turns"),
         filter(col("toks"), (_, i) => isAssistant(i)).as("a_toks"))
+      .withColumn("n_loss_tokens", size(col("a_toks")).cast("bigint"))
       .select(col("doc_id"), col("n_tokens"), col("n_turns"),
-        size(col("a_toks")).cast("bigint").as("n_loss_tokens"),
+        col("n_loss_tokens"),
+        // ratio over the BIGINT count — 1000000 * size() is INT×INT and
+        // overflows (ANSI abort) past ~2148 masked tokens
         when(col("n_tokens") > 0,
-          expr("(1000000 * size(a_toks)) div n_tokens")).cast("long")
+          expr("(1000000 * n_loss_tokens) div n_tokens")).cast("long")
           .as("loss_ratio_micro"),
         // span list over odd turn ids: "start:end" half-open token offsets
         array_join(transform(

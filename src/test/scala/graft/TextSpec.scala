@@ -946,10 +946,13 @@ class TextSpec extends SparkSpec {
       }
       val bleu = r.getLong(11)
       assert(bleu >= 0 && bleu <= 1000000L)
-      // candidate differs from reference (every 7th token swapped), so a
-      // perfect score is impossible for docs with ≥ 7 tokens
-      if (r.getLong(1) >= 7) assert(bleu < 1000000L)
     }
+    // the staging swaps every 7th token for "the" — a doc whose swapped
+    // positions already WERE "the" legitimately scores a perfect 10⁶,
+    // so assert degradation in aggregate, not per doc
+    val long7 = rows.filter(_.getLong(1) >= 7)
+    assert(long7.count(_.getLong(11) < 1000000L).toDouble / long7.length > 0.9,
+      "substitution noise should degrade almost every pair")
   }
 
   test("blocklistFilter: token-boundary matching, normalization, staged evasion") {
