@@ -1539,42 +1539,55 @@ object TextOps {
     * Clipping is the Papineni rule: each candidate n-gram counts at
     * most its reference frequency — Σ_g min(c_cand(g), c_ref(g)).
     *
-    * Scale shape: one narrow pass per pair — n-gram count maps from
-    * the native word_counts over word_shingles, clipped sums as map
-    * folds; no explode, no shuffle before the output sort.
+    * Scale shape: one narrow typed pass per pair (the bpeApply class):
+    * each row builds its four n-gram count tables in plain Scala —
+    * O(len) per pair, no shuffle before the output sort. (A first cut
+    * as Catalyst map/aggregate HOFs measured 60+ s at sf0.1: the
+    * reference count-map expression is substituted INTO the fold lambda
+    * by CollapseProject and re-evaluated per candidate n-gram — an
+    * O(len²)-per-row blowup the optimizer re-creates even when the map
+    * is first projected to its own column.)
     */
   def bleuPairScore(pairs: DataFrame): DataFrame = {
-    import graft.functions.{WordCounts, WordShingles}
-    val gramsOf = (c: Column, n: Int) =>
-      when(size(c) >= n, WordShingles.word_shingles(c, n))
-        .otherwise(array().cast("array<string>"))
-    val scored = (1 to 4).foldLeft(
-      pairs.select(col("doc_id"),
-        size(col("ref_toks")).cast("bigint").as("ref_len"),
-        size(col("cand_toks")).cast("bigint").as("cand_len"),
-        col("ref_toks"), col("cand_toks"))) { (df, n) =>
-      val refMap = map_from_entries(
-        WordCounts.word_counts(gramsOf(col("ref_toks"), n)))
-      val candGrams = gramsOf(col("cand_toks"), n)
-      df.withColumn(s"tot$n", size(candGrams).cast("bigint"))
-        .withColumn(s"clip$n",
-          aggregate(WordCounts.word_counts(candGrams), lit(0L),
-            (acc, e) => acc + least(e.getField("c"),
-              coalesce(element_at(refMap, e.getField("term")), lit(0L)))))
-    }
-    // 10⁶·Πclip overflows a long once any tot_n exceeds ~1742 (10⁶·L⁴ ≥
-    // 2⁶³): such pairs report NULL aggregate — the exact clip/tot
-    // columns still carry the full information and a caller can compute
-    // BLEU downstream in arbitrary precision
-    scored.select(col("doc_id"), col("ref_len"), col("cand_len"),
-        col("clip1"), col("tot1"), col("clip2"), col("tot2"),
-        col("clip3"), col("tot3"), col("clip4"), col("tot4"),
-        when(col("tot1") > 0 && col("tot2") > 0 && col("tot3") > 0
-            && col("tot4") > 0
-            && greatest(col("tot1"), col("tot2"), col("tot3"), col("tot4"))
-              <= 1700,
-          expr("(1000000 * clip1 * clip2 * clip3 * clip4) div " +
-            "(tot1 * tot2 * tot3 * tot4)")).cast("long").as("bleu4_micro"))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs
+      .select(col("doc_id"), col("ref_toks").cast("array<string>"),
+        col("cand_toks").cast("array<string>"))
+      .as[(Long, Seq[String], Seq[String])]
+      .map { case (id, ref, cand) =>
+        def grams(t: Seq[String], n: Int): Iterator[String] =
+          if (t.length < n) Iterator.empty
+          else t.sliding(n).map(_.mkString(" "))
+        def countsOf(g: Iterator[String]): collection.mutable.Map[String, Long] = {
+          val m = collection.mutable.HashMap.empty[String, Long]
+          g.foreach(k => m.update(k, m.getOrElse(k, 0L) + 1L))
+          m
+        }
+        val stats = (1 to 4).map { n =>
+          val rc = countsOf(grams(ref, n))
+          val cc = countsOf(grams(cand, n))
+          val clip = cc.iterator.map { case (g, c) =>
+            math.min(c, rc.getOrElse(g, 0L))
+          }.sum
+          val tot = cc.valuesIterator.sum
+          (clip, tot)
+        }
+        // 10⁶·Πclip overflows a long once any tot_n exceeds ~1742
+        // (10⁶·L⁴ ≥ 2⁶³): such pairs report NULL aggregate — the exact
+        // clip/tot columns still carry the full information for a
+        // downstream arbitrary-precision BLEU
+        val bleu =
+          if (stats.forall(_._2 > 0) && stats.map(_._2).max <= 1700)
+            Some(1000000L * stats.map(_._1).product /
+              stats.map(_._2).product)
+          else None
+        (id, ref.length.toLong, cand.length.toLong,
+          stats(0)._1, stats(0)._2, stats(1)._1, stats(1)._2,
+          stats(2)._1, stats(2)._2, stats(3)._1, stats(3)._2, bleu)
+      }
+      .toDF("doc_id", "ref_len", "cand_len", "clip1", "tot1", "clip2",
+        "tot2", "clip3", "tot3", "clip4", "tot4", "bleu4_micro")
       .orderBy("doc_id")
   }
 
