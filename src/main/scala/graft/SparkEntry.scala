@@ -162,6 +162,7 @@ object SparkEntry {
     "q134_source_sim" -> (SimilarityOps.qSourceSim _),
     "q135_blocklist" -> (TextOps.qBlocklist _),
     "q136_bleu_pairs" -> (TextOps.qBleuPairs _),
+    "q137_rouge_pairs" -> (TextOps.qRougePairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1768,6 +1769,7 @@ object SparkEntry {
     "q92_keep_best", "q97_knn_graph", "q99_fuzzy_decon", "q100_coreset",
     "q104_incremental_knn", "q105_ffd_pack", "q117_classifier_train",
     "q122_token_ids", "q127_pagerank", "q129_fertility", "q130_bitext_mine",
+    "q137_rouge_pairs",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

@@ -1591,6 +1591,68 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** ROUGE-L PAIR SCORING — the recall-oriented counterpart to
+    * [[bleuPairScore]]: longest common SUBSEQUENCE of the token
+    * streams (order-preserving, gaps allowed — NOT the contiguous
+    * LcsLen substring), with precision = LCS/|cand|, recall =
+    * LCS/|ref| and F1, all in exact integer micro-units
+    * (f1 = (2·p·r) div (p + r) — products ≤ 10¹², no overflow).
+    *
+    * Scale shape: one narrow typed pass per pair; the DP table is
+    * O(|ref|·|cand|) ints per row with a two-row rolling buffer —
+    * ~10⁴ cells for typical documents, millions for book-length pairs
+    * (chunk first; the honest cost of exact LCS). Golden oracle
+    * (quadratic DP is not SQL-expressible); TextSpec re-derives via
+    * an independent recursive formulation.
+    */
+  def rougeLPairScore(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs
+      .select(col("doc_id"), col("ref_toks").cast("array<string>"),
+        col("cand_toks").cast("array<string>"))
+      .as[(Long, Seq[String], Seq[String])]
+      .map { case (id, ref, cand) =>
+        val a = ref.toArray
+        val b = cand.toArray
+        var prev = new Array[Int](b.length + 1)
+        var cur = new Array[Int](b.length + 1)
+        var i = 0
+        while (i < a.length) {
+          var j = 0
+          while (j < b.length) {
+            cur(j + 1) =
+              if (a(i) == b(j)) prev(j) + 1
+              else math.max(prev(j + 1), cur(j))
+            j += 1
+          }
+          val t = prev; prev = cur; cur = t
+          java.util.Arrays.fill(cur, 0)
+          i += 1
+        }
+        val lcs = prev(b.length).toLong
+        val p = if (b.length > 0) 1000000L * lcs / b.length else 0L
+        val r = if (a.length > 0) 1000000L * lcs / a.length else 0L
+        val f = if (p + r > 0) 2L * p * r / (p + r) else 0L
+        (id, a.length.toLong, b.length.toLong, lcs, p, r, f)
+      }
+      .toDF("doc_id", "ref_len", "cand_len", "lcs_tokens",
+        "rouge_p_micro", "rouge_r_micro", "rouge_f1_micro")
+      .orderBy("doc_id")
+  }
+
+  /** q137: ROUGE-L over the q136 staged pairs (every 7th token
+    * substituted). Golden oracle ×3 SFs; TextSpec re-derives the LCS
+    * recursively and pins the staging bound LCS ≥ 6/7 of the length.
+    */
+  def qRougePairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    rougeLPairScore(Tables(spark, dir).documents
+      .select(col("doc_id"), toks.as("ref_toks"),
+        transform(toks, (t, i) => when(pmod(i, lit(7)) === 6, lit("the"))
+          .otherwise(t)).as("cand_toks")))
+  }
+
   /** q136: BLEU pair scoring of a staged candidate against each doc —
     * candidate = the doc with every 7th token replaced by "the"
     * (substitution noise, same length → brevity penalty 1). Direct

@@ -955,6 +955,58 @@ class TextSpec extends SparkSpec {
       "substitution noise should degrade almost every pair")
   }
 
+  test("rougeLPairScore: LCS re-derived recursively; subsequence not substring") {
+    val pairs = Seq(
+      (1L, "a b c d e", "a b c d e"),   // identical → all 1e6
+      (2L, "a b c d e", "a x c x e"),   // lcs = a c e = 3
+      (3L, "a b c", "c b a"),           // reversal: lcs = 1
+      (4L, "x y z", "p q"),             // disjoint: lcs = 0
+      (5L, "a q b w c", "a b c x y z")) // SUBSEQUENCE a b c (not contiguous)
+      .map { case (id, r, c) => (id, r.split(" ").toSeq, c.split(" ").toSeq) }
+      .toDF("doc_id", "ref_toks", "cand_toks")
+    val out = ext.TextOps.rougeLPairScore(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6))).toMap
+    // independent recursive-memo LCS
+    def lcsRec(a: Seq[String], b: Seq[String]): Int = {
+      val memo = collection.mutable.HashMap.empty[(Int, Int), Int]
+      def go(i: Int, j: Int): Int =
+        if (i == 0 || j == 0) 0
+        else memo.getOrElseUpdate((i, j),
+          if (a(i - 1) == b(j - 1)) go(i - 1, j - 1) + 1
+          else math.max(go(i - 1, j), go(i, j - 1)))
+      go(a.length, b.length)
+    }
+    val raw = Map(
+      1L -> ("a b c d e", "a b c d e"), 2L -> ("a b c d e", "a x c x e"),
+      3L -> ("a b c", "c b a"), 4L -> ("x y z", "p q"),
+      5L -> ("a q b w c", "a b c x y z"))
+    raw.foreach { case (id, (r, c)) =>
+      val (rs, cs) = (r.split(" ").toSeq, c.split(" ").toSeq)
+      val l = lcsRec(rs, cs).toLong
+      val p = if (cs.nonEmpty) 1000000L * l / cs.length else 0L
+      val rr = if (rs.nonEmpty) 1000000L * l / rs.length else 0L
+      val f = if (p + rr > 0) 2 * p * rr / (p + rr) else 0L
+      assert(out(id) == ((l, p, rr, f)), s"pair $id")
+    }
+    assert(out(1L)._1 == 5 && out(3L)._1 == 1 && out(4L)._1 == 0)
+    assert(out(5L)._1 == 3, "gapped subsequence must count")
+  }
+
+  test("q137: staging bound — substitution keeps ≥ 6/7 of tokens in the LCS") {
+    val rows = ext.TextOps.qRougePairs(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rl, cl, lcs) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rl == cl, "substitution staging keeps length")
+      // at most ⌈len/7⌉ positions were substituted, and untouched
+      // positions remain a common subsequence
+      assert(lcs >= rl - (rl + 6) / 7, "LCS below the staging floor")
+      assert(lcs <= rl)
+      assert(r.getLong(6) <= 1000000L)
+    }
+  }
+
   test("blocklistFilter: token-boundary matching, normalization, staged evasion") {
     val docs = Seq(
       (1L, "the scan is fast"),            // 1 raw hit
