@@ -163,6 +163,7 @@ object SparkEntry {
     "q135_blocklist" -> (TextOps.qBlocklist _),
     "q136_bleu_pairs" -> (TextOps.qBleuPairs _),
     "q137_rouge_pairs" -> (TextOps.qRougePairs _),
+    "q138_calibration" -> (TextOps.qCalibration _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1688,6 +1689,37 @@ object SparkEntry {
         |   AS hit_ratio_micro,
         | hits >= 2 AS flagged
         |FROM h ORDER BY doc_id""".stripMargin,
+    "q138_calibration" ->
+      """WITH s AS (SELECT
+        |  CAST(floor(CAST(list_aggregate(list_transform(
+        |      string_split(text, ' '), t ->
+        |      (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 256)
+        |        * 2654435761 % 1000 - 500), 'sum') AS DOUBLE) * 1000.0
+        |    / len(string_split(text, ' ')) + 0.5) AS BIGINT) AS score_micro,
+        |  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END AS y
+        | FROM documents),
+        |b AS (SELECT
+        |  CAST((CASE WHEN score_micro >= -80000 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN score_micro >= -60000 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN score_micro >= -40000 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN score_micro >= -20000 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN score_micro >= 0 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN score_micro >= 20000 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN score_micro >= 40000 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN score_micro >= 60000 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN score_micro >= 80000 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS bin, y
+        | FROM s),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS pos FROM b GROUP BY 1),
+        |w(bin, pred_micro) AS (VALUES (0, 477515), (1, 482507),
+        |  (2, 487503), (3, 492501), (4, 497500), (5, 502500),
+        |  (6, 507499), (7, 512497), (8, 517493), (9, 522485))
+        |SELECT g.bin, g.n, g.pos,
+        | (1000000 * g.pos) // g.n AS obs_micro,
+        | CAST(w.pred_micro AS BIGINT) AS pred_micro,
+        | abs((1000000 * g.pos) // g.n - w.pred_micro) AS gap_micro
+        |FROM g JOIN w ON w.bin = g.bin ORDER BY g.bin""".stripMargin,
     "q136_bleu_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS rt FROM documents),
         |p AS (SELECT doc_id, rt, list_transform(range(1, len(rt) + 1),

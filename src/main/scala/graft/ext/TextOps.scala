@@ -1591,6 +1591,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CLASSIFIER CALIBRATION (reliability diagram, per-bin ECE terms) —
+    * the companion to the q118 PR curve: does the q74 classifier's
+    * predicted probability MEAN what it says? Scores are binned on
+    * FIXED literal micro-logit edges spanning the classifier's actual
+    * operating range (±0.1 logits — the q74 sigmoid argument is
+    * wsum/(n·1000), so score_micro = wsum·1000/n IS the logit in
+    * micro-units), and each bin compares the observed positive rate
+    * with the bin midpoint's sigmoid — a HARDCODED pre-verified
+    * literal per bin (the q126 remove-the-transcendental discipline:
+    * no engine evaluates exp near a boundary; every derived number is
+    * an exact integer). `gap_micro` is the per-bin ECE contribution's
+    * |obs − pred| term.
+    *
+    * Scale shape: one narrow scoring pass, one ≤10-key hash agg —
+    * map-side combine collapses each partition to ≤10 rows. Direct
+    * DuckDB oracle.
+    */
+  def qCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // bin edges in micro-logits (width 20000 across [-80000, 80000],
+    // open-ended outer bins) and the bin-midpoint sigmoid in micro
+    // probability: round(10⁶·σ(mid/10⁶)) for mids −90000, −70000, …
+    val edges = Seq(-80000L, -60000L, -40000L, -20000L, 0L, 20000L,
+      40000L, 60000L, 80000L)
+    val preds = Seq(477515L, 482507L, 487503L, 492501L, 497500L,
+      502500L, 507499L, 512497L, 517493L, 522485L)
+    val scored = t.documents.select(
+      classifierWsum(col("text")).as("wsum"),
+      size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+      when(col("source").isin("src0", "src1", "src2"), 1L).otherwise(0L)
+        .as("y"))
+      .select(
+        floor(col("wsum").cast("double") * 1000.0 / col("n_tokens") + 0.5)
+          .cast("bigint").as("score_micro"),
+        col("y"))
+    val bin = edges.foldLeft(lit(0L)) { (acc, e) =>
+      acc + when(col("score_micro") >= e, 1L).otherwise(0L)
+    }
+    val predCol = preds.zipWithIndex.foldLeft(lit(0L): Column) {
+      case (acc, (p, i)) => when(col("bin") === i, p).otherwise(acc)
+    }
+    scored.withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .select(col("bin"), col("n"), col("pos"),
+        expr("(1000000 * pos) div n").as("obs_micro"))
+      .withColumn("pred_micro", predCol)
+      .withColumn("gap_micro", abs(col("obs_micro") - col("pred_micro")))
+      .orderBy("bin")
+  }
+
   /** ROUGE-L PAIR SCORING — the recall-oriented counterpart to
     * [[bleuPairScore]]: longest common SUBSEQUENCE of the token
     * streams (order-preserving, gaps allowed — NOT the contiguous

@@ -955,6 +955,48 @@ class TextSpec extends SparkSpec {
       "substitution noise should degrade almost every pair")
   }
 
+  test("q138 calibration: bins, counts and gaps re-derived; pred literals checked") {
+    val out = ext.TextOps.qCalibration(spark, SF).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // pred literals = round(1e6 · sigmoid(mid/1e6)) for the bin midpoints
+    val mids = Seq(-90000L, -70000L, -50000L, -30000L, -10000L, 10000L,
+      30000L, 50000L, 70000L, 90000L)
+    mids.zipWithIndex.foreach { case (m, i) =>
+      val expect = math.floor(1e6 / (1 + math.exp(-m / 1e6)) + 0.5).toLong
+      out.get(i.toLong).foreach { case (_, _, _, pred, _) =>
+        assert(pred == expect, s"bin $i pred literal")
+      }
+    }
+    // independent re-binning from per-doc scores
+    val edges = Seq(-80000L, -60000L, -40000L, -20000L, 0L, 20000L,
+      40000L, 60000L, 80000L)
+    val docs = Tables(spark, SF).documents.select("text", "source").collect()
+    val perDoc = docs.map { r =>
+      val toks = r.getString(0).split(" ", -1)
+      val wsum = toks.map { t =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hex, 16) % 256) * 2654435761L % 1000 - 500
+      }.sum
+      val score = math.floor(wsum.toDouble * 1000.0 / toks.length + 0.5).toLong
+      val y = if (Set("src0", "src1", "src2")(r.getString(1))) 1L else 0L
+      (edges.count(score >= _).toLong, y)
+    }
+    val expect = perDoc.groupBy(_._1).map { case (b, xs) =>
+      b -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    assert(out.keySet == expect.keySet)
+    expect.foreach { case (b, (n, pos)) =>
+      val (on, opos, obs, pred, gap) = out(b)
+      assert((on, opos) == ((n, pos)), s"bin $b counts")
+      assert(obs == 1000000L * pos / n)
+      assert(gap == math.abs(obs - pred))
+    }
+    // total mass conserved
+    assert(out.values.map(_._1).sum == docs.length)
+  }
+
   test("rougeLPairScore: LCS re-derived recursively; subsequence not substring") {
     val pairs = Seq(
       (1L, "a b c d e", "a b c d e"),   // identical → all 1e6
