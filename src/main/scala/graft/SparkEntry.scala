@@ -164,6 +164,7 @@ object SparkEntry {
     "q136_bleu_pairs" -> (TextOps.qBleuPairs _),
     "q137_rouge_pairs" -> (TextOps.qRougePairs _),
     "q138_calibration" -> (TextOps.qCalibration _),
+    "q139_edit_sim" -> (TextOps.qEditSim _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1720,6 +1721,31 @@ object SparkEntry {
         | CAST(w.pred_micro AS BIGINT) AS pred_micro,
         | abs((1000000 * g.pos) // g.n - w.pred_micro) AS gap_micro
         |FROM g JOIN w ON w.bin = g.bin ORDER BY g.bin""".stripMargin,
+    "q139_edit_sim" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  replace(replace(text, 'e', ''), ' a ', ' aa ') AS var_text
+        | FROM documents),
+        |nx AS (SELECT doc_id - 1 AS doc_id, text AS next_text FROM documents),
+        |d AS (SELECT t.doc_id,
+        |  CAST(len(t.text) AS BIGINT) AS len,
+        |  CAST(levenshtein(t.text, t.var_text) AS BIGINT) AS variant_dist,
+        |  CAST(levenshtein(t.text, nx.next_text) AS BIGINT) AS next_dist,
+        |  CAST(greatest(len(t.text), len(t.var_text)) AS BIGINT) AS var_max,
+        |  CAST(greatest(len(t.text), len(nx.next_text)) AS BIGINT) AS next_max
+        | FROM t LEFT JOIN nx ON nx.doc_id = t.doc_id)
+        |SELECT doc_id, len, variant_dist,
+        | CASE WHEN var_max > 0
+        |   THEN (1000000 * (var_max - variant_dist)) // var_max END
+        |   AS variant_sim_micro,
+        | next_dist,
+        | CASE WHEN next_max > 0
+        |   THEN (1000000 * (next_max - next_dist)) // next_max END
+        |   AS next_sim_micro,
+        | COALESCE((1000000 * (var_max - variant_dist)) // var_max >= 850000,
+        |   FALSE) AS variant_near_dup,
+        | COALESCE((1000000 * (next_max - next_dist)) // next_max >= 850000,
+        |   FALSE) AS next_near_dup
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q136_bleu_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS rt FROM documents),
         |p AS (SELECT doc_id, rt, list_transform(range(1, len(rt) + 1),

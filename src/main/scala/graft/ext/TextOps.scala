@@ -1591,6 +1591,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** EDIT-DISTANCE SIMILARITY — character-level Levenshtein as the
+    * exact verify stage for near-dup candidates (the metric SimHash /
+    * MinHash approximate): per doc, similarity to a deterministically
+    * EDITED variant of itself (deletions + substitutions — must score
+    * near-dup) and to its successor document (control — must not).
+    * sim = (maxlen − dist)/maxlen in integer micro-units; both engines
+    * run the same unit-cost Levenshtein built-in.
+    *
+    * Scale shape: one narrow pass + one doc_id+1 equi-join (no window,
+    * no all-pairs — in a real pipeline the pair list COMES FROM a
+    * bucketed candidate generator and this op is the per-pair verify).
+    * Cost is the O(len²) DP per pair — chunk or band long documents
+    * first. Direct DuckDB oracle.
+    */
+  def qEditSim(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir).documents.select("doc_id", "text")
+    val variant = expr("replace(replace(text, 'e', ''), ' a ', ' aa ')")
+    val nxt = t.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("next_text"))
+    t.withColumn("var_text", variant)
+      .join(nxt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(col("text")).cast("bigint").as("len"),
+        levenshtein(col("text"), col("var_text")).cast("bigint")
+          .as("variant_dist"),
+        levenshtein(col("text"), col("next_text")).cast("bigint")
+          .as("next_dist"),
+        greatest(length(col("text")), length(col("var_text")))
+          .cast("bigint").as("var_max"),
+        greatest(length(col("text")), length(col("next_text")))
+          .cast("bigint").as("next_max"))
+      .select(col("doc_id"), col("len"), col("variant_dist"),
+        // integer micro similarity via `div` (Column `/` on longs is
+        // double division)
+        when(col("var_max") > 0,
+          expr("(1000000 * (var_max - variant_dist)) div var_max"))
+          .cast("bigint").as("variant_sim_micro"),
+        col("next_dist"),
+        when(col("next_max") > 0,
+          expr("(1000000 * (next_max - next_dist)) div next_max"))
+          .cast("bigint").as("next_sim_micro"))
+      .withColumn("variant_near_dup",
+        coalesce(col("variant_sim_micro") >= 850000L, lit(false)))
+      .withColumn("next_near_dup",
+        coalesce(col("next_sim_micro") >= 850000L, lit(false)))
+      .orderBy("doc_id")
+  }
+
   /** CLASSIFIER CALIBRATION (reliability diagram, per-bin ECE terms) —
     * the companion to the q118 PR curve: does the q74 classifier's
     * predicted probability MEAN what it says? Scores are binned on

@@ -955,6 +955,39 @@ class TextSpec extends SparkSpec {
       "substitution noise should degrade almost every pair")
   }
 
+  test("q139 edit similarity: separation, bounds, and a hand-checked distance") {
+    val rows = ext.TextOps.qEditSim(spark, SF).collect()
+    assert(rows.nonEmpty)
+    val maxId = rows.map(_.getLong(0)).max
+    rows.foreach { r =>
+      val (id, len, vd, vs) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      // the edit (delete e's, double ' a ' articles) is small vs len
+      assert(vd >= 0 && vd < len, s"doc $id variant distance bounds")
+      assert(vs > 0 && vs <= 1000000L)
+      assert(r.getBoolean(6) == (vs >= 850000L))
+      if (id == maxId) {
+        assert(r.isNullAt(4) && r.isNullAt(5) && !r.getBoolean(7),
+          "last doc has no successor")
+      } else {
+        assert(!r.getBoolean(7), "distinct docs must not be near-dups")
+      }
+    }
+    // every self-variant is a near-dup; no control pair is
+    assert(rows.forall(_.getBoolean(6)))
+    // hand-check one distance: deleting k characters costs exactly k
+    // when that is the only edit type applied
+    val d = Tables(spark, SF).documents
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sample = d.keys.min
+    val txt = d(sample)
+    if (!txt.contains(" a ")) {
+      val expect = txt.count(_ == 'e').toLong
+      val got = rows.find(_.getLong(0) == sample).get.getLong(2)
+      assert(got == expect, "pure-deletion distance = number of deletions")
+    }
+  }
+
   test("q138 calibration: bins, counts and gaps re-derived; pred literals checked") {
     val out = ext.TextOps.qCalibration(spark, SF).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
