@@ -414,18 +414,9 @@ object TextOps {
   def qPrCurve(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
-    val scored = t.documents.select(
-      classifierWsum(col("text")).as("wsum"),
-      size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
-      when(col("source").isin("src0", "src1", "src2"), 1L).otherwise(0L)
-        .as("y"))
-      .select(
-        // floor(x+0.5) on a double, not integer div: wsum is signed and
-        // Spark `div` truncates toward zero while DuckDB `//` floors
-        floor(col("wsum").cast("double") * 1000.0 / col("n_tokens") + 0.5)
-          .cast("bigint").as("score_milli"),
-        col("y"))
-    val byScore = scored.groupBy("score_milli")
+    val byScore = classifierScoreLabel(t.documents)
+      .withColumnRenamed("score_micro", "score_milli")
+      .groupBy("score_milli")
       .agg(count(lit(1)).as("n"), sum("y").as("pos"))
     val tot = byScore.agg(sum("pos").as("p_total"))
     val w = Window.orderBy(desc("score_milli"))
@@ -1591,6 +1582,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The q74 classifier's per-doc operating score (micro-logits:
+    * wsum·1000/n — the sigmoid argument ×10⁶) and the weak positive
+    * label (source ∈ src0..src2) — ONE definition shared by the PR
+    * curve (q118) and the calibration diagram (q138) so the two eval
+    * artifacts can never desynchronize. floor(x+0.5) on a double, not
+    * integer div: wsum is signed and Spark `div` truncates toward zero
+    * while DuckDB `//` floors.
+    */
+  private def classifierScoreLabel(docs: DataFrame): DataFrame =
+    docs.select(
+      classifierWsum(col("text")).as("wsum"),
+      size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+      when(col("source").isin("src0", "src1", "src2"), 1L).otherwise(0L)
+        .as("y"))
+      .select(
+        floor(col("wsum").cast("double") * 1000.0 / col("n_tokens") + 0.5)
+          .cast("bigint").as("score_micro"),
+        col("y"))
+
   /** EDIT-DISTANCE SIMILARITY — character-level Levenshtein as the
     * exact verify stage for near-dup candidates (the metric SimHash /
     * MinHash approximate): per doc, similarity to a deterministically
@@ -1665,15 +1675,7 @@ object TextOps {
       40000L, 60000L, 80000L)
     val preds = Seq(477515L, 482507L, 487503L, 492501L, 497500L,
       502500L, 507499L, 512497L, 517493L, 522485L)
-    val scored = t.documents.select(
-      classifierWsum(col("text")).as("wsum"),
-      size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
-      when(col("source").isin("src0", "src1", "src2"), 1L).otherwise(0L)
-        .as("y"))
-      .select(
-        floor(col("wsum").cast("double") * 1000.0 / col("n_tokens") + 0.5)
-          .cast("bigint").as("score_micro"),
-        col("y"))
+    val scored = classifierScoreLabel(t.documents)
     val bin = edges.foldLeft(lit(0L)) { (acc, e) =>
       acc + when(col("score_micro") >= e, 1L).otherwise(0L)
     }
