@@ -1726,24 +1726,30 @@ object SparkEntry {
         |  replace(replace(text, 'e', ''), ' a ', ' aa ') AS var_text
         | FROM documents),
         |nx AS (SELECT doc_id - 1 AS doc_id, text AS next_text FROM documents),
-        |d AS (SELECT t.doc_id,
+        |d0 AS (SELECT t.doc_id,
         |  CAST(len(t.text) AS BIGINT) AS len,
-        |  CAST(levenshtein(t.text, t.var_text) AS BIGINT) AS variant_dist,
-        |  CAST(levenshtein(t.text, nx.next_text) AS BIGINT) AS next_dist,
+        |  CAST(levenshtein(t.text, t.var_text) AS BIGINT) AS vd0,
+        |  CAST(levenshtein(t.text, nx.next_text) AS BIGINT) AS nd0,
         |  CAST(greatest(len(t.text), len(t.var_text)) AS BIGINT) AS var_max,
         |  CAST(greatest(len(t.text), len(nx.next_text)) AS BIGINT) AS next_max
-        | FROM t LEFT JOIN nx ON nx.doc_id = t.doc_id)
+        | FROM t LEFT JOIN nx ON nx.doc_id = t.doc_id),
+        |d AS (SELECT doc_id, len,
+        |  CASE WHEN vd0 > 120 THEN -1 ELSE vd0 END AS variant_dist,
+        |  CASE WHEN nd0 > 120 THEN -1 ELSE nd0 END AS next_dist,
+        |  var_max, next_max FROM d0)
         |SELECT doc_id, len, variant_dist,
-        | CASE WHEN var_max > 0
+        | CASE WHEN var_max > 0 AND variant_dist >= 0
         |   THEN (1000000 * (var_max - variant_dist)) // var_max END
         |   AS variant_sim_micro,
         | next_dist,
-        | CASE WHEN next_max > 0
+        | CASE WHEN next_max > 0 AND next_dist >= 0
         |   THEN (1000000 * (next_max - next_dist)) // next_max END
         |   AS next_sim_micro,
-        | COALESCE((1000000 * (var_max - variant_dist)) // var_max >= 850000,
+        | COALESCE(variant_dist >= 0 AND
+        |   (1000000 * (var_max - variant_dist)) // var_max >= 850000,
         |   FALSE) AS variant_near_dup,
-        | COALESCE((1000000 * (next_max - next_dist)) // next_max >= 850000,
+        | COALESCE(next_dist >= 0 AND
+        |   (1000000 * (next_max - next_dist)) // next_max >= 850000,
         |   FALSE) AS next_near_dup
         |FROM d ORDER BY doc_id""".stripMargin,
     "q136_bleu_pairs" ->

@@ -962,7 +962,12 @@ class TextSpec extends SparkSpec {
     rows.foreach { r =>
       val (id, len, vd, vs) = (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))
-      // the edit (delete e's, double ' a ' articles) is small vs len
+      // the 120-char band must dominate the 0.15·maxlen flag threshold,
+      // or a cap could mask a true near-dup
+      assert(len <= 800, s"doc $id longer than the banded-verify contract")
+      // the edit (delete e's, double ' a ' articles) is small vs len —
+      // and must never hit the cap (a capped self-variant would mean
+      // the staging isn't a near-dup at all)
       assert(vd >= 0 && vd < len, s"doc $id variant distance bounds")
       assert(vs > 0 && vs <= 1000000L)
       assert(r.getBoolean(6) == (vs >= 850000L))
@@ -970,6 +975,11 @@ class TextSpec extends SparkSpec {
         assert(r.isNullAt(4) && r.isNullAt(5) && !r.getBoolean(7),
           "last doc has no successor")
       } else {
+        // successor distance is either computed (small doc pair) or
+        // capped to −1 — in both cases never a near-dup
+        val nd = r.getLong(4)
+        assert(nd == -1L || nd > 0L)
+        if (nd == -1L) assert(r.isNullAt(5), "capped pair must have NULL sim")
         assert(!r.getBoolean(7), "distinct docs must not be near-dups")
       }
     }
