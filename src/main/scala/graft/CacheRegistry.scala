@@ -24,6 +24,12 @@ object CacheRegistry {
     override def initialValue(): java.util.ArrayDeque[DataFrame] =
       new java.util.ArrayDeque[DataFrame]()
   }
+  private val liveRdds =
+    new ThreadLocal[java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]] {
+      override def initialValue()
+          : java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]] =
+        new java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]()
+    }
 
   /** Persist `df` at MEMORY_AND_DISK and remember it for [[release]]. */
   def persist(df: DataFrame): DataFrame = {
@@ -31,6 +37,15 @@ object CacheRegistry {
     live.get().add(df)
     df
   }
+
+  /** Remember an ALREADY-persisted raw RDD for [[release]]. Needed by
+    * iterative ops (pageRank's generation freezing) whose results wrap a
+    * persisted RDD via createDataFrame: `Dataset.unpersist` is a
+    * CacheManager no-op on such plans, so only the RDD handle can
+    * actually free the blocks — without this the final generation
+    * leaked one MEMORY_AND_DISK RDD per invocation until JVM exit.
+    */
+  def trackRdd(r: org.apache.spark.rdd.RDD[_]): Unit = liveRdds.get().add(r)
 
   /** Unpersist (non-blocking) everything THIS thread registered since its
     * last call.
@@ -42,6 +57,13 @@ object CacheRegistry {
       try df.unpersist(blocking = false)
       catch { case _: Throwable => () } // session may already be stopped
       df = q.poll()
+    }
+    val qr = liveRdds.get()
+    var r = qr.poll()
+    while (r != null) {
+      try r.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      r = qr.poll()
     }
   }
 }

@@ -1745,12 +1745,14 @@ object SparkEntry {
         | CASE WHEN next_max > 0 AND next_dist >= 0
         |   THEN (1000000 * (next_max - next_dist)) // next_max END
         |   AS next_sim_micro,
-        | COALESCE(variant_dist >= 0 AND
-        |   (1000000 * (var_max - variant_dist)) // var_max >= 850000,
-        |   FALSE) AS variant_near_dup,
-        | COALESCE(next_dist >= 0 AND
-        |   (1000000 * (next_max - next_dist)) // next_max >= 850000,
-        |   FALSE) AS next_near_dup
+        | CASE WHEN variant_dist = -1 THEN NULL ELSE
+        |   COALESCE(variant_dist >= 0 AND
+        |     (1000000 * (var_max - variant_dist)) // var_max >= 850000,
+        |     FALSE) END AS variant_near_dup,
+        | CASE WHEN next_dist = -1 THEN NULL ELSE
+        |   COALESCE(next_dist >= 0 AND
+        |     (1000000 * (next_max - next_dist)) // next_max >= 850000,
+        |     FALSE) END AS next_near_dup
         |FROM d ORDER BY doc_id""".stripMargin,
     "q136_bleu_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS rt FROM documents),

@@ -1207,6 +1207,10 @@ object SimilarityOps {
       p = next
       pRdd = nextRdd
     }
+    // the FINAL generation's RDD backs the returned frame; register it
+    // so the runner's CacheRegistry.release() can actually free it
+    // (Dataset.unpersist is a no-op on a createDataFrame-wrapped plan)
+    graft.CacheRegistry.trackRdd(pRdd)
     p
   }
 

@@ -1618,8 +1618,9 @@ object TextOps {
     * information; the full-width DP benched 12 s at sf0.1 vs ~3 s
     * banded). k must dominate the flag threshold 0.15·maxlen — true
     * for docs up to 800 chars, spec-asserted at the SFs; a capped
-    * pair reports dist −1, NULL similarity, near_dup false. Direct
-    * DuckDB oracle (full distance + CASE > k → −1).
+    * pair reports dist −1, NULL similarity, NULL near_dup (unknown —
+    * never a false "confirmed non-dup"). Direct DuckDB oracle (full
+    * distance + CASE > k → −1).
     */
   def qEditSim(spark: SparkSession, dir: String): DataFrame = {
     val DistCap = 120
@@ -1649,10 +1650,18 @@ object TextOps {
         when(col("next_max") > 0 && col("next_dist") >= 0,
           expr("(1000000 * (next_max - next_dist)) div next_max"))
           .cast("bigint").as("next_sim_micro"))
+      // a capped pair (dist = −1) is UNKNOWN, not a confirmed non-dup:
+      // its true distance may lie in (cap, 0.15·maxlen] for docs past
+      // ~800 chars, so near_dup stays NULL there; false is reserved for
+      // pairs whose distance was actually computed (or absent peers)
       .withColumn("variant_near_dup",
-        coalesce(col("variant_sim_micro") >= 850000L, lit(false)))
+        when(col("variant_dist") === -1L, lit(null).cast("boolean"))
+          .otherwise(coalesce(col("variant_sim_micro") >= 850000L,
+            lit(false))))
       .withColumn("next_near_dup",
-        coalesce(col("next_sim_micro") >= 850000L, lit(false)))
+        when(col("next_dist") === -1L, lit(null).cast("boolean"))
+          .otherwise(coalesce(col("next_sim_micro") >= 850000L,
+            lit(false))))
       .orderBy("doc_id")
   }
 

@@ -523,9 +523,16 @@ object CoreQueries {
     * pattern: ONE sort exchange on (user_id) feeds BOTH window passes
     * (the q48 shared-exchange discipline), then one hash agg. Gap
     * arithmetic in exact epoch micros. Direct DuckDB oracle.
+    *
+    * The default gap is 8 h 20 min (30000 s) — deliberately NOT the
+    * web-analytics 30-minute convention used by the streaming
+    * sessionizer: the synthetic events table's median per-user
+    * inter-event gap is ~7.7 h, so a 30-minute gap degenerates to 95 %
+    * singleton sessions. The unit is seconds throughout (converted to
+    * micros once, below).
     */
   def q133Sessionize(spark: SparkSession, dir: String,
-      gapSeconds: Long = 30000L): DataFrame = {
+      gapSeconds: Long = 8L * 3600L + 20L * 60L): DataFrame = {
     val t = Tables(spark, dir)
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -690,6 +690,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.sum < scale)
   }
 
+  test("pageRank: CacheRegistry.release frees every generation RDD") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val nodes = Seq(1L, 2L, 3L).toDF("node_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = ext.SimilarityOps.pageRank(nodes, edges, iters = 3)
+    assert(out.count() == 3) // materialize the final generation
+    graft.CacheRegistry.release()
+    // release is non-blocking; the driver-side bookkeeping is async
+    val deadline = System.nanoTime() + 10000000000L
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(leaked.isEmpty,
+      s"persisted RDDs leaked past release(): $leaked")
+  }
+
   test("q134 source similarity: centroids and cosines re-derived in plain Scala") {
     val out = ext.SimilarityOps.qSourceSim(spark, SF).collect()
       .map(r => (r.getString(0), r.getString(1)) ->

@@ -976,11 +976,16 @@ class TextSpec extends SparkSpec {
           "last doc has no successor")
       } else {
         // successor distance is either computed (small doc pair) or
-        // capped to −1 — in both cases never a near-dup
+        // capped to −1; a computed pair is confirmed not-near-dup, a
+        // capped pair is UNKNOWN (NULL sim, NULL near_dup)
         val nd = r.getLong(4)
         assert(nd == -1L || nd > 0L)
-        if (nd == -1L) assert(r.isNullAt(5), "capped pair must have NULL sim")
-        assert(!r.getBoolean(7), "distinct docs must not be near-dups")
+        if (nd == -1L) {
+          assert(r.isNullAt(5), "capped pair must have NULL sim")
+          assert(r.isNullAt(7), "capped pair near_dup must be NULL (unknown)")
+        } else {
+          assert(!r.getBoolean(7), "distinct docs must not be near-dups")
+        }
       }
     }
     // every self-variant is a near-dup; no control pair is
