@@ -1624,7 +1624,9 @@ object TextOps {
     */
   def qEditSim(spark: SparkSession, dir: String): DataFrame = {
     val DistCap = 120
-    val t = Tables(spark, dir).documents.select("doc_id", "text")
+    // the DP is the cost; spread the scan so it parallelizes even when
+    // the input is a single row group (Tables.spread scaladoc)
+    val t = Tables.spread(Tables(spark, dir).documents.select("doc_id", "text"))
     val variant = expr("replace(replace(text, 'e', ''), ' a ', ' aa ')")
     val nxt = t.select((col("doc_id") - 1).as("doc_id"),
       col("text").as("next_text"))
