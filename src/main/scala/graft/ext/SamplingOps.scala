@@ -425,7 +425,8 @@ object SamplingOps {
     * hash, same micro-quantization, same Gumbel keys).
     */
   def qDsirResample(spark: SparkSession, dir: String): DataFrame =
-    dsirResample(Tables(spark, dir).documents, col("lang") === "en")
+    dsirResample(Tables.spread(Tables(spark, dir).documents),
+      col("lang") === "en")
       .orderBy("rank")
 
   /** LENGTH-BUCKET BATCHING — group documents of similar token length

@@ -1588,12 +1588,13 @@ object SimilarityOps {
     */
   def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val anchors = t.embeddings.filter(col("vec_id") % 25 === 0)
+    val emb = Tables.spread(t.embeddings)
+    val anchors = emb.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("anchor_id"),
         toDouble(col("embedding")).as("av"),
         col("label").cast("bigint").as("anchor_label"))
       .withColumn("anrm", norm(col("av")))
-    hardNegatives(t.embeddings, anchors, k = 5).orderBy("anchor_id", "rank")
+    hardNegatives(emb, anchors, k = 5).orderBy("anchor_id", "rank")
   }
 
   /** SYMMETRIC INT8 QUANTIZATION of the embedding column — the 4×
@@ -1644,7 +1645,7 @@ object SimilarityOps {
     * Direct DuckDB oracle.
     */
   def qInt8Quantize(spark: SparkSession, dir: String): DataFrame =
-    int8Quantize(Tables(spark, dir).embeddings)
+    int8Quantize(Tables.spread(Tables(spark, dir).embeddings))
       .select(col("vec_id"), col("scale"),
         array_join(transform(slice(col("codes"), 1, 8),
           c => c.cast("string")), ",").as("codes8"),

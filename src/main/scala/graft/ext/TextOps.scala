@@ -1420,7 +1420,8 @@ object TextOps {
     * filtered ordered string_agg).
     */
   def qSpanCorrupt(spark: SparkSession, dir: String): DataFrame =
-    spanCorrupt(Tables(spark, dir).documents.select("doc_id", "text"))
+    spanCorrupt(Tables.spread(
+      Tables(spark, dir).documents.select("doc_id", "text")))
       .orderBy("doc_id")
 
   /** TOKENIZER FERTILITY by language — the report that decides whether
@@ -1779,7 +1780,7 @@ object TextOps {
     */
   def qBleuPairs(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
-    bleuPairScore(Tables(spark, dir).documents
+    bleuPairScore(Tables.spread(Tables(spark, dir).documents)
       .select(col("doc_id"), toks.as("ref_toks"),
         transform(toks, (t, i) => when(pmod(i, lit(7)) === 6, lit("the"))
           .otherwise(t)).as("cand_toks")))
