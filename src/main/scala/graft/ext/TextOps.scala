@@ -1627,9 +1627,12 @@ object TextOps {
     val DistCap = 120
     // the DP is the cost; spread the scan so it parallelizes even when
     // the input is a single row group (Tables.spread scaladoc)
-    val t = Tables.spread(Tables(spark, dir).documents.select("doc_id", "text"))
+    val t0 = Tables(spark, dir).documents.select("doc_id", "text")
+    val t = Tables.spread(t0)
     val variant = expr("replace(replace(text, 'e', ''), ' a ', ' aa ')")
-    val nxt = t.select((col("doc_id") - 1).as("doc_id"),
+    // the successor side only feeds a broadcast build — rebalancing it
+    // before the broadcast collect would be a wasted exchange
+    val nxt = t0.select((col("doc_id") - 1).as("doc_id"),
       col("text").as("next_text"))
     t.withColumn("var_text", variant)
       .join(nxt, Seq("doc_id"), "left")
