@@ -20,21 +20,19 @@ import org.apache.spark.sql.DataFrame
   * thread-scoping frees exactly the right blocks.
   */
 object CacheRegistry {
-  private val live = new ThreadLocal[java.util.ArrayDeque[DataFrame]] {
-    override def initialValue(): java.util.ArrayDeque[DataFrame] =
-      new java.util.ArrayDeque[DataFrame]()
+  // one deque of release thunks serves every trackable resource type
+  // (DataFrames today, raw RDDs for the iterative ops) — unpersist is
+  // idempotent, so double-registration or an eager inline free before
+  // release() is harmless
+  private val live = new ThreadLocal[java.util.ArrayDeque[() => Unit]] {
+    override def initialValue(): java.util.ArrayDeque[() => Unit] =
+      new java.util.ArrayDeque[() => Unit]()
   }
-  private val liveRdds =
-    new ThreadLocal[java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]] {
-      override def initialValue()
-          : java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]] =
-        new java.util.ArrayDeque[org.apache.spark.rdd.RDD[_]]()
-    }
 
   /** Persist `df` at MEMORY_AND_DISK and remember it for [[release]]. */
   def persist(df: DataFrame): DataFrame = {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    live.get().add(df)
+    live.get().add(() => df.unpersist(blocking = false))
     df
   }
 
@@ -45,25 +43,19 @@ object CacheRegistry {
     * actually free the blocks — without this the final generation
     * leaked one MEMORY_AND_DISK RDD per invocation until JVM exit.
     */
-  def trackRdd(r: org.apache.spark.rdd.RDD[_]): Unit = liveRdds.get().add(r)
+  def trackRdd(r: org.apache.spark.rdd.RDD[_]): Unit =
+    live.get().add(() => { r.unpersist(blocking = false); () })
 
   /** Unpersist (non-blocking) everything THIS thread registered since its
     * last call.
     */
   def release(): Unit = {
     val q = live.get()
-    var df = q.poll()
-    while (df != null) {
-      try df.unpersist(blocking = false)
+    var f = q.poll()
+    while (f != null) {
+      try f()
       catch { case _: Throwable => () } // session may already be stopped
-      df = q.poll()
-    }
-    val qr = liveRdds.get()
-    var r = qr.poll()
-    while (r != null) {
-      try r.unpersist(blocking = false)
-      catch { case _: Throwable => () }
-      r = qr.poll()
+      f = q.poll()
     }
   }
 }

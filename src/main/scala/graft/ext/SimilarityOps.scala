@@ -1190,6 +1190,11 @@ object SimilarityOps {
         : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val r = df.rdd
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // register BEFORE materializing: if the count (or a later round)
+      // throws, the runner's release() still frees this generation —
+      // unpersist is idempotent, so the loop's eager inline free of
+      // superseded generations keeps working unchanged
+      graft.CacheRegistry.trackRdd(r)
       r.count() // materialize this generation before the old one is freed
       (spark.createDataFrame(r, df.schema), r)
     }
@@ -1207,10 +1212,9 @@ object SimilarityOps {
       p = next
       pRdd = nextRdd
     }
-    // the FINAL generation's RDD backs the returned frame; register it
-    // so the runner's CacheRegistry.release() can actually free it
-    // (Dataset.unpersist is a no-op on a createDataFrame-wrapped plan)
-    graft.CacheRegistry.trackRdd(pRdd)
+    // every generation (including the final one backing the returned
+    // frame) is registered by freeze(), so the runner's
+    // CacheRegistry.release() frees whatever the eager loop didn't
     p
   }
 
@@ -1588,8 +1592,10 @@ object SimilarityOps {
     */
   def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // spread only the PROBE side; anchors feed a broadcast build, where
+    // a rebalance exchange before the collect is pure waste (q139 rule)
     val emb = Tables.spread(t.embeddings)
-    val anchors = emb.filter(col("vec_id") % 25 === 0)
+    val anchors = t.embeddings.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("anchor_id"),
         toDouble(col("embedding")).as("av"),
         col("label").cast("bigint").as("anchor_label"))
