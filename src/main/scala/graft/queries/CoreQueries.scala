@@ -381,6 +381,16 @@ object CoreQueries {
     val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")
     val ranked = t.lineitem
       .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      // the window key has ~3 distinct values, so this exchange is
+      // key-limited: AQE's byte-based coalescing would merge it to ONE
+      // task and serialize the per-group sorts. An explicit numbered
+      // repartition on the same key satisfies the windows' required
+      // distribution, is exempt from coalescing, and restores the
+      // key-limited parallelism (2.0 s -> 1.35 s at sf0.1); the count
+      // pins the session's own shuffle-partition setting, so at cluster
+      // scale it is exactly the exchange the planner would emit anyway
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("l_returnflag"))
       .withColumn("i", (row_number().over(w) - 1).cast("double")) // 0-based
       .withColumn("pos", (count(lit(1)).over(wg) - 1).cast("double"))
     val posOf = ps.map { case (p, nm) => nm -> (col("pos") * lit(p)) }.toMap

@@ -107,4 +107,23 @@ class OpsSpec extends SparkSpec {
     val bad = ZipJoin.zipJoin(a, b).filter(col("dbl") =!= col("n") * 2).count()
     assert(bad == 0)
   }
+
+  test("Tables.spread rebalances a degenerate scan and preserves rows") {
+    val p = spark.sparkContext.defaultParallelism
+    val narrow = spark.range(0, 1000).coalesce(1).toDF("n")
+    assert(narrow.rdd.getNumPartitions == 1)
+    val out = Tables.spread(narrow)
+    assert(out.rdd.getNumPartitions == p,
+      "a below-parallelism frame must be rebalanced to the default")
+    assert(out.select(sum("n")).head.getLong(0) == 999L * 1000 / 2)
+    assert(out.count() == 1000)
+  }
+
+  test("Tables.spread is a passthrough when parallelism is sufficient") {
+    val p = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 1000).repartition(p).toDF("n")
+    val out = Tables.spread(wide)
+    // passthrough = the SAME frame, no exchange added on top
+    assert(out eq wide)
+  }
 }
