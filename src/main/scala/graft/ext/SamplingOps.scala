@@ -43,11 +43,31 @@ object SamplingOps {
 
   def hashRank(key: Column): Column = md5(key.cast("string"))
 
-  /** Deterministic uniform k-sample (bottom-k by hash of the key). */
+  /** Null-safe token count for the packers: a null text has 0 tokens.
+    * The bare `size(split(null, " "))` is null, and a null forced into
+    * a non-nullable encoder Long is a runtime NPE — in the STREAMING
+    * packer that's a poison pill (the failed micro-batch replays from
+    * the checkpoint on every restart), so one null-text document would
+    * halt ingestion forever.
+    */
+  private def tokenCountOrZero(text: Column): Column =
+    when(text.isNull, lit(0L))
+      .otherwise(size(split(text, " ")).cast("bigint"))
+
+  /** Deterministic uniform k-sample (bottom-k by hash of the key).
+    *
+    * CONTRACT: `key` must be unique per row. Rows sharing a key value
+    * tie on both sort columns (same hash, same key), and tie order at a
+    * limit/window boundary is partition-layout-dependent — exactly the
+    * nondeterminism this primitive exists to remove. Every caller in
+    * this repo samples on a unique id.
+    */
   def uniformSample(df: DataFrame, key: String, k: Int): DataFrame =
     df.orderBy(hashRank(col(key)), col(key)).limit(k)
 
-  /** Deterministic stratified sample: k rows per stratum. */
+  /** Deterministic stratified sample: k rows per stratum. Same
+    * unique-`key` contract as [[uniformSample]].
+    */
   def stratifiedSample(df: DataFrame, stratum: String, key: String,
       k: Int): DataFrame = {
     val rk = "__graft_sample_rk"
@@ -79,6 +99,12 @@ object SamplingOps {
     * weighting: upsample curated sources, downsample crawl). Budgets
     * arrive as a broadcast join (the mixture config is tiny); the only
     * shuffle is the per-stratum window, keyed by stratum.
+    *
+    * CONTRACT: `budgets` holds ONE row per stratum (a duplicated
+    * stratum row would silently multiply its documents through the
+    * join and corrupt the ranks). A stratum absent from `budgets` is
+    * equivalent to budget 0 — the inner join drops it, which is the
+    * same output a 0 budget produces.
     */
   def mixtureSample(df: DataFrame, stratum: String, key: String,
       budgets: DataFrame): DataFrame = {
@@ -92,18 +118,25 @@ object SamplingOps {
       .withColumnRenamed(rk, "sample_rank")
   }
 
+  /** ONE definition of the demo mixture's source weights (3× for the
+    * "curated" sources, 2× for the teens, 1× for the rest) — shared by
+    * q68's budgets and q121's repetition plan so the two artifacts,
+    * documented as using the same config, cannot drift apart.
+    */
+  private[graft] def sourceWeight(source: Column): Column =
+    when(source.isin("src0", "src1", "src2"), 3L)
+      .when(source.startsWith("src1"), 2L)
+      .otherwise(1L)
+
   /** q68: mixture sampling over documents — weights are a deterministic
-    * function of the source name (3× for the "curated" sources, 2× for
-    * the teens, 1× for the rest; budget = weight · 5 docs), so the
-    * DuckDB oracle rebuilds the identical config. Direct oracle.
+    * function of the source name ([[sourceWeight]]; budget = weight ·
+    * 5 docs), so the DuckDB oracle rebuilds the identical config.
+    * Direct oracle.
     */
   def qMixtureSample(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val budgets = t.documents.select(col("source")).distinct()
-      .withColumn("weight",
-        when(col("source").isin("src0", "src1", "src2"), 3L)
-          .when(col("source").startsWith("src1"), 2L)
-          .otherwise(1L))
+      .withColumn("weight", sourceWeight(col("source")))
       .withColumn("budget", col("weight") * 5)
     mixtureSample(t.documents.select("doc_id", "source"), "source", "doc_id", budgets)
       .select(col("doc_id"), col("source"), col("weight"),
@@ -117,7 +150,13 @@ object SamplingOps {
     * what production would use.
     */
   def lcgShard(id: Column, nShards: Int): Column =
-    (id * 1103515245L + 12345L) % 2147483648L % nShards
+    // reduce the id mod 2^31 BEFORE the multiply: (a·m) mod 2^31 ==
+    // ((a mod 2^31)·m) mod 2^31, and the reduced product tops out at
+    // 2^31·1103515245 ≈ 2.4e18 < 2^63 — the unreduced form overflowed
+    // signed 64-bit (negative shards / ANSI error) past id ≈ 8.4e9,
+    // squarely inside the ~2e10-doc range a 100 TB corpus reaches.
+    // Bit-identical to the old formula for every non-overflowing id.
+    (pmod(id, lit(2147483648L)) * 1103515245L + 12345L) % 2147483648L % nShards
 
   /** q71: token-budget sequence packing — turn the cleaned corpus into
     * fixed-budget training sequences: docs are hash-sharded, ordered
@@ -150,7 +189,7 @@ object SamplingOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("shard", lcgShard(col("doc_id"), nShards))
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      .withColumn("n_tokens", tokenCountOrZero(col("text")))
       .withColumn("tok_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("seq_id", expr(s"tok_offset div $budget"))
   }
@@ -175,7 +214,7 @@ object SamplingOps {
     docs.select(
         lcgShard(col("doc_id"), nShards).as("shard"),
         col("doc_id").as("docId"),
-        size(split(col("text"), " ")).cast("bigint").as("nTokens"))
+        tokenCountOrZero(col("text")).as("nTokens"))
       .as[PackArrival]
       .groupByKey(_.shard)
       .flatMapGroupsWithState[ShardOffset, PackedDoc](
@@ -244,7 +283,14 @@ object SamplingOps {
         round(sqrt(col("n_source").cast("double")) * 1000000.0, 0).cast("bigint"))
     val sumW = n.agg(sum(col("w_micro")).as("sum_w"))
     n.crossJoin(broadcast(sumW))
-      .withColumn("budget", expr(s"($totalBudget * w_micro) div sum_w"))
+      // DECIMAL(38,0) product: totalBudget·w_micro in pure BIGINT wraps
+      // past 2^63 (a 1e9-doc source has w_micro ≈ 3.2e10; budget 1e9
+      // puts the product at 3.2e19) — the q121 overflow class. The
+      // decimal product divides exactly, and the quotient is always
+      // ≤ totalBudget, so the BIGINT cast of the result is safe.
+      .withColumn("budget",
+        expr(s"(CAST($totalBudget AS DECIMAL(38,0)) * w_micro) div sum_w")
+          .cast("bigint"))
       .drop("sum_w")
   }
 
@@ -287,6 +333,9 @@ object SamplingOps {
       case _ => true
     }, "split range bounds must be strictly increasing — an out-of-order " +
       "bound makes its split unreachable")
+    require(!df.columns.contains("split_bucket") && !df.columns.contains("split"),
+      "input already has a split_bucket/split column — refusing to clobber " +
+        "an existing assignment")
     val bucket =
       conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
         .cast("bigint") % denom
@@ -328,7 +377,15 @@ object SamplingOps {
   def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
       ranges: Seq[(String, Int)] = Seq("train" -> 900, "val" -> 950, "test" -> 1000),
       denom: Int = 1000): DataFrame =
-    splitAssign(docs.join(clusters, Seq("doc_id")), "cluster_id", ranges, denom)
+    // LEFT join + own-id fallback: a doc with no cluster row (pairwise
+    // detectors and partial cluster tables only list multi-member
+    // clusters) is its own singleton cluster. An inner join here
+    // silently DROPPED every uncovered doc from all splits, breaking
+    // the disjoint+exhaustive guarantee inherited from splitAssign.
+    splitAssign(
+      docs.join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id"))),
+      "cluster_id", ranges, denom)
 
   /** q110: leakage-safe split over EXACT-dup content clusters (cluster id
     * = lowest doc_id sharing the text's md5 — hash-free clustering, so
@@ -459,13 +516,18 @@ object SamplingOps {
         .when(n <= 1024, 1024L).when(n <= 2048, 2048L).when(n <= 4096, 4096L)
         .otherwise(8192L)
     val wBatch = Window.partitionBy(col("shard"), col("bucket"), col("batch_id"))
+    // the batch order goes through the SAME hashRank helper as every
+    // sampler (the inline md5 SQL string it replaced could silently
+    // diverge if hashRank ever changed)
+    val wOrder = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(hashRank(col("doc_id")), col("doc_id"))
     docs
       .withColumn("shard", lcgShard(col("doc_id"), nShards))
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      .withColumn("n_tokens", tokenCountOrZero(col("text")))
       .withColumn("bucket", bucket)
-      .withColumn("batch_id",
-        expr(s"(row_number() OVER (PARTITION BY shard, bucket ORDER BY " +
-          s"md5(cast(doc_id AS string)), doc_id) - 1) div $batchSize"))
+      .withColumn("__rn", (row_number().over(wOrder) - 1).cast("bigint"))
+      .withColumn("batch_id", expr(s"__rn div $batchSize"))
+      .drop("__rn")
       .withColumn("padded_len", max(col("n_tokens")).over(wBatch))
       .withColumn("pad_waste", col("padded_len") - col("n_tokens"))
   }
@@ -507,7 +569,7 @@ object SamplingOps {
     docs.select(
         lcgShard(col("doc_id"), nShards).as("shard"),
         col("doc_id"),
-        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+        tokenCountOrZero(col("text")).as("n_tokens"))
       .as[BinArrival]
       .groupByKey(_.shard)
       .flatMapGroups { (shard, rows) =>
@@ -606,9 +668,7 @@ object SamplingOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " "))).cast("bigint").as("n_tokens"))
-      .withColumn("weight",
-        when(col("source").isin("src0", "src1", "src2"), 3L)
-          .when(col("source").like("src1%"), 2L).otherwise(1L))
+      .withColumn("weight", sourceWeight(col("source")))
       .withColumn("wmass", col("weight") * col("n_tokens"))
     val tot = src.agg(sum("wmass").as("total_wmass"),
       sum("n_tokens").as("total_tokens"))
@@ -644,14 +704,25 @@ object SamplingOps {
     * is the hash's most significant part. Within a shard, order by the
     * remaining hash bits, doc_id ties last.
     */
+  /** Top-slice shard of a 48-bit ordering key: ⌊key·n / 2^48⌋ — the
+    * key's most-significant slice, so shard boundaries respect the
+    * key order (concatenating shards in shard order IS the key order).
+    * ONE definition shared by [[epochShuffle]] and
+    * [[curriculumInterleave]]: the correctness of both rests on the
+    * same overflow bound ((2^48−1)·n < 2^63 ⇔ n ≤ 32768, enforced
+    * here) and the same monotonicity argument, so a change to either
+    * reaches both. The divide-by-2^48 is a shift (exact for the
+    * guaranteed-nonnegative product).
+    */
+  private[graft] def shardSlice48(key48: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 32768,
+      s"nShards ($nShards) must be in [1, 32768] (48-bit shard slice)")
+    shiftright(key48 * lit(nShards.toLong), 48).cast("bigint")
+  }
+
   def epochShuffle(df: DataFrame, key: String, epochs: Int,
       shards: Int): DataFrame = {
     require(epochs >= 1 && shards >= 1, "epochs and shards must be positive")
-    // the shard slice multiplies a 48-bit key by the shard count in a
-    // LONG: (2^48-1)·shards stays below 2^63 exactly up to 32768 shards
-    // — past that the product wraps and shard ids go negative
-    require(shards <= 32768,
-      s"shards ($shards) > 32768 overflows the 48-bit-key shard slice")
     val epoch = explode(sequence(lit(0), lit(epochs - 1))).as("epoch")
     val h = conv(substring(md5(concat(col("epoch").cast("string"), lit(":"),
       col(key).cast("string"))), 1, 12), 16, 10).cast("bigint")
@@ -659,11 +730,8 @@ object SamplingOps {
       .orderBy(asc("order_key"), asc(key))
     df.select(col("*"), epoch)
       .withColumn("order_key", h)
-      // order_key < 16^12 = 2^48, so shard = ⌊key·shards/2^48⌋ is the
-      // key's most-significant slice (integer `div`, exact for any shard
-      // count; no overflow: 2^48 · shards < 2^63 for shards ≤ 32768, enforced)
-      .withColumn("shard",
-        expr(s"(order_key * $shards) div ${1L << 48}").cast("bigint"))
+      // order_key < 16^12 = 2^48 — shardSlice48's contract
+      .withColumn("shard", shardSlice48(col("order_key"), shards))
       .withColumn("position", (row_number().over(w) - 1).cast("bigint"))
   }
 
@@ -716,9 +784,9 @@ object SamplingOps {
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
       .withColumn("band", band)
       .withColumn("md5key", md5(col("doc_id").cast("string")))
-      .withColumn("shard", expr(
-        s"(cast(conv(substring(md5key, 1, 12), 16, 10) AS BIGINT)" +
-          s" * $nShards) div ${1L << 48}").cast("bigint"))
+      .withColumn("shard", shardSlice48(
+        conv(substring(col("md5key"), 1, 12), 16, 10).cast("bigint"),
+        nShards))
     val wCell = Window.partitionBy("band", "source", "shard")
       .orderBy(asc("md5key"), asc("doc_id"))
     // persisted: the histogram agg AND the final projection both read it

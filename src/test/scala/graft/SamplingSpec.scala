@@ -446,4 +446,92 @@ class SamplingSpec extends SparkSpec {
       assert(band == expect)
     }
   }
+
+  test("leakageSafeSplit keeps uncovered docs as their own singleton cluster") {
+    import spark.implicits._
+    val docs = (1L to 100L).toDF("doc_id")
+    // clusters list ONLY the multi-member clusters (pairwise-detector
+    // shape): docs 1..10 all in cluster 1; 11..100 uncovered
+    val clusters = (1L to 10L).map(_ -> 1L).toDF("doc_id", "cluster_id")
+    val out = SamplingOps.leakageSafeSplit(docs, clusters).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // EXHAUSTIVE: every doc got a split
+    assert(out.keySet == (1L to 100L).toSet,
+      "uncovered docs must not vanish from the split")
+    // covered docs share their cluster's assignment
+    assert(out.view.filterKeys(_ <= 10L).values.toSet.size == 1,
+      "a cluster must land whole in one split (same bucket, same split)")
+    // uncovered docs are split exactly as splitAssign on their own id
+    val own = SamplingOps.splitAssign(docs.filter(col("doc_id") > 10), "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.view.filterKeys(_ > 10L).toMap == own)
+  }
+
+  test("packers treat null text as 0 tokens instead of crashing") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, null), (3L, "d e"))
+      .toDF("doc_id", "text")
+    val packed = SamplingOps.sequencePack(docs, nShards = 1, budget = 100)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed == Map(1L -> 3L, 2L -> 0L, 3L -> 2L))
+    val ffd = SamplingOps.ffdPack(docs, nShards = 1, budget = 100)
+      .collect().map(d => d.doc_id -> d.n_tokens).toMap
+    assert(ffd == Map(1L -> 3L, 2L -> 0L, 3L -> 2L))
+    val lb = SamplingOps.lengthBucketBatches(docs, nShards = 1, batchSize = 8)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lb == Map(1L -> 3L, 2L -> 0L, 3L -> 2L))
+  }
+
+  test("lcgShard stays nonnegative and mod-consistent past the old overflow point") {
+    import spark.implicits._
+    // ids straddling 8.36e9 (where id*1103515245 used to wrap 2^63) and
+    // far beyond (a 100 TB corpus reaches ~2e10 ids)
+    val ids = Seq(1L, 8358680908L, 8358680909L, 20000000000L, Long.MaxValue / 2)
+    val got = ids.toDF("id")
+      .select(SamplingOps.lcgShard(col("id"), 8).as("s")).collect()
+      .map(_.getLong(0))
+    // plain-Scala reference: reduce mod 2^31 first (exact, no overflow)
+    val expect = ids.map { id =>
+      ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L % 8
+    }
+    assert(got.toSeq == expect)
+    assert(got.forall(s => s >= 0 && s < 8), "shards must be in [0, n)")
+  }
+
+  test("splitAssign refuses to clobber an existing split column") {
+    import spark.implicits._
+    val docs = Seq((1L, "train")).toDF("doc_id", "split")
+    val e = intercept[IllegalArgumentException] {
+      SamplingOps.splitAssign(docs, "doc_id")
+    }
+    assert(e.getMessage.contains("refusing to clobber"))
+  }
+
+  test("temperatureBudgets survives a budget*weight product past 2^63") {
+    import spark.implicits._
+    // one giant source: w_micro = round(sqrt(4e9)*1e6) ~ 6.3e13; with
+    // totalBudget 1e9 the old BIGINT product was ~6.3e22 >> 2^63
+    val rows = Seq(("big", 4000000000L), ("small", 100L))
+      .toDF("source", "n")
+    // build the per-source counts frame the operator derives internally,
+    // via a synthetic docs frame with a row-count column is impractical
+    // at 4e9 rows — so drive the internal math directly through a tiny
+    // docs frame and then check the DECIMAL path with exact BigInt math
+    val docs = Seq.tabulate(90)(i => (i.toLong, "big")) ++
+      Seq.tabulate(10)(i => (100L + i, "small"))
+    val out = SamplingOps.temperatureBudgets(
+      docs.toDF("doc_id", "source"), "source", totalBudget = 4000000000000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // exact BigInt re-derivation of budget = (B * w) div sum_w
+    val w = Map("big" -> math.round(math.sqrt(90.0) * 1e6),
+      "small" -> math.round(math.sqrt(10.0) * 1e6))
+    val sumW = w.values.sum
+    w.foreach { case (src, wm) =>
+      val expect = (BigInt(4000000000000L) * BigInt(wm) / BigInt(sumW)).toLong
+      assert(out(src)._2 == expect, s"$src budget")
+      assert(out(src)._2 >= 0, s"$src budget must not wrap negative")
+    }
+  }
 }
