@@ -108,6 +108,11 @@ object DedupOps {
     * reuses the same hash partitioning as the join, so no extra shuffle.
     */
   private def bandStructsFor(numHashes: Int, rowsPerBand: Int): Seq[Column] = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
+        s"($rowsPerBand) — the trailing components would be computed and " +
+        "shuffled but never band, silently weakening LSH recall below " +
+        "what the parameters promise")
     val bands = numHashes / rowsPerBand
     (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
@@ -189,6 +194,22 @@ object DedupOps {
     * near-dups this degenerates to cluster_id == doc_id (still n rows — the
     * correct answer, not an empty result).
     */
+  /** The shared sets → signatures → LSH candidates → exact-Jaccard
+    * pipeline, persisted (every caller reads the verified pairs twice —
+    * a symmetric union or a components loop — and an unpersisted branch
+    * re-runs the whole candidate + jaccard chain per side, the round-1
+    * double-rescan). ONE definition so the persist/threshold discipline
+    * cannot drift between the dedup entry points.
+    */
+  private def verifiedPairs(sets: DataFrame, numHashes: Int,
+      rowsPerBand: Int, threshold: Option[Double]): DataFrame = {
+    val sigs = minHashSignaturesFromSets(sets, numHashes)
+    val ver = jaccardVerifyFromSets(sets,
+      lshCandidates(sigs, numHashes, rowsPerBand))
+    graft.CacheRegistry.persist(
+      threshold.fold(ver)(t => ver.filter(col("jaccard") >= t)))
+  }
+
   def minHashDedupAssign(docs: DataFrame, numHashes: Int = 15,
       rowsPerBand: Int = 3, shingleSize: Int = 2,
       threshold: Double = 0.6): DataFrame = {
@@ -196,13 +217,7 @@ object DedupOps {
     // (persisted: Spark recomputes shared subtrees per branch otherwise).
     // Registered so runners free the blocks after materialization.
     val sets = graft.CacheRegistry.persist(shingleSets(docs, shingleSize))
-    val sigs = minHashSignaturesFromSets(sets, numHashes)
-    // persisted: the symmetric union below reads `verified` twice, and an
-    // unpersisted branch re-runs the whole candidate + jaccard pipeline
-    // per side (the round-1 double-rescan)
-    val verified = graft.CacheRegistry.persist(
-      jaccardVerifyFromSets(sets, lshCandidates(sigs, numHashes, rowsPerBand))
-        .filter(col("jaccard") >= threshold))
+    val verified = verifiedPairs(sets, numHashes, rowsPerBand, Some(threshold))
     // undirected neighbor list (one hop of connected components — enough for
     // keep-first dedup of pairwise-similar groups)
     val neighbors = verified.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
@@ -281,12 +296,7 @@ object DedupOps {
       rowsPerBand: Int = 3, shingleSize: Int = 2,
       threshold: Double = 0.6): DataFrame = {
     val sets = graft.CacheRegistry.persist(shingleSets(docs, shingleSize))
-    val sigs = minHashSignaturesFromSets(sets, numHashes)
-    // persisted: connectedComponents' symmetric edge union reads the
-    // verified pipeline twice (same round-1 lesson as the sibling sites)
-    val verified = graft.CacheRegistry.persist(
-      jaccardVerifyFromSets(sets, lshCandidates(sigs, numHashes, rowsPerBand))
-        .filter(col("jaccard") >= threshold))
+    val verified = verifiedPairs(sets, numHashes, rowsPerBand, Some(threshold))
     connectedComponents(docs.select(col("doc_id")), verified)
   }
 
@@ -335,19 +345,34 @@ object DedupOps {
   def indexSignatures(docs: DataFrame, stateDir: String,
       numHashes: Int = 15, shingleSize: Int = 2): Unit = {
     val spark = docs.sparkSession
-    val sigs = minHashSignatures(docs, numHashes, shingleSize)
-    val path = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) sigs.write.mode("overwrite").parquet(stateDir)
-    else {
-      // read-old + write-staging completes before the swap; no lazy
-      // result escapes, so no checkpoint is needed here
-      val tmp = new org.apache.hadoop.fs.Path(stateDir + ".staging")
-      spark.read.parquet(stateDir).unionByName(sigs).dropDuplicates("doc_id")
-        .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(path, true)
-      require(fs.rename(tmp, path), s"signature-table commit failed for $stateDir")
+    val sigs = sigsOnePerDoc(
+      minHashSignatures(docs, numHashes, shingleSize), numHashes)
+    // LATEST-WINS anti-join, the same rule as the incremental path: the
+    // former dropDuplicates("doc_id") over old ∪ new committed an
+    // ARBITRARY winner when a doc was re-indexed with changed text —
+    // nondeterministically banding it by content it no longer has.
+    // StateTable.read/commit: crash-safe two-rename protocol (no lazy
+    // result escapes here, so no lineage cut is needed).
+    val merged = graft.ops.StateTable.read(spark, stateDir) match {
+      case None => sigs
+      case Some(old) =>
+        old.join(broadcast(sigs.select("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(sigs)
     }
+    graft.ops.StateTable.commit(merged, stateDir)
+  }
+
+  /** ONE signature row per doc_id even when a batch re-delivers a doc
+    * within itself (the cross-batch re-delivery rule handles only
+    * batch-vs-state). Identical-text re-deliveries are identical rows;
+    * a conflicting same-id row resolves DETERMINISTICALLY to the
+    * smallest signature tuple instead of an arbitrary survivor.
+    */
+  private def sigsOnePerDoc(sigs: DataFrame, numHashes: Int): DataFrame = {
+    val hs = (0 until numHashes).map(i => col(s"h$i"))
+    sigs.groupBy("doc_id").agg(min(struct(hs: _*)).as("__s"))
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => col(s"__s.h$i").as(s"h$i")): _*)
   }
 
   /** INCREMENTAL dedup — the 100 TB workflow: match a NEW batch of
@@ -366,29 +391,29 @@ object DedupOps {
       numHashes: Int = 15, rowsPerBand: Int = 3, shingleSize: Int = 2,
       threshold: Double = 0.6): DataFrame = {
     val spark = newDocs.sparkSession
-    val newSigs = minHashSignatures(newDocs, numHashes, shingleSize)
+    val newSigs = sigsOnePerDoc(
+      minHashSignatures(newDocs, numHashes, shingleSize), numHashes)
     // the batch's id set is joined twice (latest-wins anti-join, then the
     // query-side semi-join) across two separate jobs — persisted so the
     // second join reads the cache instead of re-scanning the batch source
     // (in foreachBatch that re-scan would replay the micro-batch)
-    val newIds = graft.CacheRegistry.persist(newDocs.select(col("doc_id")))
-    val path = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val newIds = graft.CacheRegistry.persist(newDocs.select(col("doc_id")).distinct())
     // eager localCheckpoint: the commit below REPLACES the state parquet,
-    // and the returned (lazy) result must not re-read the deleted files —
+    // and the returned (lazy) result must not re-read the swapped files —
     // lineage is cut here. (A production table format would version
     // instead of swap; the plan shape is the same.)
     // LATEST-WINS on doc_id BEFORE matching: a re-delivered batch (failed
     // matches-write retry) or re-ingested doc would otherwise exist TWICE
-    // in allSigs — every match row duplicated, and the later
-    // dropDuplicates would commit an arbitrary one of the two signatures.
-    // The anti-join is deterministic: state rows lose to new rows.
+    // in allSigs — every match row duplicated and an arbitrary signature
+    // committed. The anti-join is deterministic: state rows lose to new
+    // rows; sigsOnePerDoc above handles duplicates WITHIN the batch.
     val allSigs =
-      (if (fs.exists(path))
-         spark.read.parquet(stateDir)
-           .join(broadcast(newIds), Seq("doc_id"), "left_anti")
-           .unionByName(newSigs)
-       else newSigs).localCheckpoint(true)
+      (graft.ops.StateTable.read(spark, stateDir) match {
+        case Some(state) =>
+          state.join(broadcast(newIds), Seq("doc_id"), "left_anti")
+            .unionByName(newSigs)
+        case None => newSigs
+      }).localCheckpoint(true)
     // asymmetric banding: new-batch bands probe the corpus's capped
     // buckets — old-vs-old pairs are never generated. The query side is
     // carved out of the CHECKPOINTED union so the signature aggregation
@@ -405,12 +430,11 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         (matchExprs.cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-    // commit the new signatures into the state table
-    val merged = allSigs.dropDuplicates("doc_id")
-    val tmp = new org.apache.hadoop.fs.Path(stateDir + ".staging")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    require(fs.rename(tmp, path), s"signature-table commit failed for $stateDir")
+    // commit the new signatures into the state table. allSigs is unique
+    // on doc_id BY CONSTRUCTION (state anti-join ∪ per-doc-deduped batch)
+    // — the former dropDuplicates re-shuffled the whole corpus table per
+    // batch to dedup a frame that was already unique.
+    graft.ops.StateTable.commit(allSigs, stateDir)
     estimated
   }
 
@@ -452,7 +476,13 @@ object DedupOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val sigArr = array((0 until numHashes).map(i => col(s"h$i")): _*)
-    minHashSignatures(docs, numHashes, shingleSize)
+    // a null text has no shingles and nothing to near-dup — and its
+    // all-null signature array would kill the STREAMING consumer with a
+    // non-nullable-encoder NPE replayed from the checkpoint forever (the
+    // batch paths survive the same input only because null-jaccard rows
+    // filter out downstream)
+    minHashSignatures(docs.filter(col("text").isNotNull),
+        numHashes, shingleSize)
       .select(col("doc_id"), sigArr.as("sig"),
         explode(array(bandStructsFor(numHashes, rowsPerBand): _*)).as("bs"))
       .select(col("bs.band").as("band"), col("bs.band_sig").as("bandSig"),
@@ -579,10 +609,7 @@ object DedupOps {
   def ngramJaccardStats(docs: DataFrame, numHashes: Int = 15,
       rowsPerBand: Int = 3, shingleSize: Int = 2): DataFrame = {
     val sets = graft.CacheRegistry.persist(shingleSets(docs, shingleSize))
-    val sigs = minHashSignaturesFromSets(sets, numHashes)
-    // persisted: the symmetric union reads `verified` twice (round-1 lesson)
-    val verified = graft.CacheRegistry.persist(
-      jaccardVerifyFromSets(sets, lshCandidates(sigs, numHashes, rowsPerBand)))
+    val verified = verifiedPairs(sets, numHashes, rowsPerBand, None)
     val sym = verified.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"), col("jaccard"))
       .union(verified.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr"), col("jaccard")))
     docs.select(col("doc_id"))
@@ -1127,6 +1154,13 @@ object DedupOps {
     *
     * Caller contract: eval ids are disjoint from corpus ids (the shared
     * shingle-set lookup would conflate a collision) and below 2⁴⁰.
+    * Threshold semantics: `tau` is compared in EXACT micro-units on the
+    * rounded jaccard (jm ≥ round(tau·10⁶)) — a pair within 5·10⁻⁷ below
+    * tau therefore flags. That half-micro of slack is deliberate: it is
+    * the price of an engine-portable, bit-deterministic verdict (a raw
+    * double comparison at the boundary is exactly the cross-engine
+    * divergence class this codebase's rounding discipline exists to
+    * avoid, and half a micro of jaccard has no decontamination meaning).
     * Candidate generation is ROLE-PRESERVING — corpus band rows probe
     * the eval buckets directly — so no id-ordering assumption exists
     * (an eval set with SMALLER ids than the corpus works identically).
@@ -1181,6 +1215,13 @@ object DedupOps {
     */
   def qFuzzyDecon(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // the fixed 10^7 staging offset honors fuzzyDecon's disjoint-ids
+    // contract only while corpus ids stay below it — check LOUDLY (one
+    // cheap max() job) instead of silently conflating shingle sets at a
+    // scale factor that crosses the line
+    val maxId = t.documents.agg(max(col("doc_id"))).head.getLong(0)
+    require(maxId < 10000000L,
+      s"qFuzzyDecon's eval-id offset (10^7) collides with corpus ids up to $maxId")
     val evals = t.documents
       .filter(col("doc_id") % 40 === 1 && size(split(col("text"), " ")) >= 5)
       .select((col("doc_id") + 10000000L).as("doc_id"),

@@ -652,19 +652,16 @@ object MultimodalOps {
       id: String = "clip_id", content: String = "content"): Unit = {
     val spark = clips.sparkSession
     val prints = audioPostings(clips, id, content)
-    val path = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(path)) prints.write.mode("overwrite").parquet(stateDir)
-    else {
-      val tmp = new org.apache.hadoop.fs.Path(stateDir + ".staging")
-      spark.read.parquet(stateDir)
-        .join(broadcast(prints.select("clip_id").distinct()),
-          Seq("clip_id"), "left_anti")
-        .unionByName(prints)
-        .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(path, true)
-      require(fs.rename(tmp, path), s"posting-table commit failed for $stateDir")
+    // StateTable: crash-safe two-rename commit (the delete-then-rename
+    // this replaces could silently lose the whole posting table)
+    val merged = graft.ops.StateTable.read(spark, stateDir) match {
+      case None => prints
+      case Some(state) =>
+        state.join(broadcast(prints.select("clip_id").distinct()),
+            Seq("clip_id"), "left_anti")
+          .unionByName(prints)
     }
+    graft.ops.StateTable.commit(merged, stateDir)
   }
 
   /** INCREMENTAL audio dedup — the 100 TB workflow for a growing clip
@@ -686,19 +683,18 @@ object MultimodalOps {
     val spark = newClips.sparkSession
     val newPrints = audioPostings(newClips, id, content)
     val newIds = newClips.select(col(id).cast("long").as("clip_id")).distinct()
-    val path = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     // eager localCheckpoint: the commit below REPLACES the state parquet
     // the lazy result would otherwise re-read (lineage cut here); the
     // query side is carved out of the CHECKPOINTED union so the
     // fingerprint UDF never runs twice
     val allPrints =
-      (if (fs.exists(path))
-         spark.read.parquet(stateDir)
-           .join(broadcast(newIds), Seq("clip_id"), "left_anti")
-           .withColumn("is_new", lit(false))
-           .unionByName(newPrints.withColumn("is_new", lit(true)))
-       else newPrints.withColumn("is_new", lit(true))).localCheckpoint(true)
+      (graft.ops.StateTable.read(spark, stateDir) match {
+        case Some(state) =>
+          state.join(broadcast(newIds), Seq("clip_id"), "left_anti")
+            .withColumn("is_new", lit(false))
+            .unionByName(newPrints.withColumn("is_new", lit(true)))
+        case None => newPrints.withColumn("is_new", lit(true))
+      }).localCheckpoint(true)
     val buckets = allPrints
       .groupBy("fp")
       .agg(collect_list(col("clip_id")).as("ids"))
@@ -716,11 +712,8 @@ object MultimodalOps {
       .groupBy("clip_a", "clip_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-    // commit the new postings
-    val tmp = new org.apache.hadoop.fs.Path(stateDir + ".staging")
-    allPrints.drop("is_new").write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    require(fs.rename(tmp, path), s"posting-table commit failed for $stateDir")
+    // commit the new postings (crash-safe two-rename)
+    graft.ops.StateTable.commit(allPrints.drop("is_new"), stateDir)
     matches
   }
 

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Crash-safe parquet state tables for the incremental operators (minhash
+  * signature tables, audio posting tables, the S19 streaming upsert):
+  * write-staging + TWO atomic renames, so the accumulated table is ALWAYS
+  * recoverable at `dir` or `dir`.bak.
+  *
+  * The delete-then-rename recipe this replaces had a window — after
+  * `fs.delete(live)` and before `fs.rename(staging, live)` — where a
+  * crash silently lost the ENTIRE table: the next batch found no state,
+  * rebuilt from its own rows alone, and every future match against the
+  * forgotten documents was silently missed. For a dedup corpus that is
+  * the worst failure mode available, because nothing ever errors.
+  *
+  * Commit sequence: write `dir`.staging (complete BEFORE any rename
+  * touches live files) → drop stale `.bak` → rename live → `.bak` →
+  * rename `.staging` → live → drop `.bak`. Each hadoop rename is atomic
+  * on HDFS/local POSIX (object stores front this with a metadata layer —
+  * at warehouse scale this protocol IS a Delta/Iceberg commit, and the
+  * per-batch plan shape is identical). [[read]] transparently restores
+  * `.bak` when a previous commit crashed between its two renames.
+  */
+object StateTable {
+  private def fsPath(spark: SparkSession, dir: String) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
+  }
+
+  /** The live table, recovering the `.bak` generation first if the last
+    * commit crashed between its renames; None if nothing was ever
+    * committed.
+    */
+  def read(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val (fs, path) = fsPath(spark, dir)
+    val bak = new org.apache.hadoop.fs.Path(dir + ".bak")
+    if (!fs.exists(path) && fs.exists(bak))
+      require(fs.rename(bak, path), s"state recovery failed for $dir")
+    if (fs.exists(path)) Some(spark.read.parquet(dir)) else None
+  }
+
+  /** Commit `df` as the new generation. A `df` whose plan READS the live
+    * parquet is safe: the staging write materializes it completely
+    * before any rename moves the live files. A LAZY result that must
+    * outlive the commit (the incremental matchers' return values) still
+    * needs the caller's own lineage cut (localCheckpoint) — this method
+    * cannot know what else points at the old generation.
+    */
+  def commit(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    val (fs, path) = fsPath(spark, dir)
+    val bak = new org.apache.hadoop.fs.Path(dir + ".bak")
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".staging")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(path))
+      require(fs.rename(path, bak), s"state backup rename failed for $dir")
+    require(fs.rename(tmp, path), s"state commit rename failed for $dir")
+    fs.delete(bak, true)
+  }
+}

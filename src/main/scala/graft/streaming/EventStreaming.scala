@@ -210,29 +210,16 @@ object EventStreaming {
     val spark = batch.sparkSession
     val agg = batch.groupBy("camera", "label")
       .agg(max("confidence").as("confidence"))
-    val path = new org.apache.hadoop.fs.Path(tableDir)
-    val bak = new org.apache.hadoop.fs.Path(tableDir + ".bak")
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    // crash recovery: a previous run that died between its two renames
-    // left the table only under .bak — restore it before reading
-    if (!fs.exists(path) && fs.exists(bak))
-      require(fs.rename(bak, path), s"commit recovery failed for $tableDir")
-    val merged =
-      if (fs.exists(path))
-        spark.read.parquet(tableDir).unionByName(agg)
+    // StateTable: the two-rename crash-safe protocol this method
+    // pioneered, now shared with every incremental state table (the
+    // accumulated table is always recoverable at the live path or .bak)
+    val merged = graft.ops.StateTable.read(spark, tableDir) match {
+      case Some(state) =>
+        state.unionByName(agg)
           .groupBy("camera", "label").agg(max("confidence").as("confidence"))
-      else agg
-    val tmp = new org.apache.hadoop.fs.Path(tableDir + ".staging")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    // two-rename commit: the accumulated table is ALWAYS recoverable
-    // (either at path or at .bak) — a delete-then-rename would lose the
-    // whole table if the process died inside the window, and replaying
-    // the batch would silently rebuild from one batch's rows
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(path))
-      require(fs.rename(path, bak), s"commit backup rename failed for $tableDir")
-    require(fs.rename(tmp, path), s"commit rename failed for $tableDir")
-    fs.delete(bak, true)
+      case None => agg
+    }
+    graft.ops.StateTable.commit(merged, tableDir)
   }
 
   /** Run the upsert over a detections stream (cols camera, label,

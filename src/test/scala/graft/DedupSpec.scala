@@ -549,4 +549,85 @@ class DedupSpec extends SparkSpec {
     assert(totalKept <= 40, s"more survivors than pool sentences: $totalKept")
     assert(totalKept >= 30, s"suspiciously few survivors: $totalKept")
   }
+
+  test("StateTable: a crash between the commit renames is recoverable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("st-state").toString + "/t"
+    graft.ops.StateTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    graft.ops.StateTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    // simulate the crash window: live renamed to .bak, new-live rename
+    // never happened
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.rename(path, new org.apache.hadoop.fs.Path(dir + ".bak")))
+    assert(!fs.exists(path))
+    // read() restores the last committed generation instead of losing it
+    val recovered = graft.ops.StateTable.read(spark, dir)
+    assert(recovered.isDefined)
+    assert(recovered.get.count() == 2)
+    assert(fs.exists(path), "recovery must restore the live path")
+    // and a later commit proceeds normally
+    graft.ops.StateTable.commit(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(graft.ops.StateTable.read(spark, dir).get.count() == 1)
+  }
+
+  test("indexSignatures re-index is latest-wins, not an arbitrary survivor") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("sig-lw").toString + "/sigs"
+    val v1 = Seq((7L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((7L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    DedupOps.indexSignatures(v1, state)
+    DedupOps.indexSignatures(v2, state) // doc 7's text changed
+    // a new doc with v2's text must match doc 7; v1's text must not
+    val probe2 = DedupOps.incrementalMinHashDedup(
+      Seq((100L, "one two three four five six seven eight nine ten"))
+        .toDF("doc_id", "text"), state).collect()
+    assert(probe2.exists(r => Set(r.getLong(0), r.getLong(1)) == Set(7L, 100L)
+      && r.getDouble(2) == 1.0),
+      s"state must hold the LATEST signature for doc 7: ${probe2.toSeq}")
+    val probe1 = DedupOps.incrementalMinHashDedup(
+      Seq((200L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), state).collect()
+    assert(!probe1.exists(r => Set(r.getLong(0), r.getLong(1)) == Set(7L, 200L)),
+      s"stale v1 signature must be gone: ${probe1.toSeq}")
+  }
+
+  test("incremental dedup: an intra-batch re-delivered doc neither duplicates matches nor state") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("sig-dup").toString + "/sigs"
+    DedupOps.indexSignatures(
+      Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text"), state)
+    // doc 42 delivered TWICE in one batch (source retry inside a batch)
+    val batch = Seq(
+      (42L, "the quick brown fox jumps over the lazy dog today"),
+      (42L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val matches = DedupOps.incrementalMinHashDedup(batch, state).collect()
+    assert(matches.count(r => Set(r.getLong(0), r.getLong(1)) == Set(1L, 42L)) == 1,
+      s"match rows must not fan out per duplicate delivery: ${matches.toSeq}")
+    val committed = spark.read.parquet(state)
+    assert(committed.filter(col("doc_id") === 42L).count() == 1,
+      "state must hold doc 42 exactly once")
+  }
+
+  test("LSH banding refuses non-divisible numHashes/rowsPerBand") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.minHashDedupAssign(docs, numHashes = 16, rowsPerBand = 3).collect()
+    }
+    assert(e.getMessage.contains("multiple of rowsPerBand"))
+  }
+
+  test("bucketArrivals drops null-text docs instead of emitting null signatures") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, null)).toDF("doc_id", "text")
+    val rows = DedupOps.bucketArrivals(docs).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.docId == 1L), "null-text doc must be dropped")
+    assert(rows.forall(_.sig.forall(_ != null)))
+  }
 }
