@@ -673,8 +673,8 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(h, '<[^>]+>')) AS BIGINT) AS n_tags,
         |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |    regexp_replace(h, '<[^>]+>', ' ', 'g'),
-        |    '&amp;', '&', 'g'), '&lt;', '<', 'g'),
-        |    '&copy;', '(c)', 'g'), '\s+', ' ', 'g')) AS clean
+        |    '&lt;', '<', 'g'), '&copy;', '(c)', 'g'),
+        |    '&amp;', '&', 'g'), '\s+', ' ', 'g')) AS clean
         | FROM aug)
         |SELECT doc_id, n_tags, CAST(length(clean) AS BIGINT) AS clean_len,
         | md5(clean) AS clean_hash

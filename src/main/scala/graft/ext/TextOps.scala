@@ -43,10 +43,28 @@ object TextOps {
     * stopword-ratio and length terms, rounded to 6 (the exact value the
     * q22 oracle checks). Shared by q92's keep-best canonicalization.
     */
+  /** The ONE stopword pattern q22's quality score, q92's keep-best
+    * canonicalization and q64/q117's Gopher stop_hits must share with
+    * each other and their DuckDB oracles — editing a single inline copy
+    * would silently desynchronize them.
+    */
+  private val stopwordRe = "\\b(the|a|of|and|to|in)\\b"
+
+  /** The staged-mirror queries (qNovelty, qBlocklist) re-ingest docs
+    * under id + 10⁷; that staging silently conflates ids once the corpus
+    * itself reaches 10⁷ documents — check LOUDLY (one cheap max() job,
+    * the qFuzzyDecon rule) instead.
+    */
+  private def requireIdsBelowStagingOffset(docs: DataFrame, who: String): Unit = {
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    require(maxId < 10000000L,
+      s"$who's staged-mirror id offset (10^7) collides with corpus ids up to $maxId")
+  }
+
   def qualityExpr(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
     val stop = size(regexp_extract_all(text,
-      lit("\\b(the|a|of|and|to|in)\\b"), lit(0))).cast("double")
+      lit(stopwordRe), lit(0))).cast("double")
     round(
       (stop / greatest(nTok, lit(1.0))) * 0.3 + least(nTok / lit(200.0), lit(1.0)) * 0.7,
       6)
@@ -61,7 +79,7 @@ object TextOps {
     val nChar = length(col("text")).cast("double")
     val punct = size(regexp_extract_all(col("text"), lit("[\\.,;:!\\?]"), lit(0))).cast("double")
     val stop = size(regexp_extract_all(col("text"),
-      lit("\\b(the|a|of|and|to|in)\\b"), lit(0))).cast("double")
+      lit(stopwordRe), lit(0))).cast("double")
     val compact = length(regexp_replace(col("text"), "\\s", "")).cast("double")
     t.documents.select(
       col("doc_id"),
@@ -72,10 +90,10 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** q23: bag-of-words content fingerprint (md5 of the sorted distinct token
-    * set) — an order-insensitive near-dup key, plus the custom
-    * [[RollingHash]] Catalyst expression as an order-sensitive exact
-    * fingerprint.
+  /** q23: bag-of-words content fingerprint (md5 of the sorted distinct
+    * token set) — an order-insensitive near-dup key. (The order-SENSITIVE
+    * exact fingerprint via the custom [[RollingHash]] Catalyst expression
+    * is q24's [[qWinnow]], not a column of this query.)
     */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -428,7 +446,11 @@ object TextOps {
         (col("n_kept") - col("tp")).as("fp"),
         (col("p_total") - col("tp")).cast("bigint").as("fn"),
         expr("(tp * 1000000) div n_kept").as("precision_micro"),
-        expr("(tp * 1000000) div p_total").as("recall_micro"))
+        // p_total = 0 (a corpus with no positive-label docs) is an ANSI
+        // DIVIDE_BY_ZERO without the guard; recall over zero positives
+        // is reported as 0
+        when(col("p_total") > 0, expr("(tp * 1000000) div p_total"))
+          .otherwise(0L).as("recall_micro"))
       .withColumn("f1_micro",
         when(col("precision_micro") + col("recall_micro") > 0,
           expr("(2 * precision_micro * recall_micro) div " +
@@ -716,10 +738,10 @@ object TextOps {
   def qQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
-    val scored = lmPerplexity(t.documents, col("doc_id") % 7 === 0)
+    val scored = lmPerplexity(t.documents, col("doc_id") % 7 === 0,
+      passthrough = Seq("source"))
     val w = Window.partitionBy("source").orderBy(asc("avg_nll"), asc("doc_id"))
     scored
-      .join(t.documents.select("doc_id", "source"), "doc_id")
       .withColumn("bucket", ntile(3).over(w).cast("bigint"))
       .select(col("doc_id"), col("source"), col("avg_nll"), col("ppl"),
         col("bucket"),
@@ -776,15 +798,23 @@ object TextOps {
 
   /** See [[qLmPerplexity]]. `refPred` selects the reference (model-
     * training) documents; every other doc with ≥ 2 tokens is scored.
+    * `passthrough` columns of `docs` ride along into the per-doc output
+    * (the gopherVerdict rule: the input scan already read them, so a
+    * caller needing `source` alongside the score joins NOTHING back —
+    * the former q95 shape re-joined the corpus on doc_id just to
+    * recover a column this scan had in hand).
     */
-  def lmPerplexity(docs: DataFrame, refPred: Column): DataFrame = {
+  def lmPerplexity(docs: DataFrame, refPred: Column,
+      passthrough: Seq[String] = Nil): DataFrame = {
+    val keep = passthrough.map(col)
     val toks = graft.CacheRegistry.persist(
       docs
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(Seq(col("doc_id"), split(col("text"), " ").as("ws")) ++ keep: _*)
         .filter(size(col("ws")) >= 2))
     val isRef = refPred
-    val bigr = toks.select(col("doc_id"),
+    val bigr = toks.select(Seq(col("doc_id"),
       explode(graft.functions.WordShingles.word_shingles(col("ws"), 2)).as("bg"))
+      ++ keep: _*)
     val refBg = bigr.filter(isRef).groupBy("bg").agg(count(lit(1)).as("c12"))
     val refUni = toks.filter(isRef)
       .select(explode(col("ws")).as("w1"))
@@ -798,10 +828,14 @@ object TextOps {
       .join(broadcast(refUni), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), avg(nll).as("__avg_nll"))
-      .select(col("doc_id"), col("n_bigrams"),
+      // passthrough values are constant per doc_id group, so first() is
+      // deterministic
+      .agg(count(lit(1)).as("n_bigrams"),
+        (avg(nll).as("__avg_nll") +:
+          passthrough.map(c => first(col(c)).as(c))): _*)
+      .select(Seq(col("doc_id"), col("n_bigrams"),
         round(col("__avg_nll"), 6).as("avg_nll"),
-        round(exp(col("__avg_nll")), 4).as("ppl"))
+        round(exp(col("__avg_nll")), 4).as("ppl")) ++ keep: _*)
   }
 
   // PII scrubbing patterns — the RE2/Java-regex common subset (no
@@ -851,7 +885,7 @@ object TextOps {
         round(length(regexp_replace(col("text"), " ", "")).cast("double") /
           size(col("ws")), 6).as("mean_word_len"),
         size(regexp_extract_all(col("text"),
-          lit("\\b(the|a|of|and|to|in)\\b"), lit(0))).cast("bigint").as("stop_hits"),
+          lit(stopwordRe), lit(0))).cast("bigint").as("stop_hits"),
         round(graft.functions.RepetitionSignals.repetition_signals(col("ws"))
           .getField("top_word_frac"), 6).as("top_word_frac")) ++ keep: _*)
     val fail = Seq(
@@ -936,14 +970,18 @@ object TextOps {
     * collapse. Narrow, codegen'd, shuffle-free.
     */
   def extractText(html: Column): Column =
+    // &amp; decodes LAST: decoding it first would rewrite a
+    // double-escaped '&amp;lt;' (ubiquitous in real web text) into
+    // '&lt;' and then into '<', when the source document displayed the
+    // literal '&lt;' — the classic nested-entity corruption
     trim(regexp_replace(
       regexp_replace(
         regexp_replace(
           regexp_replace(
             regexp_replace(html, tagRe, " "),
-            "&amp;", "&"),
-          "&lt;", "<"),
-        "&copy;", "(c)"),
+            "&lt;", "<"),
+          "&copy;", "(c)"),
+        "&amp;", "&"),
       "\\s+", " "))
 
   /** q70: HTML text extraction over documents. The corpus is plain text,
@@ -1544,8 +1582,14 @@ object TextOps {
     val spark = pairs.sparkSession
     import spark.implicits._
     pairs
-      .select(col("doc_id"), col("ref_toks").cast("array<string>"),
-        col("cand_toks").cast("array<string>"))
+      // a NULL side (the outer-join shape a candidate generator emits)
+      // scores as an empty token list — the same degenerate-zero path an
+      // empty text takes — instead of an executor NPE in the typed map
+      .select(col("doc_id"),
+        coalesce(col("ref_toks").cast("array<string>"),
+          array().cast("array<string>")).as("ref_toks"),
+        coalesce(col("cand_toks").cast("array<string>"),
+          array().cast("array<string>")).as("cand_toks"))
       .as[(Long, Seq[String], Seq[String])]
       .map { case (id, ref, cand) =>
         def grams(t: Seq[String], n: Int): Iterator[String] =
@@ -1732,8 +1776,12 @@ object TextOps {
     val spark = pairs.sparkSession
     import spark.implicits._
     pairs
-      .select(col("doc_id"), col("ref_toks").cast("array<string>"),
-        col("cand_toks").cast("array<string>"))
+      // same null-side rule as bleuPairScore: empty list, not an NPE
+      .select(col("doc_id"),
+        coalesce(col("ref_toks").cast("array<string>"),
+          array().cast("array<string>")).as("ref_toks"),
+        coalesce(col("cand_toks").cast("array<string>"),
+          array().cast("array<string>")).as("cand_toks"))
       .as[(Long, Seq[String], Seq[String])]
       .map { case (id, ref, cand) =>
         val a = ref.toArray
@@ -1836,6 +1884,7 @@ object TextOps {
     */
   def qBlocklist(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents.select("doc_id", "text")
+    requireIdsBelowStagingOffset(docs, "qBlocklist")
     val staged = docs.unionByName(
       docs.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"),
@@ -1904,6 +1953,7 @@ object TextOps {
     */
   def qNovelty(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents.select("doc_id", "text")
+    requireIdsBelowStagingOffset(docs, "qNovelty")
     val mirrored = docs.unionByName(
       docs.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))

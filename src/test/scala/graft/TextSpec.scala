@@ -1180,4 +1180,35 @@ class TextSpec extends SparkSpec {
     // discriminative: some docs are fully novel, some are not
     assert(rows.values.exists(_ == 1000000L) && rows.values.exists(_ == 0L))
   }
+
+  test("extractText decodes nested entities in the correct order (&amp; last)") {
+    import spark.implicits._
+    val out = Seq("5 &amp;lt; 7 and &lt;b&gt;bold&lt;/b&gt;")
+      .toDF("h")
+      .select(ext.TextOps.extractText(org.apache.spark.sql.functions.col("h")))
+      .head.getString(0)
+    // '&amp;lt;' displayed the LITERAL '&lt;' — decoding &amp; first
+    // would double-decode it into '<'
+    assert(out.contains("&lt;"), s"double-decoded: $out")
+    assert(!out.contains("&amp;"))
+  }
+
+  test("BLEU and ROUGE-L pair scorers treat a NULL side as empty, not an NPE") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, Seq("a", "b", "c", "d"), Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "d"), null))
+      .toDF("doc_id", "ref_toks", "cand_toks")
+    val bleu = ext.TextOps.bleuPairScore(pairs).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(11)) None else Some(r.getLong(11)))).toMap
+    assert(bleu(1L).contains(1000000L))
+    // the empty candidate takes the degenerate path: zero totals, NULL
+    // aggregate (clip/tot columns still carry the exact information)
+    assert(bleu(2L).isEmpty, "null candidate has NULL aggregate")
+    val rouge = ext.TextOps.rougeLPairScore(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rouge(1L) == 4L)
+    assert(rouge(2L) == 0L, "null candidate has zero LCS")
+  }
 }
