@@ -37,7 +37,16 @@ object SimilarityOps {
     * count pairs by the never-null partner id (q31) or drop undefined
     * cosines at the threshold filter (q33).
     */
-  def safeCos(d: Column, na: Column, nb: Column): Column = try_divide(d, na * nb)
+  /** Cosine with BOTH degenerate cases mapped to NULL: a zero-norm pair
+    * (try_divide's zero-divisor rule) AND a NaN result from a corrupt
+    * (NaN-component) vector. The NaN case matters twice over: NaN sorts
+    * ABOVE every double in a desc ordering, so one corrupt vector would
+    * silently become every query's #1 neighbor in the top-k windows —
+    * and NaN→bigint casts abort the whole query under ANSI mode. NULL
+    * takes the same already-handled path as zero-norm vectors.
+    */
+  def safeCos(d: Column, na: Column, nb: Column): Column =
+    nanvl(try_divide(d, na * nb), lit(null).cast("double"))
 
   def cosine(a: Column, b: Column): Column = safeCos(dot(a, b), norm(a), norm(b))
 
@@ -74,17 +83,6 @@ object SimilarityOps {
       ((s >>> 11).toDouble / (1L << 53).toDouble) - 0.5
     }
     Seq.fill(nPlanes)(Seq.fill(dim)(next()))
-  }
-
-  /** Random-hyperplane (SimHash-for-vectors) signature: nPlanes sign bits
-    * packed into a long. Narrow, codegen'd.
-    */
-  def lshSignature(v: Column, nPlanes: Int = 16, dim: Int = 64): Column = {
-    val planes = hyperplanes(nPlanes, dim)
-    planes.zipWithIndex.map { case (p, i) =>
-      val pl = array(p.map(lit): _*)
-      when(dot(v, pl) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
   }
 
   // dim/count are per-dataset constants; memoized on the CANONICALIZED
@@ -222,21 +220,30 @@ object SimilarityOps {
       .select(col("r.vec_id").as("vec_id"), col("r.nbr_id").as("nbr_id"),
         col("r.cos").as("cos"))
 
+  /** ONE tally skeleton for [[lshBucketStats]] and [[nearDupStats]]
+    * (left join → per-vector count + best-cos with the −2.0 no-candidate
+    * sentinel): the two queries differ only in a pair pre-filter and
+    * column names, and the sentinel/NULL-cos rules must not drift.
+    */
+  private def candidateTally(embeddings: DataFrame, pairs: DataFrame,
+      nName: String, bestName: String): DataFrame =
+    embeddings.select(col("vec_id"))
+      .join(pairEndpoints(pairs), Seq("vec_id"), "left")
+      .groupBy("vec_id")
+      // count nbr_id, not cos: a candidate pair involving a zero-norm
+      // vector (NULL cosine) is still a bucket candidate
+      .agg(count(col("nbr_id")).as(nName),
+        round(coalesce(max(col("cos")), lit(-2.0)), 4).as(bestName))
+      .orderBy("vec_id")
+
   /** Per-vector candidate tallies over the capped-bucket pairs — one row
     * per input vector even with zero candidates.
     */
   def lshBucketStats(embeddings: DataFrame, bands: Int = 4,
-      bitsPerBand: Int = 0, maxBucket: Int = 100): DataFrame = {
-    val sym = pairEndpoints(candidateCosines(embeddings, bands, bitsPerBand, maxBucket))
-    embeddings.select(col("vec_id"))
-      .join(sym, Seq("vec_id"), "left")
-      .groupBy("vec_id")
-      // count nbr_id, not cos: a candidate pair involving a zero-norm
-      // vector (NULL cosine) is still a bucket candidate
-      .agg(count(col("nbr_id")).as("n_bucket_neighbors"),
-        round(coalesce(max(col("cos")), lit(-2.0)), 4).as("best_bucket_cos"))
-      .orderBy("vec_id")
-  }
+      bitsPerBand: Int = 0, maxBucket: Int = 100): DataFrame =
+    candidateTally(embeddings,
+      candidateCosines(embeddings, bands, bitsPerBand, maxBucket),
+      "n_bucket_neighbors", "best_bucket_cos")
 
   def qLshBuckets(spark: SparkSession, dir: String): DataFrame =
     lshBucketStats(Tables(spark, dir).embeddings)
@@ -273,6 +280,17 @@ object SimilarityOps {
           .otherwise(transform(col("v"), x => x / col("nn"))).as("v"))
     if (sampleSize <= 8192) trainDriver(sample, k, iters)
     else trainDistributed(sample, k, iters)
+  }
+
+  /** Driver-side L2 norm of a centroid array — ONE definition (three
+    * sites previously inlined the identical while-loop, each of which
+    * had to stay consistent with the Column-side norm() for the
+    * bit-equality claims documented at its call site).
+    */
+  private def arrNorm(v: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
   }
 
   private def sqDist(a: Array[Double], b: Array[Double]): Double = {
@@ -434,11 +452,7 @@ object SimilarityOps {
     // row_number over (ccos DESC NULLS LAST, cid ASC): same left-fold
     // dot/norm, strict-greater argsort, null cosines (zero norms) rank
     // last by cid — committed goldens unchanged (asserted on regen).
-    val cnrmArr = trained.map { cv =>
-      var s = 0.0; var i = 0
-      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
-      math.sqrt(s)
-    }
+    val cnrmArr = trained.map(arrNorm)
     val assigned = base.select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Seq[Double], Double)]
       .mapPartitions { it =>
@@ -671,17 +685,11 @@ object SimilarityOps {
     * of anything (it still shows up as a row, with zero dups).
     */
   def nearDupStats(embeddings: DataFrame, minCos: Double = 0.3, bands: Int = 4,
-      bitsPerBand: Int = 0, maxBucket: Int = 100): DataFrame = {
-    val sym = pairEndpoints(
+      bitsPerBand: Int = 0, maxBucket: Int = 100): DataFrame =
+    candidateTally(embeddings,
       candidateCosines(embeddings, bands, bitsPerBand, maxBucket)
-        .filter(col("cos") >= minCos))
-    embeddings.select(col("vec_id"))
-      .join(sym, Seq("vec_id"), "left")
-      .groupBy("vec_id")
-      .agg(count(col("nbr_id")).as("n_near_dups"),
-        round(coalesce(max(col("cos")), lit(-2.0)), 4).as("best_cos"))
-      .orderBy("vec_id")
-  }
+        .filter(col("cos") >= minCos),
+      "n_near_dups", "best_cos")
 
   def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     nearDupStats(Tables(spark, dir).embeddings)
@@ -761,11 +769,7 @@ object SimilarityOps {
     // harmless for SemDeDup, where the clustering is itself a heuristic
     // partition), deterministic, and with nProbeCoarse ≥ K it degenerates
     // to the exact full scan (asserted bit-identical in SimilaritySpec).
-    val cnrms = trained.map { cv =>
-      var s = 0.0; var i = 0
-      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
-      math.sqrt(s)
-    }
+    val cnrms = trained.map(arrNorm)
     val twoLevel = trained.length > coarseThreshold
     // coarse quantizer over the fine centroids: bounded deterministic
     // stride-sample → driver Lloyd; exact cosine membership of every fine
@@ -778,11 +782,7 @@ object SimilarityOps {
         val stride = math.max(1, trained.length / 8192)
         val pool = trained.indices.by(stride).map(trained).toArray
         val cc = lloyd(pool, kCoarse, 5)
-        val cn = cc.map { v =>
-          var s = 0.0; var i = 0
-          while (i < v.length) { s += v(i) * v(i); i += 1 }
-          math.sqrt(s)
-        }
+        val cn = cc.map(arrNorm)
         val members = Array.fill(cc.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
         var cid = 0
         while (cid < trained.length) {
@@ -1236,6 +1236,11 @@ object SimilarityOps {
     * generate_subscripts re-derivation).
     */
   def sourceCentroidSim(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    // a NaN embedding component ABORTS here (ANSI cast) by design: this
+    // is an exact fixed-point aggregation, and silently zeroing or
+    // skipping a corrupt component would corrupt the centroid instead of
+    // surfacing the bad vector (the cosine ops map NaN → NULL because a
+    // NULL cosine has clean drop semantics; an exact sum has none)
     val nano = transform(toDouble(col("embedding")),
       x => floor(x * lit(1000000000.0) + lit(0.5)).cast("long"))
     // persisted at the VECTOR level: the count agg reads one row per
@@ -1629,9 +1634,14 @@ object SimilarityOps {
     // -inf, matching round-half-up on negatives' MAGNITUDE being half-down
     // — but both engines compute the same floor, which is all portability
     // needs; clamp to the int8 range for the -128 edge floor can reach
-    val q = transform(v, x =>
+    // scale 0 (a zero vector) → NULL codes, matching the documented
+    // contract AND the DuckDB oracle's CASE: without the guard,
+    // least/greatest SKIP the NULL from try_divide and every code came
+    // out 127 — a latent engine/oracle divergence on zero vectors
+    val q = when(mx > lit(0.0), transform(v, x =>
       greatest(lit(-127.0), least(lit(127.0),
-        floor(try_divide(x, scl) + lit(0.5)))).cast("int"))
+        floor(try_divide(x, scl) + lit(0.5)))).cast("int")))
+      .otherwise(lit(null).cast("array<int>"))
     embeddings
       .select(col("vec_id"), v.as("__v"), scl.as("__scl"), q.as("__q"))
       .select(col("vec_id"), col("__v"), col("__scl"), col("__q"),
@@ -1653,8 +1663,8 @@ object SimilarityOps {
   def qInt8Quantize(spark: SparkSession, dir: String): DataFrame =
     int8Quantize(Tables.spread(Tables(spark, dir).embeddings))
       .select(col("vec_id"), col("scale"),
-        array_join(transform(slice(col("codes"), 1, 8),
-          c => c.cast("string")), ",").as("codes8"),
+        coalesce(array_join(transform(slice(col("codes"), 1, 8),
+          c => c.cast("string")), ","), lit("")).as("codes8"),
         col("rel_err"), col("cos_rec"))
       .orderBy("vec_id")
 

@@ -821,4 +821,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size == n)
     assert(out == p, "engine PageRank != plain-Scala re-derivation")
   }
+
+  test("a NaN-component vector cannot hijack the top-k rankings") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(Float.NaN, 1.0f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val top = ext.SimilarityOps.bruteForceTopK(vecs, nQueries = 1, k = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2))
+    // rank 1 must be the genuine nearest (vec 1), not the NaN vector —
+    // NaN would sort first in a desc window without the safeCos guard
+    assert(top.head == (1L -> 1L), s"NaN hijacked the ranking: ${top.toSeq}")
+    // the NaN vector's cosine is NULL: desc NULLS LAST puts it last
+    assert(top.last._2 == 2L)
+  }
+
+  test("int8Quantize: a zero vector has scale 0 and NULL codes, not [127,...]") {
+    import spark.implicits._
+    val vecs = Seq((0L, Seq(0.0f, 0.0f, 0.0f)), (1L, Seq(1.0f, -2.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val rows = ext.SimilarityOps.int8Quantize(vecs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getDouble(1) == 0.0)
+    assert(rows(0L).isNullAt(2), "zero vector must have NULL codes")
+    assert(rows(0L).isNullAt(3) && rows(0L).isNullAt(4))
+    // the non-degenerate row quantizes normally: max |x| maps to ±127
+    assert(rows(1L).getSeq[Int](2) == Seq(64, -127, 32))
+  }
 }
