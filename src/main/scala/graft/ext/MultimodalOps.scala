@@ -4,9 +4,6 @@ import graft.pipeline.Imaging
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One dHash-band posting on the wire: which 16-bit band bucket an
-  * image's hash lands in (streaming image dedup state traffic).
-  */
 /** One fingerprint arrival at the state-store audio dedup. */
 case class FpArrival(clipId: Long, fp: Long)
 
@@ -18,6 +15,9 @@ case class FpPostingState(ids: Seq[Long])
   */
 case class FpHit(clip_a: Long, clip_b: Long, fp: Long)
 
+/** One dHash-band posting on the wire: which 16-bit band bucket an
+  * image's hash lands in (streaming image dedup state traffic).
+  */
 case class ImgBandArrival(band: Int, sig: Long, imageId: Long, dhash: Long)
 
 /** A dHash band bucket's checkpointed members (ids + full 64-bit hashes,
@@ -109,8 +109,12 @@ object MultimodalOps {
     * representation the bag pipeline already produces).
     */
   def sampleFrames(frames: DataFrame, n: Int,
-      idx: String = "frame_index"): DataFrame =
+      idx: String = "frame_index"): DataFrame = {
+    // % 0 is NULL (non-ANSI) — filter(null) would silently drop EVERY
+    // frame instead of failing, against the fail-loudly rule
+    require(n > 0, s"sampleFrames stride must be positive, got $n")
     frames.filter(col(idx) % n === 0)
+  }
 
   case class VideoFrameRow(id: Long, frame_index: Int, frame_ts_ms: Long,
       content: Array[Byte])
@@ -151,15 +155,110 @@ object MultimodalOps {
           s"blob $id: ${reader.getFormatName} is not a decodable video container")
         reader.setInput(iis)
         val n = reader.getNumImages(true)
+        // logical screen from the stream metadata; an optimized GIF's
+        // later frames are DELTA sub-rectangles that must composite onto
+        // the accumulated canvas — the raw reader.read(i) raster alone is
+        // a patch, which would dHash wrongly (or crash the ≥9×8 require)
+        // downstream. A frame that IS the full screen at (0,0) with no
+        // prior delta takes the raw-raster fast path, byte-identical to
+        // the pre-compositor output (committed goldens depend on it).
+        val (sw, sh) = gifScreenSize(reader)
+          .getOrElse((reader.getWidth(0), reader.getHeight(0)))
+        var canvas: java.awt.image.BufferedImage = null
         var tsMs = 0L
         (0 until n).map { i =>
           val img = reader.read(i)
-          val row = VideoFrameRow(id, i, tsMs, Imaging.encodePng(img))
-          tsMs += gifFrameDelayMs(reader.getImageMetadata(i))
+          val meta = reader.getImageMetadata(i)
+          val (ox, oy, disposal) = gifFrameDescriptor(meta)
+          // an OPAQUE full-screen frame fully overwrites the canvas, so
+          // the raw raster IS the composited result — emit it directly
+          // (byte-identical PNG to the pre-compositor output, which the
+          // committed q54/q80 goldens hash); anything else composites
+          val opaqueFull = ox == 0 && oy == 0 &&
+            img.getWidth == sw && img.getHeight == sh &&
+            !img.getColorModel.hasAlpha
+          val saved =
+            if (disposal == "restorePrevious" && canvas != null)
+              copyCanvas(canvas)
+            else null
+          if (canvas != null || !opaqueFull || i + 1 < n) {
+            if (canvas == null)
+              canvas = new java.awt.image.BufferedImage(sw, sh,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = canvas.createGraphics()
+            g.drawImage(img, ox, oy, null)
+            g.dispose()
+          }
+          val emit = if (opaqueFull) img else copyCanvas(canvas)
+          if (saved != null) canvas = saved
+          else if (disposal == "restoreToBackgroundColor" && canvas != null) {
+            val g2 = canvas.createGraphics()
+            g2.setColor(java.awt.Color.BLACK)
+            g2.fillRect(ox, oy, img.getWidth, img.getHeight)
+            g2.dispose()
+          }
+          val row = VideoFrameRow(id, i, tsMs, Imaging.encodePng(emit))
+          tsMs += gifFrameDelayMs(meta)
           row
         }
       } finally reader.dispose()
     } finally iis.close()
+  }
+
+  private def copyCanvas(src: java.awt.image.BufferedImage)
+      : java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(src.getWidth, src.getHeight,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.drawImage(src, 0, 0, null)
+    g.dispose()
+    out
+  }
+
+  /** LogicalScreenDescriptor (width, height) from the GIF stream
+    * metadata; None when the reader exposes no stream metadata.
+    */
+  private def gifScreenSize(reader: javax.imageio.ImageReader)
+      : Option[(Int, Int)] = {
+    val sm = reader.getStreamMetadata
+    if (sm == null) None
+    else {
+      val root = sm.getAsTree("javax_imageio_gif_stream_1.0")
+      val kids = root.getChildNodes
+      (0 until kids.getLength).collectFirst {
+        case i if kids.item(i).getNodeName == "LogicalScreenDescriptor" =>
+          val a = kids.item(i).getAttributes
+          (a.getNamedItem("logicalScreenWidth").getNodeValue.toInt,
+            a.getNamedItem("logicalScreenHeight").getNodeValue.toInt)
+      }
+    }
+  }
+
+  /** (left, top, disposalMethod) of one frame: the ImageDescriptor
+    * offsets and the GraphicControlExtension disposal ("none" when
+    * absent).
+    */
+  private def gifFrameDescriptor(meta: javax.imageio.metadata.IIOMetadata)
+      : (Int, Int, String) = {
+    val root = meta.getAsTree("javax_imageio_gif_image_1.0")
+    val kids = root.getChildNodes
+    var ox = 0; var oy = 0; var disposal = "none"
+    var i = 0
+    while (i < kids.getLength) {
+      val node = kids.item(i)
+      node.getNodeName match {
+        case "ImageDescriptor" =>
+          val a = node.getAttributes
+          ox = a.getNamedItem("imageLeftPosition").getNodeValue.toInt
+          oy = a.getNamedItem("imageTopPosition").getNodeValue.toInt
+        case "GraphicControlExtension" =>
+          val d = node.getAttributes.getNamedItem("disposalMethod")
+          if (d != null) disposal = d.getNodeValue
+        case _ => ()
+      }
+      i += 1
+    }
+    (ox, oy, disposal)
   }
 
   /** GraphicControlExtension delayTime (1/100 s) → ms; 0 if absent. */
@@ -274,10 +373,24 @@ object MultimodalOps {
   def encodeAviMjpeg(frames: Seq[java.awt.image.BufferedImage],
       fps: Int = 25): Array[Byte] = {
     require(frames.nonEmpty, "encodeAviMjpeg requires at least one frame")
+    require(fps > 0, s"encodeAviMjpeg fps must be positive, got $fps")
     val (w, h) = (frames.head.getWidth, frames.head.getHeight)
-    val jpegs = frames.map { f =>
+    val jpegs = frames.zipWithIndex.map { case (f0, i) =>
+      // the JDK JPEG writer REFUSES some types (TYPE_INT_ARGB on most
+      // JDKs) by returning false — which would leave a silent 0-byte
+      // '00dc' chunk that only surfaces far away at decode time. Convert
+      // alpha-carrying frames to RGB and check the writer's verdict.
+      val f = if (f0.getColorModel.hasAlpha) {
+        val rgb = new java.awt.image.BufferedImage(
+          f0.getWidth, f0.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = rgb.createGraphics()
+        g.drawImage(f0, 0, 0, null)
+        g.dispose()
+        rgb
+      } else f0
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(f, "jpg", bos)
+      require(javax.imageio.ImageIO.write(f, "jpg", bos),
+        s"frame $i: JPEG writer refused image type ${f.getType}")
       bos.toByteArray
     }
     val out = new java.io.ByteArrayOutputStream()
@@ -393,6 +506,10 @@ object MultimodalOps {
       .as[ImageRow](Encoders.product[ImageRow])
       .mapPartitions { rows =>
         rows.flatMap { r =>
+          // BinaryType is a reference type: a null cell arrives as raw
+          // null — name the blob (the wavSamples/dHash64 discipline)
+          // instead of an anonymous executor NPE
+          require(r.content != null, s"blob ${r.id}: null video content")
           val isGif = r.content.length >= 4 &&
             r.content(0) == 'G' && r.content(1) == 'I' && r.content(2) == 'F'
           val isAvi = r.content.length >= 12 &&
@@ -417,32 +534,31 @@ object MultimodalOps {
     * environment — [[audioFeatures]] keeps the raw-PCM fallback shape.
     */
   def wavFeatures(bytes: Array[Byte]): AudioFeatures = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try {
-      val fmt = in.getFormat
-      require(fmt.getSampleSizeInBits == 16, s"expected 16-bit PCM, got $fmt")
-      val data = in.readAllBytes()
-      val channels = fmt.getChannels
-      val big = fmt.isBigEndian
-      val nFrames = data.length / (2 * channels)
-      var sumSq = 0.0
-      var zc = 0L
-      var prevSign = 0
-      var f = 0
-      while (f < nFrames) {
-        val o = f * 2 * channels // channel 0 of each frame
-        val s = (if (big) ((data(o) << 8) | (data(o + 1) & 0xff))
-                 else ((data(o + 1) << 8) | (data(o) & 0xff))).toShort.toInt
-        sumSq += s.toDouble * s
-        val sign = Integer.signum(s)
-        if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
-        if (sign != 0) prevSign = sign
-        f += 1
-      }
-      AudioFeatures((nFrames * 1000L / fmt.getSampleRate.toLong),
-        if (nFrames == 0) 0.0 else math.sqrt(sumSq / nFrames), zc)
-    } finally in.close()
+    // ONE sample walk ([[wavSamples]]) + ONE stats pass ([[pcmStats]]):
+    // the former inline copy of both loops had to stay bit-identical
+    // with them for the batch/streaming fingerprint parity
+    val (samples, rate) = wavSamples(bytes)
+    val (rms, zc) = pcmStats(samples)
+    AudioFeatures(samples.length * 1000L / rate, rms, zc)
+  }
+
+  /** RMS + zero-crossing count over channel-0 samples — the shared stats
+    * pass of [[wavFeatures]] and [[audioFeatures]].
+    */
+  private def pcmStats(samples: Array[Int]): (Double, Long) = {
+    var sumSq = 0.0
+    var zc = 0L
+    var prevSign = 0
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      sumSq += s.toDouble * s
+      val sign = Integer.signum(s)
+      if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+      if (sign != 0) prevSign = sign
+      i += 1
+    }
+    (if (samples.length == 0) 0.0 else math.sqrt(sumSq / samples.length), zc)
   }
 
   private val wavUdf = udf((b: Array[Byte]) => wavFeatures(b))
@@ -456,20 +572,14 @@ object MultimodalOps {
     */
   def audioFeatures(bytes: Array[Byte], sampleRateHz: Int = 16000): AudioFeatures = {
     val n = bytes.length / 2
-    var sumSq = 0.0
-    var zc = 0L
-    var prevSign = 0
+    val samples = new Array[Int](n)
     var i = 0
-    while (i + 1 < bytes.length) {
-      val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toInt
-      sumSq += s.toDouble * s
-      val sign = Integer.signum(s)
-      if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
-      if (sign != 0) prevSign = sign
-      i += 2
+    while (i < n) {
+      samples(i) = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+      i += 1
     }
-    AudioFeatures(n * 1000L / sampleRateHz,
-      if (n == 0) 0.0 else math.sqrt(sumSq / n), zc)
+    val (rms, zc) = pcmStats(samples)
+    AudioFeatures(n * 1000L / sampleRateHz, rms, zc)
   }
 
   private val audioUdf = udf((b: Array[Byte]) => audioFeatures(b))
@@ -519,19 +629,27 @@ object MultimodalOps {
     * the tone in its bin) — which is exactly what makes it a re-encode/
     * re-record dedup key where a byte hash matches nothing.
     */
+  // the DFT basis depends only on (bin, sample-in-window) and win/bins
+  // are fixed — ONE object-level table per executor JVM instead of
+  // ~32k StrictMath trig calls + 256 KB allocation per CLIP in the hot
+  // fingerprint UDF (the inner sums accumulate in the identical order,
+  // so fingerprints are bit-equal)
+  private val FpWin = 256
+  private val FpHop = 128
+  private val FpBins = 64
+  private lazy val fpCosT = Array.tabulate(FpBins, FpWin)((k, n) =>
+    StrictMath.cos(2.0 * StrictMath.PI * k * n / FpWin))
+  private lazy val fpSinT = Array.tabulate(FpBins, FpWin)((k, n) =>
+    StrictMath.sin(2.0 * StrictMath.PI * k * n / FpWin))
+
   def audioFingerprints(samples: Array[Int], fanOut: Int = 3): Array[Long] = {
     // dt occupies the low 4 bits of the packed fingerprint — a wider
     // fan-out would silently alias into the second peak's field
     require(fanOut >= 1 && fanOut < 16, s"fanOut $fanOut outside 1..15")
-    val win = 256; val hop = 128; val bins = 64
+    val win = FpWin; val hop = FpHop; val bins = FpBins
     val nWin = if (samples.length < win) 0 else (samples.length - win) / hop + 1
-    // the DFT basis depends only on (bin, sample-in-window) — precompute
-    // it once instead of ~2M StrictMath trig calls per clip (the inner
-    // sums accumulate in the identical order, so results are bit-equal)
-    val cosT = Array.tabulate(bins, win)((k, n) =>
-      StrictMath.cos(2.0 * StrictMath.PI * k * n / win))
-    val sinT = Array.tabulate(bins, win)((k, n) =>
-      StrictMath.sin(2.0 * StrictMath.PI * k * n / win))
+    val cosT = fpCosT
+    val sinT = fpSinT
     val peaks = new Array[Int](nWin)
     var w = 0
     while (w < nWin) {
@@ -586,8 +704,13 @@ object MultimodalOps {
         audioFingerprintUdf(col(content)).as("fps")))
     val pairCounts = prints
       // distinct postings: a fingerprint repeating INSIDE one clip is one
-      // posting — shared-count is over distinct fingerprints
+      // posting — shared-count is over distinct fingerprints — and the
+      // trailing .distinct() makes a clip RE-DELIVERED as a duplicate
+      // input row one posting too (without it the bucket held the clip
+      // twice and every shared count doubled, spuriously crossing
+      // minShared; the strict a<b filter below only removes self-pairs)
       .select(col("clip_id"), explode(array_distinct(col("fps"))).as("fp"))
+      .distinct()
       .groupBy("fp")
       .agg(sort_array(collect_list(col("clip_id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
@@ -613,6 +736,10 @@ object MultimodalOps {
         col("best.n_shared").as("best_shared"), (-col("best.neg")).as("best_match"))
     prints
       .select(col("clip_id"), size(col("fps")).cast("long").as("n_fingerprints"))
+      // identical re-delivered rows collapse exactly; conflicting
+      // same-id content is ill-formed input (same contract as the
+      // incremental path's latest-wins rule)
+      .dropDuplicates("clip_id")
       .join(tallies, Seq("clip_id"), "left")
       .select(col("clip_id"), col("n_fingerprints"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),

@@ -412,4 +412,100 @@ class MultimodalSpec extends SparkSpec {
       .agg(sum("n_candidates")).head().getLong(0)
     assert(capped == 0L)
   }
+
+  test("optimized delta-frame GIFs composite onto the logical screen") {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    // frame 0: full 16x12 red screen; frame 1: a 4x3 green DELTA patch at
+    // (6, 5) — the shape a GIF optimizer emits. Write it with explicit
+    // ImageDescriptor offsets.
+    def raster(w: Int, h: Int, rgb: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      img
+    }
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    def writeFrame(img: java.awt.image.BufferedImage, ox: Int, oy: Int): Unit = {
+      val meta = writer.getDefaultImageMetadata(
+        new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val kids = root.getChildNodes
+      var desc: IIOMetadataNode = null
+      (0 until kids.getLength).foreach { i =>
+        if (kids.item(i).getNodeName == "ImageDescriptor")
+          desc = kids.item(i).asInstanceOf[IIOMetadataNode]
+      }
+      desc.setAttribute("imageLeftPosition", ox.toString)
+      desc.setAttribute("imageTopPosition", oy.toString)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, meta), null)
+    }
+    writeFrame(raster(16, 12, 0xff0000), 0, 0)
+    writeFrame(raster(4, 3, 0x00ff00), 6, 5)
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+
+    import spark.implicits._
+    val frames = MultimodalOps.explodeGifFrames(Seq((1L, gif)).toDF("id", "content"))
+      .orderBy("frame_index").collect()
+    assert(frames.length == 2)
+    val f1 = Imaging.decodePng(frames(1).getAs[Array[Byte]](3))
+    // the delta frame decodes to the FULL screen, composited
+    assert(f1.getWidth == 16 && f1.getHeight == 12,
+      s"delta frame must composite to the screen, got ${f1.getWidth}x${f1.getHeight}")
+    assert((f1.getRGB(7, 6) & 0xffffff) == 0x00ff00, "patch pixels green")
+    assert((f1.getRGB(0, 0) & 0xffffff) == 0xff0000,
+      "pixels outside the patch keep frame 0's content")
+    // and the composited frame can dHash (it used to crash the 9x8 require)
+    MultimodalOps.dHash64(frames(1).getAs[Array[Byte]](3))
+  }
+
+  test("audioMatchStats: a re-delivered clip row neither doubles n_shared nor duplicates rows") {
+    import spark.implicits._
+    val unique = Seq((0L, MultimodalOps.stagedClip(0)),
+      (1L, MultimodalOps.stagedClip(1))).toDF("clip_id", "content")
+    val withDup = Seq((0L, MultimodalOps.stagedClip(0)),
+      (0L, MultimodalOps.stagedClip(0)),
+      (1L, MultimodalOps.stagedClip(1))).toDF("clip_id", "content")
+    val a = MultimodalOps.audioMatchStats(unique).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val b = MultimodalOps.audioMatchStats(withDup).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(b == a, s"duplicate delivery changed shared counts: $a vs $b")
+    assert(MultimodalOps.audioMatchStats(withDup).count() == 2,
+      "one report row per clip")
+  }
+
+  test("sampleFrames refuses a zero stride instead of silently dropping all frames") {
+    import spark.implicits._
+    val frames = Seq((1L, 0), (1L, 1)).toDF("id", "frame_index")
+    val e = intercept[IllegalArgumentException] {
+      MultimodalOps.sampleFrames(frames, 0)
+    }
+    assert(e.getMessage.contains("stride"))
+  }
+
+  test("encodeAviMjpeg converts alpha frames instead of writing empty chunks") {
+    val argb = new java.awt.image.BufferedImage(16, 12,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val g = argb.createGraphics()
+    g.setColor(java.awt.Color.BLUE); g.fillRect(0, 0, 16, 12); g.dispose()
+    val avi = MultimodalOps.encodeAviMjpeg(Seq(argb), fps = 10)
+    import spark.implicits._
+    val frames = MultimodalOps.explodeVideoFrames(Seq((1L, avi)).toDF("id", "content"))
+      .collect()
+    assert(frames.length == 1)
+    val img = Imaging.decodePng(frames(0).getAs[Array[Byte]](3))
+    assert(img.getWidth == 16 && img.getHeight == 12)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.encodeAviMjpeg(Seq(argb), fps = 0)
+    }
+  }
 }
