@@ -521,7 +521,7 @@ object SparkEntry {
         |    '/doc/' || doc_id AS url
         | FROM documents),
         |h AS (SELECT doc_id, n_chars, url,
-        |  regexp_extract(url, 'https?://([^/]+)', 1) AS host FROM u),
+        |  regexp_extract(url, 'https?://([^/:?#]+)', 1) AS host FROM u),
         |b AS (SELECT *,
         |  regexp_extract(host, '([A-Za-z0-9-]+\.[A-Za-z]+)$', 1) AS domain FROM h),
         |b2 AS (SELECT *,
@@ -839,10 +839,13 @@ object SparkEntry {
         |c3 AS (SELECT doc_id, url, regexp_replace(regexp_replace(u,
         |        '^(https://[^/?#]*):443(/|\?|$)', '\1\2'),
         |        '^(http://[^/?#]*):80(/|\?|$)', '\1\2') AS u FROM c2),
-        |c4 AS (SELECT doc_id, url, u AS u3,
-        |        regexp_replace(u, '[?&]utm_[a-z]+=[^&#]*', '', 'g') AS u FROM c3),
-        |c5 AS (SELECT doc_id, url, CASE WHEN strpos(u3, '?') > 0
-        |        THEN regexp_replace(u, '^([^?#&]*)&', '\1?') ELSE u END AS u FROM c4),
+        |c4 AS (SELECT doc_id, url, u, strpos(u, '?') AS qpos,
+        |        regexp_replace(regexp_replace(substr(u, strpos(u, '?') + 1),
+        |          '&utm_[a-z]+=[^&]*', '', 'g'),
+        |          '^utm_[a-z]+=[^&]*&?', '') AS t2 FROM c3),
+        |c5 AS (SELECT doc_id, url, CASE WHEN qpos = 0 THEN u
+        |        WHEN len(t2) > 0 THEN substr(u, 1, qpos - 1) || '?' || t2
+        |        ELSE substr(u, 1, qpos - 1) END AS u FROM c4),
         |c AS (SELECT doc_id, url, regexp_replace(u, '/$', '') AS canon_url FROM c5),
         |g AS (SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_copies
         |      FROM c GROUP BY canon_url)

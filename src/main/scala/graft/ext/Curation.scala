@@ -87,11 +87,19 @@ object Curation {
   /** Per-source curation funnel — the survival report every pipeline
     * publishes with a release: how many documents each source brings in
     * and how many remain after each filter stage, in the canonical
-    * order (exact dedup → rule filter → model filter), plus the token
-    * mass the source contributes to the final corpus. Reviewers read
-    * this to catch a mis-tuned filter nuking one source before any
-    * training run is wasted; the percentage is integer micro units so
-    * no float crosses a reporting boundary.
+    * order (exact dedup → rule filter → model filter), plus the
+    * RAW-token mass of the surviving documents. Reviewers read this to
+    * catch a mis-tuned filter nuking one source before any training run
+    * is wasted; the percentage is integer micro units so no float
+    * crosses a reporting boundary.
+    *
+    * SCOPE: this is the fast INGEST-stage funnel over raw text — it
+    * deliberately runs no extract/scrub pass and no near-dedup, and its
+    * stage order (dedup first) differs from [[curate]]'s (clean →
+    * filter → dedup on cleaned text), so its counts approximate, not
+    * reproduce, the packed corpus q77 emits. The exact reconciliation
+    * is a diff of the two outputs; the funnel's job is the cheap
+    * per-source early warning.
     *
     * Scale shape: one narrow enrichment pass computes hash + classifier
     * + token count alongside the Gopher verdict (text is read once and
@@ -102,8 +110,8 @@ object Curation {
     * Stage counts are map-side-combined conditional sums per source.
     * Sub-2-word docs (which gopherVerdict excludes by construction — the
     * q64 convention) appear in `n_docs` but in NO post-ingest stage
-    * count; their hash groups still elect dedup keepers, so a longer
-    * duplicate of a short doc correctly reports as a dedup drop.
+    * count; their hash groups still elect dedup keepers (an exact
+    * duplicate of a short doc correctly reports as a dedup drop).
     */
   def funnelReport(docs: DataFrame): DataFrame = {
     val enriched = TextOps.gopherVerdict(

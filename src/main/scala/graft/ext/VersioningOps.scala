@@ -35,8 +35,15 @@ object VersioningOps {
     */
   def snapshotDiff(v1: DataFrame, v2: DataFrame, key: String = "doc_id")
       : DataFrame = {
-    val a = v1.select(col(key), md5(col("text")).as("v1_hash"))
-    val b = v2.select(col(key), md5(col("text")).as("v2_hash"))
+    // NULL-safe content hash: md5(NULL) is NULL, and the status CASE
+    // reads hash nullness as PRESENCE — a doc whose text was NULL in one
+    // snapshot was misreported added/removed (and applyChanges then
+    // deleted a doc still present). The sentinel cannot collide with a
+    // real md5 (32 hex chars).
+    val h = when(col("text").isNull, lit("<null-text>"))
+      .otherwise(md5(col("text")))
+    val a = v1.select(col(key), h.as("v1_hash"))
+    val b = v2.select(col(key), h.as("v2_hash"))
     a.join(b, Seq(key), "full_outer")
       .select(col(key), col("v1_hash"), col("v2_hash"),
         when(col("v1_hash").isNull, "added")
@@ -100,14 +107,6 @@ object VersioningOps {
       }
   }
 
-  /** q119: diff `documents` (v1) against a deterministically staged v2
-    * (every 13th doc dropped, every 9th-mod-4 surviving doc edited by an
-    * appended revision marker, a new doc minted for every 17th id at
-    * id+10⁷) — both engines rebuild the identical v2, so the oracle is
-    * direct. The edit rule intentionally overlaps the drop rule (ids
-    * divisible by both 13 and 9-mod-4 are dropped, not modified) to pin
-    * the precedence a real snapshot would exhibit. Direct DuckDB oracle.
-    */
   /** Apply a change set to a snapshot — hand-rolled MERGE semantics
     * (the Delta/Iceberg MERGE INTO shape, expressed with the engine's
     * own joins): `removed` ids are deleted, `added`/`modified` rows
@@ -134,12 +133,16 @@ object VersioningOps {
     */
   def qSnapshotApply(spark: SparkSession, dir: String): DataFrame = {
     val v1 = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
-    val v2 = stageV2(v1)
-    val changes = snapshotDiff(v1, v2)
+    // persisted: v2 feeds BOTH the diff and the new_text join, and
+    // `changes` is consumed twice inside applyChanges (anti-join keys +
+    // union branch) — unpersisted, the staged union and the full-outer
+    // diff join re-execute per branch (the round-1 lesson)
+    val v2 = graft.CacheRegistry.persist(stageV2(v1))
+    val changes = graft.CacheRegistry.persist(snapshotDiff(v1, v2)
       .filter(col("status") =!= "unchanged")
       .join(v2.select(col("doc_id"), col("text").as("new_text")),
         Seq("doc_id"), "left")
-      .select("doc_id", "status", "new_text")
+      .select("doc_id", "status", "new_text"))
     applyChanges(v1, changes)
       .select(col("doc_id"), md5(col("text")).as("text_hash"))
       .orderBy("doc_id")
@@ -159,6 +162,14 @@ object VersioningOps {
           concat(lit("new "), col("text")).as("text")))
   }
 
+  /** q119: diff `documents` (v1) against a deterministically staged v2
+    * (every 13th doc dropped, every 9th-mod-4 surviving doc edited by an
+    * appended revision marker, a new doc minted for every 17th id at
+    * id+10⁷) — both engines rebuild the identical v2, so the oracle is
+    * direct. The edit rule intentionally overlaps the drop rule (ids
+    * divisible by both 13 and 9-mod-4 are dropped, not modified) to pin
+    * the precedence a real snapshot would exhibit. Direct DuckDB oracle.
+    */
   def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val v1 = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
     snapshotDiff(v1, stageV2(v1)).orderBy("doc_id")

@@ -28,7 +28,12 @@ object WebOps {
   /** Host part of an URL (`https://HOST/...`) — regex rather than
     * `parse_url` so the DuckDB oracle runs the identical extraction.
     */
-  def urlHost(url: Column): Column = regexp_extract(url, "https?://([^/]+)", 1)
+  def urlHost(url: Column): Column =
+    // exclude ':' '?' '#': the old ([^/]+) swallowed the port into the
+    // host and, on a path-less URL, the whole query string — after which
+    // registrableDomain's anchored match failed and blocklist checks
+    // silently never fired for ported or path-less URLs
+    regexp_extract(url, "https?://([^/:?#]+)", 1)
 
   /** Registrable domain = last two dot-labels of the host (public-suffix
     * lists are a lookup-table refinement of the same shape).
@@ -79,14 +84,17 @@ object WebOps {
     *  2. lowercase the scheme+host prefix (case-insensitive per RFC 3986);
     *  3. drop an explicit default port (`:443` for https, `:80` for http —
     *     also when the port ends the URL or is followed by `?`);
-    *  4. drop `utm_*` tracking parameters, then repair a query string
-    *     whose FIRST parameter was removed (`&` → `?`) — the repair fires
-    *     only when the URL actually had a query (a literal `&` is legal in
-    *     an RFC 3986 path and must survive);
+    *  4. drop `utm_*` tracking parameters from the QUERY STRING only —
+    *     the string after `?` is isolated first, so a literal `&` (or a
+    *     `utm_x=` lookalike) in an RFC 3986 path can never be touched;
+    *     an emptied query drops its `?` too. (The former whole-URL regex
+    *     matched `&utm_...` in paths, deleting path content, and its
+    *     `&` → `?` repair rewrote a legal path `&` whenever the URL also
+    *     had a query.)
     *  5. drop a single trailing slash.
     * Anchored patterns match at most once, so Spark's replace-all and the
-    * oracle's replace-first agree; the utm rule is the one deliberate
-    * replace-all (`'g'` in DuckDB).
+    * oracle's replace-first agree; the in-query utm rules are the
+    * deliberate replace-alls (`'g'` in DuckDB).
     */
   def urlCanonicalize(url: Column): Column = {
     val c1 = regexp_replace(url, "#.*$", "")
@@ -96,9 +104,17 @@ object WebOps {
     val c3 = regexp_replace(
       regexp_replace(c2, "^(https://[^/?#]*):443(/|\\?|$)", "$1$2"),
       "^(http://[^/?#]*):80(/|\\?|$)", "$1$2")
-    val c4 = regexp_replace(c3, "[?&]utm_[a-z]+=[^&#]*", "")
-    val c5 = when(instr(c3, "?") > 0, regexp_replace(c4, "^([^?#&]*)&", "$1?"))
-      .otherwise(c4)
+    val qpos = instr(c3, "?")
+    val head = c3.substr(lit(1), qpos - 1)
+    val tail = c3.substr(qpos + 1, length(c3))
+    // non-leading utm params carry their '&'; one leading utm param
+    // hands its position to the next survivor (strip its trailing '&')
+    val t2 = regexp_replace(
+      regexp_replace(tail, "&utm_[a-z]+=[^&]*", ""),
+      "^utm_[a-z]+=[^&]*&?", "")
+    val c5 = when(qpos === 0, c3)
+      .when(length(t2) > 0, concat(head, lit("?"), t2))
+      .otherwise(head)
     regexp_replace(c5, "/$", "")
   }
 

@@ -303,7 +303,7 @@ object SqlQueries {
         |    '/doc/', doc_id) AS url
         | FROM documents),
         |h AS (SELECT doc_id, n_chars, url,
-        |  regexp_extract(url, 'https?://([^/]+)', 1) AS host FROM u),
+        |  regexp_extract(url, 'https?://([^/:?#]+)', 1) AS host FROM u),
         |b AS (SELECT *,
         |  regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z]+)$', 1) AS domain FROM h),
         |b2 AS (SELECT *,
@@ -583,10 +583,14 @@ object SqlQueries {
         |  '^(https://[^/?#]*):443(/|\\?|$)', '$1$2'),
         |  '^(http://[^/?#]*):80(/|\\?|$)', '$1$2') AS s
         | FROM c2),
-        |c4 AS (SELECT doc_id, url, s AS s3,
-        |  regexp_replace(s, '[?&]utm_[a-z]+=[^&#]*', '') AS s FROM c3),
-        |c5 AS (SELECT doc_id, url, CASE WHEN instr(s3, '?') > 0
-        |  THEN regexp_replace(s, '^([^?#&]*)&', '$1?') ELSE s END AS s FROM c4),
+        |c4 AS (SELECT doc_id, url, s, instr(s, '?') AS qpos,
+        |  regexp_replace(regexp_replace(substr(s, CAST(instr(s, '?') AS INT) + 1),
+        |    '&utm_[a-z]+=[^&]*', ''),
+        |    '^utm_[a-z]+=[^&]*&?', '') AS t2 FROM c3),
+        |c5 AS (SELECT doc_id, url, CASE WHEN qpos = 0 THEN s
+        |  WHEN length(t2) > 0
+        |    THEN concat(substr(s, 1, CAST(qpos AS INT) - 1), '?', t2)
+        |  ELSE substr(s, 1, CAST(qpos AS INT) - 1) END AS s FROM c4),
         |c AS (SELECT doc_id, url, regexp_replace(s, '/$', '') AS canon_url FROM c5),
         |g AS (SELECT md5(canon_url) AS ch, min(doc_id) AS keep_id,
         |  count(*) AS n_copies FROM c GROUP BY md5(canon_url))

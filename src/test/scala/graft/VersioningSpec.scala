@@ -59,4 +59,19 @@ class VersioningSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(2L -> "beta", 3L -> "gamma prime", 4L -> "delta"))
   }
+
+  test("snapshotDiff classifies NULL-text rows by PRESENCE, not hash nullness") {
+    import spark.implicits._
+    val v1 = Seq((1L, null.asInstanceOf[String]), (2L, "x"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "now real"), (2L, "x"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val st = ext.VersioningOps.snapshotDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(st(1L) == "modified",
+      "a doc whose text became non-NULL was present in v1 — modified, not added")
+    assert(st(2L) == "unchanged")
+    assert(st(3L) == "unchanged",
+      "NULL text in both snapshots is the same (absent) content")
+  }
 }

@@ -140,4 +140,45 @@ class WebOpsSpec extends SparkSpec {
       assert(r4.getLong(3) == base + 4 && r4.getLong(4) == 1 && !r4.getBoolean(5))
     }
   }
+
+  test("canonicalize: utm stripping is query-scoped — path content survives") {
+    import spark.implicits._
+    val cases = Seq(
+      // literal '&' in the PATH of a URL that also has a query: the old
+      // '&'->'?' repair rewrote the path
+      "https://h.com/a&b?x=1" -> "https://h.com/a&b?x=1",
+      // '&utm_' lookalike in the PATH of a query-less URL: the old
+      // whole-URL strip deleted path content
+      "https://h.com/a&utm_x=1" -> "https://h.com/a&utm_x=1",
+      // genuine utm params still strip, first-param promotion included
+      "https://h.com/p?utm_source=x&ref=keep" -> "https://h.com/p?ref=keep",
+      "https://h.com/p?ref=keep&utm_source=x" -> "https://h.com/p?ref=keep",
+      "https://h.com/p?utm_a=1&utm_b=2" -> "https://h.com/p",
+      "https://h.com/p?a=1&utm_x=2&b=3" -> "https://h.com/p?a=1&b=3")
+    val got = cases.map(_._1).toDF("url")
+      .select(ext.WebOps.urlCanonicalize(org.apache.spark.sql.functions.col("url")))
+      .collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalize($in) = $g, want $want")
+    }
+    // idempotent: canonical output is a fixed point
+    val again = got.toSeq.toDF("url")
+      .select(ext.WebOps.urlCanonicalize(org.apache.spark.sql.functions.col("url")))
+      .collect().map(_.getString(0))
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("urlHost excludes ports and query strings; domain stays extractable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq("https://h.example.com:8080/p", "https://h.example.com?x=1",
+      "http://plain.example.org/p")
+      .toDF("url")
+      .select(ext.WebOps.urlHost(col("url")).as("h"))
+      .withColumn("d", ext.WebOps.registrableDomain(col("h")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows(0) == ("h.example.com", "example.com"), s"ported: ${rows(0)}")
+    assert(rows(1) == ("h.example.com", "example.com"), s"path-less: ${rows(1)}")
+    assert(rows(2) == ("plain.example.org", "example.org"))
+  }
 }
