@@ -137,8 +137,17 @@ object RosBagPaths {
       } else c match {
         case '"' => out += sb.toString; inStr = false; i += 1
         case '\\' =>
+          // bounds-check: an offset line truncated mid-escape must fail
+          // as corrupt JSON, not StringIndexOutOfBounds (stream recovery
+          // reads these from the checkpoint log)
+          if (i + 1 >= json.length)
+            throw new IllegalArgumentException(
+              s"corrupt offset JSON: truncated escape at $i")
           json.charAt(i + 1) match {
             case 'u' =>
+              if (i + 6 > json.length)
+                throw new IllegalArgumentException(
+                  s"corrupt offset JSON: truncated \\u escape at $i")
               sb.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
               i += 6
             case 'n' => sb.append('\n'); i += 2
@@ -279,8 +288,14 @@ object RosBagFilters {
       pushed: Array[sources.Filter]): Seq[RosBagFormat.ChunkSummary] = {
     val tk = topicKeep(pushed)
     idx.chunks.filter { c =>
-      val resolved = c.msgCountByConn.keys.flatMap(idx.connections.get)
-      (resolved.isEmpty || resolved.exists(cn => tk(cn.topic))) &&
+      val connIds = c.msgCountByConn.keys
+      val resolved = connIds.flatMap(idx.connections.get)
+      // ANY unresolved conn id keeps the chunk, not just all-unresolved:
+      // with a partially truncated index, pruning on the resolved subset
+      // alone silently dropped the unresolved connections' messages
+      val anyUnresolved = resolved.size < connIds.size
+      (anyUnresolved || resolved.isEmpty ||
+        resolved.exists(cn => tk(cn.topic))) &&
         rangeMayMatch(pushed, c.startNs, c.endNs)
     }
   }
@@ -303,13 +318,17 @@ class RosBagScan(paths: Seq[String], required: StructType,
     * worst (same contract as the GBag scan).
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private lazy val totalBytes: Long = listBagFiles().map(_.getLen).sum * 4L
+    private lazy val totalBytes: Long = listBagFiles.map(_.getLen).sum * 4L
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(totalBytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
-  private def listBagFiles(): Seq[org.apache.hadoop.fs.FileStatus] =
+  // ONE listing per scan object: estimateStatistics and
+  // planInputPartitions both need it, and a remote (S3/HDFS) directory
+  // listing is the expensive part of planning. Spark builds a fresh scan
+  // per query, so this cannot go stale across queries.
+  private lazy val listBagFiles: Seq[org.apache.hadoop.fs.FileStatus] =
     RosBagPaths.listBagFiles(paths, SparkSession.active.sessionState.newHadoopConf(),
       strict = true)
 
@@ -319,7 +338,7 @@ class RosBagScan(paths: Seq[String], required: StructType,
       .getOption("spark.graft.rosbag.splitSizeBytes").map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
     val topicKeep = RosBagFilters.topicKeep(pushed)
-    listBagFiles().flatMap { st =>
+    listBagFiles.flatMap { st =>
       val f = st.getPath
       val fs = f.getFileSystem(conf)
       def open(pos: Long): DataInputStream = {
@@ -420,11 +439,16 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
         // index) would otherwise silently drop the unindexed messages.
         val idxRaw = if (selective) RosBagFormat.readChunkIndex(in) else Seq.empty
         val idxComplete = idxRaw.size.toLong == ref.msgCount
-        if (idxRaw.nonEmpty && !idxComplete)
+        // ZERO usable op=4 records for a non-empty chunk is the strongest
+        // incomplete index (a foreign ver skipped wholesale) — it must
+        // count here too, or the metric's distrust-path proof reads 0
+        if (selective && !idxComplete)
           RosBagMetrics.chunksIndexIncomplete.increment()
         val idx = if (idxComplete) idxRaw else Seq.empty
+        // checkedLen: a corrupt u32 size must fail as "corrupt bag", never
+        // as a negative-size array or an unchecked ~2 GB allocation
         val body = RosBagFormat.decompressChunk(h.str("compression"), data,
-          h.u32("size").toInt)
+          RosBagFormat.checkedLen(h.u32("size"), "chunk size"))
         if (idx.nonEmpty) {
           RosBagMetrics.chunksIndexSeeked.increment()
           val wanted = RosBagFormat.indexedChunkRecords(body, idx, conns,
@@ -453,7 +477,7 @@ class RosBagPartitionReader(part: RosBagInputPartition, required: StructType,
           h.op match {
             case RosBagFormat.Op.Chunk =>
               decodeChunk(RosBagFormat.decompressChunk(h.str("compression"), data,
-                h.u32("size").toInt))
+                RosBagFormat.checkedLen(h.u32("size"), "chunk size")))
             case RosBagFormat.Op.Connection =>
               val c = RosBagFormat.parseConnection(h, data)
               conns(c.id) = c

@@ -124,8 +124,8 @@ object RosBagFormat {
     */
   private val MaxRecordLen: Long = 1L << 30
 
-  private def checkedLen(len: Long, what: String): Int = {
-    if (len > MaxRecordLen)
+  private[rosbag] def checkedLen(len: Long, what: String): Int = {
+    if (len < 0 || len > MaxRecordLen)
       throw new java.io.IOException(s"corrupt bag: $what length $len exceeds $MaxRecordLen")
     len.toInt
   }
@@ -386,7 +386,8 @@ object RosBagFormat {
       .flatMap { case (h, data) =>
         h.op match {
           case Op.Chunk =>
-            val body = decompressChunk(h.str("compression"), data, h.u32("size").toInt)
+            val body = decompressChunk(h.str("compression"), data,
+              checkedLen(h.u32("size"), "chunk size"))
             chunkRecords(body, conns)
           case Op.Connection =>
             val c = parseConnection(h, data)

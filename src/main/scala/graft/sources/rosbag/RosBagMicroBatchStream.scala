@@ -52,6 +52,14 @@ class RosBagMicroBatchStream(paths: Seq[String], schema: StructType,
   /** Admission control: the per-trigger file cap is applied HERE — capping
     * in planInputPartitions instead would mark files committed without
     * ever reading them.
+    *
+    * KNOWN LIMIT: the offset embeds the full ever-seen file list, so
+    * each offset-log entry grows O(total files ever ingested) — fine for
+    * the bounded landing-directory cadence this source models, but a
+    * crawl-scale stream over an unbounded directory wants Spark's file
+    * source shape instead (a LongOffset index into a separate compacted
+    * file-metadata log). Documented rather than hidden; the fix is a
+    * metadata-log refactor, not a tweak here.
     */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {

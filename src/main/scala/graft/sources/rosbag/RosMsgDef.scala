@@ -144,12 +144,34 @@ object RosMsgDef {
           val sub = resolve(r, registry, spec)
           if (f.arrayLen == -1) walkMsg(sub, registry, buf, path, out)
           else {
-            val n = if (f.arrayLen > 0) f.arrayLen else buf.getInt()
+            // schema-fixed lengths are trusted; only wire counts are
+            // validated. unit = 0: a nested message may legally occupy
+            // zero bytes (no fields), so only the sign is checkable here
+            // — an oversized count then fails at the natural buffer
+            // underflow of the first missing element
+            val n = if (f.arrayLen > 0) f.arrayLen
+              else checkedCount(buf.getInt(), buf, path, 0)
             var i = 0
             while (i < n) { walkMsg(sub, registry, buf, s"$path.$i", out); i += 1 }
           }
       }
     }
+
+  /** Validate a count/length read from the payload against the bytes
+    * actually remaining: a corrupt or truncated message would otherwise
+    * surface as NegativeArraySizeException or a multi-GB allocation
+    * attempt instead of a clean corrupt-data error (the record-header
+    * layer was hardened against exactly this class — MaxRecordLen — but
+    * the payload walker was not). `unit` is the minimum bytes one
+    * element can occupy.
+    */
+  private def checkedCount(n: Int, buf: ByteBuffer, what: String,
+      unit: Int = 1): Int = {
+    if (n < 0 || n.toLong * unit > buf.remaining())
+      throw new java.io.IOException(
+        s"corrupt message payload: $what count $n with ${buf.remaining()} bytes left")
+    n
+  }
 
   private def readScalar(p: String, buf: ByteBuffer): String = p match {
     case "bool" => if (buf.get() != 0) "true" else "false"
@@ -164,7 +186,7 @@ object RosMsgDef {
     case "float32" => buf.getFloat().toString
     case "float64" => buf.getDouble().toString
     case "string" =>
-      val n = buf.getInt()
+      val n = checkedCount(buf.getInt(), buf, "string length")
       val b = new Array[Byte](n); buf.get(b)
       new String(b, "UTF-8")
     case other => throw new IllegalArgumentException(s"unknown primitive $other")
@@ -174,27 +196,36 @@ object RosMsgDef {
       path: String,
       out: scala.collection.mutable.Builder[(String, String), Map[String, String]]): Unit = {
     if (p == "time" || p == "duration") {
+      // `time` secs/nsecs are unsigned u32 (ros epoch); `duration` is
+      // SIGNED int32 per the ROS wire spec — masking it rendered a -1 s
+      // offset as 4294967295 (rospy's str(), which this flattener
+      // mirrors, prints the signed value)
+      def render(v: Int): String =
+        if (p == "time") (v & 0xffffffffL).toString else v.toString
       if (arrayLen != -1) {
-        val n = if (arrayLen > 0) arrayLen else buf.getInt()
+        val n = if (arrayLen > 0) arrayLen
+          else checkedCount(buf.getInt(), buf, path, 8)
         var i = 0
         while (i < n) {
-          out += (s"$path.$i.secs" -> (buf.getInt() & 0xffffffffL).toString)
-          out += (s"$path.$i.nsecs" -> (buf.getInt() & 0xffffffffL).toString)
+          out += (s"$path.$i.secs" -> render(buf.getInt()))
+          out += (s"$path.$i.nsecs" -> render(buf.getInt()))
           i += 1
         }
       } else {
-        out += (s"$path.secs" -> (buf.getInt() & 0xffffffffL).toString)
-        out += (s"$path.nsecs" -> (buf.getInt() & 0xffffffffL).toString)
+        out += (s"$path.secs" -> render(buf.getInt()))
+        out += (s"$path.nsecs" -> render(buf.getInt()))
       }
     } else if (arrayLen == -1) {
       out += (path -> readScalar(p, buf))
     } else if (p == "uint8" || p == "byte") {
       // bulk binary payload (image/audio bytes): ONE base64 value
-      val n = if (arrayLen > 0) arrayLen else buf.getInt()
+      val n = if (arrayLen > 0) arrayLen
+        else checkedCount(buf.getInt(), buf, path)
       val b = new Array[Byte](n); buf.get(b)
       out += (path -> Base64.getEncoder.encodeToString(b))
     } else {
-      val n = if (arrayLen > 0) arrayLen else buf.getInt()
+      val n = if (arrayLen > 0) arrayLen
+        else checkedCount(buf.getInt(), buf, path)
       val sb = new java.lang.StringBuilder("[")
       var i = 0
       while (i < n) {

@@ -443,4 +443,62 @@ class RosBagSpec extends SparkSpec {
     val recs = RosBagFormat.decode(bytes).toSeq
     assert(recs.map(r => (r.topic, r.rosbagTimestamp, r.fields)) == sampleRecords(8))
   }
+
+  test("duration fields deserialize SIGNED (-1s is -1, not 4294967295)") {
+    val defn = "duration d\n"
+    val (spec, reg) = sources.rosbag.RosMsgDef.parse("test_msgs/D", defn)
+    val bytes = sources.rosbag.RosMsgDef.serialize(spec, reg,
+      Map("d.secs" -> "-1", "d.nsecs" -> "-500"))
+    val back = sources.rosbag.RosMsgDef.deserialize(spec, reg, bytes)
+    assert(back == Map("d.secs" -> "-1", "d.nsecs" -> "-500"),
+      s"duration must render signed: $back")
+  }
+
+  test("corrupt payload counts fail as corrupt data, not NegativeArraySize") {
+    val defn = "string s\n"
+    val (spec, reg) = sources.rosbag.RosMsgDef.parse("test_msgs/S", defn)
+    // a string length of 0xFFFFFFFF (-1 signed)
+    val corrupt = Array[Byte](-1, -1, -1, -1)
+    val e = intercept[java.io.IOException] {
+      sources.rosbag.RosMsgDef.deserialize(spec, reg, corrupt)
+    }
+    assert(e.getMessage.contains("corrupt message payload"))
+    // an oversized positive length with too few bytes remaining
+    val e2 = intercept[java.io.IOException] {
+      sources.rosbag.RosMsgDef.deserialize(spec, reg,
+        Array[Byte](100, 0, 0, 0, 'a'.toByte))
+    }
+    assert(e2.getMessage.contains("corrupt message payload"))
+  }
+
+  test("keptChunks keeps a chunk when ANY of its conn ids is unresolved") {
+    import sources.rosbag.{RosBagFilters, RosBagFormat}
+    val conn1 = RosBagFormat.Connection(1L, "/a", "t", "m", "")
+    // chunk references conns 1 and 2; only conn 1 resolves; the pushed
+    // topic filter rejects conn 1's topic — the chunk must survive so
+    // conn 2's messages aren't silently pruned by a truncated index
+    val idx = RosBagFormat.BagIndex(
+      Map(1L -> conn1),
+      Seq(RosBagFormat.ChunkSummary(0L, 0L, 10L, Map(1L -> 3L, 2L -> 2L))))
+    val pushed: Array[org.apache.spark.sql.sources.Filter] =
+      Array(org.apache.spark.sql.sources.EqualTo("topic", "/b"))
+    assert(RosBagFilters.keptChunks(idx, pushed).nonEmpty,
+      "partially-unresolved chunk must be kept")
+    // fully resolved + rejected is still pruned
+    val idx2 = RosBagFormat.BagIndex(
+      Map(1L -> conn1),
+      Seq(RosBagFormat.ChunkSummary(0L, 0L, 10L, Map(1L -> 3L))))
+    assert(RosBagFilters.keptChunks(idx2, pushed).isEmpty)
+  }
+
+  test("parseJsonStringArray fails cleanly on a truncated escape") {
+    val e = intercept[IllegalArgumentException] {
+      sources.rosbag.RosBagPaths.parseJsonStringArray("[\"a\\")
+    }
+    assert(e.getMessage.contains("corrupt offset JSON"))
+    val e2 = intercept[IllegalArgumentException] {
+      sources.rosbag.RosBagPaths.parseJsonStringArray("[\"a\\u00")
+    }
+    assert(e2.getMessage.contains("corrupt offset JSON"))
+  }
 }

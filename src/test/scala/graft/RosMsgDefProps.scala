@@ -64,6 +64,10 @@ object RosMsgDefProps extends Properties("rosmsg") {
     s <- genStr
     secs <- Gen.chooseNum(0L, 0xffffffffL)
     nsecs <- Gen.chooseNum(0L, 999999999L)
+    // duration is SIGNED int32 on the wire — exercise negatives (the
+    // former all-zero pin masked an unsigned-render bug)
+    dsecs <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    dnsecs <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
     fixed <- Gen.listOfN(3, Gen.chooseNum(Int.MinValue, Int.MaxValue))
     varr <- Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)).map(_.take(6))
     blob <- Gen.listOf(Gen.chooseNum(0, 255)).map(_.take(32).map(_.toByte))
@@ -78,7 +82,7 @@ object RosMsgDefProps extends Properties("rosmsg") {
     "u64" -> java.lang.Long.toUnsignedString(u64),
     "f32" -> f32.toString, "f64" -> f64.toString, "s" -> s,
     "t.secs" -> secs.toString, "t.nsecs" -> nsecs.toString,
-    "d.secs" -> "0", "d.nsecs" -> "0",
+    "d.secs" -> dsecs.toString, "d.nsecs" -> dnsecs.toString,
     "fixed" -> fixed.mkString("[", ", ", "]"),
     "var" -> varr.mkString("[", ", ", "]"),
     "blob" -> java.util.Base64.getEncoder.encodeToString(blob.toArray)) ++
