@@ -165,6 +165,11 @@ object SparkEntry {
     "q137_rouge_pairs" -> (TextOps.qRougePairs _),
     "q138_calibration" -> (TextOps.qCalibration _),
     "q139_edit_sim" -> (TextOps.qEditSim _),
+    "q140_stream_window" -> (graft.streaming.StreamingQueries.qStreamWindow _),
+    "q141_stream_sessions" -> (graft.streaming.StreamingQueries.qStreamSessions _),
+    "q142_stream_dedup" -> (graft.streaming.StreamingQueries.qStreamDedup _),
+    "q143_stream_user_stats" -> (graft.streaming.StreamingQueries.qStreamUserStats _),
+    "q144_stream_upsert" -> (graft.streaming.StreamingQueries.qStreamUpsert _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1757,6 +1762,68 @@ object SparkEntry {
         |     (1000000 * (next_max - next_dist)) // next_max >= 850000,
         |     FALSE) END AS next_near_dup
         |FROM d ORDER BY doc_id""".stripMargin,
+    // q140: the streaming windowed-count run in complete mode equals the
+    // batch tumbling-window query — q20's oracle verbatim.
+    "q140_stream_window" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+        | count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+    // q141: gap sessions (ms arithmetic, the stateful operator's unit) —
+    // emitted iff closed by a gap inside the single batch (every session
+    // but the user's last) OR flushed by event-time timeout: timeout ts
+    // last_ms+gap strictly below the final watermark floor(max ts ms)−2h.
+    "q141_stream_sessions" ->
+      """WITH mx AS (SELECT epoch_ms(max(ts)) AS wm_src FROM events),
+        |e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |g AS (SELECT user_id, ts_ms,
+        |  CASE WHEN lag(ts_ms) OVER w IS NULL
+        |         OR ts_ms - lag(ts_ms) OVER w > 30000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+        |s AS (SELECT user_id, ts_ms,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM g),
+        |sess AS (SELECT user_id, sid,
+        |  min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+        |  count(*) AS n_events
+        | FROM s GROUP BY user_id, sid),
+        |lastsid AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id)
+        |SELECT p.user_id, p.session_start_ms, p.session_end_ms, p.n_events
+        |FROM sess p JOIN lastsid l ON p.user_id = l.user_id, mx
+        |WHERE p.sid < l.last_sid
+        |   OR p.session_end_ms + 30000000 < mx.wm_src - 7200000
+        |ORDER BY p.user_id, p.session_start_ms""".stripMargin,
+    // q142: the planted replays are identical full rows, so the deduped
+    // stream equals the distinct original table.
+    "q142_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    // q143: per-user count + max inter-event gap over ms-floored event
+    // times (java.sql.Timestamp.getTime ≡ epoch_ms truncation).
+    "q143_stream_user_stats" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |d AS (SELECT user_id,
+        |  ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS gap
+        | FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        | COALESCE(max(gap), 0) AS max_gap_ms
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q144: q18's stub-detector arithmetic, max-confidence only (the
+    // monotone merge the streaming upsert maintains).
+    "q144_stream_upsert" ->
+      """WITH det AS (
+        | SELECT printf('cam%d', user_id % 4) AS camera,
+        |   (event_id * 1103515245 + 12345) % 2147483648 AS seed
+        | FROM events),
+        |det2 AS (
+        | SELECT camera,
+        |   CASE seed % 5 WHEN 0 THEN 'Person' WHEN 1 THEN 'Bicycle'
+        |     WHEN 2 THEN 'Motorcycle' WHEN 3 THEN 'Car' ELSE 'Dog' END AS label,
+        |   50.0 + CAST(seed % 5000 AS DOUBLE) / 100.0 AS confidence
+        | FROM det)
+        |SELECT camera, label, round(max(confidence), 2) AS max_conf
+        |FROM det2 GROUP BY camera, label ORDER BY camera, label""".stripMargin,
     "q136_bleu_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS rt FROM documents),
         |p AS (SELECT doc_id, rt, list_transform(range(1, len(rt) + 1),

@@ -1,0 +1,172 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated driver queries for the STREAMING surface (SURVEY §2.8
+  * St1/St3/St6 + the custom keyed-state operators): each stages the
+  * events table as a file-source landing directory, runs the streaming
+  * operator to completion under `Trigger.AvailableNow`, and returns the
+  * materialized result for the driver's DuckDB compare.
+  *
+  * Determinism argument (why a streaming run can face a SQL oracle):
+  * every staging below is ONE parquet file, so the file source admits
+  * all data in ONE micro-batch — no cross-batch watermark can drop or
+  * withhold rows differently between runs. The only watermark effect
+  * left is the FINAL one, which is a pure function of the data
+  * (`floor(max event time in ms) − delay`), so the oracle can reproduce
+  * it relationally:
+  *
+  *  - q140 windowed counts run in COMPLETE mode → equals the batch
+  *    tumbling-window query (q20's oracle verbatim).
+  *  - q141 stateful sessions emit (a) every session closed by a gap
+  *    inside the batch — all but each user's last — plus (b) open tails
+  *    whose event-time timeout `last_ms + gap` lies strictly BELOW the
+  *    final watermark (`FlatMapGroupsWithStateExec` fires timeouts with
+  *    `timeoutTimestamp < watermarkForEviction`); the oracle states
+  *    exactly that rule over a relational sessionization.
+  *  - q142 watermarked dedup emits first-seen rows in append mode; the
+  *    planted replays are full-row copies, so any per-key winner is the
+  *    identical row and the result is the distinct original table.
+  *  - q143 keyed state (mapGroupsWithState) emits one summary per user
+  *    in update mode — count + max inter-event gap, the lag/max twin.
+  *  - q144 is the S19 streaming upsert: foreachBatch max-merge into a
+  *    crash-safe [[graft.ops.StateTable]]; monotone max makes the final
+  *    table batch-count-independent (q18's oracle arithmetic, max only).
+  *
+  * Memory-sink tables get a fresh name per invocation (Verify runs four
+  * queries concurrently on one session; Bench re-runs each four times);
+  * results here are small aggregates — the one full-width result (q142)
+  * goes through a parquet sink instead so no driver memory accumulates.
+  */
+object StreamingQueries {
+
+  /** gap for q141's sessions — the q133 batch convention (8 h 20 min),
+    * in ms (the stateful operator's unit).
+    */
+  private val SessionGapMs = 30000000L
+
+  private val stagedPlain = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedDup = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def freshName(prefix: String): String =
+    prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** Stage `dir`/events.parquet as a single-file landing directory (the
+    * file source needs a directory; ONE file ⇒ one micro-batch — the
+    * determinism keystone above). Memoized per table dir: Verify/Bench
+    * re-invocations reuse the same staged copy.
+    */
+  private def eventsLandingDir(spark: SparkSession, dir: String): String =
+    stagedPlain.computeIfAbsent(dir, { _ =>
+      val tmp = Files.createTempDirectory("graft-stream-events")
+      PipelineQueries.registerTempDirForCleanup(tmp)
+      Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        tmp.resolve("events.parquet"))
+      tmp.toString
+    })
+
+  /** Landing dir with planted replay duplicates for q142: every 10th
+    * event appended again as an IDENTICAL full row (a replayed delivery
+    * carries the same payload). Still one file ⇒ one batch.
+    */
+  private def dupLandingDir(spark: SparkSession, dir: String): String =
+    stagedDup.computeIfAbsent(dir, { _ =>
+      val tmp = Files.createTempDirectory("graft-stream-dup")
+      PipelineQueries.registerTempDirForCleanup(tmp)
+      val events = spark.read.parquet(s"$dir/events.parquet")
+      val staged = events.unionAll(events.filter(col("event_id") % 10 === 0))
+      val stageDir = tmp.resolve("stage")
+      staged.coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
+      val listing = Files.list(stageDir)
+      val part =
+        try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+        finally listing.close()
+      Files.move(java.nio.file.Paths.get(part), tmp.resolve("events_dup.parquet"))
+      tmp.toString
+    })
+
+  /** q140: St1 — tumbling 1-hour windowed counts THROUGH the streaming
+    * operator (watermark + window + complete output), equal to batch q20.
+    */
+  def qStreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(spark, dir))
+    EventStreaming.runToMemory(
+      EventStreaming.windowedCounts(stream), freshName("q140"), outputMode = "complete")
+      .orderBy("window_start_ms", "event_type")
+  }
+
+  /** q141: custom gap sessionization via flatMapGroupsWithState with
+    * event-time timeouts — emits gap-closed sessions plus timed-out open
+    * tails (emission rule in the object doc).
+    */
+  def qStreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(spark, dir))
+    val sessions = EventStreaming.statefulSessions(stream, gapMs = SessionGapMs).toDF()
+    EventStreaming.runToMemory(sessions, freshName("q141"))
+      .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_ms")
+  }
+
+  /** q142: St6 — watermarked streaming dedup over planted full-row
+    * replays; result goes through a parquet sink (full-width output —
+    * keep it off the driver heap).
+    */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val stream = EventStreaming.readEventStream(spark, dupLandingDir(spark, dir))
+    val out = Files.createTempDirectory("graft-stream-dedup-out")
+    PipelineQueries.registerTempDirForCleanup(out)
+    val q = EventStreaming.dedup(stream)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/result")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/result").orderBy("event_id")
+  }
+
+  /** q143: keyed custom state (mapGroupsWithState) — per-user event count
+    * and max inter-event gap, one update-mode row per user.
+    */
+  def qStreamUserStats(spark: SparkSession, dir: String): DataFrame = {
+    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(spark, dir))
+    val summaries = EventStreaming.statefulUserSummary(stream).toDF()
+    EventStreaming.runToMemory(summaries, freshName("q143"), outputMode = "update")
+      .orderBy("user_id")
+  }
+
+  /** q144: S19 as streaming — the detections max-confidence upsert through
+    * foreachBatch + the crash-safe StateTable commit, read back from the
+    * committed table. Input detections derive from the staged stream with
+    * the q18 stub-detector arithmetic (exact integer LCG, oracle-shared).
+    */
+  def qStreamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(spark, dir))
+    val detections = stream
+      .select(
+        format_string("cam%d", col("user_id") % 4).as("camera"),
+        ((col("event_id") * 1103515245L + 12345L) % 2147483648L).as("seed"))
+      .select(
+        col("camera"),
+        element_at(
+          array(lit("Person"), lit("Bicycle"), lit("Motorcycle"), lit("Car"), lit("Dog")),
+          (col("seed") % 5).cast("int") + 1).as("label"),
+        (lit(50.0) + (col("seed") % 5000).cast("double") / 100.0).as("confidence"))
+    val work = Files.createTempDirectory("graft-stream-upsert")
+    PipelineQueries.registerTempDirForCleanup(work)
+    EventStreaming.streamingDetectionsUpsert(detections,
+      s"$work/table", s"$work/ckpt")
+    spark.read.parquet(s"$work/table")
+      .select(col("camera"), col("label"),
+        round(col("confidence"), 2).as("max_conf"))
+      .orderBy("camera", "label")
+  }
+}

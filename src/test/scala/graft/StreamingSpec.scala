@@ -720,4 +720,47 @@ class StreamingSpec extends SparkSpec {
     // doc 0's unchanged re-delivery after restart emitted nothing
     assert(got.count(_._1 == 0L) == 1)
   }
+
+  test("q141 driver query: emitted sessions equal the plain-Scala emission rule") {
+    import graft.streaming.StreamingQueries
+    val got = StreamingQueries.qStreamSessions(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // independent re-derivation: ms-floored event times per user, gap
+    // sessionization, then the emission rule — every session but the
+    // user's last (closed in-batch), plus tails whose timeout
+    // last_ms + gap lies STRICTLY below the final watermark
+    // floor(max ts ms) − 2h.
+    val gap = 30000000L
+    val byUser = Tables(spark, SF).events
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    val watermark = byUser.values.flatten.max - 7200000L
+    val want = byUser.flatMap { case (uid, ts) =>
+      val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+        if (t - acc.head.head <= gap) (t :: acc.head) :: acc.tail
+        else List(t) :: acc
+      }.map(s => (uid, s.min, s.max, s.size.toLong)).reverse
+      sessions.init ++ sessions.lastOption.filter(_._3 + gap < watermark)
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q142/q143 driver queries: dedup returns the distinct originals; user stats match windows") {
+    import graft.streaming.StreamingQueries
+    val events = Tables(spark, SF).events
+    val deduped = StreamingQueries.qStreamDedup(spark, SF)
+    assert(deduped.count() == events.count()) // planted replays dropped
+    val gotStats = StreamingQueries.qStreamUserStats(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ms")
+    val wantStats = events.select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("gap", col("ts_ms") - lag("ts_ms", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), coalesce(max("gap"), lit(0L)).as("mg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotStats == wantStats)
+  }
 }
