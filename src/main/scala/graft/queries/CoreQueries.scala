@@ -261,8 +261,7 @@ object CoreQueries {
     * exactly the DynamoDB semantics of dags/processing/processing.py:224-282.
     */
   def q18DetectionsTall(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    detectionsInput(t)
+    detectionsInput(Tables(spark, dir).events)
       .groupBy("camera", "label")
       .agg(
         round(max("confidence"), 2).as("max_conf"),
@@ -287,7 +286,7 @@ object CoreQueries {
       sum(when(col("label") === "Bicycle", col("n_instances")).otherwise(0L)).as("bike_count"),
       sum(when(col("label") === "Motorcycle", col("n_instances")).otherwise(0L)).as("motorbike_count"))
     val aggs = maxCols ++ counters
-    detectionsInput(t)
+    detectionsInput(t.events)
       .groupBy("camera")
       .agg(aggs.head, aggs.tail: _*)
       .orderBy("camera")
@@ -461,10 +460,15 @@ object CoreQueries {
 
   /** Shared deterministic stub-detector input: camera from user bucket, LCG
     * seed per event → (label, confidence, n_instances). Pure integer
-    * arithmetic so the DuckDB oracle reproduces it exactly.
+    * arithmetic so the DuckDB oracle reproduces it exactly. The LCG
+    * constants and label array are a CONTRACT shared by three DuckDB
+    * oracles (q18/q19/q144) — this projection is the single Scala source
+    * of that arithmetic for both the batch and streaming paths (it only
+    * needs `user_id`/`event_id` columns, so a streaming events frame
+    * composes directly).
     */
-  private def detectionsInput(t: Tables): DataFrame = {
-    t.events.select(
+  private[graft] def detectionsInput(events: DataFrame): DataFrame = {
+    events.select(
       format_string("cam%d", col("user_id") % 4).as("camera"),
       ((col("event_id") * 1103515245L + 12345L) % 2147483648L).as("seed"))
       .select(

@@ -251,4 +251,22 @@ object EventStreaming {
     q.awaitTermination()
     df.sparkSession.table(name)
   }
+
+  /** Like [[runToMemory]], but copy the result into a LOCAL relation and
+    * DROP the sink view before returning — repeated invocations (Bench's
+    * timed re-runs, Verify) leave no per-run catalog entry or retained
+    * driver-heap sink. The memory sink already holds every result row on
+    * the driver, so the copy adds no new scale exposure; use this only
+    * for bounded aggregate results (a full-width stream goes through a
+    * parquet sink instead — see q142).
+    */
+  def runToLocal(df: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val spark = df.sparkSession
+    val result = runToMemory(df, name, outputMode)
+    val rows = result.collect()
+    val schema = result.schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 }

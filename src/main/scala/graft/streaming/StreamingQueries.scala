@@ -38,9 +38,11 @@ import org.apache.spark.sql.functions._
   *    table batch-count-independent (q18's oracle arithmetic, max only).
   *
   * Memory-sink tables get a fresh name per invocation (Verify runs four
-  * queries concurrently on one session; Bench re-runs each four times);
-  * results here are small aggregates — the one full-width result (q142)
-  * goes through a parquet sink instead so no driver memory accumulates.
+  * queries concurrently on one session; Bench re-runs each four times)
+  * and are DROPPED after the run ([[EventStreaming.runToLocal]] copies
+  * the bounded aggregate result into a local relation first), so repeat
+  * invocations leave no catalog entries or retained sink heap — the one
+  * full-width result (q142) goes through a parquet sink instead.
   */
 object StreamingQueries {
 
@@ -48,6 +50,15 @@ object StreamingQueries {
     * in ms (the stateful operator's unit).
     */
   private val SessionGapMs = 30000000L
+
+  /** q141's watermark delay, passed EXPLICITLY (not inherited from
+    * `statefulSessions`' default parameter): the emission rule is
+    * watermark-sensitive, and the oracle SQL, the object doc, and
+    * StreamingSpec's re-derivation all bake in this exact 7 200 000 ms —
+    * tuning the EventStreaming default for the other operators must not
+    * silently break q141.
+    */
+  private val SessionWatermark = "2 hours"
 
   private val stagedPlain = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val stagedDup = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -60,7 +71,7 @@ object StreamingQueries {
     * determinism keystone above). Memoized per table dir: Verify/Bench
     * re-invocations reuse the same staged copy.
     */
-  private def eventsLandingDir(spark: SparkSession, dir: String): String =
+  private def eventsLandingDir(dir: String): String =
     stagedPlain.computeIfAbsent(dir, { _ =>
       val tmp = Files.createTempDirectory("graft-stream-events")
       PipelineQueries.registerTempDirForCleanup(tmp)
@@ -86,6 +97,15 @@ object StreamingQueries {
         try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
         finally listing.close()
       Files.move(java.nio.file.Paths.get(part), tmp.resolve("events_dup.parquet"))
+      // delete the spent stage/ dir: its _SUCCESS/.crc leftovers sit inside
+      // the directory the stream source scans, and the one-file-one-batch
+      // invariant must not depend on Spark's hidden-file filters skipping
+      // them (or on the committer never leaving a non-hidden artifact)
+      val leftovers = Files.list(stageDir)
+      try leftovers.toArray.foreach(p =>
+        Files.delete(p.asInstanceOf[java.nio.file.Path]))
+      finally leftovers.close()
+      Files.delete(stageDir)
       tmp.toString
     })
 
@@ -93,8 +113,8 @@ object StreamingQueries {
     * operator (watermark + window + complete output), equal to batch q20.
     */
   def qStreamWindow(spark: SparkSession, dir: String): DataFrame = {
-    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(spark, dir))
-    EventStreaming.runToMemory(
+    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(dir))
+    EventStreaming.runToLocal(
       EventStreaming.windowedCounts(stream), freshName("q140"), outputMode = "complete")
       .orderBy("window_start_ms", "event_type")
   }
@@ -104,9 +124,15 @@ object StreamingQueries {
     * tails (emission rule in the object doc).
     */
   def qStreamSessions(spark: SparkSession, dir: String): DataFrame = {
-    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(spark, dir))
-    val sessions = EventStreaming.statefulSessions(stream, gapMs = SessionGapMs).toDF()
-    EventStreaming.runToMemory(sessions, freshName("q141"))
+    // the timed-out open tails only emit in the post-watermark NO-DATA
+    // micro-batch — pin the conf the emission rule depends on (true is
+    // the Spark default, but a harness-level perf tweak flipping it would
+    // otherwise surface as a confusing q141 row-diff far from the cause)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(dir))
+    val sessions = EventStreaming.statefulSessions(stream,
+      gapMs = SessionGapMs, watermark = SessionWatermark).toDF()
+    EventStreaming.runToLocal(sessions, freshName("q141"))
       .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
         col("n_events"))
       .orderBy("user_id", "session_start_ms")
@@ -137,9 +163,9 @@ object StreamingQueries {
     * and max inter-event gap, one update-mode row per user.
     */
   def qStreamUserStats(spark: SparkSession, dir: String): DataFrame = {
-    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(spark, dir))
+    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(dir))
     val summaries = EventStreaming.statefulUserSummary(stream).toDF()
-    EventStreaming.runToMemory(summaries, freshName("q143"), outputMode = "update")
+    EventStreaming.runToLocal(summaries, freshName("q143"), outputMode = "update")
       .orderBy("user_id")
   }
 
@@ -149,17 +175,12 @@ object StreamingQueries {
     * the q18 stub-detector arithmetic (exact integer LCG, oracle-shared).
     */
   def qStreamUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(spark, dir))
-    val detections = stream
-      .select(
-        format_string("cam%d", col("user_id") % 4).as("camera"),
-        ((col("event_id") * 1103515245L + 12345L) % 2147483648L).as("seed"))
-      .select(
-        col("camera"),
-        element_at(
-          array(lit("Person"), lit("Bicycle"), lit("Motorcycle"), lit("Car"), lit("Dog")),
-          (col("seed") % 5).cast("int") + 1).as("label"),
-        (lit(50.0) + (col("seed") % 5000).cast("double") / 100.0).as("confidence"))
+    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(dir))
+    // the ONE Scala source of the stub-detector arithmetic (the LCG
+    // constants + label array are the contract the q18/q19/q144 oracles
+    // share) — a plain projection, so it composes with a streaming frame
+    val detections = graft.queries.CoreQueries.detectionsInput(stream)
+      .select("camera", "label", "confidence")
     val work = Files.createTempDirectory("graft-stream-upsert")
     PipelineQueries.registerTempDirForCleanup(work)
     EventStreaming.streamingDetectionsUpsert(detections,
