@@ -24,11 +24,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$name must be an integer literal, got $other")
   }
 
+  // arity-checked single argument: `exprs.head` would silently IGNORE
+  // extra arguments (a user's `simhash64(tokens, 7)` runs, seed unused)
+  // and surface zero-arg calls as a raw NoSuchElementException instead
+  // of an error naming the function
+  private def unaryArg(exprs: Seq[Expression], usage: String): Expression =
+    exprs match {
+      case Seq(c) => c
+      case _ => throw new IllegalArgumentException(usage)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+      (exprs: Seq[Expression]) => RollingHash(unaryArg(exprs, "rolling_hash(text)"))))
     ext.injectFunction((
       new FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
@@ -42,11 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("bag_explode"),
       new ExpressionInfo(classOf[BagExplode].getName, "bag_explode"),
-      (exprs: Seq[Expression]) => BagExplode(exprs.head)))
+      (exprs: Seq[Expression]) => BagExplode(unaryArg(exprs, "bag_explode(binary)"))))
     ext.injectFunction((
       new FunctionIdentifier("bigram_entropy"),
       new ExpressionInfo(classOf[graft.functions.BigramEntropy].getName, "bigram_entropy"),
-      (exprs: Seq[Expression]) => graft.functions.BigramEntropy(exprs.head)))
+      (exprs: Seq[Expression]) => graft.functions.BigramEntropy(unaryArg(exprs, "bigram_entropy(text)"))))
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "word_shingles"),
@@ -57,7 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => graft.functions.SimHash64(unaryArg(exprs, "simhash64(tokens)"))))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[graft.functions.MinHashSigs].getName, "minhash_sigs"),
@@ -68,12 +78,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[graft.functions.LangIdExpr].getName, "lang_id"),
-      (exprs: Seq[Expression]) => graft.functions.LangIdExpr(exprs.head)))
+      (exprs: Seq[Expression]) => graft.functions.LangIdExpr(unaryArg(exprs, "lang_id(text)"))))
     ext.injectFunction((
       new FunctionIdentifier("repetition_signals"),
       new ExpressionInfo(classOf[graft.functions.RepetitionSignals].getName,
         "repetition_signals"),
-      (exprs: Seq[Expression]) => graft.functions.RepetitionSignals(exprs.head)))
+      (exprs: Seq[Expression]) => graft.functions.RepetitionSignals(
+        unaryArg(exprs, "repetition_signals(tokens)"))))
     ext.injectFunction((
       new FunctionIdentifier("char_windows"),
       new ExpressionInfo(classOf[graft.functions.CharWindows].getName, "char_windows"),
@@ -92,6 +103,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("word_counts"),
       new ExpressionInfo(classOf[graft.functions.WordCounts].getName, "word_counts"),
-      (exprs: Seq[Expression]) => graft.functions.WordCounts(exprs.head)))
+      (exprs: Seq[Expression]) => graft.functions.WordCounts(unaryArg(exprs, "word_counts(tokens)"))))
   }
 }

@@ -45,6 +45,19 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
   override def nullSafeEval(input: Any): Any =
     filter.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
 
+  // value-based equality over the filter CONTENTS: the synthesized
+  // case-class equals compares Array[Byte] by reference, so two probes
+  // built from identical filters would never be semanticEquals and
+  // Catalyst common-subexpression elimination could not unify them —
+  // each copy would deserialize and probe its multi-MB filter separately
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(filterBytes, b.filterBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
+
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
 }

@@ -22,7 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * ASCII fast path: when numBytes == numChars the windows are direct
   * byte slices of one materialized copy — O(len) scan, O(n) per window
-  * copy. Non-ASCII falls back to per-window codepoint substring.
+  * copy. Non-ASCII precomputes the code-point → byte-offset array in one
+  * O(len) pass (the WinnowAnchors pattern) and slices bytes between
+  * offsets — a per-window `substringSQL` fallback would re-scan from
+  * byte 0 each call, exactly the O(chars²) pathology this expression
+  * replaces.
   */
 case class CharWindows(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
@@ -41,13 +45,29 @@ case class CharWindows(child: Expression, n: Int)
     val chars = s.numChars()
     if (chars < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](chars - n + 1)
+    val b = s.getBytes
     if (s.numBytes() == chars) {
-      val b = s.getBytes
       var i = 0
       while (i <= chars - n) { out(i) = UTF8String.fromBytes(b, i, n); i += 1 }
     } else {
+      // code-point start byte offsets (offs(i) = byte offset of char i;
+      // offs(chars) = length): each window is the byte slice
+      // [offs(i), offs(i+n)) — one O(len) offset pass, O(window bytes)
+      // per copy, never a from-the-start re-scan
+      val offs = new Array[Int](chars + 1)
+      var ci = 0
+      var bi = 0
+      while (bi < b.length) {
+        offs(ci) = bi
+        bi += UTF8String.numBytesForFirstByte(b(bi))
+        ci += 1
+      }
+      offs(chars) = b.length
       var i = 0
-      while (i <= chars - n) { out(i) = s.substringSQL(i + 1, n); i += 1 }
+      while (i <= chars - n) {
+        out(i) = UTF8String.fromBytes(b, offs(i), offs(i + n) - offs(i))
+        i += 1
+      }
     }
     new GenericArrayData(out)
   }

@@ -43,38 +43,48 @@ case class RepetitionSignals(child: Expression)
 
   override def nullable: Boolean = true
 
+  private val space = UTF8String.fromString(" ")
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    // a sub-2-token doc has no bigram, so the signals are undefined —
-    // return null instead of failing the stage (one degenerate row must
-    // not kill a corpus-wide cleaning job); q64's rule filter already
-    // excludes these rows upstream
-    if (n < 2) return null
     val wordCounts = new java.util.HashMap[UTF8String, Array[Int]](n * 2)
     val bigramCounts = new java.util.HashMap[UTF8String, Array[Int]](n * 2)
     var topWord = 0
     var topBigram = 0
+    var nWords = 0L
     var prev: UTF8String = null
     var i = 0
     while (i < n) {
       val w = arr.getUTF8String(i)
-      val wc = wordCounts.computeIfAbsent(w, _ => new Array[Int](1))
-      wc(0) += 1
-      if (wc(0) > topWord) topWord = wc(0)
-      if (prev != null) {
-        val bg = UTF8String.concatWs(UTF8String.fromString(" "), prev, w)
-        val bc = bigramCounts.computeIfAbsent(bg, _ => new Array[Int](1))
-        bc(0) += 1
-        if (bc(0) > topBigram) topBigram = bc(0)
+      // null tokens are SKIPPED, matching the exploded groupBy twin
+      // (which emits no row for them): counting a null as a word — and
+      // letting concatWs silently collapse a (prev, null) bigram to just
+      // prev — would corrupt every fraction below
+      if (w != null) {
+        nWords += 1
+        val wc = wordCounts.computeIfAbsent(w, _ => new Array[Int](1))
+        wc(0) += 1
+        if (wc(0) > topWord) topWord = wc(0)
+        if (prev != null) {
+          val bg = UTF8String.concatWs(space, prev, w)
+          val bc = bigramCounts.computeIfAbsent(bg, _ => new Array[Int](1))
+          bc(0) += 1
+          if (bc(0) > topBigram) topBigram = bc(0)
+        }
+        prev = w
       }
-      prev = w
       i += 1
     }
-    InternalRow(n.toLong,
-      topWord.toDouble / n,
-      topBigram.toDouble / (n - 1),
-      1.0 - wordCounts.size.toDouble / n)
+    // a sub-2-token doc (after null-skipping) has no bigram, so the
+    // signals are undefined — return null instead of failing the stage
+    // (one degenerate row must not kill a corpus-wide cleaning job);
+    // q64's rule filter already excludes these rows upstream
+    if (nWords < 2) return null
+    InternalRow(nWords,
+      topWord.toDouble / nWords,
+      topBigram.toDouble / (nWords - 1),
+      1.0 - wordCounts.size.toDouble / nWords)
   }
 
   override protected def withNewChildInternal(newChild: Expression): RepetitionSignals =

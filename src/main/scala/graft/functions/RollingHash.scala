@@ -67,5 +67,11 @@ object RollingHash {
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+      "rolling_hash", {
+        case Seq(c) => RollingHash(c)
+        // arity-checked: `exprs.head` would silently ignore extra args
+        // (a hoped-for seeded variant runs unseeded) and turn zero-arg
+        // calls into a raw NoSuchElementException
+        case _ => throw new IllegalArgumentException("rolling_hash(text)")
+      }, "built-in")
 }

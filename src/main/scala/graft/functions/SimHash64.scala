@@ -27,10 +27,14 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  // null for empty / all-null token arrays (below), even on a non-null child
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val votes = new Array[Long](64)
+    var voted = 0
     var j = 0
     while (j < n) {
       val s = arr.getUTF8String(j)
@@ -43,9 +47,16 @@ case class SimHash64(child: Expression)
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
+        voted += 1
       }
       j += 1
     }
+    // an empty (or all-null) token array has no fingerprint: the exploded
+    // groupBy formulation emits NO row for it, so returning 0L here would
+    // both break the documented bit-identity and make every empty doc a
+    // mutual near-dup at hamming distance 0 (MinHashSigs returns null on
+    // the same input for the same reason)
+    if (voted == 0) return null
     var fp = 0L
     var b = 0
     while (b < 64) {

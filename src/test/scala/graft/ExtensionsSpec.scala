@@ -22,14 +22,63 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT minhash_sigs(array('a', CAST(NULL AS STRING)), 4) AS s," +
         " minhash_sigs(array('a'), 4) AS t").head()
     assert(withNull.getSeq[Long](0) == withNull.getSeq[Long](1))
+    // an empty/all-null token array has NO fingerprint (0L would make
+    // every empty doc a mutual near-dup at hamming distance 0, and the
+    // exploded groupBy formulation emits no row for it)
     assert(spark.sql("SELECT simhash64(array(CAST(NULL AS STRING))) AS h")
-      .head().getLong(0) == 0L)
+      .head().isNullAt(0))
+    assert(spark.sql("SELECT simhash64(CAST(array() AS ARRAY<STRING>)) AS h")
+      .head().isNullAt(0))
     assert(spark.sql("SELECT size(word_counts(array('a', CAST(NULL AS STRING)))) AS n")
       .head().getInt(0) == 1)
     // a sub-2-token doc has no bigram: signals are null, not an exception
     assert(spark.sql("SELECT repetition_signals(array('only')) AS r").head().isNullAt(0))
+    // null tokens are skipped entirely: same signals as the null-free array
+    // (counting a null as a word — or letting concatWs collapse a
+    // (prev, null) bigram — would corrupt every fraction)
+    val rs = spark.sql(
+      "SELECT repetition_signals(array('the', CAST(NULL AS STRING), 'the'))" +
+        " AS a, repetition_signals(array('the', 'the')) AS b").head()
+    assert(rs.getStruct(0) == rs.getStruct(1))
     // null frame content detects nothing rather than NPE-ing the task
     assert(graft.pipeline.Detector.stubDetect(null).isEmpty)
+  }
+
+  test("single-arg functions reject wrong arity with a named error") {
+    // exprs.head registration would silently IGNORE extra args (a user's
+    // simhash64(tokens, 7) "runs" with the seed unused) and turn zero-arg
+    // calls into a raw NoSuchElementException
+    Seq("rolling_hash('a', 7)", "rolling_hash()", "simhash64(array('a'), 7)",
+      "lang_id('a', 'b')", "repetition_signals(array('a','b'), 1)",
+      "word_counts()", "bigram_entropy('a', 'b')").foreach { call =>
+      val e = intercept[Exception](spark.sql(s"SELECT $call").head())
+      val name = call.takeWhile(_ != '(')
+      assert(e.getMessage.contains(name) ||
+        Option(e.getCause).exists(_.getMessage.contains(name)),
+        s"$call should fail naming $name, got: ${e.getMessage}")
+    }
+  }
+
+  test("bloom_might_contain expressions with identical filter bytes are equal") {
+    // value-based equals over the filter contents: reference equality
+    // would block Catalyst common-subexpression elimination from unifying
+    // two probes built from the same filter
+    val f1 = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    val f2 = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    f1.putString("x"); f2.putString("x")
+    // a stable shared child: Column("c") embeds a per-call-site Origin
+    // stack trace in its node, which would differ between builds and mask
+    // what this test checks (the filterBytes comparison)
+    val child = org.apache.spark.sql.catalyst.expressions.Literal("x")
+    def exprOf(f: org.apache.spark.util.sketch.BloomFilter) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      f.writeTo(bos)
+      graft.functions.BloomMightContain(child, bos.toByteArray)
+    }
+    assert(exprOf(f1) == exprOf(f2))
+    assert(exprOf(f1).hashCode() == exprOf(f2).hashCode())
+    f2.putString("y")
+    assert(exprOf(f1) != exprOf(f2))
   }
 
   test("minhash_sigs from SQL matches the xxhash64 chain") {
