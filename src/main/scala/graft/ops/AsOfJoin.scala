@@ -46,14 +46,27 @@ object AsOfJoin {
     // __tie: duplicate right timestamps on one key would otherwise leave
     // `last()` free to pick whichever sorted last — a deterministic
     // payload-hash tiebreak pins the winner (ties between IDENTICAL
-    // payloads remain, harmlessly).
+    // payloads remain, harmlessly). Map-containing columns are excluded
+    // from the hash (Spark rejects hash expressions over maps — the
+    // SaltedJoin.mapFree rationale); a right side that is ALL maps falls
+    // back to an untiebroken constant.
     // null-keyed RIGHT rows are dropped: Window.partitionBy groups nulls
     // together, so they would as-of match null-keyed left rows — ASOF
     // join semantics (and the DuckDB oracle) never match on null = null.
-    // Null-keyed LEFT rows still flow through and emit unmatched.
-    val r = right.filter(col(key).isNotNull)
+    // null-TS right rows are dropped for the same reason: NULL sorts
+    // FIRST in the ascending window, so an unfiltered null-ts right row
+    // would become every frame's opening row and `last(ignoreNulls)`
+    // would carry its payload into left rows with no true match
+    // (`right.ts <= left.ts` is never satisfied by a NULL ts).
+    // Null-keyed/null-ts LEFT rows still flow through and emit unmatched.
+    val tieCols = right.schema.fields.collect {
+      case f if SaltedJoin.mapFree(f.dataType) => col(f.name)
+    }.toSeq
+    val tie = if (tieCols.isEmpty) lit(0L)
+      else xxhash64(struct(tieCols: _*))
+    val r = right.filter(col(key).isNotNull && col(ts).cast("timestamp").isNotNull)
       .select(col(key).as("__k"), col(ts).cast("timestamp").as("__ts"),
-      lit(0).as("__side"), xxhash64(rStruct).as("__tie"), lit(null).cast(lType).as("__l"),
+      lit(0).as("__side"), tie.as("__tie"), lit(null).cast(lType).as("__l"),
       struct(col(ts).cast("timestamp").as("ts"), rStruct.as("r")).as("__r"))
 
     val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"), col("__tie"))

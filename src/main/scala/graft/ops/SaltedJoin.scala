@@ -17,17 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
+  /** True iff no MapType occurs ANYWHERE in the type — Spark rejects hash
+    * expressions over maps (entry order is undefined), including maps
+    * nested inside structs/arrays, so a top-level `isInstanceOf[MapType]`
+    * check alone would still fail at plan time on STRUCT<m: MAP<...>>.
+    */
+  private[graft] def mapFree(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => mapFree(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => mapFree(a.elementType)
+      case _ => true
+    }
+
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       buckets: Int = 8): DataFrame = {
+    // buckets <= 0 would silently produce an EMPTY join (explode of an
+    // empty replication array drops every small-side row), not an error
+    require(buckets > 0, s"saltedJoin: buckets must be positive, got $buckets")
     // deterministic salt (hash of the row, not rand(): keeps retries and
-    // re-runs identical). MapType columns are excluded — Spark rejects
-    // hash expressions over maps (their entry order is undefined), and a
-    // bag record's fields column is exactly that shape.
+    // re-runs identical). Map-containing columns are excluded — a bag
+    // record's fields column is exactly that shape.
     val hashable = large.schema.fields.collect {
-      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
-        col(f.name)
+      case f if mapFree(f.dataType) => col(f.name)
     }.toSeq
-    require(hashable.nonEmpty, "saltedJoin: no hashable (non-map) columns to salt on")
+    require(hashable.nonEmpty, "saltedJoin: no hashable (map-free) columns to salt on")
     val salted = large.withColumn("__salt",
       pmod(xxhash64(struct(hashable: _*)), lit(buckets)))
     val replicated = small

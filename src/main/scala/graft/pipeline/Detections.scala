@@ -19,6 +19,12 @@ object Detections {
   /** Tall canonical form: one row per (frame, label) with the frame's
     * per-label max confidence; label names sanitized like the DynamoDB
     * attribute names (P8: spaces → '_', processing.py:241).
+    *
+    * A frame whose `labels` array is empty or null emits NO rows — by
+    * design, matching the reference: its DynamoDB update runs once per
+    * detected label, so a detection-free frame never gets an item.
+    * Completeness questions ("which frames were scanned at all?") belong
+    * to the frame table itself, not this detections view.
     */
   def tall(labeled: DataFrame): DataFrame =
     labeled

@@ -46,16 +46,12 @@ object FileSync {
         val out = new Path(dst, row.getString(1))
         val srcFs = src.getFileSystem(conf)
         val dstFs = out.getFileSystem(conf)
-        dstFs.mkdirs(out.getParent)
-        val in = srcFs.open(src)
-        try {
-          val o = dstFs.create(out, true)
-          try {
-            val buf = new Array[Byte](1 << 16)
-            var n = in.read(buf)
-            while (n >= 0) { o.write(buf, 0, n); n = in.read(buf) }
-          } finally o.close() // flushes even when in.close() below throws
-        } finally in.close() // and a failing create() can no longer leak `in`
+        // Hadoop's own copy handles mkdirs + the stream open/copy/close
+        // lifecycle (a hand-rolled loop here needed close-ordering care
+        // just to avoid leaking handles on a failing create)
+        org.apache.hadoop.fs.FileUtil.copy(
+          srcFs, src, dstFs, out, /* deleteSource = */ false,
+          /* overwrite = */ true, conf)
         counter.add(1)
       }
     }

@@ -53,13 +53,20 @@ object FrameOps {
 
   /** W2: sequence-gap report — frames whose index does not follow its
     * predecessor (`service/check_pngs.py:1976-1981` "missed {idx}").
+    *
+    * The `%04i` contract starts every camera at 0 (export.launch), so a
+    * LEADING gap is observable too: a first frame at index k > 0 reports
+    * frames 0..k-1 missed (prev_idx −1 sentinel). Only positive gaps are
+    * reported — a duplicated index (diff 0, possible when the input is
+    * parsed filenames rather than row_number output) is a duplicate, not
+    * a gap, and must not surface as a nonsense `missed = -1` row.
     */
   def gapReport(frames: DataFrame, camera: String = "camera",
       idx: String = "frame_index"): DataFrame = {
     val w = Window.partitionBy(col(camera)).orderBy(col(idx))
     frames
-      .withColumn("prev_idx", lag(col(idx), 1).over(w))
-      .filter(col("prev_idx").isNotNull && col(idx) - col("prev_idx") =!= 1)
+      .withColumn("prev_idx", coalesce(lag(col(idx), 1).over(w), lit(-1)))
+      .filter(col(idx) - col("prev_idx") > 1)
       .select(col(camera), col(idx), col("prev_idx"),
         (col(idx) - col("prev_idx") - 1).as("missed"))
   }

@@ -121,7 +121,13 @@ object Imaging {
     * before this UDF).
     */
   val rosImageToPngUdf = udf((w: Int, h: Int, encoding: String, step: Int,
-      data: Array[Byte]) => decodeRosImage(w, h, encoding, step, data))
+      data: Array[Byte]) =>
+    // Spark null-skips only PRIMITIVE-typed UDF params; reference-typed
+    // nulls (a message with no fields['data'], unbase64 → null) reach the
+    // body, and one corrupt row must not NPE the stage (the
+    // Detector.stubDetect / annotate guard standard)
+    if (encoding == null || data == null) null
+    else decodeRosImage(w, h, encoding, step, data))
 
   /** `sensor_msgs/CompressedImage` decode (the reference republishes its
     * camera topics compressed — `service/app/export.launch:10-11`): the
@@ -147,7 +153,10 @@ object Imaging {
   }
 
   val compressedImageToPngUdf = udf((format: String, data: Array[Byte]) =>
-    decodeCompressedImage(format, data))
+    // same null guard as rosImageToPngUdf: reference-typed nulls reach
+    // the body (format.toLowerCase would NPE on a null format string)
+    if (format == null || data == null) null
+    else decodeCompressedImage(format, data))
 
   /** Draw all normalized-coordinate boxes (scaling per
     * processing.py:366-375), then encode once.

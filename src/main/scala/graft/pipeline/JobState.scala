@@ -17,7 +17,15 @@ object JobState {
   val InProgress = "in progress"
   val Complete = "complete"
   val Failure = "failure"
-  val Terminal: Seq[String] = Seq(InProgress, Complete, Failure)
+
+  /** Every tagged status — the default `nextUnprocessed` filter. Named for
+    * what it IS (any tag blocks re-pickup), not "terminal": `in progress`
+    * is deliberately included, so a crashed job's file stays skipped until
+    * its row is explicitly deleted — the reference sensor's exact contract
+    * (reprocess-by-deleting-the-tag, README.md:90-100), worth stating
+    * because a reader would otherwise assume crashed runs retry.
+    */
+  val AllStatuses: Seq[String] = Seq(InProgress, Complete, Failure)
 
   def empty(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
@@ -43,7 +51,7 @@ object JobState {
     * broadcast: it is always small relative to the listing.
     */
   def nextUnprocessed(files: DataFrame, state: DataFrame,
-      statuses: Seq[String] = Terminal): DataFrame =
+      statuses: Seq[String] = AllStatuses): DataFrame =
     files
       .join(broadcast(state.filter(col("status").isin(statuses: _*))),
         Seq("path"), "left_anti")

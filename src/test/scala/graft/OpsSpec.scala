@@ -69,6 +69,28 @@ class OpsSpec extends SparkSpec {
     assert(picks.distinct.size == 1, s"nondeterministic picks: $picks")
   }
 
+  test("asof join ignores null-timestamp right rows and maps in the payload") {
+    // a null right ts satisfies `right.ts <= left.ts` for NOTHING, but it
+    // sorts FIRST in the ascending window — unfiltered it would become
+    // every frame's opening row and last(ignoreNulls) would carry its
+    // payload into left rows that should be unmatched
+    val left = Seq((1L, "k", ts("2024-01-01 09:00:00"))).toDF("id", "key", "ts")
+    val right = Seq(
+      (100L, "k", Option.empty[java.sql.Timestamp]),
+      (101L, "k", Some(ts("2024-01-01 10:00:00"))))
+      .toDF("rid", "key", "ts")
+    assert(AsOfJoin.asofJoin(left, right, "key", "ts")
+      .select("right_rid").head().isNullAt(0))
+    // a map inside a right struct column must not break the payload-hash
+    // tiebreak (hash expressions reject MapType anywhere in the type)
+    val mapped = Seq((100L, "k", ts("2024-01-01 08:00:00"), Map("a" -> "b")))
+      .toDF("rid", "key", "ts", "meta")
+      .select(col("rid"), col("key"), col("ts"), struct(col("meta")).as("s"))
+    val got = AsOfJoin.asofJoin(left, mapped, "key", "ts")
+      .select("right_rid").head()
+    assert(got.getLong(0) == 100L)
+  }
+
   test("asof join emits exactly one row per left row") {
     val t = Tables(spark, SF)
     val clicks = t.events.filter(col("event_type") === "click")

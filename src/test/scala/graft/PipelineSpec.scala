@@ -41,6 +41,37 @@ class PipelineSpec extends SparkSpec {
     assert(gaps.head.getString(0) == "left" && gaps.head.getInt(1) == 4)
   }
 
+  test("W2 gap detection: leading gap reported, duplicate index is not a gap") {
+    import spark.implicits._
+    // cam 'a' starts at 2 (frames 0-1 never extracted: %04i starts at 0);
+    // cam 'b' has a duplicated index — a duplicate, not a gap
+    val idxs = Seq(("a", 2), ("a", 3), ("b", 0), ("b", 1), ("b", 1), ("b", 2))
+      .toDF("camera", "frame_index")
+    val gaps = FrameOps.gapReport(idxs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(gaps.toSeq == Seq(("a", 2, -1, 2))) // frames 0,1 missed; no b rows
+  }
+
+  test("image decode UDFs null-skip corrupt rows instead of NPE-ing the stage") {
+    import spark.implicits._
+    // Spark null-skips only primitive UDF params; a message with no
+    // fields['data'] rides as a reference-typed null into the body
+    val rows = Seq(
+      (4, 4, "rgb8", 12, Option(Imaging.rawFrame(4, 4, 7))),
+      (4, 4, "rgb8", 12, Option.empty[Array[Byte]]))
+      .toDF("w", "h", "enc", "step", "data")
+      .select(Imaging.rosImageToPngUdf(
+        col("w"), col("h"), col("enc"), col("step"), col("data")).as("png"))
+      .collect()
+    assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    val comp = Seq((Option.empty[String], Option(Imaging.syntheticFrame(2, 2, 1))),
+      (Option("png"), Option.empty[Array[Byte]]))
+      .toDF("format", "data")
+      .select(Imaging.compressedImageToPngUdf(col("format"), col("data")).as("png"))
+      .collect()
+    assert(comp.forall(_.isNullAt(0)))
+  }
+
   test("U1 completeness diff finds missing frames") {
     val a = FrameOps.numberFrames(frames).select("frame_name")
     val b = a.filter(col("frame_name") =!= "right0002.png")

@@ -19,6 +19,18 @@ class SaltedJoinSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("nested maps are excluded from the salt hash; bad buckets rejected") {
+    // a map inside a struct would make xxhash64 throw at plan time if the
+    // exclusion only checked top-level dataType
+    val large = Seq((1L, Map("a" -> "b")), (1L, Map("c" -> "d")))
+      .toDF("k", "m").select(col("k"), struct(col("m")).as("s"))
+    val small = Seq((1L, "dim")).toDF("k", "name")
+    assert(SaltedJoin.saltedJoin(large, small, "k").count() == 2)
+    // buckets <= 0 must error, not silently return an empty join
+    intercept[IllegalArgumentException](
+      SaltedJoin.saltedJoin(large, small, "k", buckets = 0))
+  }
+
   test("salt spreads the hot key across buckets") {
     val large = (1 to 10000).map(i => (1L, i)).toDF("k", "payload")
     val spread = large.withColumn("__salt",
