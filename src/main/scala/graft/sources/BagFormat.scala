@@ -74,31 +74,27 @@ object BagFormat {
     if (parseFooter(footer, footerStart).isDefined) footerStart.toInt else n
   }
 
-  /** Encode with a trailing offset index (one entry per `stride` records). */
+  /** Encode with a trailing offset index (one entry per `stride` records).
+    * Offsets are captured DURING the encode pass (the stream position
+    * before every stride-th record) — a second decode pass over the body
+    * just to recover positions the encoder knew would double encode CPU.
+    */
   def encodeIndexed(records: Seq[BagRecord], stride: Int = 1000): Array[Byte] = {
-    val body = encode(records)
-    val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
-    // recompute record offsets with a decoding pass over the body
-    val in = new DataInputStream(new ByteArrayInputStream(body))
-    in.skipBytes(Magic.length)
-    var pos = Magic.length.toLong
-    var i = 0
-    while (pos < body.length) {
-      if (i % stride == 0) offsets += pos
-      val topicLen = in.readUnsignedShort(); in.skipBytes(topicLen)
-      in.skipBytes(8)
-      val nf = in.readUnsignedShort()
-      var consumed = 2 + topicLen + 8 + 2
-      var f = 0
-      while (f < 2 * nf) {
-        val l = in.readUnsignedShort(); in.skipBytes(l); consumed += 2 + l; f += 1
-      }
-      pos += consumed
-      i += 1
-    }
+    // stride=0 would throw ArithmeticException mid-encode; a negative
+    // stride would write a footer every reader rejects (parseFooter
+    // requires stride > 0), silently corrupting decode of our own output
+    require(stride > 0, s"encodeIndexed: stride must be positive, got $stride")
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.write(body)
+    out.write(Magic)
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    records.foreach { r =>
+      if (i % stride == 0) { out.flush(); offsets += bos.size().toLong }
+      writeRecord(out, r)
+      i += 1
+    }
+    out.flush()
     out.writeInt(stride)
     out.writeInt(offsets.length)
     offsets.foreach(out.writeLong)
@@ -123,7 +119,20 @@ object BagFormat {
       val footerBytes = ((tail(0) & 0xff) << 24) | ((tail(1) & 0xff) << 16) |
         ((tail(2) & 0xff) << 8) | (tail(3) & 0xff)
       val footerStart = fileLen - tail.length - footerBytes
-      if (footerBytes < 0 || footerStart < Magic.length) return None
+      if (footerBytes < 8 || footerStart < Magic.length) return None
+      // validate the (stride, nOffsets) header BEFORE allocating the
+      // footer: an unindexed bag whose last field value happens to end in
+      // the magic (the exact coincidence parseFooter exists to survive)
+      // would otherwise trigger an up-to-2-GiB driver allocation + remote
+      // read PER FILE during planning, just to be rejected; a structurally
+      // consistent header costs an 8-byte ranged read to check
+      val head = new Array[Byte](8)
+      s.readFully(footerStart, head)
+      val stride = ((head(0) & 0xff) << 24) | ((head(1) & 0xff) << 16) |
+        ((head(2) & 0xff) << 8) | (head(3) & 0xff)
+      val n = ((head(4) & 0xff) << 24) | ((head(5) & 0xff) << 16) |
+        ((head(6) & 0xff) << 8) | (head(7) & 0xff)
+      if (stride <= 0 || n < 0 || footerBytes != 8 + 8L * n) return None
       val footer = new Array[Byte](footerBytes)
       s.readFully(footerStart, footer)
       parseFooter(footer, footerStart).map(offsets => (offsets, footerStart))
@@ -241,6 +250,14 @@ object BagFormat {
         val prefix = new String(header, 345, 155, "UTF-8").takeWhile(_ != 0)
         val size = java.lang.Long.parseLong(
           new String(header, 124, 12, "UTF-8").trim.takeWhile(c => c >= '0' && c <= '7'), 8)
+        // gzip can inflate ~1000:1, so a small archive can declare a huge
+        // entry; size.toInt would wrap 2-4 GiB negative
+        // (NegativeArraySizeException) and SILENTLY truncate > 4 GiB —
+        // the stream then desynchronizes and 512-byte blocks mid-entry
+        // parse as garbage headers (the base-256 guard above only covers
+        // >= 8 GiB)
+        require(size >= 0 && size <= Int.MaxValue,
+          s"tar entry too large for in-memory expansion: $size bytes")
         val typeflag = header(156)
         val data = new Array[Byte](size.toInt)
         in.readFully(data)
@@ -250,6 +267,12 @@ object BagFormat {
           // GNU long-name entry: its data block is the REAL name of the
           // NEXT entry (whose own 100-byte name field is truncated)
           pendingLongName = new String(data, "UTF-8").takeWhile(_ != 0)
+        } else if (typeflag == 'x') {
+          // pax extended header (bsdtar/macOS default format): the data
+          // block is "<len> key=value\n" records, len in BYTES including
+          // the length digits and newline; a `path` record carries the
+          // next entry's real (possibly >100-char) name
+          paxPath(data).foreach(pendingLongName = _)
         } else {
           val name =
             if (pendingLongName != null) pendingLongName
@@ -261,6 +284,29 @@ object BagFormat {
       }
     }
     out.toSeq
+  }
+
+  /** Extract the `path` override from a pax extended-header data block
+    * ("<len> key=value\n" records, len in bytes over the whole record).
+    */
+  private def paxPath(data: Array[Byte]): Option[String] = {
+    var p = 0
+    var found: Option[String] = None
+    while (p < data.length && found.isEmpty) {
+      var sp = p
+      while (sp < data.length && data(sp) != ' ') sp += 1
+      if (sp >= data.length) return found
+      val len =
+        try new String(data, p, sp - p, "UTF-8").toInt
+        catch { case _: NumberFormatException => return found }
+      if (len <= sp - p || p + len > data.length) return found
+      val rec = new String(data, sp + 1, p + len - sp - 2, "UTF-8") // drop \n
+      val eq = rec.indexOf('=')
+      if (eq > 0 && rec.substring(0, eq) == "path")
+        found = Some(rec.substring(eq + 1))
+      p += len
+    }
+    found
   }
 
   /** S5 + X1: decode one archive → its single inner bag's records
@@ -290,13 +336,20 @@ object BagFormat {
   /** S8/A1/S11 composed: distinct-topic discovery ∩ whitelist, then one
     * partitioned write `topic=<name>/` — the reference's Hive-style layout
     * (`service/app/bag_to_csv.py:99-105`) with partition pruning on read.
+    *
+    * Topic values are stored EXACTLY (slashes and all — Spark
+    * percent-escapes them in the directory name, e.g. `topic=%2Fimu`, and
+    * unescapes on read): the previously-stripped leading slash meant a
+    * round-tripped table no longer matched `TopicViews`' `/imu`-style
+    * defaults, and two distinct source topics `/imu` and `imu` collapsed
+    * into one partition irreversibly. Exact values keep the read side
+    * prunable on the same predicates the raw records answer.
     */
   def writeTopicTables(records: Dataset[BagRecord], whitelist: Seq[String],
       out: String): Unit = {
     import org.apache.spark.sql.functions._
     records.toDF()
       .filter(col("topic").isin(whitelist: _*))
-      .withColumn("topic", regexp_replace(col("topic"), "^/+", ""))
       .write.mode("overwrite").partitionBy("topic").parquet(out)
   }
 

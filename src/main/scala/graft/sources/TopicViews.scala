@@ -44,7 +44,12 @@ object TopicViews {
   def topicView(records: DataFrame, topic: String,
       schema: Seq[(String, DataType)]): DataFrame = {
     val cols: Seq[Column] = col("rosbagTimestamp") +: schema.map { case (name, dt) =>
-      element_at(col("fields"), name).cast(dt).as(name.replace('.', '_'))
+      // try_cast, not cast: the session runs ANSI mode, where a single
+      // malformed field value (a sensor emitting 'n/a') would abort the
+      // whole query — this module's contract is drift TOLERANCE, so a
+      // value that doesn't parse becomes null exactly like a missing key
+      expr(s"try_cast(element_at(fields, '${name.replace("'", "\\'")}') " +
+        s"AS ${dt.sql})").as(name.replace('.', '_'))
     }
     records.filter(col("topic") === topic).select(cols: _*)
   }

@@ -49,7 +49,12 @@ class GBagDataSource extends TableProvider with DataSourceRegister {
     // asked for (and mis-bind ordinals downstream)
     schema.fields.foreach { f =>
       val ref = GBagTable.fullSchema.fields.find(_.name == f.name)
-      require(ref.exists(_.dataType == f.dataType),
+      // catalogString comparison = nullability-insensitive type equality:
+      // strict DataType == would reject the natural DDL schema
+      // `fields map<string,string>` (which parses valueContainsNull=true
+      // vs fullSchema's false) while the error message — also built from
+      // catalogString — listed the exact type the user passed as available
+      require(ref.exists(_.dataType.catalogString == f.dataType.catalogString),
         s"gbag: unsupported schema field '${f.name}: ${f.dataType.simpleString}'; " +
           s"available: ${GBagTable.fullSchema.catalogString}")
     }
@@ -145,20 +150,15 @@ class GBagScan(path: String, required: StructType,
   override def toBatch: Batch = this
 
   // ONE listing per scan (estimateStatistics + planInputPartitions both
-  // read it — repeated remote LISTs on the planning path otherwise); the
-  // .bag filter applies only to directory expansion, like the rosbag
-  // source: an explicitly named file is read regardless of extension
-  private lazy val bagFiles: Seq[org.apache.hadoop.fs.FileStatus] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq
-          .filter(s => !s.isDirectory && s.getPath.getName.endsWith(".bag"))
-      else Seq(fs.getFileStatus(p))
-    files.sortBy(_.getPath.toString)
-  }
+  // read it — repeated remote LISTs on the planning path otherwise).
+  // Listing via the shared RosBagPaths helper: globs expand (a direct
+  // fs.getFileStatus on `/data/run=*/rec.bag` throws FileNotFoundException
+  // at planning), the .bag filter applies only to directory expansion,
+  // and strict=true keeps the batch contract (a typo'd path errors
+  // instead of reading as zero rows).
+  private lazy val bagFiles: Seq[org.apache.hadoop.fs.FileStatus] =
+    graft.sources.rosbag.RosBagPaths.listBagFiles(Seq(path),
+      SparkSession.active.sessionState.newHadoopConf(), strict = true)
   private def listBagFiles(): Seq[org.apache.hadoop.fs.FileStatus] = bagFiles
 
   /** Size statistics from the file listing — lets Catalyst/AQE make
@@ -239,27 +239,12 @@ class GBagPartitionReader(part: GBagInputPartition, required: StructType,
   private val needFields = required.fieldNames.contains("fields")
   private val ordinals = required.fieldNames.zipWithIndex.toMap
 
-  // compiled pushed predicates
-  private val topicKeep: String => Boolean = {
-    val eqs = pushed.collect { case sources.EqualTo("topic", v: String) => v }
-    val ins = pushed.collect { case sources.In("topic", vs) =>
-      vs.collect { case s: String => s }.toSet }
-    if (eqs.isEmpty && ins.isEmpty) _ => true
-    else t => eqs.forall(_ == t) && ins.forall(_.contains(t))
-  }
-  private val tsKeep: Long => Boolean = {
-    val preds = pushed.collect {
-      case sources.GreaterThan("rosbagTimestamp", v: java.lang.Long) =>
-        (t: Long) => t > v
-      case sources.GreaterThanOrEqual("rosbagTimestamp", v: java.lang.Long) =>
-        (t: Long) => t >= v
-      case sources.LessThan("rosbagTimestamp", v: java.lang.Long) =>
-        (t: Long) => t < v
-      case sources.LessThanOrEqual("rosbagTimestamp", v: java.lang.Long) =>
-        (t: Long) => t <= v
-    }
-    if (preds.isEmpty) _ => true else t => preds.forall(_(t))
-  }
+  // compiled pushed predicates — shared with the rosbag source (identical
+  // null-handling and AND semantics must not drift between two copies)
+  private val topicKeep: String => Boolean =
+    graft.sources.rosbag.RosBagFilters.topicKeep(pushed)
+  private val tsKeep: Long => Boolean =
+    graft.sources.rosbag.RosBagFilters.tsKeep(pushed)
   private val hasFilters = pushed.nonEmpty
   // a ts-only pushdown must not pay per-record topic materialization just
   // to feed a constant-true topicKeep

@@ -56,12 +56,18 @@ class BagFormatSpec extends SparkSpec {
     BagFormat.writeTopicTables(BagFormat.readBags(spark, dir),
       whitelist = Seq("/imu", "/gps"), out = out)
     val back = spark.read.parquet(out)
+    // topic values round-trip EXACTLY (Spark percent-escapes the slash in
+    // the directory name): stripped values broke TopicViews' /imu-style
+    // defaults and collapsed /imu vs imu irreversibly
     assert(back.select("topic").distinct().collect().map(_.getString(0)).toSet ==
-      Set("imu", "gps"))
+      Set("/imu", "/gps"))
     // partition pruning: filtering one topic should only read its directory
-    val plan = back.filter(col("topic") === "imu").queryExecution.executedPlan.toString
-    assert(back.filter(col("topic") === "imu").count() == 50)
-    assert(!plan.contains("topic=gps"))
+    val pruned = back.filter(col("topic") === "/imu")
+    assert(pruned.count() == 50)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("2Fgps")) // the escaped /gps dir is pruned out
+    // the round-tripped table feeds TopicViews with its defaults intact
+    assert(graft.sources.TopicViews.imu(back).count() == 50)
   }
 
   test("typed topic view extracts by NAME; missing fields null, not shifted") {

@@ -218,6 +218,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pax-format archives with >100-char bag paths expand correctly") {
+    // bsdtar/macOS default to pax: the real path of a >100-char name lives
+    // in an 'x' extended-header record, and ignoring it truncates the name
+    // (losing the .bag suffix -> 'found 0 bags' on a valid archive)
+    val recs = (0 until 5).map(i =>
+      BagRecord("/imu", 1700000000000000000L + i, Map("i" -> i.toString)))
+    val dir = java.nio.file.Files.createTempDirectory("paxtar")
+    val longPath = ("d" * 60) + "/" + ("e" * 60)
+    java.nio.file.Files.createDirectories(dir.resolve(longPath))
+    java.nio.file.Files.write(dir.resolve(s"$longPath/data.bag"),
+      BagFormat.encode(recs))
+    import scala.sys.process._
+    assert(Seq("tar", "--format=pax", "-czf", s"$dir/pax.tar.gz",
+      "-C", dir.toString, s"$longPath/data.bag").! == 0)
+    val got = BagFormat.decodeArchived(
+      java.nio.file.Files.readAllBytes(dir.resolve("pax.tar.gz"))).toSeq
+    assert(got == recs)
+  }
+
+  test("oversized tar entries are rejected, not silently truncated") {
+    // a header declaring a 3 GiB entry: size.toInt would wrap negative;
+    // the guard must fire BEFORE any allocation or read
+    val header = new Array[Byte](512)
+    val name = "big.bin".getBytes("UTF-8")
+    System.arraycopy(name, 0, header, 0, name.length)
+    val sizeOctal = java.lang.Long.toOctalString(3L * 1024 * 1024 * 1024)
+    val so = sizeOctal.getBytes("UTF-8")
+    System.arraycopy(so, 0, header, 124, so.length)
+    header(156) = '0'
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(header); gz.finish()
+    val e = intercept[IllegalArgumentException](
+      BagFormat.expandTarGz(bos.toByteArray))
+    assert(e.getMessage.contains("too large"))
+  }
+
   test("dHash is a perceptual key: encoding-invariant, edit-local, noise-far") {
     // same raster through two different BufferedImage types → same PNG
     // semantics → identical hash (a content hash would already differ)
