@@ -4,7 +4,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
-    // warmup: touch every base table + force codegen/JIT of the common
+    // warmup: touch the hot base tables (the dimension tables ride each
+    // query's own discarded run 0) + force codegen/JIT of the common
     // scan→agg path so the first measured query doesn't absorb JVM startup
     Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop")
@@ -31,8 +32,11 @@ object Bench {
         } finally CacheRegistry.release() // each timed run pays its own caching
       }
       val warm = times.drop(1)
+      // fail only on a failed WARM run: run 0 is discarded by contract, so
+      // a transient failure there alone must not zero out three good
+      // timings (and drop the query from the round's total as a phantom)
       val median =
-        if (times.contains(-1.0)) -1.0 else warm.sorted.apply(warm.size / 2)
+        if (warm.contains(-1.0)) -1.0 else warm.sorted.apply(warm.size / 2)
       (name, median, warm)
     }
     val results = timings.map { case (n, med, _) => n -> med }.toMap

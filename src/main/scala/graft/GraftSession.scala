@@ -20,6 +20,15 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  // ONE warehouse temp dir per JVM, registered for shutdown deletion:
+  // creating it inline per build() call leaked a directory every time
+  // (including orphans whenever getOrCreate returned an existing session)
+  private lazy val warehouseDir: String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    graft.queries.PipelineQueries.registerTempDirForCleanup(tmp)
+    tmp.toString
+  }
+
   def build(appName: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,9 +46,7 @@ object GraftSession {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", // unique per JVM: the in-memory
-        // catalog forgets tables between runs but their files would remain
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.warehouse.dir", warehouseDir)
     // ad-hoc overrides for experiments: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
       _.split(';').filter(_.contains('=')).foreach { kv =>
