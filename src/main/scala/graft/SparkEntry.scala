@@ -170,6 +170,10 @@ object SparkEntry {
     "q142_stream_dedup" -> (graft.streaming.StreamingQueries.qStreamDedup _),
     "q143_stream_user_stats" -> (graft.streaming.StreamingQueries.qStreamUserStats _),
     "q144_stream_upsert" -> (graft.streaming.StreamingQueries.qStreamUpsert _),
+    "q145_zorder_layout" -> (ext.LayoutOps.qZorderLayout _),
+    "q146_compaction_plan" -> (ext.LayoutOps.qCompactionPlan _),
+    "q147_skew_report" -> (ext.LayoutOps.qSkewReport _),
+    "q148_pruning_report" -> (ext.LayoutOps.qPruningReport _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1824,6 +1828,89 @@ object SparkEntry {
         | FROM det)
         |SELECT camera, label, round(max(confidence), 2) AS max_conf
         |FROM det2 GROUP BY camera, label ORDER BY camera, label""".stripMargin,
+    // q145/q148 share the normalized-keyspace CTEs; the Morton interleave
+    // is the SAME generated term sum the Spark side uses
+    // (LayoutOps.interleaveSql) so the formulations cannot drift.
+    "q145_zorder_layout" ->
+      s"""WITH mm AS (SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+        |  min(l_suppkey) AS ymin, max(l_suppkey) AS ymax FROM lineitem),
+        |n AS (SELECT l_partkey AS xv, l_suppkey AS yv,
+        |  ((l_partkey - xmin) * 65536) // (xmax - xmin + 1) AS x16,
+        |  ((l_suppkey - ymin) * 65536) // (ymax - ymin + 1) AS y16
+        | FROM lineitem, mm),
+        |z AS (SELECT xv, yv, x16, y16,
+        |  ${ext.LayoutOps.interleaveSql("x16", "y16")} AS zval FROM n),
+        |b AS (
+        | SELECT 'linear' AS layout, x16 // 1024 AS bucket, xv, yv FROM z
+        | UNION ALL
+        | SELECT 'zorder' AS layout, zval // 67108864 AS bucket, xv, yv FROM z)
+        |SELECT layout, bucket, count(*) AS n_rows,
+        | min(xv) AS min_x, max(xv) AS max_x,
+        | min(yv) AS min_y, max(yv) AS max_y
+        |FROM b GROUP BY layout, bucket ORDER BY layout, bucket""".stripMargin,
+    "q146_compaction_plan" ->
+      """WITH f AS (SELECT source AS part, doc_id AS file_id,
+        |  CAST(length(text) AS BIGINT) AS size_units FROM documents),
+        |c AS (SELECT part, file_id, size_units,
+        |  COALESCE(sum(size_units) OVER (PARTITION BY part ORDER BY file_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        | FROM f),
+        |b AS (SELECT *, cum_before // 4096 AS bin_id FROM c)
+        |SELECT part, bin_id, count(*) AS n_files,
+        | CAST(sum(size_units) AS BIGINT) AS tot_units,
+        | min(file_id) AS first_file, max(file_id) AS last_file,
+        | CAST(sum(CASE WHEN size_units < 1024 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_small,
+        | (CAST(sum(size_units) AS BIGINT) * 1000000) // 4096 AS fill_micro
+        |FROM b GROUP BY part, bin_id ORDER BY part, bin_id""".stripMargin,
+    "q147_skew_report" ->
+      """WITH k AS (SELECT CASE WHEN user_id % 10 < 5 THEN -1
+        |  ELSE user_id END AS join_key FROM events),
+        |c AS (SELECT join_key, count(*) AS cnt FROM k GROUP BY 1),
+        |g AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  max(cnt) AS max_cnt FROM c),
+        |t AS (SELECT join_key, cnt FROM c ORDER BY cnt DESC, join_key LIMIT 5)
+        |SELECT t.join_key, t.cnt,
+        | (t.cnt * 1000000) // g.n_rows AS share_micro,
+        | g.n_keys, g.n_rows, g.max_cnt,
+        | (g.max_cnt * g.n_keys * 1000000) // g.n_rows AS skew_ratio_micro,
+        | (g.max_cnt * g.n_keys + g.n_rows - 1) // g.n_rows AS salt_factor
+        |FROM t, g ORDER BY t.cnt DESC, t.join_key""".stripMargin,
+    "q148_pruning_report" ->
+      s"""WITH mm AS (SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+        |  min(l_suppkey) AS ymin, max(l_suppkey) AS ymax FROM lineitem),
+        |n AS (SELECT
+        |  ((l_partkey - xmin) * 65536) // (xmax - xmin + 1) AS x16,
+        |  ((l_suppkey - ymin) * 65536) // (ymax - ymin + 1) AS y16
+        | FROM lineitem, mm),
+        |z AS (SELECT x16, y16,
+        |  ${ext.LayoutOps.interleaveSql("x16", "y16")} AS zval FROM n),
+        |b AS (
+        | SELECT 'linear' AS layout, x16 // 1024 AS bucket, x16, y16 FROM z
+        | UNION ALL
+        | SELECT 'zorder' AS layout, zval // 67108864 AS bucket, x16, y16 FROM z),
+        |stats AS (SELECT layout, bucket,
+        |  min(x16) AS min_x16, max(x16) AS max_x16,
+        |  min(y16) AS min_y16, max(y16) AS max_y16
+        | FROM b GROUP BY layout, bucket),
+        |probes AS (SELECT CAST(4096 * x AS BIGINT) AS p FROM range(16) t(x)),
+        |scans AS (
+        | SELECT layout, 'x' AS probe_col, count(*) AS bucket_scans
+        | FROM stats, probes WHERE min_x16 <= p AND p <= max_x16 GROUP BY 1
+        | UNION ALL
+        | SELECT layout, 'y' AS probe_col, count(*) AS bucket_scans
+        | FROM stats, probes WHERE min_y16 <= p AND p <= max_y16 GROUP BY 1),
+        |totals AS (SELECT layout, count(DISTINCT bucket) AS n_buckets
+        | FROM stats GROUP BY 1),
+        |grid AS (SELECT layout, n_buckets, probe_col FROM totals,
+        | (SELECT 'x' AS probe_col UNION ALL SELECT 'y') ax)
+        |SELECT g.layout, g.probe_col, CAST(16 AS BIGINT) AS n_probes,
+        | g.n_buckets, CAST(COALESCE(s.bucket_scans, 0) AS BIGINT) AS bucket_scans,
+        | (CAST(COALESCE(s.bucket_scans, 0) AS BIGINT) * 1000000)
+        |   // (16 * g.n_buckets) AS scan_frac_micro
+        |FROM grid g LEFT JOIN scans s
+        | ON s.layout = g.layout AND s.probe_col = g.probe_col
+        |ORDER BY g.layout, g.probe_col""".stripMargin,
     "q136_bleu_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS rt FROM documents),
         |p AS (SELECT doc_id, rt, list_transform(range(1, len(rt) + 1),

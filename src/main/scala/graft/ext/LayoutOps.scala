@@ -1,0 +1,280 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Data-layout and operational-health operators for a 100 TB lake.
+  *
+  * At cluster scale the dominant cost of most queries is the SCAN, and
+  * the dominant lever on the scan is file/row-group LAYOUT: zone-map
+  * (min/max) pruning only helps when the write path clustered the data
+  * so that each file covers a narrow slice of the predicate column's
+  * range. These operators compute the layout decisions and the health
+  * reports a lakehouse maintenance service runs continuously:
+  *
+  *  - [[interleaveBits]] / [[bucketStats]] / [[qZorderLayout]]: Z-order
+  *    (Morton) multi-dimensional clustering — one bit-interleaved key
+  *    linearizes a 2-D keyspace so that range/point predicates on
+  *    EITHER dimension prune most files, where a linear sort prunes on
+  *    its leading column only. The whole computation is integer bit
+  *    arithmetic inside whole-stage codegen; the only exchange is the
+  *    per-bucket stats aggregation (at write time the same key feeds a
+  *    range exchange — exactly the sort a clustered write pays anyway).
+  *  - [[qPruningReport]]: the effectiveness measurement — replays a
+  *    deterministic probe workload against the zone maps of both
+  *    layouts and reports buckets-scanned fractions. This is the number
+  *    a layout advisor acts on.
+  *  - [[compactionPlan]]: the small-files problem. Sequential-fill bin
+  *    packing of a file inventory into target-size compaction groups —
+  *    one prefix-sum window per table partition, no driver loop, the
+  *    q71 token-packing discipline applied to bytes.
+  *  - [[skewReport]]: per-key cardinality skew diagnosis ahead of a
+  *    join/groupBy — max/avg ratio, heavy-hitter shares, and the salt
+  *    factor a skew-mitigating writer (ops/SaltedJoin) should use. The
+  *    per-key count table is the ONLY corpus-wide exchange; everything
+  *    downstream operates on the (bounded) key-count table.
+  *
+  * All arithmetic is exact integer (micro-units for ratios, `div` for
+  * truncating division) so results are bit-identical across engines and
+  * partitionings.
+  */
+object LayoutOps {
+
+  /** Morton (Z-order) bit interleave of two non-negative integer keys:
+    * bit i of `x` lands at bit 2i, bit i of `y` at bit 2i+1. With
+    * `bits` = 16 the result occupies 32 bits. Pure built-in bit
+    * expressions — stays inside whole-stage codegen, no UDF.
+    */
+  def interleaveBits(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** The same interleave as [[interleaveBits]], rendered as a SQL sum of
+    * masked terms — shared by the DuckDB oracle and the Spark SQL twin
+    * so the three formulations can never drift apart.
+    */
+  def interleaveSql(xCol: String, yCol: String, bits: Int = 16): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((($xCol >> $i) & 1) * ${1L << (2 * i)})",
+        s"((($yCol >> $i) & 1) * ${1L << (2 * i + 1)})")
+    }.mkString(" + ")
+
+  /** Min-max normalization of a key column into the 16-bit space
+    * [0, 65535]: `((c - min) * 65536) div (max - min + 1)`. Exact
+    * integer arithmetic (truncating div, non-negative operands — the
+    * regime where Spark `div` and DuckDB `//` agree). A production
+    * z-order writer rank-normalizes via approximate quantiles; for the
+    * dense integer keys here min-max is the exact form of the same map.
+    */
+  private def norm16(c: String, minC: String, maxC: String): Column =
+    expr(s"(($c - $minC) * 65536) div ($maxC - $minC + 1)")
+
+  /** Per-bucket zone-map statistics for the two candidate layouts of a
+    * 2-key table:
+    *
+    *  - `linear`: files sorted by x alone — bucket = top 6 bits of the
+    *    normalized x (64 equal slices of the x keyspace).
+    *  - `zorder`: files sorted by the Morton key — bucket = top 6 bits
+    *    of the 32-bit z value (an 8×8 grid of 8192×8192 tiles).
+    *
+    * Fixed keyspace decomposition (not rank NTILE) is deliberate: it is
+    * what a z-order writer's range partitioner converges to, it needs
+    * NO global sort to compute (the assignment is a pure per-row
+    * projection), and it is deterministic under any partitioning.
+    * Output carries raw-value zone maps (`min_x`..`max_y`) for the
+    * operator's user and normalized zone maps (`min_x16`..`max_y16`)
+    * for [[qPruningReport]]'s probe replay.
+    *
+    * One scan, one agg exchange on (layout, bucket) — ≤128 groups.
+    */
+  def bucketStats(items: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val mm = items.agg(
+      min(col(xCol)).as("min_xv"), max(col(xCol)).as("max_xv"),
+      min(col(yCol)).as("min_yv"), max(col(yCol)).as("max_yv"))
+    val normed = items
+      .crossJoin(broadcast(mm))
+      .withColumn("x16", norm16(xCol, "min_xv", "max_xv"))
+      .withColumn("y16", norm16(yCol, "min_yv", "max_yv"))
+      .withColumn("zval", interleaveBits(col("x16"), col("y16")))
+      .withColumn("bucket_linear", expr("x16 div 1024"))
+      .withColumn("bucket_zorder", expr("zval div 67108864")) // z >> 26
+    // melt the two layout assignments into (layout, bucket) rows so ONE
+    // agg covers both — a single scan instead of one per layout
+    normed
+      .select(col(xCol).as("xv"), col(yCol).as("yv"), col("x16"), col("y16"),
+        explode(array(
+          struct(lit("linear").as("layout"), col("bucket_linear").as("bucket")),
+          struct(lit("zorder").as("layout"), col("bucket_zorder").as("bucket"))))
+          .as("lb"))
+      .select(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"),
+        col("xv"), col("yv"), col("x16"), col("y16"))
+      .groupBy("layout", "bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("xv").as("min_x"), max("xv").as("max_x"),
+        min("yv").as("min_y"), max("yv").as("max_y"),
+        min("x16").as("min_x16"), max("x16").as("max_x16"),
+        min("y16").as("min_y16"), max("y16").as("max_y16"))
+  }
+
+  /** q145: Z-order vs linear layout zone maps over lineitem's
+    * (l_partkey, l_suppkey) keyspace — per-bucket row counts and raw
+    * min/max zone maps for both layouts. Direct DuckDB oracle (the
+    * interleave is the shared [[interleaveSql]] term sum).
+    */
+  def qZorderLayout(spark: SparkSession, dir: String): DataFrame =
+    bucketStats(
+      Tables(spark, dir).lineitem.select(
+        col("l_partkey").cast("bigint").as("x"),
+        col("l_suppkey").cast("bigint").as("y")),
+      "x", "y")
+      .select("layout", "bucket", "n_rows", "min_x", "max_x", "min_y", "max_y")
+      .orderBy("layout", "bucket")
+
+  /** q148: zone-map pruning effectiveness — replay a deterministic
+    * probe workload (16 point probes per axis, evenly spaced across the
+    * normalized keyspace) against each layout's bucket zone maps and
+    * report the fraction of buckets a zone-map reader would scan.
+    *
+    * The expected shape is the classic clustering tradeoff: the linear
+    * layout answers x-probes with ~1 bucket but y-probes with ALL
+    * buckets (no pruning off the sort prefix); z-order answers BOTH
+    * with ~√buckets (the 8×8 tile grid). The join is 128 stats rows ×
+    * 32 probes — broadcast, negligible at any corpus size, because the
+    * corpus-sized work (the stats agg) was already bounded in
+    * [[bucketStats]].
+    */
+  def qPruningReport(spark: SparkSession, dir: String): DataFrame = {
+    val stats = bucketStats(
+      Tables(spark, dir).lineitem.select(
+        col("l_partkey").cast("bigint").as("x"),
+        col("l_suppkey").cast("bigint").as("y")),
+      "x", "y")
+    val probes = spark.range(16).select((col("id") * 4096L).as("p"))
+    val axes = Seq(("x", "min_x16", "max_x16"), ("y", "min_y16", "max_y16"))
+    val perAxis = axes.map { case (axis, lo, hi) =>
+      stats.join(broadcast(probes),
+          col(lo) <= col("p") && col("p") <= col(hi), "inner")
+        .groupBy("layout")
+        .agg(count(lit(1)).as("bucket_scans"))
+        .withColumn("probe_col", lit(axis))
+    }
+    val totals = stats.groupBy("layout")
+      .agg(countDistinct("bucket").as("n_buckets"))
+    // left join FROM the (layout × axis) grid: an axis whose probes all
+    // miss (possible on a sparse keyspace) must report 0 scans, not
+    // silently drop its report row
+    val grid = totals.crossJoin(
+      spark.createDataFrame(Seq(Tuple1("x"), Tuple1("y"))).toDF("probe_col"))
+    grid
+      .join(perAxis.reduce(_.unionByName(_)), Seq("layout", "probe_col"), "left")
+      .withColumn("bucket_scans", coalesce(col("bucket_scans"), lit(0L)))
+      .withColumn("n_probes", lit(16L))
+      .withColumn("scan_frac_micro",
+        expr("(bucket_scans * 1000000) div (n_probes * n_buckets)"))
+      .select("layout", "probe_col", "n_probes", "n_buckets", "bucket_scans",
+        "scan_frac_micro")
+      .orderBy("layout", "probe_col")
+  }
+
+  /** Sequential-fill compaction planner: pack a file inventory
+    * (`part`, `file_id`, `size_units`) into target-size compaction
+    * groups, one plan row per output group. A file belongs to the group
+    * where its prefix sum STARTS (`cum_before div target` — the q71
+    * sequence-packing rule applied to bytes), so a group may overshoot
+    * the target by at most one file; groups are contiguous from 0
+    * within each partition and the manifest `[first_file, last_file]`
+    * ranges are disjoint and ordered.
+    *
+    * Scale shape: ONE window prefix sum per table partition (the
+    * natural parallel unit of compaction — at 100 TB each `part` holds
+    * one directory's files, thousands of partitions run independently)
+    * followed by the per-group agg that reuses the window's hash
+    * partitioning. No driver-side loop, no global coordination.
+    */
+  def compactionPlan(files: DataFrame, target: Long): DataFrame = {
+    require(target >= 1, s"compaction target must be positive, got $target")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy("file_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum("size_units").over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"cum_before div $target"))
+      .groupBy("part", "bin_id")
+      .agg(count(lit(1)).as("n_files"),
+        sum("size_units").as("tot_units"),
+        min("file_id").as("first_file"),
+        max("file_id").as("last_file"),
+        sum(when(col("size_units") < target / 4, 1L).otherwise(0L))
+          .as("n_small"))
+      .withColumn("fill_micro", expr(s"(tot_units * 1000000) div $target"))
+  }
+
+  /** q146: compaction plan over the documents table viewed as a file
+    * inventory — partition = source, file id = doc_id, size = character
+    * length — with a 4096-unit target. Direct DuckDB oracle (window
+    * prefix sum).
+    */
+  def qCompactionPlan(spark: SparkSession, dir: String): DataFrame =
+    compactionPlan(
+      Tables(spark, dir).documents.select(
+        col("source").as("part"),
+        col("doc_id").as("file_id"),
+        length(col("text")).cast("bigint").as("size_units")),
+      target = 4096L)
+      .select("part", "bin_id", "n_files", "tot_units", "first_file",
+        "last_file", "n_small", "fill_micro")
+      .orderBy("part", "bin_id")
+
+  /** Key-skew diagnosis for a prospective join/groupBy key: the top-k
+    * heaviest keys, each annotated with the table-wide skew metrics —
+    *
+    *  - `share_micro`: this key's fraction of all rows,
+    *  - `skew_ratio_micro`: max-key count over mean-key count (1e6 =
+    *    perfectly uniform),
+    *  - `salt_factor`: ⌈max_cnt / avg_cnt⌉ — the replication factor a
+    *    salted join (ops/SaltedJoin) needs so the hottest key's slices
+    *    are no larger than an average key.
+    *
+    * The ONLY corpus-wide exchange is the per-key count agg (map-side
+    * partials, key-cardinality-sized output); the global metrics are a
+    * single-row agg over that bounded table, broadcast back, and top-k
+    * is TakeOrderedAndProject — never a full sort.
+    */
+  def skewReport(rows: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val counts = rows.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val globals = counts.agg(
+      count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+      max("cnt").as("max_cnt"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+      .crossJoin(broadcast(globals))
+      .withColumn("share_micro", expr("(cnt * 1000000) div n_rows"))
+      .withColumn("skew_ratio_micro",
+        expr("(max_cnt * n_keys * 1000000) div n_rows"))
+      .withColumn("salt_factor",
+        expr("(max_cnt * n_keys + n_rows - 1) div n_rows"))
+      .select("key", "cnt", "share_micro", "n_keys", "n_rows", "max_cnt",
+        "skew_ratio_micro", "salt_factor")
+  }
+
+  /** q147: skew report over a STAGED hot-keyed view of events — users
+    * with `user_id % 10 < 5` are collapsed onto sentinel key −1 (the
+    * "celebrity row" shape: one key holding ~half the table), the rest
+    * keep their own key. The report must surface the hot key at rank 1
+    * with a salt_factor matching its dominance. Direct DuckDB oracle.
+    */
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame =
+    skewReport(
+      Tables(spark, dir).events.select(
+        when(pmod(col("user_id"), lit(10L)) < 5, lit(-1L))
+          .otherwise(col("user_id")).as("join_key")),
+      "join_key", topK = 5)
+      .withColumnRenamed("key", "join_key")
+      .orderBy(col("cnt").desc, col("join_key"))
+}

@@ -1,0 +1,156 @@
+package graft
+
+import graft.ext.LayoutOps
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+
+  /** Plain-Scala Morton interleave, the independent re-derivation the
+    * expression is checked against.
+    */
+  private def morton(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (z, i) =>
+      z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("interleaveBits matches a plain-Scala Morton code on hand and random cases") {
+    import spark.implicits._
+    // hand case: x=5 (101), y=3 (011) -> bits x0@0,y0@1,x1@2,y1@3,x2@4,y2@5
+    assert(morton(5L, 3L, 3) == 27L)
+    val rnd = new scala.util.Random(42)
+    val cases = Seq((0L, 0L), (65535L, 65535L), (1L, 0L), (0L, 1L)) ++
+      Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = cases.toDF("x", "y")
+      .withColumn("z", LayoutOps.interleaveBits(col("x"), col("y")))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == morton(r.getLong(0), r.getLong(1), 16),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // the SQL rendering is the same function
+    val viaSql = cases.toDF("x", "y")
+      .selectExpr("x", "y", LayoutOps.interleaveSql("x", "y") + " AS z")
+    assert(viaSql.collect().map(_.toSeq).toSeq == df.collect().map(_.toSeq).toSeq)
+  }
+
+  test("interleaveBits preserves tile locality: same 2^k-aligned tile -> same z prefix") {
+    // two points in the same 8192x8192 tile agree on z's top 6 bits
+    val pts = Seq((8192L * 3 + 17, 8192L * 5 + 4000), (8192L * 3 + 8000, 8192L * 5 + 1))
+    val zs = pts.map { case (x, y) => morton(x, y, 16) >> 26 }
+    assert(zs.distinct.size == 1)
+    // and points in different tiles disagree
+    assert((morton(0L, 0L, 16) >> 26) != (morton(65535L, 65535L, 16) >> 26))
+  }
+
+  test("q145 bucket stats: mass conservation, zone-map sanity, determinism") {
+    val out = ext.LayoutOps.qZorderLayout(spark, SF).collect()
+    val total = Tables(spark, SF).lineitem.count()
+    Seq("linear", "zorder").foreach { layout =>
+      val rows = out.filter(_.getString(0) == layout)
+      assert(rows.map(_.getLong(2)).sum == total, s"$layout mass")
+      rows.foreach { r =>
+        assert(r.getLong(3) <= r.getLong(4), "min_x <= max_x")
+        assert(r.getLong(5) <= r.getLong(6), "min_y <= max_y")
+      }
+      assert(rows.map(_.getLong(1)).distinct.length == rows.length,
+        s"$layout duplicate buckets")
+      assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
+    }
+    // the linear layout's buckets tile the x keyspace in order: bucket
+    // min_x ranges are non-overlapping and sorted
+    val lin = out.filter(_.getString(0) == "linear").sortBy(_.getLong(1))
+    lin.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) <= b.getLong(3),
+        s"linear buckets overlap in x: ${a.getLong(1)} vs ${b.getLong(1)}")
+      case _ =>
+    }
+  }
+
+  test("q148 pruning report: z-order prunes the non-prefix axis, linear does not") {
+    val out = ext.LayoutOps.qPruningReport(spark, SF).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 4)
+    val linX = out(("linear", "x")).getLong(4)
+    val linY = out(("linear", "y")).getLong(4)
+    val zX = out(("zorder", "x")).getLong(4)
+    val zY = out(("zorder", "y")).getLong(4)
+    // linear: y-probes scan (nearly) every bucket, x-probes very few
+    assert(linY > 8 * linX, s"linear should not prune y: x=$linX y=$linY")
+    // z-order: BOTH axes prune to far fewer scans than linear's bad axis
+    assert(zY * 4 <= linY, s"zorder y-scans $zY should be <= 1/4 of linear $linY")
+    assert(zX < linY && zY < linY)
+    // scan_frac_micro consistent with its own counts
+    out.values.foreach { r =>
+      val expect = r.getLong(4) * 1000000L / (r.getLong(2) * r.getLong(3))
+      assert(r.getLong(5) == expect)
+    }
+  }
+
+  test("q146 compaction plan: placements re-derived by a sequential walk") {
+    val out = ext.LayoutOps.qCompactionPlan(spark, SF).collect()
+    import spark.implicits._
+    val files = Tables(spark, SF).documents
+      .select(col("source"), col("doc_id"), length(col("text")).cast("bigint"))
+      .as[(String, Long, Long)].collect()
+    val target = 4096L
+    // independent walk: per source in file_id order, cumulative start
+    val placements: Seq[((String, Long), (Long, Long))] =
+      files.groupBy(_._1).toSeq.flatMap { case (src, fs) =>
+        var cum = 0L
+        fs.sortBy(_._2).map { case (_, id, sz) =>
+          val bin = cum / target
+          cum += sz
+          ((src, bin), (id, sz))
+        }.toSeq
+      }
+    val expected = placements.groupBy(_._1).map { case (k, vs) =>
+      val items = vs.map(_._2)
+      k -> ((items.size.toLong, items.map(_._2).sum, items.map(_._1).min,
+        items.map(_._1).max))
+    }
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      val (n, tot, first, last) = expected(k)
+      assert(r.getLong(2) == n && r.getLong(3) == tot &&
+        r.getLong(4) == first && r.getLong(5) == last, s"bin $k")
+      assert(r.getLong(7) == tot * 1000000L / target, s"fill $k")
+    }
+    // bins are contiguous from 0 within each part
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val bins = rows.map(_.getLong(1)).sorted
+      assert(bins.head == 0L, s"$src first bin")
+      bins.sliding(2).foreach {
+        case Array(a, b) => assert(b == a + 1, s"$src bin gap $a -> $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("skewReport: staged hot key diagnosed, uniform table reports salt 1") {
+    import spark.implicits._
+    // staged: key 0 holds 900 rows, keys 1..100 hold 1 each
+    val skewed = ((1 to 900).map(_ => 0L) ++ (1L to 100L)).toDF("k")
+    val rep = LayoutOps.skewReport(skewed, "k", topK = 3).collect()
+    assert(rep.head.getLong(0) == 0L && rep.head.getLong(1) == 900L)
+    assert(rep.head.getLong(2) == 900L * 1000000L / 1000L) // share
+    // salt = ceil(max * n_keys / n_rows) = ceil(900*101/1000) = 91
+    assert(rep.head.getLong(7) == 91L)
+    // uniform: every key once
+    val uniform = (1L to 50L).toDF("k")
+    val rep2 = LayoutOps.skewReport(uniform, "k", topK = 2).collect()
+    assert(rep2.forall(_.getLong(7) == 1L))
+    assert(rep2.forall(_.getLong(6) == 1000000L)) // skew ratio exactly 1
+  }
+
+  test("q147 skew report: hot sentinel key leads with a dominant share") {
+    val out = ext.LayoutOps.qSkewReport(spark, SF).collect()
+    assert(out.length == 5)
+    assert(out.head.getLong(0) == -1L, "hot key must rank first")
+    // the sentinel absorbs users with user_id % 10 < 5 — about half the
+    // table; its share dwarfs every individual key
+    assert(out.head.getLong(2) > 300000L, s"hot share ${out.head.getLong(2)}")
+    assert(out.head.getLong(7) >= 2L, "salt factor must flag the skew")
+    // counts are consistent: every row carries the same globals
+    assert(out.map(r => (r.getLong(3), r.getLong(4), r.getLong(5))).distinct.length == 1)
+  }
+}
