@@ -64,6 +64,16 @@ object LayoutOps {
         s"((($yCol >> $i) & 1) * ${1L << (2 * i + 1)})")
     }.mkString(" + ")
 
+  /** [[interleaveSql]] in Spark SQL spelling (shiftright function — the
+    * one bit-shift form common to every Spark version) for the q145/q148
+    * SQL twins.
+    */
+  def interleaveSqlSpark(xCol: String, yCol: String, bits: Int = 16): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((shiftright($xCol, $i) & 1) * ${1L << (2 * i)}L)",
+        s"((shiftright($yCol, $i) & 1) * ${1L << (2 * i + 1)}L)")
+    }.mkString(" + ")
+
   /** Min-max normalization of a key column into the 16-bit space
     * [0, 65535]: `((c - min) * 65536) div (max - min + 1)`. Exact
     * integer arithmetic (truncating div, non-negative operands — the
@@ -179,6 +189,32 @@ object LayoutOps {
       .select("layout", "probe_col", "n_probes", "n_buckets", "bucket_scans",
         "scan_frac_micro")
       .orderBy("layout", "probe_col")
+  }
+
+  /** Clustered write — the write path that makes zone-map pruning real.
+    * Range-partitions `df` into `nFiles` output files ordered by `key`
+    * and sorts each file internally by it, so every written file covers
+    * a contiguous slice of the key's range and parquet row-group
+    * min/max statistics become tight. With `key` a Morton code from
+    * [[interleaveBits]] this is a z-order clustered write: EVERY
+    * interleaved dimension gets usable per-file zone maps (LayoutSpec
+    * measures the effect on the actual written files).
+    *
+    * Scale shape: `repartitionByRange` is one range exchange (sampled
+    * boundaries — the same exchange any sorted write pays) and the sort
+    * is per-partition, spilling, never global. The helper key column is
+    * dropped from the written schema.
+    */
+  def clusteredWrite(df: DataFrame, key: Column, nFiles: Int,
+      path: String): Unit = {
+    require(nFiles >= 1, s"nFiles must be positive, got $nFiles")
+    val kc = "__graft_cluster_key"
+    require(!df.columns.contains(kc), s"input already has a $kc column")
+    df.withColumn(kc, key)
+      .repartitionByRange(nFiles, col(kc))
+      .sortWithinPartitions(kc)
+      .drop(kc)
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Sequential-fill compaction planner: pack a file inventory

@@ -1364,6 +1364,93 @@ object SqlQueries {
         | round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q145_zorder_layout" ->
+      s"""WITH mm AS (SELECT min(CAST(l_partkey AS BIGINT)) AS xmin,
+        |  max(CAST(l_partkey AS BIGINT)) AS xmax,
+        |  min(CAST(l_suppkey AS BIGINT)) AS ymin,
+        |  max(CAST(l_suppkey AS BIGINT)) AS ymax FROM lineitem),
+        |n AS (SELECT CAST(l_partkey AS BIGINT) AS xv,
+        |  CAST(l_suppkey AS BIGINT) AS yv,
+        |  ((l_partkey - xmin) * 65536L) div (xmax - xmin + 1) AS x16,
+        |  ((l_suppkey - ymin) * 65536L) div (ymax - ymin + 1) AS y16
+        | FROM lineitem CROSS JOIN mm),
+        |z AS (SELECT xv, yv, x16, y16,
+        |  ${graft.ext.LayoutOps.interleaveSqlSpark("x16", "y16")} AS zval FROM n),
+        |b AS (
+        | SELECT 'linear' AS layout, x16 div 1024L AS bucket, xv, yv FROM z
+        | UNION ALL
+        | SELECT 'zorder' AS layout, zval div 67108864L AS bucket, xv, yv FROM z)
+        |SELECT layout, bucket, count(*) AS n_rows,
+        | min(xv) AS min_x, max(xv) AS max_x,
+        | min(yv) AS min_y, max(yv) AS max_y
+        |FROM b GROUP BY layout, bucket ORDER BY layout, bucket""".stripMargin,
+    "q146_compaction_plan" ->
+      """WITH f AS (SELECT source AS part, doc_id AS file_id,
+        |  CAST(length(text) AS BIGINT) AS size_units FROM documents),
+        |c AS (SELECT part, file_id, size_units,
+        |  COALESCE(sum(size_units) OVER (PARTITION BY part ORDER BY file_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS cum_before
+        | FROM f),
+        |b AS (SELECT part, file_id, size_units, cum_before div 4096L AS bin_id
+        | FROM c)
+        |SELECT part, bin_id, count(*) AS n_files, sum(size_units) AS tot_units,
+        | min(file_id) AS first_file, max(file_id) AS last_file,
+        | sum(CASE WHEN size_units < 1024L THEN 1L ELSE 0L END) AS n_small,
+        | (sum(size_units) * 1000000L) div 4096L AS fill_micro
+        |FROM b GROUP BY part, bin_id ORDER BY part, bin_id""".stripMargin,
+    "q147_skew_report" ->
+      """WITH k AS (SELECT CASE WHEN pmod(user_id, 10L) < 5 THEN -1L
+        |  ELSE user_id END AS join_key FROM events),
+        |c AS (SELECT join_key, count(*) AS cnt FROM k GROUP BY join_key),
+        |g AS (SELECT count(*) AS n_keys, sum(cnt) AS n_rows,
+        |  max(cnt) AS max_cnt FROM c),
+        |t AS (SELECT join_key, cnt FROM c ORDER BY cnt DESC, join_key LIMIT 5)
+        |SELECT t.join_key, t.cnt,
+        | (t.cnt * 1000000L) div g.n_rows AS share_micro,
+        | g.n_keys, g.n_rows, g.max_cnt,
+        | (g.max_cnt * g.n_keys * 1000000L) div g.n_rows AS skew_ratio_micro,
+        | (g.max_cnt * g.n_keys + g.n_rows - 1) div g.n_rows AS salt_factor
+        |FROM t CROSS JOIN g ORDER BY t.cnt DESC, t.join_key""".stripMargin,
+    "q148_pruning_report" ->
+      s"""WITH mm AS (SELECT min(CAST(l_partkey AS BIGINT)) AS xmin,
+        |  max(CAST(l_partkey AS BIGINT)) AS xmax,
+        |  min(CAST(l_suppkey AS BIGINT)) AS ymin,
+        |  max(CAST(l_suppkey AS BIGINT)) AS ymax FROM lineitem),
+        |n AS (SELECT
+        |  ((l_partkey - xmin) * 65536L) div (xmax - xmin + 1) AS x16,
+        |  ((l_suppkey - ymin) * 65536L) div (ymax - ymin + 1) AS y16
+        | FROM lineitem CROSS JOIN mm),
+        |z AS (SELECT x16, y16,
+        |  ${graft.ext.LayoutOps.interleaveSqlSpark("x16", "y16")} AS zval FROM n),
+        |b AS (
+        | SELECT 'linear' AS layout, x16 div 1024L AS bucket, x16, y16 FROM z
+        | UNION ALL
+        | SELECT 'zorder' AS layout, zval div 67108864L AS bucket, x16, y16
+        | FROM z),
+        |stats AS (SELECT layout, bucket,
+        |  min(x16) AS min_x16, max(x16) AS max_x16,
+        |  min(y16) AS min_y16, max(y16) AS max_y16
+        | FROM b GROUP BY layout, bucket),
+        |probes AS (SELECT CAST(4096 * id AS BIGINT) AS p FROM range(16)),
+        |scans AS (
+        | SELECT layout, 'x' AS probe_col, count(*) AS bucket_scans
+        | FROM stats CROSS JOIN probes
+        | WHERE min_x16 <= p AND p <= max_x16 GROUP BY layout
+        | UNION ALL
+        | SELECT layout, 'y' AS probe_col, count(*) AS bucket_scans
+        | FROM stats CROSS JOIN probes
+        | WHERE min_y16 <= p AND p <= max_y16 GROUP BY layout),
+        |totals AS (SELECT layout, count(DISTINCT bucket) AS n_buckets
+        | FROM stats GROUP BY layout),
+        |grid AS (SELECT layout, n_buckets, probe_col FROM totals
+        | CROSS JOIN (SELECT 'x' AS probe_col UNION ALL SELECT 'y') ax)
+        |SELECT g.layout, g.probe_col, 16L AS n_probes, g.n_buckets,
+        | COALESCE(s.bucket_scans, 0L) AS bucket_scans,
+        | (COALESCE(s.bucket_scans, 0L) * 1000000L)
+        |   div (16 * g.n_buckets) AS scan_frac_micro
+        |FROM grid g LEFT JOIN scans s
+        | ON s.layout = g.layout AND s.probe_col = g.probe_col
+        |ORDER BY g.layout, g.probe_col""".stripMargin,
   )
 
   /** Run one twin (views must be registered; q34 also needs

@@ -126,6 +126,56 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("clusteredWrite: z-order files carry tight zone maps on BOTH axes") {
+    import spark.implicits._
+    val base = Tables(spark, SF).lineitem.select(
+      col("l_partkey").cast("bigint").as("x"),
+      col("l_suppkey").cast("bigint").as("y"))
+    // normalize to the 16-bit space exactly as bucketStats does, so the
+    // zone widths below are comparable across axes
+    val mm = base.agg(min("x").as("xmin"), max("x").as("xmax"),
+      min("y").as("ymin"), max("y").as("ymax"))
+    val items = base.crossJoin(broadcast(mm))
+      .selectExpr("((x - xmin) * 65536) div (xmax - xmin + 1) AS x16",
+        "((y - ymin) * 65536) div (ymax - ymin + 1) AS y16")
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toFile
+    dir.deleteOnExit()
+    val linPath = new java.io.File(dir, "linear").getAbsolutePath
+    val zPath = new java.io.File(dir, "zorder").getAbsolutePath
+    LayoutOps.clusteredWrite(items, col("x16"), 8, linPath)
+    LayoutOps.clusteredWrite(items,
+      LayoutOps.interleaveBits(col("x16"), col("y16")), 8, zPath)
+    def fileRanges(path: String): Seq[(Long, Long, Long, Long)] = {
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(files.length >= 4, s"expected several files at $path")
+      files.toSeq.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("x16"), max("x16"), min("y16"), max("y16")).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    }
+    // the helper cluster-key column must not leak into the written schema
+    assert(spark.read.parquet(zPath).columns.toSeq.sorted == Seq("x16", "y16"))
+    val lin = fileRanges(linPath)
+    val zord = fileRanges(zPath)
+    def avgWidth(rs: Seq[(Long, Long, Long, Long)],
+        pick: ((Long, Long, Long, Long)) => (Long, Long)): Double = {
+      val ws = rs.map { r => val (lo, hi) = pick(r); (hi - lo).toDouble }
+      ws.sum / ws.length
+    }
+    val linX = avgWidth(lin, r => (r._1, r._2))
+    val linY = avgWidth(lin, r => (r._3, r._4))
+    val zX = avgWidth(zord, r => (r._1, r._2))
+    val zY = avgWidth(zord, r => (r._3, r._4))
+    // linear: tight on x, useless on y (each file spans ~the full y range)
+    assert(linX < 16384, s"linear x width $linX")
+    assert(linY > 32768, s"linear y width $linY should be ~full range")
+    // z-order: BOTH axes substantially narrower than the full 65536 range
+    assert(zY < linY / 2, s"zorder y width $zY vs linear $linY")
+    assert(zX < 65536 * 0.75, s"zorder x width $zX")
+  }
+
   test("skewReport: staged hot key diagnosed, uniform table reports salt 1") {
     import spark.implicits._
     // staged: key 0 holds 900 rows, keys 1..100 hold 1 each
