@@ -174,6 +174,7 @@ object SparkEntry {
     "q146_compaction_plan" -> (ext.LayoutOps.qCompactionPlan _),
     "q147_skew_report" -> (ext.LayoutOps.qSkewReport _),
     "q148_pruning_report" -> (ext.LayoutOps.qPruningReport _),
+    "q149_stream_join" -> (graft.streaming.StreamingQueries.qStreamJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1911,6 +1912,16 @@ object SparkEntry {
         |FROM grid g LEFT JOIN scans s
         | ON s.layout = g.layout AND s.probe_col = g.probe_col
         |ORDER BY g.layout, g.probe_col""".stripMargin,
+    // q149: the streaming interval join's batch twin — single-batch inner
+    // join emission equals the relational self-join (see StreamingQueries).
+    "q149_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        | epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms,
+        | epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q136_bleu_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS rt FROM documents),
         |p AS (SELECT doc_id, rt, list_transform(range(1, len(rt) + 1),

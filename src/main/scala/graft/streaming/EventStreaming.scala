@@ -252,6 +252,40 @@ object EventStreaming {
     df.sparkSession.table(name)
   }
 
+  /** Stream-stream INTERVAL JOIN — the remaining headline Structured
+    * Streaming operator: click→purchase attribution. For each click,
+    * the same user's purchases within `windowMs` AFTER the click emit
+    * one attribution row. BOTH sides carry watermarks and the join
+    * condition bounds purchase time from below AND above, so Spark
+    * derives a state watermark for each buffer — clicks older than
+    * `watermark + windowMs` and purchases older than `watermark` are
+    * evicted instead of accumulating forever (the unbounded-state trap
+    * of an unconstrained stream-stream join). Inner append-mode join:
+    * every match emits exactly once, in the micro-batch where the later
+    * side arrives.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      windowMs: Long = 21600000L, watermark: String = "2 hours"): DataFrame = {
+    require(windowMs >= 0, s"attribution window must be non-negative, got $windowMs")
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("purchase_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("purchase_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") +
+            expr(s"INTERVAL $windowMs MILLISECOND"),
+        "inner")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_millis(col("click_ts")).as("click_ms"),
+        unix_millis(col("purchase_ts")).as("purchase_ms"),
+        (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+          .as("lag_ms"))
+  }
+
   /** Like [[runToMemory]], but copy the result into a LOCAL relation and
     * DROP the sink view before returning — repeated invocations (Bench's
     * timed re-runs, Verify) leave no per-run catalog entry or retained

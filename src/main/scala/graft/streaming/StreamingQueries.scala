@@ -190,4 +190,23 @@ object StreamingQueries {
         round(col("confidence"), 2).as("max_conf"))
       .orderBy("camera", "label")
   }
+
+  /** q149: stream-stream interval join — click→purchase attribution
+    * within 6 hours, per user, through the watermarked streaming join.
+    * One staged file ⇒ one micro-batch, and an INNER interval join
+    * emits exactly the matching pairs regardless of the final
+    * watermark, so the result equals the batch self-join the oracle
+    * states. (Cross-batch buffering — the part a single batch cannot
+    * exercise — is covered in StreamingSpec with a two-file staging.)
+    */
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val land = eventsLandingDir(dir)
+    val clicks = EventStreaming.readEventStream(spark, land)
+      .filter(col("event_type") === "click")
+    val purchases = EventStreaming.readEventStream(spark, land)
+      .filter(col("event_type") === "purchase")
+    EventStreaming.runToLocal(
+      EventStreaming.attributionJoin(clicks, purchases), freshName("q149"))
+      .orderBy("click_id", "purchase_id")
+  }
 }

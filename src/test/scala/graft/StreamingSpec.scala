@@ -763,4 +763,55 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(gotStats == wantStats)
   }
+
+  /** The batch self-join the interval join must reproduce: click →
+    * same-user purchase within [0, windowMs] after it.
+    */
+  private def batchAttribution(windowMs: Long): Set[(Long, Long)] = {
+    val ev = Tables(spark, SF).events
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_millis(col("ts")).as("c_ms"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("pu"), unix_millis(col("ts")).as("p_ms"))
+    c.join(p, col("user_id") === col("pu") && col("p_ms") >= col("c_ms") &&
+        col("p_ms") <= col("c_ms") + windowMs)
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("q149 stream-stream interval join equals the batch self-join") {
+    val got = graft.streaming.StreamingQueries.qStreamJoin(spark, SF)
+    // lag consistency inside each emitted row, and the join window honored
+    got.collect().foreach { r =>
+      assert(r.getLong(5) == r.getLong(4) - r.getLong(3))
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 21600000L)
+    }
+    val pairs = got.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == batchAttribution(21600000L))
+    assert(pairs.nonEmpty)
+  }
+
+  test("stream-stream join buffers click state across micro-batches") {
+    // batch 1 delivers ONLY clicks, batch 2 ONLY purchases: every match
+    // requires the join to have buffered batch-1 click state
+    val ev = Tables(spark, SF).events
+    val dir = java.nio.file.Files.createTempDirectory("events-join-2b")
+    stageBatchFile(dir, ev.filter(col("event_type") === "click"),
+      "a.parquet", 1000000L)
+    stageBatchFile(dir, ev.filter(col("event_type") === "purchase"),
+      "b.parquet", 2000000L)
+    val schema = spark.read.parquet(s"$SF/events.parquet").schema
+    val clicks = EventStreaming.readEventStream(spark, dir.toString,
+        maxFilesPerTrigger = 1, schemaOpt = Some(schema))
+      .filter(col("event_type") === "click")
+    val purchases = EventStreaming.readEventStream(spark, dir.toString,
+        maxFilesPerTrigger = 1, schemaOpt = Some(schema))
+      .filter(col("event_type") === "purchase")
+    val got = EventStreaming.runToLocal(
+      EventStreaming.attributionJoin(clicks, purchases), "join_2b")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == batchAttribution(21600000L))
+  }
 }
