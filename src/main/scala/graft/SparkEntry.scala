@@ -175,6 +175,8 @@ object SparkEntry {
     "q147_skew_report" -> (ext.LayoutOps.qSkewReport _),
     "q148_pruning_report" -> (ext.LayoutOps.qPruningReport _),
     "q149_stream_join" -> (graft.streaming.StreamingQueries.qStreamJoin _),
+    "q150_stream_join_outer" ->
+      (graft.streaming.StreamingQueries.qStreamJoinOuter _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1922,6 +1924,28 @@ object SparkEntry {
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // q150: q149's matches + null-extended rows for clicks whose window
+    // closed strictly below the final watermark (left-buffer eviction).
+    "q150_stream_join_outer" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |  epoch_ms(ts) AS click_ms FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |  epoch_ms(ts) AS purchase_ms FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT c.user_id, c.click_id, p.purchase_id, c.click_ms,
+        |  p.purchase_ms, p.purchase_ms - c.click_ms AS lag_ms
+        | FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.purchase_ms >= c.click_ms
+        |  AND p.purchase_ms <= c.click_ms + 21600000),
+        |wm AS (SELECT least((SELECT max(click_ms) FROM c),
+        |  (SELECT max(purchase_ms) FROM p)) - 7200000 AS w),
+        |un AS (SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+        |  c.click_ms, CAST(NULL AS BIGINT) AS purchase_ms,
+        |  CAST(NULL AS BIGINT) AS lag_ms
+        | FROM c, wm
+        | WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+        |  AND c.click_ms + 21600000 < wm.w)
+        |SELECT * FROM m UNION ALL SELECT * FROM un
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
     "q136_bleu_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS rt FROM documents),
         |p AS (SELECT doc_id, rt, list_transform(range(1, len(rt) + 1),

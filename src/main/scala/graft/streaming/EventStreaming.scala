@@ -265,7 +265,23 @@ object EventStreaming {
     * side arrives.
     */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
-      windowMs: Long = 21600000L, watermark: String = "2 hours"): DataFrame = {
+      windowMs: Long = 21600000L, watermark: String = "2 hours"): DataFrame =
+    attributionJoinImpl(clicks, purchases, windowMs, watermark, "inner")
+
+  /** LEFT OUTER form of [[attributionJoin]]: clicks that never convert
+    * emit one null-extended row — but only once the watermark proves no
+    * qualifying purchase can still arrive (click_ts + windowMs below the
+    * global watermark), i.e. when `StreamingSymmetricHashJoinExec`
+    * evicts the unmatched click from the left buffer. The null rows
+    * therefore surface in the post-watermark no-data micro-batch — the
+    * caller must leave `noDataMicroBatches` enabled (q150 pins it).
+    */
+  def attributionJoinLeftOuter(clicks: DataFrame, purchases: DataFrame,
+      windowMs: Long = 21600000L, watermark: String = "2 hours"): DataFrame =
+    attributionJoinImpl(clicks, purchases, windowMs, watermark, "left_outer")
+
+  private def attributionJoinImpl(clicks: DataFrame, purchases: DataFrame,
+      windowMs: Long, watermark: String, joinType: String): DataFrame = {
     require(windowMs >= 0, s"attribution window must be non-negative, got $windowMs")
     val c = clicks.select(col("event_id").as("click_id"),
         col("user_id"), col("ts").as("click_ts"))
@@ -278,7 +294,7 @@ object EventStreaming {
           col("purchase_ts") >= col("click_ts") &&
           col("purchase_ts") <= col("click_ts") +
             expr(s"INTERVAL $windowMs MILLISECOND"),
-        "inner")
+        joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         unix_millis(col("click_ts")).as("click_ms"),
         unix_millis(col("purchase_ts")).as("purchase_ms"),

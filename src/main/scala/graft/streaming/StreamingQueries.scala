@@ -209,4 +209,26 @@ object StreamingQueries {
       EventStreaming.attributionJoin(clicks, purchases), freshName("q149"))
       .orderBy("click_id", "purchase_id")
   }
+
+  /** q150: LEFT OUTER stream-stream interval join — q149's matches plus
+    * one null-extended row per never-converting click whose full
+    * attribution window closed below the final watermark
+    * (`click_ms + window < min(max click_ms, max purchase_ms) − delay`,
+    * the left-buffer eviction rule). The null rows emit in the
+    * post-watermark no-data micro-batch, so that conf is pinned on.
+    * Orderings agree across engines because Spark's ASC default is
+    * NULLS FIRST and the oracle says so explicitly.
+    */
+  def qStreamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val land = eventsLandingDir(dir)
+    val clicks = EventStreaming.readEventStream(spark, land)
+      .filter(col("event_type") === "click")
+    val purchases = EventStreaming.readEventStream(spark, land)
+      .filter(col("event_type") === "purchase")
+    EventStreaming.runToLocal(
+      EventStreaming.attributionJoinLeftOuter(clicks, purchases),
+      freshName("q150"))
+      .orderBy("click_id", "purchase_id")
+  }
 }

@@ -793,6 +793,34 @@ class StreamingSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("q150 left-outer stream join = inner matches + watermark-evicted clicks") {
+    val got = graft.streaming.StreamingQueries.qStreamJoinOuter(spark, SF)
+      .collect()
+    val matched = got.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(matched == batchAttribution(21600000L))
+    // null rows: exactly the unmatched clicks whose attribution window
+    // closed strictly below the final watermark (left-buffer eviction)
+    val ev = Tables(spark, SF).events
+    val clickMs = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), unix_millis(col("ts")).as("ms"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxClick = clickMs.values.max
+    val maxPurchase = ev.filter(col("event_type") === "purchase")
+      .agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val wm = math.min(maxClick, maxPurchase) - 7200000L
+    val matchedClicks = matched.map(_._1)
+    val expectedNull = clickMs.collect {
+      case (id, ms) if !matchedClicks(id) && ms + 21600000L < wm => id
+    }.toSet
+    val nullRows = got.filter(_.isNullAt(2))
+    nullRows.foreach { r =>
+      assert(r.isNullAt(4) && r.isNullAt(5), "null-extended cols consistent")
+    }
+    assert(nullRows.map(_.getLong(1)).toSet == expectedNull)
+    assert(expectedNull.nonEmpty, "fixture exercises the eviction path")
+  }
+
   test("stream-stream join buffers click state across micro-batches") {
     // batch 1 delivers ONLY clicks, batch 2 ONLY purchases: every match
     // requires the join to have buffered batch-1 click state
