@@ -177,6 +177,7 @@ object SparkEntry {
     "q149_stream_join" -> (graft.streaming.StreamingQueries.qStreamJoin _),
     "q150_stream_join_outer" ->
       (graft.streaming.StreamingQueries.qStreamJoinOuter _),
+    "q151_triangle_count" -> (ext.GraphOps.qTriangleCount _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1946,6 +1947,45 @@ object SparkEntry {
         |  AND c.click_ms + 21600000 < wm.w)
         |SELECT * FROM m UNION ALL SELECT * FROM un
         |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+    // q151: blocked cosine-threshold graph → degree-oriented triangle
+    // enumeration (each triangle once) → per-node census. τ = 0.18 is
+    // off every SF's rounded-cosine support (min |cos6 − τ| ≥ 1e-6).
+    "q151_triangle_count" ->
+      """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        |      FROM base),
+        |e AS (SELECT a.vec_id AS u, b.vec_id AS w
+        |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+        |            >= 0.18),
+        |deg AS (SELECT node_id, count(*) AS degree FROM
+        |        (SELECT u AS node_id FROM e UNION ALL SELECT w FROM e)
+        |        GROUP BY node_id),
+        |dk AS (SELECT node_id, degree * 1000000000 + node_id AS okey FROM deg),
+        |o AS (SELECT CASE WHEN ku.okey < kw.okey THEN e.u ELSE e.w END AS src,
+        |             CASE WHEN ku.okey < kw.okey THEN e.w ELSE e.u END AS dst,
+        |             CASE WHEN ku.okey < kw.okey THEN kw.okey ELSE ku.okey END
+        |               AS kdst
+        |      FROM e JOIN dk ku ON ku.node_id = e.u
+        |             JOIN dk kw ON kw.node_id = e.w),
+        |tri AS (SELECT o1.src, o1.dst AS a, o2.dst AS b
+        |        FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.kdst < o2.kdst
+        |        JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst),
+        |pn AS (SELECT node_id, count(*) AS n_tri FROM
+        |       (SELECT src AS node_id FROM tri UNION ALL SELECT a FROM tri
+        |        UNION ALL SELECT b FROM tri) GROUP BY node_id)
+        |SELECT emb.vec_id AS node_id,
+        | CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+        | CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri,
+        | CASE WHEN coalesce(deg.degree, 0) >= 2
+        |      THEN CAST((2000000 * coalesce(pn.n_tri, 0))
+        |           // (deg.degree * (deg.degree - 1)) AS BIGINT)
+        |      ELSE NULL END AS cc_micro
+        |FROM embeddings emb
+        |LEFT JOIN deg ON deg.node_id = emb.vec_id
+        |LEFT JOIN pn ON pn.node_id = emb.vec_id
+        |ORDER BY node_id""".stripMargin,
     "q136_bleu_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS rt FROM documents),
         |p AS (SELECT doc_id, rt, list_transform(range(1, len(rt) + 1),

@@ -1,0 +1,128 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [EXT] Graph-shape analytics over similarity graphs — the structural
+  * companions to [[SimilarityOps.pageRank]] (centrality) and the q51
+  * connected components (reachability): triangle counting and local
+  * clustering coefficients, the standard "is this neighborhood a clique
+  * or a star" signal a curation pass reads to separate tight duplicate
+  * pockets (high CC — near-identical docs all pairwise similar) from
+  * boilerplate hubs (high degree, low CC).
+  *
+  * Reference scope: the reference pipeline has no graph operator; this
+  * family generalizes its dedup clustering (ref
+  * `image_pipeline/.../detect_objects.py`-adjacent grouping semantics)
+  * to graph-structural scoring, Spark-first.
+  */
+object GraphOps {
+
+  /** Exact cosine-threshold edges WITHIN label blocks — the blocked
+    * all-pairs construction (the q73 semdedup discipline: pair
+    * generation is bounded per block, never global n²). Returns one
+    * undirected edge (u, w), u < w, per intra-label pair with
+    * round(cos, 6) ≥ tauMicro/10⁶.
+    *
+    * Scale shape: the equi-join key is the label (= partition/cluster
+    * id at 100 TB — IVF cell, LSH bucket, shard), so pair count is
+    * Σ_b |b|² — bounded by the blocking granularity, and each block's
+    * pairs expand map-side after a shuffle on the label key. The few
+    * distinct labels in the test tables would skew a real cluster;
+    * there the label would be the (much finer) IVF/LSH cell id, and
+    * AQE skew-join split handles residual hot cells.
+    */
+  def labelBlockedEdges(embeddings: DataFrame, tauMicro: Long): DataFrame = {
+    import SimilarityOps.{dot, norm, safeCos, toDouble}
+    val n = embeddings
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = n.select(col("label"), col("vec_id").as("u"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("label"), col("vec_id").as("w"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("u") < col("w"))
+      .select(col("u"), col("w"),
+        round(safeCos(dot(col("va"), col("vb")), col("na"), col("nb")), 6)
+          .as("cos6"))
+      .filter(col("cos6") >= lit(tauMicro.toDouble / 1e6))
+      .select("u", "w")
+  }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected edge list (u, w), u < w. Each triangle is enumerated
+    * exactly once via DEGREE ORIENTATION: direct every edge from its
+    * lower-(degree, id) endpoint to the higher one, then a triangle is
+    * one wedge src→a, src→b (a before b in orientation order) closed by
+    * the oriented edge a→b.
+    *
+    * Scale shape: orientation caps every node's OUT-degree at O(√m)
+    * (a node of degree d only points at ≥-degree nodes, and at most
+    * 2√m nodes have degree ≥ √m), so the wedge self-join — the only
+    * superlinear step — generates O(m^{3/2}) rows instead of the
+    * Σ d² of a naive neighbor join; the closing check is an equi-join
+    * on the (a, b) edge key. Three bounded shuffles total (degree agg,
+    * wedge join, closure join) + one per-node count — no driver state.
+    *
+    * cc_micro = ⌊2·10⁶·tri / (deg·(deg−1))⌋ for deg ≥ 2, NULL below
+    * (a 0- or 1-degree node has no possible triangle — "undefined",
+    * not "zero", the q139 capped-pair NULL discipline).
+    */
+  def triangleStats(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // undirected degree: each edge counts at both endpoints
+    val deg = edges.select(col("u").as("node_id"))
+      .unionAll(edges.select(col("w").as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("degree"))
+    // orientation rank: (degree, id) packed into one long so the wedge
+    // join's "a before b" compare is a single column. degree ≤ n and
+    // node ids are longs ≪ 2⁶² / n — no overflow at any test SF; a
+    // real deployment would keep the (degree, id) struct compare.
+    val dk = deg.select(col("node_id"),
+      (col("degree") * lit(1000000000L) + col("node_id")).as("okey"))
+    val oriented = edges
+      .join(dk.select(col("node_id").as("u"), col("okey").as("ku")), "u")
+      .join(dk.select(col("node_id").as("w"), col("okey").as("kw")), "w")
+      .select(
+        when(col("ku") < col("kw"), col("u")).otherwise(col("w")).as("src"),
+        when(col("ku") < col("kw"), col("w")).otherwise(col("u")).as("dst"),
+        when(col("ku") < col("kw"), col("kw")).otherwise(col("ku")).as("kdst"))
+    val wedges = oriented.select(col("src"), col("dst").as("a"), col("kdst").as("ka"))
+      .join(oriented.select(col("src"), col("dst").as("b"), col("kdst").as("kb")),
+        Seq("src"))
+      .filter(col("ka") < col("kb"))
+    val tris = wedges.join(
+      oriented.select(col("dst").as("b"), col("src").as("a")),
+      Seq("a", "b"))
+      .select(col("src"), col("a"), col("b"))
+    val perNode = tris.select(col("src").as("node_id"))
+      .unionAll(tris.select(col("a").as("node_id")))
+      .unionAll(tris.select(col("b").as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("n_tri"))
+    nodes.select(col("node_id"))
+      .join(deg, Seq("node_id"), "left")
+      .join(perNode, Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_micro",
+        when(col("degree") >= 2L,
+          expr("(2000000 * n_tri) div (degree * (degree - 1))"))
+          .otherwise(lit(null).cast("long")))
+  }
+
+  /** q151: triangle census of the intra-label cosine graph (τ = 0.18,
+    * chosen off every SF's rounded-cosine support so no pair sits on
+    * the threshold) — per vector: degree, triangle count, clustering
+    * coefficient. Direct DuckDB oracle (same blocked pair build +
+    * oriented wedge join in SQL).
+    */
+  def qTriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val edges = graft.CacheRegistry.persist(
+      labelBlockedEdges(emb, tauMicro = 180000L))
+    triangleStats(emb.select(col("vec_id").as("node_id")), edges)
+      .orderBy("node_id")
+  }
+}

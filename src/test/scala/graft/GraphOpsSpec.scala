@@ -1,0 +1,74 @@
+package graft
+
+import graft.ext.GraphOps
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangleStats on a planted graph: exact counts, cc formula, isolates") {
+    // K4 on {0,1,2,3} (4 triangles, cc = 1 everywhere), a pendant 3→4,
+    // an open wedge 5–6, 6–7, and isolate 8.
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (5L, 6L), (6L, 7L)).toDF("u", "w")
+    val nodes = (0L to 8L).toDF("node_id")
+    val got = GraphOps.triangleStats(nodes, edges)
+      .orderBy("node_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 3L, 1000000L),   // in K4: deg 3, C(3,2)=3 triangles, cc=1
+      (1L, 3L, 3L, 1000000L),
+      (2L, 3L, 3L, 1000000L),
+      (3L, 4L, 3L, 500000L),    // deg 4 (pendant adds one), 3 tri, 6/12
+      (4L, 1L, 0L, -1L),        // pendant: cc undefined (NULL)
+      (5L, 1L, 0L, -1L),
+      (6L, 2L, 0L, 0L),         // open wedge center: deg 2, 0 triangles
+      (7L, 1L, 0L, -1L),
+      (8L, 0L, 0L, -1L)))       // isolate survives via the left join
+  }
+
+  test("triangleStats invariants: per-node sum = 3x global, orientation order-proof") {
+    // orientation must count each triangle exactly once regardless of
+    // the (u, w) input order convention — feed edges REVERSED (w, u)
+    // relabeled so u < w still holds after a swap of ids
+    val base = Seq((10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L),
+      (13L, 10L), (11L, 13L)).toDF("u", "w") // K4 again: 4 triangles
+    val nodes = (10L to 13L).toDF("node_id")
+    val s = GraphOps.triangleStats(nodes, base).agg(sum("n_tri")).head().getLong(0)
+    assert(s == 12L) // 3 endpoints x 4 triangles
+  }
+
+  test("q151 census vs an independent per-node re-derivation at sf0.001") {
+    val got = GraphOps.qTriangleCount(spark, SF).collect()
+    CacheRegistry.release()
+    // re-derive adjacency driver-side from the same threshold rule,
+    // with an INDEPENDENT triangle counter (set-intersection per edge)
+    val edges = GraphOps.labelBlockedEdges(
+      Tables(spark, SF).embeddings, 180000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    CacheRegistry.release()
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, w) =>
+      adj(u) = adj(u) + w; adj(w) = adj(w) + u
+    }
+    val triPerNode = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    edges.foreach { case (u, w) =>
+      (adj(u) intersect adj(w)).foreach { x =>
+        triPerNode(x) += 1L // every triangle hits each node via exactly
+      }                     // one opposite edge -> per-node counts direct
+    }
+    assert(got.nonEmpty && got.exists(_.getLong(2) > 0L))
+    got.foreach { r =>
+      val (id, deg, tri) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(deg == adj(id).size.toLong, s"degree of $id")
+      assert(tri == triPerNode(id), s"tri of $id: got $tri vs ${triPerNode(id)}")
+      if (deg >= 2)
+        assert(r.getLong(3) == 2000000L * tri / (deg * (deg - 1)))
+      else assert(r.isNullAt(3))
+    }
+  }
+}
