@@ -178,6 +178,7 @@ object SparkEntry {
     "q150_stream_join_outer" ->
       (graft.streaming.StreamingQueries.qStreamJoinOuter _),
     "q151_triangle_count" -> (ext.GraphOps.qTriangleCount _),
+    "q152_link_predict" -> (ext.GraphOps.qLinkPredict _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1986,6 +1987,33 @@ object SparkEntry {
         |LEFT JOIN deg ON deg.node_id = emb.vec_id
         |LEFT JOIN pn ON pn.node_id = emb.vec_id
         |ORDER BY node_id""".stripMargin,
+    // q152: common-neighbor link prediction on the q151 graph — hub
+    // centers (degree > 24) excluded from wedge generation; endpoint
+    // degrees stay UNcapped. Exact integer Jaccard (floor div).
+    "q152_link_predict" ->
+      """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |             FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        |      FROM base),
+        |e AS (SELECT a.vec_id AS u, b.vec_id AS w
+        |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+        |            >= 0.18),
+        |adj AS (SELECT u AS c, w AS nb FROM e UNION ALL SELECT w, u FROM e),
+        |deg AS (SELECT c, count(*) AS d FROM adj GROUP BY c),
+        |ctr AS (SELECT adj.c, adj.nb FROM adj
+        |        JOIN deg ON deg.c = adj.c AND deg.d <= 24),
+        |cn AS (SELECT x.nb AS u, y.nb AS w, count(*) AS n_common
+        |       FROM ctr x JOIN ctr y ON x.c = y.c AND x.nb < y.nb
+        |       GROUP BY 1, 2),
+        |cand AS (SELECT * FROM cn WHERE NOT EXISTS
+        |         (SELECT 1 FROM e WHERE e.u = cn.u AND e.w = cn.w))
+        |SELECT cand.u, cand.w, CAST(cand.n_common AS BIGINT) AS n_common,
+        | CAST((1000000 * cand.n_common) // (du.d + dw.d - cand.n_common)
+        |      AS BIGINT) AS jaccard_micro
+        |FROM cand JOIN deg du ON du.c = cand.u
+        |          JOIN deg dw ON dw.c = cand.w
+        |ORDER BY u, w""".stripMargin,
     "q136_bleu_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS rt FROM documents),
         |p AS (SELECT doc_id, rt, list_transform(range(1, len(rt) + 1),

@@ -112,6 +112,65 @@ object GraphOps {
           .otherwise(lit(null).cast("long")))
   }
 
+  /** LINK PREDICTION over an undirected edge list (u, w), u < w:
+    * for every NON-adjacent pair at distance 2, the common-neighbor
+    * count and the neighborhood-Jaccard score — the "these two docs
+    * share most of their near-duplicates but aren't (yet) linked"
+    * signal a curation pass reads to find threshold-straddling dup
+    * pairs the cosine cut missed.
+    *
+    * Candidate pairs are generated per CENTER: each node c emits the
+    * ordered pairs of its neighborhood, so pair (a, b) is counted once
+    * per common neighbor — a groupBy on the pair key is the
+    * common-neighbor count, and a left-anti join against the edge list
+    * removes already-adjacent pairs. Scores stay in exact integer
+    * space: jaccard_micro = ⌊10⁶·cn / (deg_u + deg_w − cn)⌋.
+    *
+    * Scale shape: wedge expansion is Σ_c d(c)² — the one superlinear
+    * step. Two guards bound it at 100 TB: (1) the edge list itself
+    * comes from a BLOCKED construction ([[labelBlockedEdges]] /
+    * LSH-bucketed kNN), so degrees are capped by the blocking
+    * granularity; (2) `maxCenterDegree` drops hub centers from wedge
+    * generation entirely — a boilerplate hub connected to everything
+    * contributes d² candidate pairs and zero discriminative signal
+    * (every pair "shares" it), the classic co-citation noise cut.
+    * Dropping a CENTER only removes its vote toward other pairs'
+    * counts; the hub node still appears as an endpoint of candidates
+    * voted for by its non-hub neighbors. All joins are equi-joins on
+    * node/pair keys (shuffle-bounded, AQE-splittable); the pair-count
+    * agg is map-side combinable.
+    */
+  def linkPredict(edges: DataFrame, maxCenterDegree: Long = Long.MaxValue)
+      : DataFrame = {
+    val adj = edges.select(col("u").as("c"), col("w").as("nb"))
+      .unionAll(edges.select(col("w").as("c"), col("u").as("nb")))
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("d"))
+    val centers = adj.join(deg.filter(col("d") <= maxCenterDegree), "c")
+    val wedges = centers.select(col("c"), col("nb").as("u"))
+      .join(centers.select(col("c"), col("nb").as("w")), Seq("c"))
+      .filter(col("u") < col("w"))
+    val cn = wedges.groupBy("u", "w").agg(count(lit(1)).as("n_common"))
+      .join(edges, Seq("u", "w"), "left_anti")
+    cn.join(deg.select(col("c").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("c").as("w"), col("d").as("dw")), "w")
+      .select(col("u"), col("w"), col("n_common"),
+        expr("(1000000 * n_common) div (du + dw - n_common)")
+          .as("jaccard_micro"))
+  }
+
+  /** q152: link prediction on the q151 intra-label cosine graph
+    * (τ = 0.18), hub centers above degree 24 excluded from wedge
+    * generation (binds at sf0.1: 25 centers; a no-op at smaller SFs —
+    * the capped path is additionally pinned by a planted-graph spec).
+    * Direct DuckDB oracle.
+    */
+  def qLinkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val edges = graft.CacheRegistry.persist(
+      labelBlockedEdges(emb, tauMicro = 180000L))
+    linkPredict(edges, maxCenterDegree = 24L).orderBy("u", "w")
+  }
+
   /** q151: triangle census of the intra-label cosine graph (τ = 0.18,
     * chosen off every SF's rounded-cosine support so no pair sits on
     * the threshold) — per vector: degree, triangle count, clustering

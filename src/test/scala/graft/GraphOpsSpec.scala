@@ -40,6 +40,68 @@ class GraphOpsSpec extends SparkSpec {
     assert(s == 12L) // 3 endpoints x 4 triangles
   }
 
+  test("linkPredict on a planted graph: counts, jaccard, anti-join, hub cap") {
+    // square 0-1-2-3-0 (each diagonal pair shares 2 neighbors) plus a
+    // hub 9 adjacent to 0,1,4: uncapped, 9 votes for (0,1) and pairs
+    // (0,4),(1,4); with maxCenterDegree=2 the hub's votes vanish but
+    // 9 still appears as an endpoint via centers 0 and 1.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L),
+      (0L, 9L), (1L, 9L), (4L, 9L)).toDF("u", "w")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val un = m(GraphOps.linkPredict(edges))
+    // degrees: 0→3, 1→3, 2→2, 3→2, 4→1, 9→3
+    // (0,2): common {1,3}, j = 2/(3+2-2)
+    assert(un((0L, 2L)) == (2L, 666666L))
+    // (1,3): common {0,2}, j = 2/(3+2-2)
+    assert(un((1L, 3L)) == (2L, 666666L))
+    // (1,9) has common neighbor 0 but is ADJACENT — anti-joined out
+    assert(!un.contains((1L, 9L)) && !un.contains((0L, 1L)))
+    // hub-voted distance-2 pairs via center 9
+    assert(un((0L, 4L)) == (1L, 333333L)) // j = 1/(3+1-1)
+    assert(un((1L, 4L)) == (1L, 333333L))
+    assert(un((3L, 9L)) == (1L, 250000L)) // via center 0, j = 1/(2+3-1)
+    assert(un((2L, 9L)) == (1L, 250000L)) // via center 1
+    assert(un.size == 6)
+    val capped = m(GraphOps.linkPredict(edges, maxCenterDegree = 2L))
+    assert(!capped.contains((0L, 4L)) && !capped.contains((1L, 4L)),
+      "hub center must stop voting when capped")
+    // (3,9)/(2,9)'s only common neighbors (0/1, deg 3) are capped out
+    assert(!capped.contains((3L, 9L)) && !capped.contains((2L, 9L)))
+    // centers 2 and 3 (deg 2) survive; ENDPOINT degrees stay uncapped
+    assert(capped((0L, 2L)) == (1L, 250000L)) // j = 1/(3+2-1)
+    assert(capped((1L, 3L)) == (1L, 250000L))
+    assert(capped.size == 2)
+  }
+
+  test("q152 vs an independent driver-side re-derivation at sf0.001") {
+    val got = GraphOps.qLinkPredict(spark, SF).collect()
+    CacheRegistry.release()
+    val edges = GraphOps.labelBlockedEdges(
+      Tables(spark, SF).embeddings, 180000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    CacheRegistry.release()
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, w) => adj(u) += w; adj(w) += u }
+    val edgeSet = edges.toSet
+    val expect = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    adj.foreach { case (c, nbrs) =>
+      if (nbrs.size <= 24)
+        for (a <- nbrs; b <- nbrs if a < b && !edgeSet.contains((a, b)))
+          expect((a, b)) += 1L
+    }
+    assert(got.nonEmpty && got.length == expect.size)
+    got.foreach { r =>
+      val (u, w, cn, j) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cn == expect((u, w)), s"cn of ($u,$w)")
+      assert(j == 1000000L * cn / (adj(u).size + adj(w).size - cn))
+    }
+  }
+
   test("q151 census vs an independent per-node re-derivation at sf0.001") {
     val got = GraphOps.qTriangleCount(spark, SF).collect()
     CacheRegistry.release()
