@@ -1411,6 +1411,78 @@ object SqlQueries {
         | (g.max_cnt * g.n_keys * 1000000L) div g.n_rows AS skew_ratio_micro,
         | (g.max_cnt * g.n_keys + g.n_rows - 1) div g.n_rows AS salt_factor
         |FROM t CROSS JOIN g ORDER BY t.cnt DESC, t.join_key""".stripMargin,
+    // q151/q152: the graph family's cosine edge build is plain
+    // higher-order-function SQL (zip_with + aggregate = the exact same
+    // left-fold float order as SimilarityOps.dot), so the twins mirror
+    // the DataFrame pipeline CTE-for-CTE.
+    "q151_triangle_count" ->
+      """WITH nv AS (SELECT vec_id, label,
+        |  transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |  sqrt(aggregate(zip_with(v, v, (x, y) -> x * y),
+        |       CAST(0 AS DOUBLE), (acc, t) -> acc + t)) AS nrm FROM nv),
+        |e AS (SELECT a.vec_id AS u, b.vec_id AS w
+        |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |      WHERE round(nanvl(try_divide(
+        |              aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
+        |                CAST(0 AS DOUBLE), (acc, t) -> acc + t),
+        |              a.nrm * b.nrm), CAST(NULL AS DOUBLE)), 6) >= 0.18D),
+        |deg AS (SELECT node_id, count(1) AS degree FROM
+        |        (SELECT u AS node_id FROM e UNION ALL SELECT w AS node_id
+        |         FROM e) GROUP BY node_id),
+        |dk AS (SELECT node_id, degree * 1000000000L + node_id AS okey
+        |       FROM deg),
+        |o AS (SELECT CASE WHEN ku.okey < kw.okey THEN e.u ELSE e.w END AS src,
+        |             CASE WHEN ku.okey < kw.okey THEN e.w ELSE e.u END AS dst,
+        |             CASE WHEN ku.okey < kw.okey THEN kw.okey ELSE ku.okey END
+        |               AS kdst
+        |      FROM e JOIN dk ku ON ku.node_id = e.u
+        |             JOIN dk kw ON kw.node_id = e.w),
+        |tri AS (SELECT o1.src, o1.dst AS a, o2.dst AS b
+        |        FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.kdst < o2.kdst
+        |        JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst),
+        |pn AS (SELECT node_id, count(1) AS n_tri FROM
+        |       (SELECT src AS node_id FROM tri UNION ALL SELECT a FROM tri
+        |        UNION ALL SELECT b FROM tri) GROUP BY node_id)
+        |SELECT emb.vec_id AS node_id,
+        | coalesce(deg.degree, 0L) AS degree,
+        | coalesce(pn.n_tri, 0L) AS n_tri,
+        | CASE WHEN coalesce(deg.degree, 0L) >= 2L
+        |      THEN (2000000L * coalesce(pn.n_tri, 0L))
+        |           div (deg.degree * (deg.degree - 1L))
+        |      ELSE CAST(NULL AS BIGINT) END AS cc_micro
+        |FROM embeddings emb
+        |LEFT JOIN deg ON deg.node_id = emb.vec_id
+        |LEFT JOIN pn ON pn.node_id = emb.vec_id
+        |ORDER BY node_id""".stripMargin,
+    "q152_link_predict" ->
+      """WITH nv AS (SELECT vec_id, label,
+        |  transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |  sqrt(aggregate(zip_with(v, v, (x, y) -> x * y),
+        |       CAST(0 AS DOUBLE), (acc, t) -> acc + t)) AS nrm FROM nv),
+        |e AS (SELECT a.vec_id AS u, b.vec_id AS w
+        |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |      WHERE round(nanvl(try_divide(
+        |              aggregate(zip_with(a.v, b.v, (x, y) -> x * y),
+        |                CAST(0 AS DOUBLE), (acc, t) -> acc + t),
+        |              a.nrm * b.nrm), CAST(NULL AS DOUBLE)), 6) >= 0.18D),
+        |adj AS (SELECT u AS c, w AS nb FROM e
+        |        UNION ALL SELECT w AS c, u AS nb FROM e),
+        |deg AS (SELECT c, count(1) AS d FROM adj GROUP BY c),
+        |ctr AS (SELECT adj.c, adj.nb FROM adj
+        |        JOIN deg ON deg.c = adj.c AND deg.d <= 24L),
+        |cn AS (SELECT x.nb AS u, y.nb AS w, count(1) AS n_common
+        |       FROM ctr x JOIN ctr y ON x.c = y.c AND x.nb < y.nb
+        |       GROUP BY x.nb, y.nb),
+        |cand AS (SELECT * FROM cn LEFT ANTI JOIN e
+        |         ON e.u = cn.u AND e.w = cn.w)
+        |SELECT cand.u, cand.w, cand.n_common,
+        | (1000000L * cand.n_common) div (du.d + dw.d - cand.n_common)
+        |   AS jaccard_micro
+        |FROM cand JOIN deg du ON du.c = cand.u
+        |          JOIN deg dw ON dw.c = cand.w
+        |ORDER BY u, w""".stripMargin,
     "q148_pruning_report" ->
       s"""WITH mm AS (SELECT min(CAST(l_partkey AS BIGINT)) AS xmin,
         |  max(CAST(l_partkey AS BIGINT)) AS xmax,
