@@ -179,6 +179,7 @@ object SparkEntry {
       (graft.streaming.StreamingQueries.qStreamJoinOuter _),
     "q151_triangle_count" -> (ext.GraphOps.qTriangleCount _),
     "q152_link_predict" -> (ext.GraphOps.qLinkPredict _),
+    "q153_coreness" -> (ext.GraphOps.qCoreness _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2095,7 +2096,7 @@ object SparkEntry {
     "q92_keep_best", "q97_knn_graph", "q99_fuzzy_decon", "q100_coreset",
     "q104_incremental_knn", "q105_ffd_pack", "q117_classifier_train",
     "q122_token_ids", "q127_pagerank", "q129_fertility", "q130_bitext_mine",
-    "q137_rouge_pairs",
+    "q137_rouge_pairs", "q153_coreness",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

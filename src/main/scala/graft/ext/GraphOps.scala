@@ -171,6 +171,102 @@ object GraphOps {
     linkPredict(edges, maxCenterDegree = 24L).orderBy("u", "w")
   }
 
+  /** CORENESS (k-core number) per node via iterated neighborhood
+    * H-INDEX (Lü, Chen, Zhou, Zhang & Stanley, "The H-index of a
+    * network node and its relation to degree and coreness", Nature
+    * Communications 2016): h₀(v) = degree(v), and each round
+    * h_{t+1}(v) = H({h_t(u) : u ~ v}) — the largest k such that at
+    * least k neighbors currently score ≥ k. The sequence is
+    * monotonically non-increasing and its fixpoint is exactly the
+    * coreness, so the loop stops when a round changes no node (and
+    * REQUIRES convergence within `maxIters` — a truncated run is an
+    * error, not an approximation).
+    *
+    * Coreness separates dense duplicate pockets from chains: a clique
+    * of n near-identical docs has coreness n−1 everywhere, while a
+    * drifting chain of pairwise-similar revisions has coreness 1 — a
+    * signal the q92 keep-best pass can read to decide "collapse the
+    * whole pocket" vs "keep the endpoints".
+    *
+    * Scale shape: each round is one equi-join of the estimate table
+    * against the adjacency list plus one per-node aggregation; the
+    * H-index itself is computed on the collected per-node neighbor
+    * array — bounded by the max degree, which the BLOCKED edge
+    * construction caps (same argument as [[linkPredict]]) — with
+    * codegen'd higher-order functions (sort → zip_with rank compare),
+    * no UDF. O(rounds) bounded shuffles; each generation is FROZEN to a
+    * persisted RDD (the pageRank discipline, `SimilarityOps.pageRank`):
+    * the round's plan references the previous estimate TWICE (once under
+    * the neighbor join, once for the change test), so without freezing
+    * the logical plan doubles per round — exponential analysis cost and
+    * an eventual planner stack overflow. Freezing pins each generation
+    * to a constant-size scan; the superseded generation's RDD is freed
+    * eagerly and every handle is registered with CacheRegistry BEFORE
+    * materialization so an exception mid-loop cannot leak blocks.
+    */
+  def coreness(nodes: DataFrame, edges: DataFrame, maxIters: Int = 64)
+      : DataFrame = {
+    val spark = nodes.sparkSession
+    def freeze(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val r = df.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.CacheRegistry.trackRdd(r)
+      r.count()
+      (spark.createDataFrame(r, df.schema), r)
+    }
+    val adj = graft.CacheRegistry.persist(
+      edges.select(col("u").as("c"), col("w").as("nb"))
+        .unionAll(edges.select(col("w").as("c"), col("u").as("nb"))))
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("degree"))
+    var (est, estRdd) = freeze(deg.select(col("c"), col("degree").as("h")))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val hNext = adj
+        .join(est.select(col("c").as("nb"), col("h")), Seq("nb"))
+        .groupBy("c")
+        .agg(reverse(array_sort(collect_list(col("h")))).as("hs"))
+        .select(col("c"), size(filter(
+          zip_with(col("hs"), sequence(lit(1), size(col("hs"))),
+            (v, i) => v >= i.cast("long")),
+          x => x)).cast("long").as("hn"))
+      val (next, nextRdd) = freeze(
+        est.join(hNext, Seq("c"))
+          .select(col("c"), least(col("h"), col("hn")).as("h"),
+            (col("hn") < col("h")).as("chg")))
+      changed = next.filter(col("chg")).count()
+      estRdd.unpersist(blocking = false)
+      est = next
+      estRdd = nextRdd
+      it += 1
+    }
+    require(changed == 0L,
+      s"coreness did not converge within $maxIters rounds")
+    nodes.select(col("node_id"))
+      .join(deg.select(col("c").as("node_id"), col("degree")),
+        Seq("node_id"), "left")
+      .join(est.select(col("c").as("node_id"), col("h").as("coreness")),
+        Seq("node_id"), "left")
+      .select(col("node_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("coreness"), lit(0L)).as("coreness"))
+  }
+
+  /** q153: coreness decomposition of the q151 intra-label cosine graph.
+    * Golden-parquet oracle (the fixpoint is not single-statement SQL);
+    * the committed golden is pinned by an INDEPENDENT driver-side
+    * Batagelj–Zaversnik peeling re-derivation in GraphOpsSpec, so the
+    * engine cannot self-certify.
+    */
+  def qCoreness(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val edges = graft.CacheRegistry.persist(
+      labelBlockedEdges(emb, tauMicro = 180000L))
+    coreness(emb.select(col("vec_id").as("node_id")), edges)
+      .orderBy("node_id")
+  }
+
   /** q151: triangle census of the intra-label cosine graph (τ = 0.18,
     * chosen off every SF's rounded-cosine support so no pair sits on
     * the threshold) — per vector: degree, triangle count, clustering

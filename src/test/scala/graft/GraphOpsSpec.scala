@@ -102,6 +102,62 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("coreness on a planted graph: clique, chain, bridge, isolate") {
+    // K4 {0,1,2,3} (coreness 3) — bridge 3–4 — triangle {4,5,6}
+    // (coreness 2) — tail 6–7–8 (coreness 1) — isolate 9 (0).
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L), (7L, 8L))
+      .toDF("u", "w")
+    val nodes = (0L to 9L).toDF("node_id")
+    val got = GraphOps.coreness(nodes, edges).orderBy("node_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    CacheRegistry.release()
+    assert(got.toSeq == Seq(
+      (0L, 3L, 3L), (1L, 3L, 3L), (2L, 3L, 3L), (3L, 4L, 3L),
+      (4L, 3L, 2L), (5L, 2L, 2L), (6L, 3L, 2L), (7L, 2L, 1L),
+      (8L, 1L, 1L), (9L, 0L, 0L)))
+  }
+
+  test("q153 vs an independent Batagelj-Zaversnik peel at sf0.001") {
+    val got = GraphOps.qCoreness(spark, SF).collect()
+    CacheRegistry.release()
+    val edges = GraphOps.labelBlockedEdges(
+      Tables(spark, SF).embeddings, 180000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    CacheRegistry.release()
+    // true coreness by min-degree peeling — a different algorithm from
+    // the engine's h-index fixpoint
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    edges.foreach { case (u, w) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set()) += w
+      adj.getOrElseUpdate(w, scala.collection.mutable.Set()) += u
+    }
+    val degNow = scala.collection.mutable.Map[Long, Int]() ++
+      adj.map { case (k, s) => k -> s.size }
+    val core = scala.collection.mutable.Map[Long, Long]()
+    val remaining = scala.collection.mutable.Set[Long]() ++ adj.keys
+    var k = 0L
+    while (remaining.nonEmpty) {
+      val peel = remaining.filter(v => degNow(v) <= k)
+      if (peel.isEmpty) k += 1L
+      else peel.foreach { v =>
+        core(v) = k
+        remaining -= v
+        adj(v).foreach { n =>
+          if (remaining.contains(n)) degNow(n) = degNow(n) - 1
+        }
+      }
+    }
+    assert(got.nonEmpty && got.exists(_.getLong(2) >= 2L),
+      "expect some non-trivial core")
+    got.foreach { r =>
+      val (id, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(d == adj.get(id).map(_.size.toLong).getOrElse(0L), s"deg $id")
+      assert(c == core.getOrElse(id, 0L), s"coreness of $id")
+    }
+  }
+
   test("q151 census vs an independent per-node re-derivation at sf0.001") {
     val got = GraphOps.qTriangleCount(spark, SF).collect()
     CacheRegistry.release()
