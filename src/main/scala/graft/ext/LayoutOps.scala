@@ -281,20 +281,37 @@ object LayoutOps {
     * single-row agg over that bounded table, broadcast back, and top-k
     * is TakeOrderedAndProject — never a full sort.
     */
-  def skewReport(rows: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+  def skewReport(rows: DataFrame, keyCol: String, topK: Int = 5): DataFrame =
+    skewMetrics(rows.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt")), topK)
+
+  /** The metrics half of [[skewReport]] over an already-aggregated
+    * (key, cnt) table — split out so the overflow regime (counts too
+    * large to stage physically) is testable through the operator's own
+    * expressions.
+    */
+  private[graft] def skewMetrics(counts: DataFrame, topK: Int): DataFrame = {
     require(topK >= 1, s"topK must be positive, got $topK")
-    val counts = rows.groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("cnt"))
     val globals = counts.agg(
       count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
       max("cnt").as("max_cnt"))
     counts.orderBy(col("cnt").desc, col("key")).limit(topK)
       .crossJoin(broadcast(globals))
-      .withColumn("share_micro", expr("(cnt * 1000000) div n_rows"))
+      // cnt·10⁶ and max_cnt·n_keys·10⁶ in pure BIGINT wrap past 2⁶³ once
+      // the factor product exceeds ~9.2e18 — a billion-key table with a
+      // 10⁷-row hot key is inside that regime (the q121/q98 overflow
+      // class). DECIMAL(38,0) products divide exactly; every quotient is
+      // bounded by 10⁶·max_cnt/avg or smaller per n_keys ≤ n_rows, so
+      // the BIGINT cast of the result is safe in any physical regime.
+      .withColumn("share_micro",
+        expr("(CAST(cnt AS DECIMAL(38,0)) * 1000000) div n_rows")
+          .cast("bigint"))
       .withColumn("skew_ratio_micro",
-        expr("(max_cnt * n_keys * 1000000) div n_rows"))
+        expr("(CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000000) div n_rows")
+          .cast("bigint"))
       .withColumn("salt_factor",
-        expr("(max_cnt * n_keys + n_rows - 1) div n_rows"))
+        expr("(CAST(max_cnt AS DECIMAL(38,0)) * n_keys + n_rows - 1) div n_rows")
+          .cast("bigint"))
       .select("key", "cnt", "share_micro", "n_keys", "n_rows", "max_cnt",
         "skew_ratio_micro", "salt_factor")
   }

@@ -192,6 +192,28 @@ class LayoutSpec extends SparkSpec {
     assert(rep2.forall(_.getLong(6) == 1000000L)) // skew ratio exactly 1
   }
 
+  test("skewReport metrics survive the BIGINT-overflow regime") {
+    import spark.implicits._
+    // The metric products must exceed 2⁶³ to prove the DECIMAL path.
+    // Staging ~1e18 physical rows is absurd, so drive skewMetrics (the
+    // metrics half skewReport delegates to — the operator's own
+    // expressions) with a synthetic pre-aggregated counts table:
+    // max_cnt ≈ 9e18, n_keys = 2, n_rows = 9e18 exactly. Pure-BIGINT
+    // cnt·10⁶ and max_cnt·n_keys·10⁶ both wrap (> 2⁶³ ≈ 9.2e18).
+    val counts = Seq((0L, 9000000000L), (1L, 8999999991000000000L))
+      .toDF("key", "cnt")
+    val rep = LayoutOps.skewMetrics(counts, topK = 1).head()
+    val maxCnt = BigInt(8999999991000000000L)
+    val nRows = maxCnt + BigInt(9000000000L)
+    val wantRatio = (maxCnt * 2 * 1000000 / nRows).toLong
+    val wantSalt = ((maxCnt * 2 + nRows - 1) / nRows).toLong
+    assert(maxCnt * 2 * 1000000 > BigInt(Long.MaxValue), "regime check")
+    assert(rep.getLong(2) == (maxCnt * 1000000 / nRows).toLong,
+      s"share ${rep.getLong(2)}")
+    assert(rep.getLong(6) == wantRatio, s"skew_ratio ${rep.getLong(6)}")
+    assert(rep.getLong(7) == wantSalt, s"salt ${rep.getLong(7)}")
+  }
+
   test("q147 skew report: hot sentinel key leads with a dominant share") {
     val out = ext.LayoutOps.qSkewReport(spark, SF).collect()
     assert(out.length == 5)
