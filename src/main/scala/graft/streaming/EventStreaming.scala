@@ -236,6 +236,29 @@ object EventStreaming {
     q.awaitTermination()
   }
 
+  /** A cloned session (shared SparkContext, own SQLConf) with the state
+    * partition count pinned for a STATEFUL streaming query. The number of
+    * state stores a streaming operator creates equals
+    * `spark.sql.shuffle.partitions` AT QUERY START (baked into the
+    * checkpoint thereafter), and every micro-batch pays one store commit
+    * per partition per operator side — pure fixed overhead when the state
+    * volume is small. Sizing it is therefore a streaming DEPLOYMENT
+    * decision (match partition count to state volume / throughput), not
+    * the batch shuffle width: a 100 TB ingest sizes it in the hundreds,
+    * a bounded verification batch in the single digits. The clone keeps
+    * the session-global batch setting untouched — Verify plans other
+    * queries concurrently on the parent session and must not observe a
+    * transient conf flip.
+    */
+  def statefulSession(spark: org.apache.spark.sql.SparkSession,
+      statePartitions: Int): org.apache.spark.sql.SparkSession = {
+    require(statePartitions >= 1,
+      s"statePartitions must be positive, got $statePartitions")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    s
+  }
+
   /** Drive a streaming DataFrame to completion against a memory sink and
     * return the materialized result (synchronous batch-driven streaming for
     * tests / verification).

@@ -113,7 +113,8 @@ object StreamingQueries {
     * operator (watermark + window + complete output), equal to batch q20.
     */
   def qStreamWindow(spark: SparkSession, dir: String): DataFrame = {
-    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(dir))
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val stream = EventStreaming.readEventStream(s, eventsLandingDir(dir))
     EventStreaming.runToLocal(
       EventStreaming.windowedCounts(stream), freshName("q140"), outputMode = "complete")
       .orderBy("window_start_ms", "event_type")
@@ -128,8 +129,9 @@ object StreamingQueries {
     // micro-batch — pin the conf the emission rule depends on (true is
     // the Spark default, but a harness-level perf tweak flipping it would
     // otherwise surface as a confusing q141 row-diff far from the cause)
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(dir))
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val stream = EventStreaming.readEventStream(s, eventsLandingDir(dir))
     val sessions = EventStreaming.statefulSessions(stream,
       gapMs = SessionGapMs, watermark = SessionWatermark).toDF()
     EventStreaming.runToLocal(sessions, freshName("q141"))
@@ -143,7 +145,8 @@ object StreamingQueries {
     * keep it off the driver heap).
     */
   def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val stream = EventStreaming.readEventStream(spark, dupLandingDir(spark, dir))
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val stream = EventStreaming.readEventStream(s, dupLandingDir(spark, dir))
     val out = Files.createTempDirectory("graft-stream-dedup-out")
     PipelineQueries.registerTempDirForCleanup(out)
     val q = EventStreaming.dedup(stream)
@@ -163,7 +166,8 @@ object StreamingQueries {
     * and max inter-event gap, one update-mode row per user.
     */
   def qStreamUserStats(spark: SparkSession, dir: String): DataFrame = {
-    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(dir))
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val stream = EventStreaming.readEventStream(s, eventsLandingDir(dir))
     val summaries = EventStreaming.statefulUserSummary(stream).toDF()
     EventStreaming.runToLocal(summaries, freshName("q143"), outputMode = "update")
       .orderBy("user_id")
@@ -175,7 +179,8 @@ object StreamingQueries {
     * the q18 stub-detector arithmetic (exact integer LCG, oracle-shared).
     */
   def qStreamUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(dir))
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val stream = EventStreaming.readEventStream(s, eventsLandingDir(dir))
     // the ONE Scala source of the stub-detector arithmetic (the LCG
     // constants + label array are the contract the q18/q19/q144 oracles
     // share) — a plain projection, so it composes with a streaming frame
@@ -200,10 +205,16 @@ object StreamingQueries {
     * exercise — is covered in StreamingSpec with a two-file staging.)
     */
   def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    // 8 state partitions: the join buffers ~40k rows at the largest SF —
+    // see [[EventStreaming.statefulSession]] for why this is a sizing
+    // decision, not the batch shuffle width (32 partitions × 4 join
+    // state stores × 2 batches of pure commit overhead measured 2.5× the
+    // whole query)
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
     val land = eventsLandingDir(dir)
-    val clicks = EventStreaming.readEventStream(spark, land)
+    val clicks = EventStreaming.readEventStream(s, land)
       .filter(col("event_type") === "click")
-    val purchases = EventStreaming.readEventStream(spark, land)
+    val purchases = EventStreaming.readEventStream(s, land)
       .filter(col("event_type") === "purchase")
     EventStreaming.runToLocal(
       EventStreaming.attributionJoin(clicks, purchases), freshName("q149"))
@@ -220,11 +231,15 @@ object StreamingQueries {
     * NULLS FIRST and the oracle says so explicitly.
     */
   def qStreamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    // pinned on the CLONE (it is Spark's default, but the eviction rows
+    // depend on it, so the query must not trust the ambient session) —
+    // and the parent session's conf stays untouched
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val land = eventsLandingDir(dir)
-    val clicks = EventStreaming.readEventStream(spark, land)
+    val clicks = EventStreaming.readEventStream(s, land)
       .filter(col("event_type") === "click")
-    val purchases = EventStreaming.readEventStream(spark, land)
+    val purchases = EventStreaming.readEventStream(s, land)
       .filter(col("event_type") === "purchase")
     EventStreaming.runToLocal(
       EventStreaming.attributionJoinLeftOuter(clicks, purchases),

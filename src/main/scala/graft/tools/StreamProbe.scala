@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.streaming.EventStreaming
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Diagnose the stream-stream join cost: run the q149/q150 join once and
+  * print every micro-batch's duration breakdown and state metrics.
+  * Usage: runMain graft.tools.StreamProbe <sfDir> [outer]
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val outer = args.contains("outer")
+    val spark = GraftSession.build("graft-streamprobe")
+    args.find(_.startsWith("parts=")).foreach { p =>
+      spark.conf.set("spark.sql.shuffle.partitions", p.stripPrefix("parts="))
+    }
+    val nRuns = args.find(_.startsWith("runs="))
+      .map(_.stripPrefix("runs=").toInt).getOrElse(1)
+    val tmp = java.nio.file.Files.createTempDirectory("probe-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val land = tmp.toString
+    val clicks = EventStreaming.readEventStream(spark, land)
+      .filter(col("event_type") === "click")
+    val purchases = EventStreaming.readEventStream(spark, land)
+      .filter(col("event_type") === "purchase")
+    val joined =
+      if (outer) EventStreaming.attributionJoinLeftOuter(clicks, purchases)
+      else EventStreaming.attributionJoin(clicks, purchases)
+    (1 to nRuns).foreach { run =>
+      val t0 = System.nanoTime()
+      val q = joined.writeStream.format("memory").queryName(s"probe$run")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      println(f"[probe] run=$run wall=${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+        s"rows=${spark.table(s"probe$run").count()}")
+      q.recentProgress.foreach { p =>
+        println(s"[probe] batch=${p.batchId} numInputRows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs}")
+        p.stateOperators.foreach { so =>
+          println(s"[probe]   state: rowsTotal=${so.numRowsTotal} " +
+            s"updated=${so.numRowsUpdated} removed=${so.numRowsRemoved} " +
+            s"commitMs=${so.commitTimeMs} memUsed=${so.memoryUsedBytes}")
+        }
+      }
+      spark.catalog.dropTempView(s"probe$run")
+    }
+    spark.stop()
+  }
+}
