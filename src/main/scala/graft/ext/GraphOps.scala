@@ -71,23 +71,29 @@ object GraphOps {
     * not "zero", the q139 capped-pair NULL discipline).
     */
   def triangleStats(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    // undirected degree: each edge counts at both endpoints
-    val deg = edges.select(col("u").as("node_id"))
-      .unionAll(edges.select(col("w").as("node_id")))
-      .groupBy("node_id").agg(count(lit(1)).as("degree"))
+    // undirected degree: each edge counts at both endpoints. PERSISTED —
+    // referenced by the orientation build and the final output join;
+    // without the pin each reference recomputes the corpus-wide agg
+    val deg = graft.CacheRegistry.persist(
+      edges.select(col("u").as("node_id"))
+        .unionAll(edges.select(col("w").as("node_id")))
+        .groupBy("node_id").agg(count(lit(1)).as("degree")))
     // orientation rank: (degree, id) packed into one long so the wedge
     // join's "a before b" compare is a single column. degree ≤ n and
     // node ids are longs ≪ 2⁶² / n — no overflow at any test SF; a
     // real deployment would keep the (degree, id) struct compare.
     val dk = deg.select(col("node_id"),
       (col("degree") * lit(1000000000L) + col("node_id")).as("okey"))
-    val oriented = edges
+    // PERSISTED: the oriented edge list feeds the wedge self-join twice
+    // AND the closure join — three references that would otherwise each
+    // recompute the two orientation joins over the full edge list
+    val oriented = graft.CacheRegistry.persist(edges
       .join(dk.select(col("node_id").as("u"), col("okey").as("ku")), "u")
       .join(dk.select(col("node_id").as("w"), col("okey").as("kw")), "w")
       .select(
         when(col("ku") < col("kw"), col("u")).otherwise(col("w")).as("src"),
         when(col("ku") < col("kw"), col("w")).otherwise(col("u")).as("dst"),
-        when(col("ku") < col("kw"), col("kw")).otherwise(col("ku")).as("kdst"))
+        when(col("ku") < col("kw"), col("kw")).otherwise(col("ku")).as("kdst")))
     val wedges = oriented.select(col("src"), col("dst").as("a"), col("kdst").as("ka"))
       .join(oriented.select(col("src"), col("dst").as("b"), col("kdst").as("kb")),
         Seq("src"))
@@ -207,19 +213,25 @@ object GraphOps {
   def coreness(nodes: DataFrame, edges: DataFrame, maxIters: Int = 64)
       : DataFrame = {
     val spark = nodes.sparkSession
-    def freeze(df: DataFrame)
-        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    // freeze a generation: persist the RDD (registered BEFORE the
+    // materializing action so an exception mid-loop cannot leak it) and
+    // materialize it with the given counting action — ONE job serves
+    // both materialization and convergence test
+    def freeze(df: DataFrame,
+        materialize: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] => Long)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
       val r = df.rdd
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.CacheRegistry.trackRdd(r)
-      r.count()
-      (spark.createDataFrame(r, df.schema), r)
+      val n = materialize(r)
+      (spark.createDataFrame(r, df.schema), r, n)
     }
     val adj = graft.CacheRegistry.persist(
       edges.select(col("u").as("c"), col("w").as("nb"))
         .unionAll(edges.select(col("w").as("c"), col("u").as("nb"))))
     val deg = adj.groupBy("c").agg(count(lit(1)).as("degree"))
-    var (est, estRdd) = freeze(deg.select(col("c"), col("degree").as("h")))
+    var (est, estRdd, _) =
+      freeze(deg.select(col("c"), col("degree").as("h")), _.count())
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -231,11 +243,12 @@ object GraphOps {
           zip_with(col("hs"), sequence(lit(1), size(col("hs"))),
             (v, i) => v >= i.cast("long")),
           x => x)).cast("long").as("hn"))
-      val (next, nextRdd) = freeze(
+      val (next, nextRdd, nChanged) = freeze(
         est.join(hNext, Seq("c"))
           .select(col("c"), least(col("h"), col("hn")).as("h"),
-            (col("hn") < col("h")).as("chg")))
-      changed = next.filter(col("chg")).count()
+            (col("hn") < col("h")).as("chg")),
+        _.filter(_.getBoolean(2)).count())
+      changed = nChanged
       estRdd.unpersist(blocking = false)
       est = next
       estRdd = nextRdd

@@ -1,0 +1,30 @@
+package graft.tools
+
+import graft.{CacheRegistry, GraftSession, Tables}
+import graft.ext.GraphOps
+import org.apache.spark.sql.functions._
+
+/** Shape probe for the graph family: edge count, degree profile, and
+  * coreness round count at a scale factor.
+  * Usage: runMain graft.tools.GraphProbe [sfDir]
+  */
+object GraphProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("graft-graphprobe")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val emb = Tables(spark, dir).embeddings
+    val edges = CacheRegistry.persist(
+      GraphOps.labelBlockedEdges(emb, tauMicro = 180000L))
+    val m = edges.count()
+    val degs = edges.select(col("u").as("n")).unionAll(edges.select(col("w").as("n")))
+      .groupBy("n").count()
+      .agg(max("count").as("dmax"), avg("count").as("davg")).head()
+    println(s"[gp] edges=$m dmax=${degs.get(0)} davg=${degs.get(1)}")
+    val t0 = System.nanoTime()
+    val out = GraphOps.coreness(emb.select(col("vec_id").as("node_id")), edges)
+    val n = out.count()
+    println(f"[gp] coreness n=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    CacheRegistry.release()
+    spark.stop()
+  }
+}
