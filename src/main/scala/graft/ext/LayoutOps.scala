@@ -290,8 +290,12 @@ object LayoutOps {
     * large to stage physically) is testable through the operator's own
     * expressions.
     */
-  private[graft] def skewMetrics(counts: DataFrame, topK: Int): DataFrame = {
+  private[graft] def skewMetrics(counts0: DataFrame, topK: Int): DataFrame = {
     require(topK >= 1, s"topK must be positive, got $topK")
+    // PERSISTED: referenced by both the top-k and the globals agg —
+    // unpinned, the globals branch re-runs the corpus-wide count agg
+    // (a second full scan of the input at cluster scale)
+    val counts = graft.CacheRegistry.persist(counts0)
     val globals = counts.agg(
       count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
       max("cnt").as("max_cnt"))

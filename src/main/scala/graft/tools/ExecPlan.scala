@@ -1,0 +1,25 @@
+package graft.tools
+
+import graft.{CacheRegistry, GraftSession, SparkEntry}
+
+/** Print the EXECUTED (post-AQE) plan of a query — shows ReusedExchange /
+  * ReusedSubquery nodes the static explain can't.
+  * Usage: runMain graft.tools.ExecPlan <sfDir> <query> [grep]
+  */
+object ExecPlan {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("graft-execplan")
+    val df = SparkEntry.queries(args(1))(spark, args(0))
+    df.write.format("noop").mode("overwrite").save()
+    val s = df.queryExecution.executedPlan.toString
+    val needle = if (args.length > 2) args(2) else ""
+    if (needle.isEmpty) println(s)
+    else {
+      val n = s.linesIterator.count(_.contains(needle))
+      println(s"[execplan] lines containing '$needle': $n")
+      s.linesIterator.filter(_.contains(needle)).take(10).foreach(println)
+    }
+    CacheRegistry.release()
+    spark.stop()
+  }
+}
