@@ -236,6 +236,10 @@ object GraphOps {
       val n = materialize(r)
       (spark.createDataFrame(r, df.schema), r, n)
     }
+    // adj is persisted UNpartitioned: a repartition(nb) pin (to spare the
+    // per-round adj-side exchange) was measured and REJECTED — the cached
+    // 32 fixed partitions defeat AQE's coalescing on the tiny per-round
+    // stages (q153 5.3 → 6.9 s at sf0.1), the NOTES iterative-op rule
     val adj = graft.CacheRegistry.persist(
       edges.select(col("u").as("c"), col("w").as("nb"))
         .unionAll(edges.select(col("w").as("c"), col("u").as("nb"))))
