@@ -159,11 +159,14 @@ object LayoutOps {
     * [[bucketStats]].
     */
   def qPruningReport(spark: SparkSession, dir: String): DataFrame = {
-    val stats = bucketStats(
+    // PERSISTED: stats feeds both per-axis probe replays AND the totals
+    // agg — unpinned, each of the three references re-ran bucketStats'
+    // corpus-wide aggregation (PlanAudit flagged lineitem x4 here)
+    val stats = graft.CacheRegistry.persist(bucketStats(
       Tables(spark, dir).lineitem.select(
         col("l_partkey").cast("bigint").as("x"),
         col("l_suppkey").cast("bigint").as("y")),
-      "x", "y")
+      "x", "y"))
     val probes = spark.range(16).select((col("id") * 4096L).as("p"))
     val axes = Seq(("x", "min_x16", "max_x16"), ("y", "min_y16", "max_y16"))
     val perAxis = axes.map { case (axis, lo, hi) =>

@@ -278,9 +278,14 @@ object SamplingOps {
     */
   def temperatureBudgets(docs: DataFrame, stratum: String,
       totalBudget: Long): DataFrame = {
-    val n = docs.groupBy(stratum).agg(count(lit(1)).as("n_source"))
-      .withColumn("w_micro",
-        round(sqrt(col("n_source").cast("double")) * 1000000.0, 0).cast("bigint"))
+    // PERSISTED: n is an S-row table referenced by the sum_w agg AND the
+    // budget join — unpinned, the corpus-wide per-source count agg ran
+    // twice (PlanAudit: documents x3 on q98)
+    val n = graft.CacheRegistry.persist(
+      docs.groupBy(stratum).agg(count(lit(1)).as("n_source"))
+        .withColumn("w_micro",
+          round(sqrt(col("n_source").cast("double")) * 1000000.0, 0)
+            .cast("bigint")))
     val sumW = n.agg(sum(col("w_micro")).as("sum_w"))
     n.crossJoin(broadcast(sumW))
       // DECIMAL(38,0) product: totalBudget·w_micro in pure BIGINT wraps
@@ -401,10 +406,15 @@ object SamplingOps {
     val staged = t.documents.select(col("doc_id"), col("text"))
       .unionByName(t.documents.filter(col("doc_id") % 9 === 4)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
-    val hashed = staged.select(col("doc_id"), md5(col("text")).as("th"))
+    // hashed is PERSISTED and is the single corpus read: it feeds the
+    // cluster agg, the membership join, AND (projected) the doc universe
+    // — unpinned, PlanAudit counted documents x6 here (staged's 2-scan
+    // union re-ran per reference)
+    val hashed = graft.CacheRegistry.persist(
+      staged.select(col("doc_id"), md5(col("text")).as("th")))
     val clusters = hashed.groupBy("th").agg(min("doc_id").as("cluster_id"))
     leakageSafeSplit(
-        staged.select("doc_id"),
+        hashed.select("doc_id"),
         hashed.join(clusters, Seq("th")).select("doc_id", "cluster_id"))
       .select("doc_id", "cluster_id", "split_bucket", "split")
       .orderBy("doc_id")

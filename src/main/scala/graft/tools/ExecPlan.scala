@@ -10,8 +10,12 @@ object ExecPlan {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("graft-execplan")
     val df = SparkEntry.queries(args(1))(spark, args(0))
-    df.write.format("noop").mode("overwrite").save()
-    val s = df.queryExecution.executedPlan.toString
+    // execute THIS QueryExecution (a separate .write would run its own
+    // QE and leave this one's AdaptiveSparkPlan unfinalised — the
+    // printed plan would show isFinalPlan=false and no Reused* nodes)
+    val qe = df.queryExecution
+    qe.toRdd.count()
+    val s = qe.executedPlan.toString
     val needle = if (args.length > 2) args(2) else ""
     if (needle.isEmpty) println(s)
     else {

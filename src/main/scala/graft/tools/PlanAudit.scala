@@ -1,0 +1,57 @@
+package graft.tools
+
+import graft.{CacheRegistry, GraftSession, SparkEntry}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Repeated-scan audit over EVERY driver query's EXECUTED (post-AQE)
+  * plan: reports queries whose final plan contains more than `minScans`
+  * physical parquet scans of one table — the signature of a
+  * multiply-referenced sub-plan recomputing per reference (the
+  * q147/q151/q152 class: at cluster scale each extra reference is a
+  * full corpus re-scan).
+  *
+  * Counts PHYSICAL scan nodes by TREE TRAVERSAL, not string grep: the
+  * plan's toString REPRINTS cached/broadcast subtrees at every
+  * reference, inflating counts ~100×. InMemoryTableScan leaves and
+  * ReusedExchange subtrees are not descended — cached/reused reads are
+  * the FIX for this class, not an instance of it.
+  *
+  * Usage: runMain graft.tools.PlanAudit <sfDir> [minScans]
+  */
+object PlanAudit {
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    case q: QueryStageExec => scans(q.plan)
+    case _: ReusedExchangeExec => Nil
+    case f: FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(scans)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val minScans = if (args.length > 1) args(1).toInt else 3
+    val spark = GraftSession.build("graft-planaudit")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        // execute THIS QueryExecution so the traversed plan is the FINAL
+        // adaptive one (runtime reuse resolved)
+        val qe = df.queryExecution
+        qe.toRdd.count()
+        val counts = scans(qe.executedPlan)
+          .flatMap(_.relation.location.rootPaths.headOption)
+          .map(_.getName.stripSuffix(".parquet"))
+          .groupBy(identity).view.mapValues(_.size)
+        val hot = counts.filter(_._2 >= minScans).toSeq.sortBy(-_._2)
+        if (hot.nonEmpty)
+          println(s"[audit] $name: " +
+            hot.map { case (t, n) => s"$t x$n" }.mkString(", "))
+      } catch {
+        case e: Throwable => println(s"[audit] $name FAILED: $e")
+      } finally CacheRegistry.release()
+    }
+    spark.stop()
+  }
+}
