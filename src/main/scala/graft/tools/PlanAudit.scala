@@ -29,6 +29,24 @@ object PlanAudit {
     case other => other.children.flatMap(scans)
   }
 
+  /** Scale-hazard node classes: a cartesian/nested-loop join is a
+    * cluster-killer unless the operator's contract bounds a side; a
+    * SortAggregate is the no-partial-agg fallback (TypedImperative or
+    * non-hashable keys) — worth an eye, not always wrong.
+    */
+  private def hazards(p: SparkPlan): Seq[String] = p match {
+    case a: AdaptiveSparkPlanExec => hazards(a.executedPlan)
+    case q: QueryStageExec => hazards(q.plan)
+    case _: ReusedExchangeExec => Nil
+    case other =>
+      val self = other.getClass.getSimpleName match {
+        case n @ ("CartesianProductExec" | "BroadcastNestedLoopJoinExec" |
+                  "SortAggregateExec") => Seq(n.stripSuffix("Exec"))
+        case _ => Nil
+      }
+      self ++ other.children.flatMap(hazards)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val minScans = if (args.length > 1) args(1).toInt else 3
@@ -48,6 +66,11 @@ object PlanAudit {
         if (hot.nonEmpty)
           println(s"[audit] $name: " +
             hot.map { case (t, n) => s"$t x$n" }.mkString(", "))
+        val hz = hazards(qe.executedPlan)
+          .groupBy(identity).view.mapValues(_.size).toSeq.sorted
+        if (hz.nonEmpty)
+          println(s"[hazard] $name: " +
+            hz.map { case (h, n) => s"$h x$n" }.mkString(", "))
       } catch {
         case e: Throwable => println(s"[audit] $name FAILED: $e")
       } finally CacheRegistry.release()
