@@ -6,6 +6,36 @@ import org.apache.spark.sql.functions._
 class GraphOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Independent coreness by Batagelj–Zaversnik min-degree peeling — a
+    * different algorithm from the engine's h-index fixpoint; shared by
+    * the q153 golden pin and the random-graph property test.
+    */
+  private def peelCoreness(edges: Seq[(Long, Long)])
+      : scala.collection.Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    edges.foreach { case (u, w) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set()) += w
+      adj.getOrElseUpdate(w, scala.collection.mutable.Set()) += u
+    }
+    val degNow = scala.collection.mutable.Map[Long, Int]() ++
+      adj.map { case (k, s) => k -> s.size }
+    val core = scala.collection.mutable.Map[Long, Long]()
+    val remaining = scala.collection.mutable.Set[Long]() ++ adj.keys
+    var k = 0L
+    while (remaining.nonEmpty) {
+      val peel = remaining.filter(v => degNow(v) <= k)
+      if (peel.isEmpty) k += 1L
+      else peel.foreach { v =>
+        core(v) = k
+        remaining -= v
+        adj(v).foreach { n =>
+          if (remaining.contains(n)) degNow(n) = degNow(n) - 1
+        }
+      }
+    }
+    core
+  }
+
   test("triangleStats on a planted graph: exact counts, cc formula, isolates") {
     // K4 on {0,1,2,3} (4 triangles, cc = 1 everywhere), a pendant 3→4,
     // an open wedge 5–6, 6–7, and isolate 8.
@@ -126,35 +156,39 @@ class GraphOpsSpec extends SparkSpec {
       Tables(spark, SF).embeddings, 180000L).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     CacheRegistry.release()
-    // true coreness by min-degree peeling — a different algorithm from
-    // the engine's h-index fixpoint
-    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
-    edges.foreach { case (u, w) =>
-      adj.getOrElseUpdate(u, scala.collection.mutable.Set()) += w
-      adj.getOrElseUpdate(w, scala.collection.mutable.Set()) += u
-    }
-    val degNow = scala.collection.mutable.Map[Long, Int]() ++
-      adj.map { case (k, s) => k -> s.size }
-    val core = scala.collection.mutable.Map[Long, Long]()
-    val remaining = scala.collection.mutable.Set[Long]() ++ adj.keys
-    var k = 0L
-    while (remaining.nonEmpty) {
-      val peel = remaining.filter(v => degNow(v) <= k)
-      if (peel.isEmpty) k += 1L
-      else peel.foreach { v =>
-        core(v) = k
-        remaining -= v
-        adj(v).foreach { n =>
-          if (remaining.contains(n)) degNow(n) = degNow(n) - 1
-        }
-      }
-    }
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong)
+    val core = peelCoreness(edges.toSeq)
     assert(got.nonEmpty && got.exists(_.getLong(2) >= 2L),
       "expect some non-trivial core")
     got.foreach { r =>
       val (id, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      assert(d == adj.get(id).map(_.size.toLong).getOrElse(0L), s"deg $id")
+      assert(d == deg.getOrElse(id, 0L), s"deg $id")
       assert(c == core.getOrElse(id, 0L), s"coreness of $id")
+    }
+  }
+
+  test("coreness equals the peel on seeded random graphs") {
+    // Erdős–Rényi-ish graphs across densities — sparse (mostly trees),
+    // near the giant-component threshold, and dense (deep cores). The
+    // h-index fixpoint and the min-degree peel are entirely different
+    // algorithms; agreement across random structure is the strongest
+    // cheap correctness evidence for both.
+    val rnd = new scala.util.Random(20260815L)
+    for ((n, m) <- Seq((30, 20), (40, 60), (25, 120))) {
+      val edges = Iterator.continually {
+        val u = rnd.nextInt(n).toLong; val w = rnd.nextInt(n).toLong
+        if (u < w) (u, w) else (w, u)
+      }.filter(e => e._1 != e._2).take(m).toSeq.distinct
+      val core = peelCoreness(edges)
+      val got = GraphOps.coreness(
+        (0L until n.toLong).toDF("node_id"), edges.toDF("u", "w"))
+        .collect()
+      CacheRegistry.release()
+      got.foreach { r =>
+        assert(r.getLong(2) == core.getOrElse(r.getLong(0), 0L),
+          s"n=$n m=$m node ${r.getLong(0)}")
+      }
     }
   }
 

@@ -842,4 +842,22 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(got == batchAttribution(21600000L))
   }
+
+  test("statefulSession pins the clone's state partitions, parent untouched") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    assert(s ne spark)
+    assert(s.conf.get("spark.sql.shuffle.partitions") == "8")
+    // the parent session (Verify plans other queries on it concurrently)
+    // must not observe the clone's sizing
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    // the clone inherits the semantics-bearing session config (UTC oracle
+    // parity, ns-timestamp handling) — set at SparkContext level by
+    // GraftSession, so newSession sees them
+    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    intercept[IllegalArgumentException] {
+      EventStreaming.statefulSession(spark, statePartitions = 0)
+    }
+  }
 }
