@@ -180,6 +180,8 @@ object SparkEntry {
     "q151_triangle_count" -> (ext.GraphOps.qTriangleCount _),
     "q152_link_predict" -> (ext.GraphOps.qLinkPredict _),
     "q153_coreness" -> (ext.GraphOps.qCoreness _),
+    "q154_stream_enrich" ->
+      (graft.streaming.StreamingQueries.qStreamEnrich _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1949,6 +1951,14 @@ object SparkEntry {
         |  AND c.click_ms + 21600000 < wm.w)
         |SELECT * FROM m UNION ALL SELECT * FROM un
         |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+    // q154: stream-static enrichment is stateless — the streaming run
+    // equals the plain relational join
+    "q154_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, e.value,
+        | c.c_mktsegment AS segment, CAST(c.c_nationkey AS BIGINT) AS nation_key
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
     // q151: blocked cosine-threshold graph → degree-oriented triangle
     // enumeration (each triangle once) → per-node census. τ = 0.18 is
     // off every SF's rounded-cosine support (min |cos6 − τ| ≥ 1e-6).

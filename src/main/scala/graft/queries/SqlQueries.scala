@@ -1364,6 +1364,15 @@ object SqlQueries {
         | round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // q154: the stream-static enrichment is stateless, so the twin IS the
+    // plain batch join — asserting it equal to the streaming run is the
+    // streaming≡batch guarantee in twin form
+    "q154_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, unix_millis(e.ts) AS ts_ms, e.value,
+        | c.c_mktsegment AS segment, CAST(c.c_nationkey AS BIGINT) AS nation_key
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
     "q145_zorder_layout" ->
       s"""WITH mm AS (SELECT min(CAST(l_partkey AS BIGINT)) AS xmin,
         |  max(CAST(l_partkey AS BIGINT)) AS xmax,

@@ -236,6 +236,18 @@ object EventStreaming {
     q.awaitTermination()
   }
 
+  /** STREAM-STATIC enrichment join — the standard dimension-enrichment
+    * shape: each micro-batch of the event stream joins a STATIC
+    * dimension table. Stateless (no watermark, no state store — the
+    * static side is re-planned per batch, never buffered) and the static
+    * side is explicitly `broadcast()`: the scale-correct plan ships the
+    * dimension to the stream's executors instead of shuffling the
+    * stream, exactly what a 100 TB ingest wants for bounded dims.
+    */
+  def enrichJoin(events: DataFrame, dim: DataFrame,
+      joinCond: org.apache.spark.sql.Column): DataFrame =
+    events.join(broadcast(dim), joinCond, "inner")
+
   /** A cloned session (shared SparkContext, own SQLConf) with the state
     * partition count pinned for a STATEFUL streaming query. The number of
     * state stores a streaming operator creates equals

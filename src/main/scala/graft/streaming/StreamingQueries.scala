@@ -162,6 +162,36 @@ object StreamingQueries {
     spark.read.parquet(s"$out/result").orderBy("event_id")
   }
 
+  /** q154: STREAM-STATIC enrichment join — purchase events enriched with
+    * the static customer dimension (market segment + nation key) through
+    * a per-micro-batch broadcast join. Stateless: no watermark, no state
+    * store, append output — so no statefulSession sizing applies and the
+    * result trivially equals the batch join the oracle states. Full-width
+    * per-event output goes through a parquet sink (the q142 discipline).
+    */
+  def qStreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(dir))
+      .filter(col("event_type") === "purchase")
+    val dim = graft.Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_nationkey").cast("bigint").as("nation_key"))
+    val out = Files.createTempDirectory("graft-stream-enrich-out")
+    PipelineQueries.registerTempDirForCleanup(out)
+    val q = EventStreaming.enrichJoin(stream, dim,
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"),
+        col("c_mktsegment").as("segment"), col("nation_key"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/result")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/result").orderBy("event_id")
+  }
+
   /** q143: keyed custom state (mapGroupsWithState) — per-user event count
     * and max inter-event gap, one update-mode row per user.
     */

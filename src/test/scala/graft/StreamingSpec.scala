@@ -843,6 +843,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == batchAttribution(21600000L))
   }
 
+  test("q154 stream-static enrich equals the batch broadcast join") {
+    val got = graft.streaming.StreamingQueries.qStreamEnrich(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4), r.getLong(5)))
+    val t = Tables(spark, SF)
+    val want = t.events.filter(col("event_type") === "purchase")
+      .join(t.customer, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"),
+        col("c_mktsegment"), col("c_nationkey").cast("bigint"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4), r.getLong(5)))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+    // every purchase with an in-range user joined; the inner join must
+    // not fan out (c_custkey is unique)
+    assert(got.map(_._1).distinct.length == got.length)
+  }
+
   test("statefulSession pins the clone's state partitions, parent untouched") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val s = EventStreaming.statefulSession(spark, statePartitions = 8)
