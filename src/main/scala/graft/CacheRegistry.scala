@@ -46,6 +46,30 @@ object CacheRegistry {
   def trackRdd(r: org.apache.spark.rdd.RDD[_]): Unit =
     live.get().add(() => { r.unpersist(blocking = false); () })
 
+  /** Freeze one GENERATION of an iterative DataFrame computation: persist
+    * the frame's RDD (registered via [[trackRdd]] BEFORE materialization,
+    * so an exception mid-loop cannot leak the blocks), run `materialize`
+    * — a counting action that must touch every partition — and wrap the
+    * pinned RDD back into a DataFrame whose plan is a constant-size scan.
+    *
+    * Iterative ops (pageRank, coreness) MUST freeze each generation: a
+    * round whose plan references the previous estimate more than once
+    * doubles the logical plan per round even when Dataset-persisted —
+    * exponential analysis cost and an eventual planner stack overflow
+    * (observed). Returns (frame, rdd handle for the eager inline free of
+    * superseded generations, materialize's count).
+    */
+  def freeze(df: DataFrame,
+      materialize: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] => Long =
+        _.count())
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
+    val r = df.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackRdd(r)
+    val n = materialize(r)
+    (df.sparkSession.createDataFrame(r, df.schema), r, n)
+  }
+
   /** Unpersist (non-blocking) everything THIS thread registered since its
     * last call.
     */

@@ -211,31 +211,22 @@ object GraphOps {
     * construction caps (same argument as [[linkPredict]]) — with
     * codegen'd higher-order functions (sort → zip_with rank compare),
     * no UDF. O(rounds) bounded shuffles; each generation is FROZEN to a
-    * persisted RDD (the pageRank discipline, `SimilarityOps.pageRank`):
-    * the round's plan references the previous estimate TWICE (once under
-    * the neighbor join, once for the change test), so without freezing
-    * the logical plan doubles per round — exponential analysis cost and
-    * an eventual planner stack overflow. Freezing pins each generation
-    * to a constant-size scan; the superseded generation's RDD is freed
-    * eagerly and every handle is registered with CacheRegistry BEFORE
-    * materialization so an exception mid-loop cannot leak blocks.
+    * persisted RDD ([[graft.CacheRegistry.freeze]] — the round's plan
+    * references the previous estimate TWICE, so an unfrozen loop doubles
+    * the logical plan per round), and the freeze's materializing action
+    * IS the convergence count, one job per round serving both.
+    *
+    * `maxIters = 0` (the default) auto-sizes the round bound to 2m+2:
+    * every non-converged round decreases at least one node's h by ≥ 1
+    * and Σ(h₀ − coreness) ≤ Σ degree = 2m, so 2m rounds always suffice —
+    * a fixed default would hard-fail on long chains, whose h=1 front
+    * only propagates one hop per round from each end (~diameter/2
+    * rounds), the exact revision-chain structure documented above. An
+    * explicit maxIters still REQUIRES convergence within the given
+    * budget — truncation is an error, not an approximation.
     */
-  def coreness(nodes: DataFrame, edges: DataFrame, maxIters: Int = 64)
+  def coreness(nodes: DataFrame, edges: DataFrame, maxIters: Int = 0)
       : DataFrame = {
-    val spark = nodes.sparkSession
-    // freeze a generation: persist the RDD (registered BEFORE the
-    // materializing action so an exception mid-loop cannot leak it) and
-    // materialize it with the given counting action — ONE job serves
-    // both materialization and convergence test
-    def freeze(df: DataFrame,
-        materialize: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] => Long)
-        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
-      val r = df.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.CacheRegistry.trackRdd(r)
-      val n = materialize(r)
-      (spark.createDataFrame(r, df.schema), r, n)
-    }
     // adj is persisted UNpartitioned: a repartition(nb) pin (to spare the
     // per-round adj-side exchange) was measured and REJECTED — the cached
     // 32 fixed partitions defeat AQE's coalescing on the tiny per-round
@@ -244,11 +235,14 @@ object GraphOps {
       edges.select(col("u").as("c"), col("w").as("nb"))
         .unionAll(edges.select(col("w").as("c"), col("u").as("nb"))))
     val deg = adj.groupBy("c").agg(count(lit(1)).as("degree"))
+    val bound =
+      if (maxIters > 0) maxIters
+      else (2L * edges.count() + 2L).min(Int.MaxValue.toLong).toInt
     var (est, estRdd, _) =
-      freeze(deg.select(col("c"), col("degree").as("h")), _.count())
+      graft.CacheRegistry.freeze(deg.select(col("c"), col("degree").as("h")))
     var changed = 1L
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    while (changed > 0 && it < bound) {
       val hNext = adj
         .join(est.select(col("c").as("nb"), col("h")), Seq("nb"))
         .groupBy("c")
@@ -257,7 +251,7 @@ object GraphOps {
           zip_with(col("hs"), sequence(lit(1), size(col("hs"))),
             (v, i) => v >= i.cast("long")),
           x => x)).cast("long").as("hn"))
-      val (next, nextRdd, nChanged) = freeze(
+      val (next, nextRdd, nChanged) = graft.CacheRegistry.freeze(
         est.join(hNext, Seq("c"))
           .select(col("c"), least(col("h"), col("hn")).as("h"),
             (col("hn") < col("h")).as("chg")),
@@ -269,7 +263,7 @@ object GraphOps {
       it += 1
     }
     require(changed == 0L,
-      s"coreness did not converge within $maxIters rounds")
+      s"coreness did not converge within $bound rounds")
     nodes.select(col("node_id"))
       .join(deg.select(col("c").as("node_id"), col("degree")),
         Seq("node_id"), "left")

@@ -1185,29 +1185,21 @@ object SimilarityOps {
     // checkpointed data is already-computed deterministic longs, so
     // results are unchanged; on a real cluster a reliable checkpoint
     // dir would back this for fault tolerance.
-    val spark = nodes.sparkSession
-    def freeze(df: DataFrame)
-        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val r = df.rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // register BEFORE materializing: if the count (or a later round)
-      // throws, the runner's release() still frees this generation —
-      // unpersist is idempotent, so the loop's eager inline free of
-      // superseded generations keeps working unchanged
-      graft.CacheRegistry.trackRdd(r)
-      r.count() // materialize this generation before the old one is freed
-      (spark.createDataFrame(r, df.schema), r)
-    }
-    var (p, pRdd) = freeze(nodeIds.select(col("node_id"), lit(p0).as("pr")))
+    // the freeze discipline (register BEFORE materializing, RDD handle
+    // for the eager free) lives in CacheRegistry.freeze — shared with
+    // GraphOps.coreness, the other generation-frozen iterative op
+    var (p, pRdd, _) = graft.CacheRegistry.freeze(
+      nodeIds.select(col("node_id"), lit(p0).as("pr")))
     for (_ <- 1 to iters) {
       val sums = withDeg
         .join(p.select(col("node_id").as("src"), col("pr")), Seq("src"))
         .select(col("dst").as("node_id"), expr("pr div outdeg").as("c"))
         .groupBy("node_id").agg(sum("c").as("s"))
-      val (next, nextRdd) = freeze(nodeIds.join(sums, Seq("node_id"), "left")
-        .select(col("node_id"), (lit(base) +
-          expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
-          .as("pr")))
+      val (next, nextRdd, _) = graft.CacheRegistry.freeze(
+        nodeIds.join(sums, Seq("node_id"), "left")
+          .select(col("node_id"), (lit(base) +
+            expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("pr")))
       pRdd.unpersist(blocking = false)
       p = next
       pRdd = nextRdd

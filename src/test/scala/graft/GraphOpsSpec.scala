@@ -168,6 +168,28 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("coreness on a chain: auto bound converges, truncation is an error") {
+    // a path needs ~n/2 h-index rounds (the h=1 front moves one hop per
+    // round from each end) — a FIXED default round budget hard-fails on
+    // long-enough chains, which is why the default auto-sizes to 2m+2
+    // (every non-converged round decreases Σh by ≥ 1 and Σh₀ = 2m).
+    // n=40 keeps the test fast (~20 rounds) while exercising both arms:
+    val n = 40L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("u", "w")
+    val nodes = (0L until n).toDF("node_id")
+    val got = GraphOps.coreness(nodes, edges).collect() // auto bound
+    CacheRegistry.release()
+    assert(got.length == n.toInt)
+    got.foreach(r => assert(r.getLong(2) == 1L, s"node ${r.getLong(0)}"))
+    // an explicit budget below the needed rounds must THROW, not return
+    // a truncated (wrong) estimate
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.coreness(nodes, edges, maxIters = 5).collect()
+    }
+    CacheRegistry.release()
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("coreness equals the peel on seeded random graphs") {
     // Erdős–Rényi-ish graphs across densities — sparse (mostly trees),
     // near the giant-component threshold, and dense (deep cores). The

@@ -66,8 +66,9 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("q148 pruning report: z-order prunes the non-prefix axis, linear does not") {
-    val out = ext.LayoutOps.qPruningReport(spark, SF).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val collected = ext.LayoutOps.qPruningReport(spark, SF).collect()
+    CacheRegistry.release()
+    val out = collected.map(r => (r.getString(0), r.getString(1)) -> r).toMap
     assert(out.size == 4)
     val linX = out(("linear", "x")).getLong(4)
     val linY = out(("linear", "y")).getLong(4)
@@ -181,6 +182,7 @@ class LayoutSpec extends SparkSpec {
     // staged: key 0 holds 900 rows, keys 1..100 hold 1 each
     val skewed = ((1 to 900).map(_ => 0L) ++ (1L to 100L)).toDF("k")
     val rep = LayoutOps.skewReport(skewed, "k", topK = 3).collect()
+    CacheRegistry.release()
     assert(rep.head.getLong(0) == 0L && rep.head.getLong(1) == 900L)
     assert(rep.head.getLong(2) == 900L * 1000000L / 1000L) // share
     // salt = ceil(max * n_keys / n_rows) = ceil(900*101/1000) = 91
@@ -188,6 +190,7 @@ class LayoutSpec extends SparkSpec {
     // uniform: every key once
     val uniform = (1L to 50L).toDF("k")
     val rep2 = LayoutOps.skewReport(uniform, "k", topK = 2).collect()
+    CacheRegistry.release()
     assert(rep2.forall(_.getLong(7) == 1L))
     assert(rep2.forall(_.getLong(6) == 1000000L)) // skew ratio exactly 1
   }
@@ -203,6 +206,7 @@ class LayoutSpec extends SparkSpec {
     val counts = Seq((0L, 9000000000L), (1L, 8999999991000000000L))
       .toDF("key", "cnt")
     val rep = LayoutOps.skewMetrics(counts, topK = 1).head()
+    CacheRegistry.release()
     val maxCnt = BigInt(8999999991000000000L)
     val nRows = maxCnt + BigInt(9000000000L)
     val wantRatio = (maxCnt * 2 * 1000000 / nRows).toLong
@@ -216,6 +220,7 @@ class LayoutSpec extends SparkSpec {
 
   test("q147 skew report: hot sentinel key leads with a dominant share") {
     val out = ext.LayoutOps.qSkewReport(spark, SF).collect()
+    CacheRegistry.release()
     assert(out.length == 5)
     assert(out.head.getLong(0) == -1L, "hot key must rank first")
     // the sentinel absorbs users with user_id % 10 < 5 — about half the
