@@ -690,6 +690,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.sum < scale)
   }
 
+  test("CacheRegistry.freeze: materialized count, readable frame, released RDD") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (frame, rdd, n) = graft.CacheRegistry.freeze(
+      Seq((1L, true), (2L, false), (3L, true)).toDF("id", "flag"),
+      _.filter(_.getBoolean(1)).count())
+    assert(n == 2) // the materialize callback's count, not the row count
+    assert(frame.count() == 3 && frame.columns.toSeq == Seq("id", "flag"))
+    // the handle is persisted (materialized by the callback) ...
+    assert(spark.sparkContext.getPersistentRDDs.contains(rdd.id))
+    // ... and registered: release() must free it without an explicit
+    // rdd.unpersist (the exception-mid-loop safety contract)
+    graft.CacheRegistry.release()
+    val deadline = System.nanoTime() + 10000000000L
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(leaked.isEmpty, s"freeze leaked past release(): $leaked")
+  }
+
   test("pageRank: CacheRegistry.release frees every generation RDD") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val nodes = Seq(1L, 2L, 3L).toDF("node_id")
