@@ -1843,8 +1843,8 @@ object SparkEntry {
       s"""WITH mm AS (SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
         |  min(l_suppkey) AS ymin, max(l_suppkey) AS ymax FROM lineitem),
         |n AS (SELECT l_partkey AS xv, l_suppkey AS yv,
-        |  ((l_partkey - xmin) * 65536) // (xmax - xmin + 1) AS x16,
-        |  ((l_suppkey - ymin) * 65536) // (ymax - ymin + 1) AS y16
+        |  ((CAST(l_partkey AS BIGINT) - xmin) * 65536) // (xmax - xmin + 1) AS x16,
+        |  ((CAST(l_suppkey AS BIGINT) - ymin) * 65536) // (ymax - ymin + 1) AS y16
         | FROM lineitem, mm),
         |z AS (SELECT xv, yv, x16, y16,
         |  ${ext.LayoutOps.interleaveSql("x16", "y16")} AS zval FROM n),
@@ -1863,7 +1863,7 @@ object SparkEntry {
         |  COALESCE(sum(size_units) OVER (PARTITION BY part ORDER BY file_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         | FROM f),
-        |b AS (SELECT *, cum_before // 4096 AS bin_id FROM c)
+        |b AS (SELECT *, CAST(cum_before // 4096 AS BIGINT) AS bin_id FROM c)
         |SELECT part, bin_id, count(*) AS n_files,
         | CAST(sum(size_units) AS BIGINT) AS tot_units,
         | min(file_id) AS first_file, max(file_id) AS last_file,
@@ -1888,8 +1888,8 @@ object SparkEntry {
       s"""WITH mm AS (SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
         |  min(l_suppkey) AS ymin, max(l_suppkey) AS ymax FROM lineitem),
         |n AS (SELECT
-        |  ((l_partkey - xmin) * 65536) // (xmax - xmin + 1) AS x16,
-        |  ((l_suppkey - ymin) * 65536) // (ymax - ymin + 1) AS y16
+        |  ((CAST(l_partkey AS BIGINT) - xmin) * 65536) // (xmax - xmin + 1) AS x16,
+        |  ((CAST(l_suppkey AS BIGINT) - ymin) * 65536) // (ymax - ymin + 1) AS y16
         | FROM lineitem, mm),
         |z AS (SELECT x16, y16,
         |  ${ext.LayoutOps.interleaveSql("x16", "y16")} AS zval FROM n),

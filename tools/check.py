@@ -16,13 +16,32 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def kinds(df, cols):
+    """Collapse pandas dtype kinds so int-width differences are fine but
+    int-vs-float (the DuckDB HUGEINT rendering class that shipped q146 red
+    in round 10) is a mismatch, mirroring the driver's typed hash."""
+    fold = {"i": "i", "u": "i", "f": "f", "b": "b", "O": "O", "M": "M",
+            "m": "m"}
+    return [fold.get(df[c].dtype.kind, df[c].dtype.kind) for c in cols]
+
+
 def norm(rows):
     import math
     out = []
     for r in rows:
-        out.append(tuple(
-            None if isinstance(v, float) and math.isnan(v)
-            else round(v, 9) if isinstance(v, float) else v for v in r))
+        vals = []
+        for v in r:
+            if isinstance(v, float):
+                vals.append(None if math.isnan(v) else round(v, 9))
+            elif isinstance(v, bool):
+                vals.append(v)
+            elif isinstance(v, int):
+                # keep ints distinct from floats: (9, 9.0) must differ,
+                # like the driver's typed hash
+                vals.append(("i", v))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
     return out
 
 
@@ -45,6 +64,13 @@ def main(sf_dir, out_dir):
             ocols, rcols = sorted(odf.columns), sorted(rdf.columns)
             if ocols != rcols:
                 print(f"FAIL {name}: cols oracle={ocols} result={rcols}")
+                n_bad += 1
+                continue
+            ok_kinds, rk_kinds = kinds(odf, ocols), kinds(rdf, ocols)
+            if ok_kinds != rk_kinds:
+                bad = [(c, a, b) for c, a, b
+                       in zip(ocols, ok_kinds, rk_kinds) if a != b]
+                print(f"FAIL {name}: dtype kinds differ {bad}")
                 n_bad += 1
                 continue
             o = norm(odf[ocols].itertuples(index=False, name=None))
