@@ -14,14 +14,20 @@ object Bench {
     }
     // noop sink = full materialization of every output column (count()
     // would let Catalyst prune the aggregates' value columns away).
-    // Four runs per query: run 0 (discarded) pays one-time whole-stage-
-    // codegen compilation + JIT for the query shape, then MEDIAN of 3 warm
-    // runs — machine-load spikes on this box swing single runs ±30%
-    // (NOTES), and a median is robust to one bad draw where min-of-2 was
-    // not robust to two.
+    // Four PASSES over the whole suite: pass 0 (discarded) pays one-time
+    // whole-stage-codegen compilation + JIT per query shape, then MEDIAN
+    // of 3 warm passes. Passes rotate through the suite rather than
+    // running each query 4× back-to-back: BENCH_r10 post-mortem — with
+    // consecutive runs, a sustained machine-load window contaminated all
+    // three warm runs of whichever queries it covered (q13's three runs
+    // all sat inside one window, min 8× inflated). Rotation separates a
+    // query's samples by a full suite traversal (~1-2 min apart at
+    // sf0.1), so a load window inflates at most one sample per query and
+    // the min survives as the machine's true capability.
     // a failed query reports -1, never a (misleadingly fast) fail duration
-    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 to 3).map { _ =>
+    val qseq = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passTimes: Seq[Seq[Double]] = (0 to 3).map { _ =>
+      qseq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -31,7 +37,9 @@ object Bench {
           -1.0
         } finally CacheRegistry.release() // each timed run pays its own caching
       }
-      val warm = times.drop(1)
+    }
+    val timings = qseq.zipWithIndex.map { case ((name, _), i) =>
+      val warm = passTimes.drop(1).map(_(i))
       // fail only on a failed WARM run: run 0 is discarded by contract, so
       // a transient failure there alone must not zero out three good
       // timings (and drop the query from the round's total as a phantom)
