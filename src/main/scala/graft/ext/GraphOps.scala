@@ -27,20 +27,36 @@ object GraphOps {
     *
     * Scale shape: the equi-join key is the label (= partition/cluster
     * id at 100 TB — IVF cell, LSH bucket, shard), so pair count is
-    * Σ_b |b|² — bounded by the blocking granularity, and each block's
-    * pairs expand map-side after a shuffle on the label key. The few
-    * distinct labels in the test tables would skew a real cluster;
-    * there the label would be the (much finer) IVF/LSH cell id, and
-    * AQE skew-join split handles residual hot cells.
+    * Σ_b |b|² — and that sum is bounded BY CONSTRUCTION, not by data
+    * luck: blocks larger than `maxBlock` are DROPPED from pair
+    * generation entirely (the LSH `maxBucket` discipline of
+    * [[DedupOps.minHashCandidatePairs]] — a block that big is a
+    * boilerplate pocket whose members the exact-dup/cluster passes
+    * already handle, and its |b|² pairs carry no per-pair signal worth
+    * a job-killing expansion). Surviving blocks' pairs expand map-side
+    * after a shuffle on the label key; the few distinct labels in the
+    * test tables would skew a real cluster — there the label would be
+    * the (much finer) IVF/LSH cell id, and AQE skew-join split handles
+    * residual hot cells. The default cap (10 000 ⇒ ≤10⁸ pairs per
+    * block) sits far above every bundled SF's largest block (218 at
+    * sf0.1), so q151–q153's oracles/goldens see an uncapped graph;
+    * GraphOpsSpec pins the capped path with a planted oversize block.
     */
-  def labelBlockedEdges(embeddings: DataFrame, tauMicro: Long): DataFrame = {
+  def labelBlockedEdges(embeddings: DataFrame, tauMicro: Long,
+      maxBlock: Long = 10000L): DataFrame = {
     import SimilarityOps.{dot, norm, safeCos, toDouble}
     val n = embeddings
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val a = n.select(col("label"), col("vec_id").as("u"),
+    // per-label size gate: an agg over (label) is tiny next to the pair
+    // expansion it bounds; the semi-join broadcasts when label
+    // cardinality is small and stays a shuffle equi-join otherwise
+    val okLabels = n.groupBy("label").agg(count(lit(1)).as("block_n"))
+      .filter(col("block_n") <= maxBlock).select("label")
+    val g = n.join(okLabels, Seq("label"), "left_semi")
+    val a = g.select(col("label"), col("vec_id").as("u"),
       col("v").as("va"), col("nrm").as("na"))
-    val b = n.select(col("label"), col("vec_id").as("w"),
+    val b = g.select(col("label"), col("vec_id").as("w"),
       col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("u") < col("w"))
@@ -79,9 +95,20 @@ object GraphOps {
         .unionAll(edges.select(col("w").as("node_id")))
         .groupBy("node_id").agg(count(lit(1)).as("degree")))
     // orientation rank: (degree, id) packed into one long so the wedge
-    // join's "a before b" compare is a single column. degree ≤ n and
-    // node ids are longs ≪ 2⁶² / n — no overflow at any test SF; a
-    // real deployment would keep the (degree, id) struct compare.
+    // join's "a before b" compare is a single column. The packing is a
+    // total order only while node_id < 10⁹ (and degree ≤ n < 10⁹ keeps
+    // the product under 2⁶³); past that, cross-degree collisions would
+    // SILENTLY double-count or drop triangles — so the bound is
+    // enforced, not assumed. The check is one small agg over the
+    // already-persisted degree table (deg materializes here instead of
+    // at the first downstream action — same work, earlier). A graph
+    // with larger ids needs a re-keyed (dense-rank) node space; the
+    // struct(degree, id) compare alternative was rejected because Spark
+    // plans max/joins on struct keys through SortAggregate.
+    val maxId = deg.agg(max(col("node_id").cast("long"))).head
+    require(maxId.isNullAt(0) || maxId.getLong(0) < 1000000000L,
+      s"triangleStats degree-orientation packing requires node_id < 1e9 " +
+        s"(got max ${maxId.get(0)}); re-key node ids densely first")
     val dk = deg.select(col("node_id"),
       (col("degree") * lit(1000000000L) + col("node_id")).as("okey"))
     // PERSISTED: the oriented edge list feeds the wedge self-join twice
@@ -276,9 +303,10 @@ object GraphOps {
 
   /** q153: coreness decomposition of the q151 intra-label cosine graph.
     * Golden-parquet oracle (the fixpoint is not single-statement SQL);
-    * the committed golden is pinned by an INDEPENDENT driver-side
-    * Batagelj–Zaversnik peeling re-derivation in GraphOpsSpec, so the
-    * engine cannot self-certify.
+    * the committed goldens at sf0.001 AND sf0.01 are pinned by an
+    * INDEPENDENT driver-side Batagelj–Zaversnik peeling re-derivation
+    * in GraphOpsSpec, so the engine cannot self-certify at those SFs
+    * (the sf0.1 golden is engine-derived, determinism-checked).
     */
   def qCoreness(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings

@@ -132,6 +132,39 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("labelBlockedEdges drops blocks over maxBlock (LSH maxBucket discipline)") {
+    // label 1: two identical vectors (cos 1.0 -> one edge); label 2: five
+    // identical vectors — 10 edges uncapped, a DROPPED block at maxBlock=3.
+    val emb = (Seq((0L, 1), (1L, 1)) ++ (10L to 14L).map(id => (id, 2)))
+      .map { case (id, lbl) => (id, Array(1.0f, 0.0f), lbl) }
+      .toDF("vec_id", "embedding", "label")
+    val uncapped = GraphOps.labelBlockedEdges(emb, 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 11 && uncapped.contains((0L, 1L)))
+    val capped = GraphOps.labelBlockedEdges(emb, 500000L, maxBlock = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L)),
+      "oversize block must generate NO pairs; small block unaffected")
+    // the bundled-SF graphs sit far under the default cap, so q151-q153
+    // see an uncapped graph: default == explicit-huge on real data
+    val emb001 = Tables(spark, SF).embeddings
+    val d = GraphOps.labelBlockedEdges(emb001, 180000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h = GraphOps.labelBlockedEdges(emb001, 180000L, maxBlock = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d == h && d.nonEmpty)
+  }
+
+  test("triangleStats rejects node ids >= 1e9 (orientation packing bound)") {
+    val big = Seq((2000000000L, 2000000001L)).toDF("u", "w")
+    val nodes = Seq(2000000000L, 2000000001L).toDF("node_id")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.triangleStats(nodes, big).collect()
+    }
+    CacheRegistry.release()
+    assert(e.getMessage.contains("node_id < 1e9"))
+  }
+
   test("coreness on a planted graph: clique, chain, bridge, isolate") {
     // K4 {0,1,2,3} (coreness 3) — bridge 3–4 — triangle {4,5,6}
     // (coreness 2) — tail 6–7–8 (coreness 1) — isolate 9 (0).
@@ -161,6 +194,28 @@ class GraphOpsSpec extends SparkSpec {
     val core = peelCoreness(edges.toSeq)
     assert(got.nonEmpty && got.exists(_.getLong(2) >= 2L),
       "expect some non-trivial core")
+    got.foreach { r =>
+      val (id, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(d == deg.getOrElse(id, 0L), s"deg $id")
+      assert(c == core.getOrElse(id, 0L), s"coreness of $id")
+    }
+  }
+
+  test("q153 vs an independent Batagelj-Zaversnik peel at sf0.01") {
+    // second-SF pin: the committed sf0.01 golden is re-derived here from
+    // first principles (the sf0.001 pin alone left the larger-SF goldens
+    // engine-derived — determinism-checked but partially self-certified)
+    val dir = "/root/testdata/sf0.01"
+    val got = GraphOps.qCoreness(spark, dir).collect()
+    CacheRegistry.release()
+    val edges = GraphOps.labelBlockedEdges(
+      Tables(spark, dir).embeddings, 180000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    CacheRegistry.release()
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong)
+    val core = peelCoreness(edges.toSeq)
+    assert(got.nonEmpty && got.exists(_.getLong(2) >= 2L))
     got.foreach { r =>
       val (id, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
       assert(d == deg.getOrElse(id, 0L), s"deg $id")
