@@ -182,6 +182,12 @@ object SparkEntry {
     "q153_coreness" -> (ext.GraphOps.qCoreness _),
     "q154_stream_enrich" ->
       (graft.streaming.StreamingQueries.qStreamEnrich _),
+    "q155_stream_url_dedup" ->
+      (graft.streaming.StreamingQueries.qStreamUrlDedup _),
+    "q156_stream_cdc" ->
+      (graft.streaming.StreamingQueries.qStreamCdc _),
+    "q157_stream_neardup" ->
+      (graft.streaming.StreamingQueries.qStreamNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2082,6 +2088,59 @@ object SparkEntry {
         |LEFT JOIN p3 ON p3.doc_id = b.doc_id
         |LEFT JOIN p4 ON p4.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    // q155: the streaming dropDuplicates admits exactly the distinct
+    // canonical pages; the oracle re-derives the q89 staging + rule
+    // chain and takes DISTINCT (the kept-row identity is intentionally
+    // NOT part of the result — dropDuplicates keeps an arbitrary
+    // representative; only canon_url is group-constant).
+    "q155_stream_url_dedup" ->
+      """WITH u AS (
+        | SELECT doc_id,
+        |  CASE doc_id % 5
+        |   WHEN 0 THEN 'https://src' || ((doc_id // 5) % 20) || '.example.com/doc/' || (doc_id // 5)
+        |   WHEN 1 THEN 'HTTPS://' || upper('src' || ((doc_id // 5) % 20) || '.example.com')
+        |     || ':443/doc/' || (doc_id // 5) || '#sec-2'
+        |   WHEN 2 THEN 'https://src' || ((doc_id // 5) % 20) || '.example.com/doc/' || (doc_id // 5)
+        |     || '?utm_source=feed&utm_campaign=promo'
+        |   WHEN 3 THEN 'https://src' || ((doc_id // 5) % 20) || '.example.com/doc/' || (doc_id // 5) || '/'
+        |   ELSE 'https://src' || ((doc_id // 5) % 20) || '.example.com/doc/' || (doc_id // 5)
+        |     || '?utm_source=x&ref=keep'
+        |  END AS url
+        | FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
+        |c2 AS (SELECT doc_id, lower(regexp_extract(u, '^([A-Za-z]+://[^/?#]*)', 1))
+        |        || regexp_replace(u, '^[A-Za-z]+://[^/?#]*', '') AS u FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |        '^(https://[^/?#]*):443(/|\?|$)', '\1\2'),
+        |        '^(http://[^/?#]*):80(/|\?|$)', '\1\2') AS u FROM c2),
+        |c4 AS (SELECT doc_id, u, strpos(u, '?') AS qpos,
+        |        regexp_replace(regexp_replace(substr(u, strpos(u, '?') + 1),
+        |          '&utm_[a-z]+=[^&]*', '', 'g'),
+        |          '^utm_[a-z]+=[^&]*&?', '') AS t2 FROM c3),
+        |c5 AS (SELECT doc_id, CASE WHEN qpos = 0 THEN u
+        |        WHEN len(t2) > 0 THEN substr(u, 1, qpos - 1) || '?' || t2
+        |        ELSE substr(u, 1, qpos - 1) END AS u FROM c4),
+        |c AS (SELECT doc_id, regexp_replace(u, '/$', '') AS canon_url FROM c5)
+        |SELECT DISTINCT canon_url FROM c ORDER BY canon_url""".stripMargin,
+    // q156: two-batch CDC — batch 1 emits one `added` per v1 doc, batch
+    // 2 emits q119's staged-v2 `modified`/`added` rows (removals are
+    // unobservable in an arrival stream; unchanged re-deliveries are
+    // silent). Same stageV2 arithmetic as the q119 oracle.
+    "q156_stream_cdc" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |mod AS (SELECT doc_id, md5(text) AS prev_hash,
+        |   md5(text || ' rev2') AS new_hash
+        | FROM v1 WHERE doc_id % 13 <> 0 AND doc_id % 9 = 4),
+        |newd AS (SELECT doc_id + 10000000 AS doc_id,
+        |   md5('new ' || text) AS new_hash
+        | FROM v1 WHERE doc_id % 17 = 0)
+        |SELECT doc_id, 'added' AS status, CAST(NULL AS VARCHAR) AS prev_hash,
+        |  md5(text) AS new_hash FROM v1
+        |UNION ALL
+        |SELECT doc_id, 'modified', prev_hash, new_hash FROM mod
+        |UNION ALL
+        |SELECT doc_id, 'added', NULL, new_hash FROM newd
+        |ORDER BY doc_id, status""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that
@@ -2106,7 +2165,7 @@ object SparkEntry {
     "q92_keep_best", "q97_knn_graph", "q99_fuzzy_decon", "q100_coreset",
     "q104_incremental_knn", "q105_ffd_pack", "q117_classifier_train",
     "q122_token_ids", "q127_pagerank", "q129_fertility", "q130_bitext_mine",
-    "q137_rouge_pairs", "q153_coreness",
+    "q137_rouge_pairs", "q153_coreness", "q157_stream_neardup",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

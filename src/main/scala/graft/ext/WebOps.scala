@@ -165,8 +165,15 @@ object WebOps {
     * URL: `?ref=keep` survives). The oracle rebuilds the identical strings
     * and the identical rule chain. Direct DuckDB oracle.
     */
-  def qUrlDedup(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
+  def qUrlDedup(spark: SparkSession, dir: String): DataFrame =
+    urlDedup(stagedCrawlUrls(Tables(spark, dir).documents))
+      .orderBy("doc_id")
+
+  /** The deterministic staged crawl-URL table q89 and the streaming
+    * q155 share — ONE definition so the batch and streaming oracles
+    * cannot drift (the q119/stageV2 discipline).
+    */
+  private[graft] def stagedCrawlUrls(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val gid = floor(id / 5).cast("bigint")
     val host = concat(lit("src"), (gid % 20).cast("string"), lit(".example.com"))
@@ -179,7 +186,6 @@ object WebOps {
       .when(id % 5 === 3, concat(lit("https://"), host, path, lit("/")))
       .otherwise(
         concat(lit("https://"), host, path, lit("?utm_source=x&ref=keep")))
-    urlDedup(t.documents.select(id, url.as("url")))
-      .orderBy("doc_id")
+    docs.select(id, url.as("url"))
   }
 }

@@ -36,6 +36,17 @@ import org.apache.spark.sql.functions._
   *  - q144 is the S19 streaming upsert: foreachBatch max-merge into a
   *    crash-safe [[graft.ops.StateTable]]; monotone max makes the final
   *    table batch-count-independent (q18's oracle arithmetic, max only).
+  *  - q155 streaming URL dedup admits exactly the distinct canonical
+  *    pages; projecting only the group-constant canon_url makes the
+  *    result order-independent of which representative row survived.
+  *  - q156 streaming CDC stages TWO mtime-ordered files admitted as two
+  *    micro-batches (`maxFilesPerTrigger = 1`) — the one promoted query
+  *    whose point IS the cross-batch state transition; emissions per
+  *    batch are pure functions of (state, batch) and the batch order is
+  *    pinned by mtime.
+  *  - q157 streaming near-dup runs one batch; per bucket, arrivals are
+  *    processed in doc_id order (operator contract), so the emitted
+  *    pair set is deterministic; golden oracle (minhash is not SQL).
   *
   * Memory-sink tables get a fresh name per invocation (Verify runs four
   * queries concurrently on one session; Bench re-runs each four times)
@@ -62,9 +73,38 @@ object StreamingQueries {
 
   private val stagedPlain = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val stagedDup = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedUrls = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedCdc = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedDocs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def freshName(prefix: String): String =
     prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** Write `df` into `landDir` as EXACTLY one parquet file named
+    * `fileName` with a pinned mtime (the file source orders batches by
+    * modification time, so multi-file stagings admit files in the
+    * intended order), leaving no committer artifacts behind — the
+    * one-file-one-batch invariant must not depend on Spark's hidden-file
+    * filters skipping _SUCCESS/.crc leftovers.
+    */
+  private def stageParquetFile(df: DataFrame, landDir: java.nio.file.Path,
+      fileName: String, mtimeMs: Long): Unit = {
+    val stageDir = landDir.resolve("stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
+    val listing = Files.list(stageDir)
+    val part =
+      try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+      finally listing.close()
+    val target = landDir.resolve(fileName)
+    Files.move(java.nio.file.Paths.get(part), target)
+    Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    val leftovers = Files.list(stageDir)
+    try leftovers.toArray.foreach(p =>
+      Files.delete(p.asInstanceOf[java.nio.file.Path]))
+    finally leftovers.close()
+    Files.delete(stageDir)
+  }
 
   /** Stage `dir`/events.parquet as a single-file landing directory (the
     * file source needs a directory; ONE file ⇒ one micro-batch — the
@@ -90,22 +130,52 @@ object StreamingQueries {
       PipelineQueries.registerTempDirForCleanup(tmp)
       val events = spark.read.parquet(s"$dir/events.parquet")
       val staged = events.unionAll(events.filter(col("event_id") % 10 === 0))
-      val stageDir = tmp.resolve("stage")
-      staged.coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
-      val listing = Files.list(stageDir)
-      val part =
-        try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
-        finally listing.close()
-      Files.move(java.nio.file.Paths.get(part), tmp.resolve("events_dup.parquet"))
-      // delete the spent stage/ dir: its _SUCCESS/.crc leftovers sit inside
-      // the directory the stream source scans, and the one-file-one-batch
-      // invariant must not depend on Spark's hidden-file filters skipping
-      // them (or on the committer never leaving a non-hidden artifact)
-      val leftovers = Files.list(stageDir)
-      try leftovers.toArray.foreach(p =>
-        Files.delete(p.asInstanceOf[java.nio.file.Path]))
-      finally leftovers.close()
-      Files.delete(stageDir)
+      stageParquetFile(staged, tmp, "events_dup.parquet", 1700000000000L)
+      tmp.toString
+    })
+
+  /** q155's landing dir: the q89 staged crawl-URL table (one definition,
+    * [[graft.ext.WebOps.stagedCrawlUrls]]) as one file ⇒ one batch.
+    */
+  private def urlLandingDir(spark: SparkSession, dir: String): String =
+    stagedUrls.computeIfAbsent(dir, { _ =>
+      val tmp = Files.createTempDirectory("graft-stream-urls")
+      PipelineQueries.registerTempDirForCleanup(tmp)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      stageParquetFile(graft.ext.WebOps.stagedCrawlUrls(docs),
+        tmp, "urls.parquet", 1700000000000L)
+      tmp.toString
+    })
+
+  /** q156's landing dir: TWO files — v1 = `documents`, then the q119
+    * staged v2 snapshot ([[graft.ext.VersioningOps.stageV2]], shared
+    * definition) 60 s later by mtime. With `maxFilesPerTrigger = 1` the
+    * file source admits them as two ordered micro-batches: the
+    * cross-batch state transition (v1 hashes resident in the state
+    * store when v2 arrives) is exactly what this query gates.
+    */
+  private def cdcLandingDir(spark: SparkSession, dir: String): String =
+    stagedCdc.computeIfAbsent(dir, { _ =>
+      val tmp = Files.createTempDirectory("graft-stream-cdc")
+      PipelineQueries.registerTempDirForCleanup(tmp)
+      val v1 = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      stageParquetFile(v1, tmp, "v1.parquet", 1700000000000L)
+      stageParquetFile(graft.ext.VersioningOps.stageV2(v1),
+        tmp, "v2.parquet", 1700000060000L)
+      tmp.toString
+    })
+
+  /** q157's landing dir: `documents` (doc_id, text) as one file ⇒ one
+    * batch.
+    */
+  private def docsLandingDir(spark: SparkSession, dir: String): String =
+    stagedDocs.computeIfAbsent(dir, { _ =>
+      val tmp = Files.createTempDirectory("graft-stream-docs")
+      PipelineQueries.registerTempDirForCleanup(tmp)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      stageParquetFile(docs, tmp, "docs.parquet", 1700000000000L)
       tmp.toString
     })
 
@@ -275,5 +345,80 @@ object StreamingQueries {
       EventStreaming.attributionJoinLeftOuter(clicks, purchases),
       freshName("q150"))
       .orderBy("click_id", "purchase_id")
+  }
+
+  /** q155: URL dedup-ON-INGEST ([[graft.ext.WebOps.streamingUrlDedup]]) —
+    * the stateful `dropDuplicates` on the canonical hash, run over the
+    * q89 staged crawl-URL table. `dropDuplicates` keeps an ARBITRARY
+    * representative per canonical page, so the query projects only
+    * `canon_url` — identical across every member of a group by
+    * construction — making the result the deterministic SET of distinct
+    * canonical pages, which the oracle re-derives with the q89 rule
+    * chain + DISTINCT. (The kept-row identity is gated separately:
+    * WebOpsSpec's streaming test pins first-batch-wins across batches.)
+    */
+  def qStreamUrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val land = urlLandingDir(spark, dir)
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val stream = s.readStream
+      .schema(spark.read.parquet(land).schema).parquet(land)
+    EventStreaming.runToLocal(
+      graft.ext.WebOps.streamingUrlDedup(stream).select("canon_url"),
+      freshName("q155"))
+      .orderBy("canon_url")
+  }
+
+  /** q156: streaming CDC ([[graft.ext.VersioningOps.streamingSnapshotDiff]])
+    * over a two-batch arrival: v1 (every doc an `added`) then the q119
+    * staged v2 (one `modified` per edited doc, one `added` per minted
+    * doc; unchanged re-deliveries silent, and `removed` unobservable in
+    * a pure arrival stream — the batch q119 covers removals). Emission
+    * per doc is ≤ 1 row per batch, so (doc_id, status) is a unique sort
+    * key; the oracle restates both batches relationally with the same
+    * staging arithmetic. Full-width output ⇒ parquet sink (the q142
+    * discipline).
+    */
+  def qStreamCdc(spark: SparkSession, dir: String): DataFrame = {
+    val land = cdcLandingDir(spark, dir)
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val stream = s.readStream
+      .schema(spark.read.parquet(s"$land/v1.parquet").schema)
+      .option("maxFilesPerTrigger", 1).parquet(land)
+    val out = Files.createTempDirectory("graft-stream-cdc-out")
+    PipelineQueries.registerTempDirForCleanup(out)
+    val q = graft.ext.VersioningOps.streamingSnapshotDiff(stream).toDF()
+      .select(col("doc_id"), col("change").as("status"),
+        col("prev_hash"), col("new_hash"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/result")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/result").orderBy("doc_id", "status")
+  }
+
+  /** q157: LSH near-dup detection ON INGEST
+    * ([[graft.ext.DedupOps.statefulStreamingNearDup]]) over `documents`
+    * staged as one batch: per bucket, arrivals in doc_id order compare
+    * against the state-resident members, so the single-batch emission is
+    * the deterministic intra-bucket pair set ≥ threshold. Golden-parquet
+    * oracle (minhash banding is not SQL-re-derivable — the q27 class);
+    * the golden is pinned by StreamingSpec's independent per-bucket
+    * simulation at sf0.001 plus the cross-batch variant of the same
+    * test.
+    */
+  def qStreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val land = docsLandingDir(spark, dir)
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val stream = s.readStream
+      .schema(spark.read.parquet(land).schema).parquet(land)
+    EventStreaming.runToLocal(
+      graft.ext.DedupOps.statefulStreamingNearDup(stream).toDF(),
+      freshName("q157"))
+      .select(col("doc_a"), col("doc_b"), col("band"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b", "band")
   }
 }

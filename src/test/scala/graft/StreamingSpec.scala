@@ -362,6 +362,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q157 golden pin: single-batch emission equals the per-bucket simulation") {
+    // the committed q157 golden is the engine's own output — this
+    // independent re-derivation (same discipline as the cross-batch test
+    // above, single-batch doc_id order) is what stops self-certification
+    import graft.ext.{BucketArrival, DedupOps}
+    val got = graft.streaming.StreamingQueries.qStreamNearDup(spark, SF)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sorted.toSeq
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val arrivals = DedupOps.bucketArrivals(docs).collect()
+    val expected = arrivals.groupBy(a => (a.band, a.bandSig)).toSeq
+      .flatMap { case ((band, _), as) =>
+        val ordered = as.sortBy(_.docId)
+        val members = scala.collection.mutable.ArrayBuffer.empty[BucketArrival]
+        ordered.flatMap { a =>
+          val hits = members.flatMap { m =>
+            val agree = m.sig.zip(a.sig).count { case (x, y) => x == y }
+            val est = agree.toDouble / 15
+            if (est >= 0.6)
+              Some((math.min(m.docId, a.docId), math.max(m.docId, a.docId),
+                band,
+                BigDecimal(java.math.BigDecimal.valueOf(est))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue))
+            else None
+          }.toSeq
+          if (members.size < 100) members += a
+          hits
+        }
+      }.sorted
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("stateful streaming image dedup: cross-batch perceptual pairs; equals simulation") {
     import graft.ext.{ImgBandArrival, MultimodalOps}
     import spark.implicits._
