@@ -37,6 +37,10 @@ object Curation {
   private def classifierKeep(text: Column): Column =
     TextOps.classifierWsum(text) > 0
 
+  private def cleaned(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TextOps.scrubPii(TextOps.extractText(col("text"))).as("text"))
+
   /** Curate (doc_id, text) into a packed training corpus: returns the
     * KEPT documents with cleaned text, shard, token offset and sequence
     * id. Docs dropped by any stage (rule filter, classifier, exact or
@@ -46,12 +50,21 @@ object Curation {
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     // 1-3: ONE narrow cleaning pass — gopherVerdict's passthrough carries
     // the cleaned text through (no join-back), the classifier fold sits
-    // on top of the same pass
-    val cleaned = docs.select(col("doc_id"),
-      TextOps.scrubPii(TextOps.extractText(col("text"))).as("text"))
-    val filtered = TextOps.gopherVerdict(cleaned, passthrough = Seq("text"))
-      .filter(col("keep") && classifierKeep(col("text")))
-      .select(col("doc_id"), col("text"))
+    // on top of the same pass. PERSISTED: stage 4 references this frame
+    // TWICE (the dedup aggregate and the semijoin's left side), and the
+    // regex-heavy cleaning chain (~1.6 s single-core at sf0.1) is the
+    // composition's most expensive narrow pass — unpinned it runs once
+    // per reference. Locally the pin is ~neutral (the test parquet is one
+    // partition, so the two duplicate branch tasks ran in PARALLEL on
+    // idle cores — q77 7.0 → 6.6 s min); at cluster scale, where every
+    // core is already busy, the duplicate branch is a full extra corpus
+    // text pass and the pin removes it — the documented local-vs-cluster
+    // trade. Read only while `exact` materializes; the exact cache
+    // serves every later stage.
+    val filtered = graft.CacheRegistry.persist(
+      TextOps.gopherVerdict(cleaned(docs), passthrough = Seq("text"))
+        .filter(col("keep") && classifierKeep(col("text")))
+        .select(col("doc_id"), col("text")))
     // 4: exact dedup via the audited operator (map-side partial agg —
     // the exchange carries (hash, min_id), never the text) + keep-id
     // semijoin; persisted: the near-dedup and the final join both read it

@@ -6,34 +6,47 @@ import org.apache.spark.sql.functions._
 /** Ad-hoc perf scratchpad: micro-benchmarks for plan-shape experiments.
   * (Historical findings live in commit messages/NOTES.md: the
   * distinct-agg × TypedImperative SortAggregate fallback and the IVF
-  * recall measurements were diagnosed here.)
+  * recall measurements were diagnosed here; round 11 used it to
+  * stage-profile q77's composition before deciding on the VERDICT-
+  * suggested stage fusion.)
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("scratch")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val t = Tables(spark, sfDir)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       f
       println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    t.lineitem.write.format("noop").mode("overwrite").save() // warm scan
-    time("pricing summary") {
-      graft.queries.CoreQueries.q01PricingSummary(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("ivf recall") {
-      import graft.ext.SimilarityOps
-      val exact = SimilarityOps.bruteForceTopK(t.embeddings, 8, 5).collect()
-        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
-      val approx = SimilarityOps.ivfTopK(t.embeddings, 8, 5, 16,
-        sys.env.getOrElse("NPROBE", "4").toInt).collect()
-        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
-      val rec = exact.keys.toSeq.map(q =>
-        (exact(q) intersect approx.getOrElse(q, Set.empty[Long])).size.toDouble / 5)
-        .sum / exact.size
-      println(f"[scratch] IVF recall@5 = $rec%.3f")
+    import graft.ext.{DedupOps, SamplingOps, TextOps}
+    noop(t.documents) // warm scan
+    // q77 stage profile — mirror Curation.curate's exact composition
+    (1 to 2).foreach { round =>
+      val docs = t.documents.select(col("doc_id"), col("text"))
+      val cleaned = docs.select(col("doc_id"),
+        TextOps.scrubPii(TextOps.extractText(col("text"))).as("text"))
+      val filtered = TextOps.gopherVerdict(cleaned, passthrough = Seq("text"))
+        .filter(col("keep") && (TextOps.classifierWsum(col("text")) > 0))
+        .select(col("doc_id"), col("text"))
+      time(s"r$round stage1-3 clean+filter") { noop(filtered) }
+      val keepIds = DedupOps.exactDedup(filtered)
+        .select(col("keep_id").as("doc_id"))
+      val exact = graft.CacheRegistry.persist(
+        filtered.join(keepIds, Seq("doc_id"), "left_semi"))
+      time(s"r$round stage4 exact+persist") { noop(exact) }
+      val reps = DedupOps.minHashDedupClusters(exact, 15, 3, 2, 0.6)
+        .filter(col("cluster_id") === col("doc_id"))
+        .select("doc_id")
+      time(s"r$round stage5 neardup reps") { noop(reps) }
+      val deduped = exact.join(reps, Seq("doc_id"), "left_semi")
+      time(s"r$round stage6 pack") {
+        noop(SamplingOps.sequencePack(deduped, 4, 4096))
+      }
+      graft.CacheRegistry.release()
     }
     spark.stop()
   }
