@@ -188,6 +188,10 @@ object SparkEntry {
       (graft.streaming.StreamingQueries.qStreamCdc _),
     "q157_stream_neardup" ->
       (graft.streaming.StreamingQueries.qStreamNearDup _),
+    "q158_stream_image_dedup" ->
+      (graft.streaming.StreamingQueries.qStreamImageDedup _),
+    "q159_stream_seq_pack" ->
+      (graft.streaming.StreamingQueries.qStreamSeqPack _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2141,6 +2145,25 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, 'added', NULL, new_hash FROM newd
         |ORDER BY doc_id, status""".stripMargin,
+    // q159: the streaming packer packs in ARRIVAL order — (batch,
+    // doc_id) under the two-file even/odd staging — so the oracle is
+    // q71's window with ORDER BY (doc_id % 2, doc_id) in place of the
+    // batch packer's hash-rank; offsets continuing across the batch
+    // boundary is exactly what a single window over both batches states.
+    "q159_stream_seq_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |  (doc_id * 1103515245 + 12345) % 2147483648 % 4 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |w AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY doc_id % 2, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    - n_tokens AS tok_offset
+        | FROM d)
+        |SELECT doc_id, shard, n_tokens, tok_offset,
+        | tok_offset // 4096 AS seq_id
+        |FROM w ORDER BY doc_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that
@@ -2166,6 +2189,7 @@ object SparkEntry {
     "q104_incremental_knn", "q105_ffd_pack", "q117_classifier_train",
     "q122_token_ids", "q127_pagerank", "q129_fertility", "q130_bitext_mine",
     "q137_rouge_pairs", "q153_coreness", "q157_stream_neardup",
+    "q158_stream_image_dedup",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

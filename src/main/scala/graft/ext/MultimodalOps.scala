@@ -1333,14 +1333,22 @@ object MultimodalOps {
     * bits apart. Golden oracle (image decode is not SQL-expressible);
     * the rows re-derive from first principles in GoldenDerivationSpec.
     */
-  def qImageDedup(spark: SparkSession, dir: String): DataFrame = {
+  def qImageDedup(spark: SparkSession, dir: String): DataFrame =
+    imageNearDupStats(stagedImageTable(spark, dir)).orderBy("image_id")
+
+  /** The ONE 64-image staged table (image_id, content) behind q78, q85
+    * and the streaming q158 — consecutive pairs (2k, 2k+1) share an LCG
+    * base raster with the odd member corner-perturbed; one definition so
+    * the three queries' oracles cannot drift.
+    */
+  private[graft] def stagedImageTable(spark: SparkSession, dir: String)
+      : DataFrame = {
     val t = graft.Tables(spark, dir)
-    val imgs = t.documents.select(col("doc_id")).filter(col("doc_id") < 64)
+    t.documents.select(col("doc_id")).filter(col("doc_id") < 64)
       .as[Long](Encoders.scalaLong)
       .mapPartitions(_.map(id => (id, stagedImage(id))))(
         Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .toDF("image_id", "content")
-    imageNearDupStats(imgs).orderBy("image_id")
   }
 
   /** q85: transitive perceptual dup clusters as a driver query — the
@@ -1351,15 +1359,8 @@ object MultimodalOps {
     * SQL-expressible); rows re-derived from first principles (dHash,
     * banding, Hamming edges, union-find) in GoldenDerivationSpec.
     */
-  def qImageClusters(spark: SparkSession, dir: String): DataFrame = {
-    val t = graft.Tables(spark, dir)
-    val imgs = t.documents.select(col("doc_id")).filter(col("doc_id") < 64)
-      .as[Long](Encoders.scalaLong)
-      .mapPartitions(_.map(id => (id, stagedImage(id))))(
-        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-      .toDF("image_id", "content")
-    imageDedupClusters(imgs).orderBy("image_id")
-  }
+  def qImageClusters(spark: SparkSession, dir: String): DataFrame =
+    imageDedupClusters(stagedImageTable(spark, dir)).orderBy("image_id")
 
   /** q86: incremental audio dedup as a driver query — the q52 workflow
     * for audio: index the standing corpus's constellation fingerprints

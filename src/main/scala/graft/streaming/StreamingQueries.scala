@@ -76,6 +76,8 @@ object StreamingQueries {
   private val stagedUrls = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val stagedCdc = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val stagedDocs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedImgs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedPack = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def freshName(prefix: String): String =
     prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -176,6 +178,37 @@ object StreamingQueries {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
       stageParquetFile(docs, tmp, "docs.parquet", 1700000000000L)
+      tmp.toString
+    })
+
+  /** q158's landing dir: the q78 64-image staged table (one shared
+    * definition, [[graft.ext.MultimodalOps.stagedImageTable]]) as one
+    * file ⇒ one batch.
+    */
+  private def imagesLandingDir(spark: SparkSession, dir: String): String =
+    stagedImgs.computeIfAbsent(dir, { _ =>
+      val tmp = Files.createTempDirectory("graft-stream-imgs")
+      PipelineQueries.registerTempDirForCleanup(tmp)
+      stageParquetFile(graft.ext.MultimodalOps.stagedImageTable(spark, dir),
+        tmp, "images.parquet", 1700000000000L)
+      tmp.toString
+    })
+
+  /** q159's landing dir: TWO mtime-ordered files — even doc_ids, then
+    * odd — so the per-shard token offset must CONTINUE across the batch
+    * boundary (the operator's whole point; a single batch would never
+    * read state).
+    */
+  private def packLandingDir(spark: SparkSession, dir: String): String =
+    stagedPack.computeIfAbsent(dir, { _ =>
+      val tmp = Files.createTempDirectory("graft-stream-pack")
+      PipelineQueries.registerTempDirForCleanup(tmp)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      stageParquetFile(docs.filter(col("doc_id") % 2 === 0),
+        tmp, "b1.parquet", 1700000000000L)
+      stageParquetFile(docs.filter(col("doc_id") % 2 === 1),
+        tmp, "b2.parquet", 1700000060000L)
       tmp.toString
     })
 
@@ -420,5 +453,47 @@ object StreamingQueries {
       .select(col("doc_a"), col("doc_b"), col("band"),
         round(col("est_jaccard"), 6).as("est_jaccard"))
       .orderBy("doc_a", "doc_b", "band")
+  }
+
+  /** q158: perceptual image dedup ON INGEST
+    * ([[graft.ext.MultimodalOps.statefulStreamingImageDedup]]) over the
+    * q78 64-image staged table in one batch: per dHash band bucket,
+    * arrivals in image_id order Hamming-verify against state-resident
+    * members, so the emission is the deterministic intra-bucket match
+    * set. Golden oracle (image decode is not SQL — the q78 class);
+    * pinned by StreamingSpec's independent per-bucket simulation.
+    */
+  def qStreamImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val land = imagesLandingDir(spark, dir)
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val stream = s.readStream
+      .schema(spark.read.parquet(land).schema).parquet(land)
+    EventStreaming.runToLocal(
+      graft.ext.MultimodalOps.statefulStreamingImageDedup(stream).toDF(),
+      freshName("q158"))
+      .orderBy("id_a", "id_b", "band")
+  }
+
+  /** q159: sequence packing ON INGEST
+    * ([[graft.ext.SamplingOps.statefulStreamingSequencePack]]) over a
+    * two-batch arrival (even doc_ids, then odd): each shard's next free
+    * token offset lives in the state store and must CONTINUE across the
+    * batch boundary. Arrival order is (batch, doc_id within batch) —
+    * both pinned (mtime ordering; per-shard doc_id sort inside the
+    * operator) — so the packing is a pure function of the data and the
+    * oracle states it relationally: the q71 window with
+    * ORDER BY (doc_id % 2, doc_id) instead of the batch packer's
+    * hash-rank.
+    */
+  def qStreamSeqPack(spark: SparkSession, dir: String): DataFrame = {
+    val land = packLandingDir(spark, dir)
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val stream = s.readStream
+      .schema(spark.read.parquet(s"$land/b1.parquet").schema)
+      .option("maxFilesPerTrigger", 1).parquet(land)
+    EventStreaming.runToLocal(
+      graft.ext.SamplingOps.statefulStreamingSequencePack(stream).toDF(),
+      freshName("q159"))
+      .orderBy("doc_id")
   }
 }

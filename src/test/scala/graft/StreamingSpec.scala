@@ -442,6 +442,36 @@ class StreamingSpec extends SparkSpec {
       assert(pairs.contains((2 * k, 2 * k + 1)), s"planted pair $k missed")
   }
 
+  test("q158 golden pin: single-batch emission equals the per-bucket simulation") {
+    // the committed q158 golden is the engine's own output — this
+    // independent re-derivation (the q157 discipline: single batch,
+    // image_id arrival order per band bucket) stops self-certification
+    import graft.ext.{ImgBandArrival, MultimodalOps}
+    val got = graft.streaming.StreamingQueries.qStreamImageDedup(spark, SF)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .sorted.toSeq
+    val arrivals = MultimodalOps.dhashBandArrivals(
+      MultimodalOps.stagedImageTable(spark, SF)).collect()
+    val expected = arrivals.groupBy(a => (a.band, a.sig)).toSeq
+      .flatMap { case ((band, _), as) =>
+        val ordered = as.sortBy(_.imageId)
+        val members = scala.collection.mutable.ArrayBuffer.empty[ImgBandArrival]
+        ordered.flatMap { a =>
+          val hits = members.flatMap { m =>
+            val d = java.lang.Long.bitCount(m.dhash ^ a.dhash)
+            if (d <= 10)
+              Some((math.min(m.imageId, a.imageId),
+                math.max(m.imageId, a.imageId), band, d))
+            else None
+          }.toSeq
+          if (members.size < 100) members += a
+          hits
+        }
+      }.sorted
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("streaming incremental audio dedup: cross-batch matches via the posting table") {
     import graft.ext.MultimodalOps
     import spark.implicits._
