@@ -192,6 +192,10 @@ object SparkEntry {
       (graft.streaming.StreamingQueries.qStreamImageDedup _),
     "q159_stream_seq_pack" ->
       (graft.streaming.StreamingQueries.qStreamSeqPack _),
+    "q160_stream_audio_dedup" ->
+      (graft.streaming.StreamingQueries.qStreamAudioDedup _),
+    "q161_stream_incr_dedup" ->
+      (graft.streaming.StreamingQueries.qStreamIncrDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2189,7 +2193,8 @@ object SparkEntry {
     "q104_incremental_knn", "q105_ffd_pack", "q117_classifier_train",
     "q122_token_ids", "q127_pagerank", "q129_fertility", "q130_bitext_mine",
     "q137_rouge_pairs", "q153_coreness", "q157_stream_neardup",
-    "q158_stream_image_dedup",
+    "q158_stream_image_dedup", "q160_stream_audio_dedup",
+    "q161_stream_incr_dedup",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

@@ -947,14 +947,22 @@ object MultimodalOps {
     * differ but whose spectral peaks survive. Golden oracle; rows
     * re-derived from first principles in GoldenDerivationSpec.
     */
-  def qAudioDedup(spark: SparkSession, dir: String): DataFrame = {
+  def qAudioDedup(spark: SparkSession, dir: String): DataFrame =
+    audioMatchStats(stagedClipTable(spark, dir)).orderBy("clip_id")
+
+  /** The ONE 48-clip staged table (clip_id, content) behind q79, q86
+    * and the streaming q160 — pairs (2k, 2k+1) share a melody with the
+    * odd member noise-overlaid; one definition so the queries' oracles
+    * cannot drift.
+    */
+  private[graft] def stagedClipTable(spark: SparkSession, dir: String)
+      : DataFrame = {
     val t = graft.Tables(spark, dir)
-    val clips = t.documents.select(col("doc_id")).filter(col("doc_id") < 48)
+    t.documents.select(col("doc_id")).filter(col("doc_id") < 48)
       .as[Long](Encoders.scalaLong)
       .mapPartitions(_.map(id => (id, stagedClip(id))))(
         Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .toDF("clip_id", "content")
-    audioMatchStats(clips).orderBy("clip_id")
   }
 
   /** The deterministic clip behind [[qAudioDedup]]: 8000 samples at
@@ -1372,21 +1380,15 @@ object MultimodalOps {
     * from first principles in GoldenDerivationSpec.
     */
   def qIncrementalAudioDedup(spark: SparkSession, dir: String): DataFrame = {
-    val t = graft.Tables(spark, dir)
     val state = java.nio.file.Files.createTempDirectory("graft-audiostate")
     graft.queries.PipelineQueries.registerTempDirForCleanup(state)
     val stateDir = state.resolve("postings").toString
     def staged(pred: Column): DataFrame =
-      t.documents.select(col("doc_id")).filter(col("doc_id") < 48)
-        .filter(pred)
-        .as[Long](Encoders.scalaLong)
-        .mapPartitions(_.map(id => (id, stagedClip(id))))(
-          Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-        .toDF("clip_id", "content")
+      stagedClipTable(spark, dir).filter(pred)
     // index the standing corpus (its internal matches stay lazy/unread;
     // the call eagerly commits the posting table)
-    incrementalAudioDedup(staged(col("doc_id") % 4 =!= 3), stateDir)
-    val newBatch = staged(col("doc_id") % 4 === 3)
+    incrementalAudioDedup(staged(col("clip_id") % 4 =!= 3), stateDir)
+    val newBatch = staged(col("clip_id") % 4 === 3)
     // persisted: the symmetric endpoint union reads matches twice
     val matches = graft.CacheRegistry.persist(
       incrementalAudioDedup(newBatch, stateDir))

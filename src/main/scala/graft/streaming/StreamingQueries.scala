@@ -47,6 +47,17 @@ import org.apache.spark.sql.functions._
   *  - q157 streaming near-dup runs one batch; per bucket, arrivals are
   *    processed in doc_id order (operator contract), so the emitted
   *    pair set is deterministic; golden oracle (minhash is not SQL).
+  *  - q158 (image dHash buckets) and q160 (audio fingerprint keys)
+  *    follow q157's rule exactly — one batch, id-ordered arrivals per
+  *    state key, capped membership — so their emissions are
+  *    deterministic; golden oracles (binary decode is not SQL), each
+  *    pinned by an independent per-key simulation in StreamingSpec.
+  *  - q159/q161 stage TWO mtime-ordered files (even doc_ids, then odd)
+  *    so per-shard offsets / the signature index must CONTINUE across
+  *    the batch boundary; arrival order is fully pinned, so q159's
+  *    packing restates as a relational window (direct oracle) and
+  *    q161 reduces to two sequential applications of the q52-pinned
+  *    batch operator (golden oracle).
   *
   * Memory-sink tables get a fresh name per invocation (Verify runs four
   * queries concurrently on one session; Bench re-runs each four times)
@@ -78,6 +89,7 @@ object StreamingQueries {
   private val stagedDocs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val stagedImgs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val stagedPack = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedClips = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def freshName(prefix: String): String =
     prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -209,6 +221,19 @@ object StreamingQueries {
         tmp, "b1.parquet", 1700000000000L)
       stageParquetFile(docs.filter(col("doc_id") % 2 === 1),
         tmp, "b2.parquet", 1700000060000L)
+      tmp.toString
+    })
+
+  /** q160's landing dir: the q79 48-clip staged table (one shared
+    * definition, [[graft.ext.MultimodalOps.stagedClipTable]]) as one
+    * file ⇒ one batch.
+    */
+  private def clipsLandingDir(spark: SparkSession, dir: String): String =
+    stagedClips.computeIfAbsent(dir, { _ =>
+      val tmp = Files.createTempDirectory("graft-stream-clips")
+      PipelineQueries.registerTempDirForCleanup(tmp)
+      stageParquetFile(graft.ext.MultimodalOps.stagedClipTable(spark, dir),
+        tmp, "clips.parquet", 1700000000000L)
       tmp.toString
     })
 
@@ -495,5 +520,57 @@ object StreamingQueries {
       graft.ext.SamplingOps.statefulStreamingSequencePack(stream).toDF(),
       freshName("q159"))
       .orderBy("doc_id")
+  }
+
+  /** q160: audio fingerprint dedup ON INGEST
+    * ([[graft.ext.MultimodalOps.statefulStreamingAudioDedup]]) over the
+    * q79 48-clip staged table in one batch: per FINGERPRINT state key,
+    * arrivals in clip_id order emit one hit per state-resident co-holder
+    * — the deterministic per-fingerprint hit set. The query returns the
+    * RAW hit stream (the operator's own emission; verdicts are the
+    * downstream idempotent [[graft.ext.MultimodalOps.audioPairVerdicts]]
+    * aggregate, exercised in StreamingSpec). Golden oracle (WAV decode +
+    * DFT constellation is not SQL — the q79 class); pinned by
+    * StreamingSpec's independent per-fingerprint simulation.
+    */
+  def qStreamAudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    val land = clipsLandingDir(spark, dir)
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val stream = s.readStream
+      .schema(spark.read.parquet(land).schema).parquet(land)
+    EventStreaming.runToLocal(
+      graft.ext.MultimodalOps.statefulStreamingAudioDedup(stream).toDF(),
+      freshName("q160"))
+      .orderBy("clip_a", "clip_b", "fp")
+  }
+
+  /** q161: incremental MinHash dedup ON INGEST
+    * ([[graft.ext.DedupOps.streamingIncrementalDedup]], the foreachBatch
+    * workflow around the persisted signature [[graft.ops.StateTable]])
+    * over the q159 two-batch even/odd arrival: batch 1 indexes the even
+    * docs (matching within itself), batch 2's odd docs match the
+    * PERSISTED corpus index without recomputing it — the cross-batch
+    * state transition is the promoted point. State/matches/checkpoint
+    * dirs are fresh per invocation (the state table is the query's own
+    * output state, not shared staging). Golden oracle (minhash banding
+    * is not SQL — the q52 class); pinned by StreamingSpec's
+    * streaming ≡ two-sequential-batch-applications test, and the batch
+    * operator itself is q52's golden with a full GoldenDerivationSpec
+    * re-derivation.
+    */
+  def qStreamIncrDedup(spark: SparkSession, dir: String): DataFrame = {
+    val land = packLandingDir(spark, dir)
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val stream = s.readStream
+      .schema(spark.read.parquet(s"$land/b1.parquet").schema)
+      .option("maxFilesPerTrigger", 1).parquet(land)
+    val out = Files.createTempDirectory("graft-stream-incrdedup")
+    PipelineQueries.registerTempDirForCleanup(out)
+    graft.ext.DedupOps.streamingIncrementalDedup(stream,
+      s"$out/state", s"$out/matches", s"$out/ckpt")
+    spark.read.parquet(s"$out/matches")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
   }
 }

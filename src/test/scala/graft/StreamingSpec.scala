@@ -472,6 +472,57 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("q160 golden pin: single-batch hits equal the per-fingerprint simulation") {
+    // the committed q160 golden is the engine's own output — this
+    // independent re-derivation (the q157/q158 discipline: single batch,
+    // clip_id arrival order per fingerprint key) stops self-certification
+    import graft.ext.MultimodalOps
+    val got = graft.streaming.StreamingQueries.qStreamAudioDedup(spark, SF)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val postings = MultimodalOps.audioPostings(
+        MultimodalOps.stagedClipTable(spark, SF)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = postings.groupBy(_._2).toSeq
+      .flatMap { case (fp, ps) =>
+        val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ps.map(_._1).distinct.sorted.flatMap { cid =>
+          val hits = members.map(m =>
+            (math.min(m, cid), math.max(m, cid), fp)).toSeq
+          if (members.size < 100) members += cid
+          hits
+        }
+      }.sorted
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("q161 pin: streaming incremental dedup equals sequential batch applications") {
+    // the streaming form is foreachBatch around incrementalMinHashDedup —
+    // this test reduces the committed q161 golden to two sequential
+    // applications of the BATCH operator over the same even/odd split;
+    // the batch operator itself is q52's golden with a full
+    // GoldenDerivationSpec re-derivation, closing the chain
+    import graft.ext.DedupOps
+    val got = graft.streaming.StreamingQueries.qStreamIncrDedup(spark, SF)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    val docs = spark.read.parquet(s"$SF/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val state = java.nio.file.Files.createTempDirectory("q161-pin-state")
+    def one(pred: org.apache.spark.sql.Column) =
+      DedupOps.incrementalMinHashDedup(docs.filter(pred),
+          s"$state/sigs")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(java.math.BigDecimal.valueOf(r.getDouble(2)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue))
+    val expected =
+      (one(col("doc_id") % 2 === 0) ++ one(col("doc_id") % 2 === 1))
+        .sorted.toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("streaming incremental audio dedup: cross-batch matches via the posting table") {
     import graft.ext.MultimodalOps
     import spark.implicits._
