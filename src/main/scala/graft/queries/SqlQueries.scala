@@ -1364,6 +1364,62 @@ object SqlQueries {
         | round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // q155: the streaming URL dedup emits the distinct canonical pages —
+    // the twin is q89's canonicalization chain + DISTINCT, so twin
+    // equality is the streaming≡batch guarantee through the SQL parser
+    "q155_stream_url_dedup" ->
+      """WITH u AS (
+        | SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |   WHEN 0 THEN concat('https://src', (doc_id div 5) % 20,
+        |     '.example.com/doc/', doc_id div 5)
+        |   WHEN 1 THEN concat('HTTPS://',
+        |     upper(concat('src', (doc_id div 5) % 20, '.example.com')),
+        |     ':443/doc/', doc_id div 5, '#sec-2')
+        |   WHEN 2 THEN concat('https://src', (doc_id div 5) % 20,
+        |     '.example.com/doc/', doc_id div 5, '?utm_source=feed&utm_campaign=promo')
+        |   WHEN 3 THEN concat('https://src', (doc_id div 5) % 20,
+        |     '.example.com/doc/', doc_id div 5, '/')
+        |   ELSE concat('https://src', (doc_id div 5) % 20,
+        |     '.example.com/doc/', doc_id div 5, '?utm_source=x&ref=keep')
+        |  END AS url
+        | FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS s FROM u),
+        |c2 AS (SELECT doc_id,
+        |  concat(lower(regexp_extract(s, '^([A-Za-z]+://[^/?#]*)', 1)),
+        |    regexp_replace(s, '^[A-Za-z]+://[^/?#]*', '')) AS s FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+        |  '^(https://[^/?#]*):443(/|\\?|$)', '$1$2'),
+        |  '^(http://[^/?#]*):80(/|\\?|$)', '$1$2') AS s
+        | FROM c2),
+        |c4 AS (SELECT doc_id, s, instr(s, '?') AS qpos,
+        |  regexp_replace(regexp_replace(substr(s, CAST(instr(s, '?') AS INT) + 1),
+        |    '&utm_[a-z]+=[^&]*', ''),
+        |    '^utm_[a-z]+=[^&]*&?', '') AS t2 FROM c3),
+        |c5 AS (SELECT doc_id, CASE WHEN qpos = 0 THEN s
+        |  WHEN length(t2) > 0
+        |    THEN concat(substr(s, 1, CAST(qpos AS INT) - 1), '?', t2)
+        |  ELSE substr(s, 1, CAST(qpos AS INT) - 1) END AS s FROM c4),
+        |c AS (SELECT doc_id, regexp_replace(s, '/$', '') AS canon_url FROM c5)
+        |SELECT DISTINCT canon_url FROM c ORDER BY canon_url""".stripMargin,
+    // q159: the streaming packer's arrival order is fully pinned (even
+    // batch then odd, doc_id within), so the twin is q71's window with
+    // that order — twin equality proves the cross-batch state-store
+    // offsets equal one batch window over both arrivals
+    "q159_stream_seq_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |  (doc_id * 1103515245 + 12345) % 2147483648 % 4 AS shard,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |w AS (SELECT doc_id, shard, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY doc_id % 2, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - n_tokens AS tok_offset
+        | FROM d)
+        |SELECT doc_id, shard, n_tokens, tok_offset,
+        | tok_offset div 4096 AS seq_id
+        |FROM w ORDER BY doc_id""".stripMargin,
     // q154: the stream-static enrichment is stateless, so the twin IS the
     // plain batch join — asserting it equal to the streaming run is the
     // streaming≡batch guarantee in twin form
