@@ -53,6 +53,11 @@ object GraphOps {
     // cardinality is small and stays a shuffle equi-join otherwise
     val okLabels = n.groupBy("label").agg(count(lit(1)).as("block_n"))
       .filter(col("block_n") <= maxBlock).select("label")
+    // NOT persisted (measured, round 11): pinning g serialized the a/b
+    // branch parallelism and paid materialization — q151 3.5 → 5.5 s,
+    // q153 6.3 → 7.2 s at sf0.1. The duplicate scan+norm branch is the
+    // cheaper evil here (and at cluster scale the pair expansion, not
+    // this narrow pass, dominates the operator).
     val g = n.join(okLabels, Seq("label"), "left_semi")
     val a = g.select(col("label"), col("vec_id").as("u"),
       col("v").as("va"), col("nrm").as("na"))
