@@ -441,8 +441,18 @@ object DedupOps {
   /** Streaming incremental dedup: each micro-batch of documents is matched
     * against the persisted signature table and then indexed into it — the
     * continuous-ingest form of [[incrementalMinHashDedup]] (new data
-    * deduped on arrival, corpus never recomputed). Matches append to
-    * `matchesDir` as parquet.
+    * deduped on arrival, corpus never recomputed). Matches land under
+    * `matchesDir/batch=<id>` — one OVERWRITTEN partition per micro-batch
+    * (the standard idempotent-foreachBatch sink recipe): foreachBatch is
+    * at-least-once, so a crash between the matches write and the
+    * checkpoint commit REPLAYS the batch — a plain append would then
+    * duplicate every match row of that batch. The state side is already
+    * replay-safe (latest-wins per doc_id inside the incremental
+    * operator, so re-running the batch reproduces the identical match
+    * set); keying the sink by batchId makes the replay overwrite that
+    * same partition instead of doubling it. Read the whole dir back
+    * with `spark.read.parquet(matchesDir)` (the partition column is
+    * appended; project it away if unwanted).
     */
   def streamingIncrementalDedup(docs: DataFrame, stateDir: String,
       matchesDir: String, checkpointDir: String,
@@ -451,7 +461,7 @@ object DedupOps {
     val q = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // release the blocks incrementalMinHashDedup registers (the
           // batch id-set cache) once the matches are written — a
@@ -459,7 +469,7 @@ object DedupOps {
           // micro-batch
           try incrementalMinHashDedup(batch, stateDir, numHashes, rowsPerBand,
             shingleSize, threshold)
-            .write.mode("append").parquet(matchesDir)
+            .write.mode("overwrite").parquet(s"$matchesDir/batch=$batchId")
           finally graft.CacheRegistry.release()
         }
       }

@@ -847,7 +847,12 @@ object MultimodalOps {
   /** Streaming incremental audio dedup: each micro-batch of clips is
     * matched against the persisted posting table and then indexed into
     * it — dedup-on-ingest for a continuously growing audio corpus.
-    * Matches append to `matchesDir` as parquet.
+    * Matches land under `matchesDir/batch=<id>`, one OVERWRITTEN
+    * partition per micro-batch — the idempotent-foreachBatch sink recipe
+    * ([[graft.ext.DedupOps.streamingIncrementalDedup]] has the full
+    * rationale): a checkpoint-replayed batch reproduces the identical
+    * match set (latest-wins state) and overwrites its own partition
+    * instead of appending a duplicate copy.
     */
   def streamingIncrementalAudioDedup(clips: DataFrame, stateDir: String,
       matchesDir: String, checkpointDir: String, minShared: Int = 30,
@@ -855,13 +860,13 @@ object MultimodalOps {
     val q = clips.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // release anything the batch registered in the cache (none
           // today, but a long-lived stream must not accumulate entries
           // if that changes)
           try incrementalAudioDedup(batch, stateDir, minShared, maxPosting)
-            .write.mode("append").parquet(matchesDir)
+            .write.mode("overwrite").parquet(s"$matchesDir/batch=$batchId")
           finally graft.CacheRegistry.release()
         }
       }

@@ -139,6 +139,33 @@ class DedupSpec extends SparkSpec {
     assert(matches.exists(r => Set(r.getLong(0), r.getLong(1)) == Set(7L, 9000L)
       && r.getDouble(2) == 1.0), s"cross-batch dup missed: ${matches.toSeq}")
     assert(spark.read.parquet(s"$base/state").count() == 21)
+
+    // CRASH-REPLAY idempotence: foreachBatch is at-least-once — delete the
+    // final batch's checkpoint commit (the exact state a crash between
+    // the matches write and the commit leaves behind) and restart. The
+    // replayed batch recomputes the identical match set (latest-wins
+    // state) and OVERWRITES its own batch=<id> partition; the old append
+    // sink would have doubled every batch-1 match row here.
+    def snapshot() = spark.read.parquet(s"$base/matches").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val before = snapshot()
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.length == 2, s"expected 2 committed batches: ${commits.toSeq}")
+    assert(commits.last.delete())
+    // the local ChecksumFileSystem keeps a .crc sidecar per log entry; a
+    // stale one makes the replay's atomic re-write look like a second
+    // concurrent query (a real HDFS/S3 checkpoint has no sidecar)
+    val crc = new java.io.File(s"$base/ckpt/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    val restarted = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    DedupOps.streamingIncrementalDedup(restarted,
+      s"$base/state", s"$base/matches", s"$base/ckpt")
+    assert(snapshot() == before, "replayed batch duplicated its matches")
+    assert(spark.read.parquet(s"$base/state").count() == 21)
+    assert(spark.read.parquet(s"$base/state")
+      .select("doc_id").distinct().count() == 21)
   }
 
   test("shingles: short docs fall back to whole text") {
