@@ -308,10 +308,9 @@ object GraphOps {
 
   /** q153: coreness decomposition of the q151 intra-label cosine graph.
     * Golden-parquet oracle (the fixpoint is not single-statement SQL);
-    * the committed goldens at sf0.001 AND sf0.01 are pinned by an
+    * the committed goldens at ALL THREE SFs are pinned by an
     * INDEPENDENT driver-side Batagelj–Zaversnik peeling re-derivation
-    * in GraphOpsSpec, so the engine cannot self-certify at those SFs
-    * (the sf0.1 golden is engine-derived, determinism-checked).
+    * in GraphOpsSpec, so the engine cannot self-certify.
     */
   def qCoreness(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings

@@ -182,11 +182,17 @@ class GraphOpsSpec extends SparkSpec {
       (8L, 1L, 1L), (9L, 0L, 0L)))
   }
 
-  test("q153 vs an independent Batagelj-Zaversnik peel at sf0.001") {
-    val got = GraphOps.qCoreness(spark, SF).collect()
+  /** The q153 golden pin: re-derive coreness from first principles
+    * (edge collect + Batagelj–Zaversnik min-degree peel — a different
+    * algorithm from the engine's h-index fixpoint) and compare the
+    * driver query's full rows. Run at ALL THREE SFs so no committed
+    * golden is engine-derived-only.
+    */
+  private def peelPin(dir: String): Unit = {
+    val got = GraphOps.qCoreness(spark, dir).collect()
     CacheRegistry.release()
     val edges = GraphOps.labelBlockedEdges(
-      Tables(spark, SF).embeddings, 180000L).collect()
+      Tables(spark, dir).embeddings, 180000L).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     CacheRegistry.release()
     val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
@@ -201,26 +207,18 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("q153 vs an independent Batagelj-Zaversnik peel at sf0.001") {
+    peelPin(SF)
+  }
+
   test("q153 vs an independent Batagelj-Zaversnik peel at sf0.01") {
-    // second-SF pin: the committed sf0.01 golden is re-derived here from
-    // first principles (the sf0.001 pin alone left the larger-SF goldens
-    // engine-derived — determinism-checked but partially self-certified)
-    val dir = "/root/testdata/sf0.01"
-    val got = GraphOps.qCoreness(spark, dir).collect()
-    CacheRegistry.release()
-    val edges = GraphOps.labelBlockedEdges(
-      Tables(spark, dir).embeddings, 180000L).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    CacheRegistry.release()
-    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
-      .view.mapValues(_.size.toLong)
-    val core = peelCoreness(edges.toSeq)
-    assert(got.nonEmpty && got.exists(_.getLong(2) >= 2L))
-    got.foreach { r =>
-      val (id, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      assert(d == deg.getOrElse(id, 0L), s"deg $id")
-      assert(c == core.getOrElse(id, 0L), s"coreness of $id")
-    }
+    peelPin("/root/testdata/sf0.01")
+  }
+
+  test("q153 vs an independent Batagelj-Zaversnik peel at sf0.1") {
+    // third-SF pin closes the last engine-derived golden caveat: every
+    // committed q153 golden is now re-derived from first principles
+    peelPin("/root/testdata/sf0.1")
   }
 
   test("coreness on a chain: auto bound converges, truncation is an error") {
