@@ -52,6 +52,14 @@ object StateTable {
     val (fs, path) = fsPath(spark, dir)
     val bak = new org.apache.hadoop.fs.Path(dir + ".bak")
     val tmp = new org.apache.hadoop.fs.Path(dir + ".staging")
+    // if a previous commit crashed between its two renames, `.bak` holds
+    // the ONLY copy — restore it BEFORE this commit's "drop stale .bak"
+    // step deletes it (every in-repo caller read()s first, which also
+    // recovers, but the protocol must not rely on the caller's shape:
+    // a direct commit on a crashed dir would otherwise open a window
+    // where no generation exists anywhere)
+    if (!fs.exists(path) && fs.exists(bak))
+      require(fs.rename(bak, path), s"state recovery failed for $dir")
     df.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(path))

@@ -598,6 +598,38 @@ class DedupSpec extends SparkSpec {
     assert(graft.ops.StateTable.read(spark, dir).get.count() == 1)
   }
 
+  test("StateTable: commit on a crashed dir recovers .bak before touching it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("st-state2").toString + "/t"
+    val gen1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    graft.ops.StateTable.commit(gen1, dir)
+    // crash window again: live is gone, .bak holds the ONLY generation
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.rename(path, new org.apache.hadoop.fs.Path(dir + ".bak")))
+    // a DIRECT commit (no read() first) that FAILS during its staging
+    // write: with recovery-in-commit the restore runs FIRST, so the
+    // failed commit leaves the table live again; without it, live would
+    // still be missing (and a commit that got further would have
+    // deleted .bak — the only copy — before any new generation existed)
+    val boom = spark.range(1).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .map { n: Long =>
+        if (n >= 0) throw new RuntimeException("boom")
+        (0L, "x")
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING))
+      .toDF("id", "v")
+    intercept[Exception] { graft.ops.StateTable.commit(boom, dir) }
+    assert(fs.exists(path),
+      "a failed commit on a crashed dir must leave the table recovered")
+    assert(graft.ops.StateTable.read(spark, dir).get.count() == 2)
+    // and a healthy direct commit then proceeds normally, no leftovers
+    graft.ops.StateTable.commit(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(graft.ops.StateTable.read(spark, dir).get.count() == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".bak")))
+  }
+
   test("indexSignatures re-index is latest-wins, not an arbitrary survivor") {
     import spark.implicits._
     val state = java.nio.file.Files.createTempDirectory("sig-lw").toString + "/sigs"
