@@ -518,8 +518,9 @@ class StreamingSpec extends SparkSpec {
           BigDecimal(java.math.BigDecimal.valueOf(r.getDouble(2)))
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue))
     val expected =
-      (one(col("doc_id") % 2 === 0) ++ one(col("doc_id") % 2 === 1))
+      try (one(col("doc_id") % 2 === 0) ++ one(col("doc_id") % 2 === 1))
         .sorted.toSeq
+      finally graft.CacheRegistry.release() // the batch operator's newIds persists
     assert(got.nonEmpty && got == expected)
   }
 
