@@ -196,6 +196,8 @@ object SparkEntry {
       (graft.streaming.StreamingQueries.qStreamAudioDedup _),
     "q161_stream_incr_dedup" ->
       (graft.streaming.StreamingQueries.qStreamIncrDedup _),
+    "q162_stream_sem_decon" ->
+      (graft.streaming.StreamingQueries.qStreamSemDecon _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -935,26 +937,11 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank,
         | doc_id, rrf, bm25_rank, dense_rank
         |FROM fused QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    "q91_semantic_decon" ->
-      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |e AS (SELECT vec_id AS eval_id,
-        |  v[1:56] || [0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0] AS ev
-        | FROM b WHERE vec_id % 50 = 0),
-        |en AS (SELECT eval_id, ev, sqrt(list_dot_product(ev, ev)) AS enrm
-        | FROM e WHERE sqrt(list_dot_product(ev, ev)) > 0),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM b),
-        |p AS (SELECT n.vec_id, en.eval_id,
-        |  CAST(round(CASE WHEN n.nrm > 0 AND en.enrm > 0
-        |    THEN list_dot_product(n.v, en.ev) / (n.nrm * en.enrm) * 1000000 END, 0)
-        |    AS BIGINT) AS c6i
-        | FROM n LEFT JOIN en ON TRUE),
-        |a AS (SELECT vec_id, max(c6i) AS mc,
-        |  max(c6i * 1099511627776 - eval_id) AS k
-        | FROM p GROUP BY vec_id)
-        |SELECT vec_id, CAST(mc AS DOUBLE) / 1000000 AS max_cos,
-        | mc * 1099511627776 - k AS nearest_eval_id,
-        | COALESCE(mc >= 800000, false) AS contaminated
-        |FROM a ORDER BY vec_id""".stripMargin,
+    "q91_semantic_decon" -> semDeconOracleSql,
+    // q162: the streaming run's one-batch COMPLETE-mode table IS the
+    // batch q91 result, so the oracle is q91's — shared val, not a copy,
+    // so the two entries cannot drift
+    "q162_stream_sem_decon" -> semDeconOracleSql,
     "q93_split_assign" ->
       """WITH h AS (SELECT doc_id, source,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
@@ -2180,6 +2167,31 @@ object SparkEntry {
     * rows+schema+hash like any other oracle. Row order inside the file is
     * the query's own deterministic ORDER BY.
     */
+  /** q91's DuckDB oracle, shared verbatim by q162 (the streaming run's
+    * one-batch complete-mode table equals the batch result by
+    * construction — SimilaritySpec's parity test is the guarantee).
+    */
+  private val semDeconOracleSql: String =
+    """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |e AS (SELECT vec_id AS eval_id,
+      |  v[1:56] || [0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0] AS ev
+      | FROM b WHERE vec_id % 50 = 0),
+      |en AS (SELECT eval_id, ev, sqrt(list_dot_product(ev, ev)) AS enrm
+      | FROM e WHERE sqrt(list_dot_product(ev, ev)) > 0),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM b),
+      |p AS (SELECT n.vec_id, en.eval_id,
+      |  CAST(round(CASE WHEN n.nrm > 0 AND en.enrm > 0
+      |    THEN list_dot_product(n.v, en.ev) / (n.nrm * en.enrm) * 1000000 END, 0)
+      |    AS BIGINT) AS c6i
+      | FROM n LEFT JOIN en ON TRUE),
+      |a AS (SELECT vec_id, max(c6i) AS mc,
+      |  max(c6i * 1099511627776 - eval_id) AS k
+      | FROM p GROUP BY vec_id)
+      |SELECT vec_id, CAST(mc AS DOUBLE) / 1000000 AS max_cos,
+      | mc * 1099511627776 - k AS nearest_eval_id,
+      | COALESCE(mc >= 800000, false) AS contaminated
+      |FROM a ORDER BY vec_id""".stripMargin
+
   def goldenOracles: Map[String, String] = Seq(
     "q24_winnow", "q25_lang_id", "q27_minhash_dedup", "q28_simhash",
     "q29_ngram_jaccard", "q31_ann_lsh", "q32_ann_ivf", "q33_embed_neardup",

@@ -1539,13 +1539,21 @@ object SimilarityOps {
     */
   def qSemanticDecon(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val evals = t.embeddings.filter(col("vec_id") % 50 === 0)
+    semanticDecon(t.embeddings, stagedEvalSet(t.embeddings), tau = 0.8)
+      .orderBy("vec_id")
+  }
+
+  /** The deterministic staged eval set q91 and the streaming q162 share —
+    * ONE definition so the batch and streaming oracles cannot drift:
+    * every 50th vector's 56-dim prefix zero-padded back to 64 plays a
+    * "paraphrased" benchmark item.
+    */
+  private[graft] def stagedEvalSet(embeddings: DataFrame): DataFrame =
+    embeddings.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("eval_id"),
         concat(slice(toDouble(col("embedding")), 1, 56),
           array_repeat(lit(0.0), 8)).as("ev"))
       .withColumn("enrm", norm(col("ev")))
-    semanticDecon(t.embeddings, evals, tau = 0.8).orderBy("vec_id")
-  }
 
   /** HARD-NEGATIVE MINING for contrastive / embedding-model training:
     * for each anchor in a bounded probe set, the k highest-cosine corpus

@@ -90,6 +90,7 @@ object StreamingQueries {
   private val stagedImgs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val stagedPack = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val stagedClips = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedEmb = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def freshName(prefix: String): String =
     prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -234,6 +235,19 @@ object StreamingQueries {
       PipelineQueries.registerTempDirForCleanup(tmp)
       stageParquetFile(graft.ext.MultimodalOps.stagedClipTable(spark, dir),
         tmp, "clips.parquet", 1700000000000L)
+      tmp.toString
+    })
+
+  /** q162's landing dir: embeddings.parquet copied as one file ⇒ one
+    * batch (the eventsLandingDir recipe — the file is already a single
+    * parquet, no re-encode needed).
+    */
+  private def embLandingDir(dir: String): String =
+    stagedEmb.computeIfAbsent(dir, { _ =>
+      val tmp = Files.createTempDirectory("graft-stream-emb")
+      PipelineQueries.registerTempDirForCleanup(tmp)
+      Files.copy(java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+        tmp.resolve("embeddings.parquet"))
       tmp.toString
     })
 
@@ -572,5 +586,29 @@ object StreamingQueries {
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jaccard"), 6).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** q162: semantic decontamination ON INGEST —
+    * [[graft.ext.SimilarityOps.semanticDecon]] composed with
+    * `readStream` over the embeddings table (one file ⇒ one batch), the
+    * q91 staging for the eval side (bounded broadcast, built on the same
+    * cloned session as the stream). The per-vector argmax is a streaming
+    * aggregate run in COMPLETE mode: with one batch the final table IS
+    * the batch q91 result, so the oracle is q91's, verbatim. (At ingest
+    * scale the complete-mode per-vector state would grow with the
+    * corpus — the production shape is per-batch scoring in foreachBatch,
+    * stateless because each vector's verdict needs only the broadcast
+    * eval side; SimilaritySpec's parity test covers the composition.)
+    */
+  def qStreamSemDecon(spark: SparkSession, dir: String): DataFrame = {
+    val land = embLandingDir(dir)
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val emb = s.read.parquet(land)
+    val evals = graft.ext.SimilarityOps.stagedEvalSet(emb)
+    val stream = s.readStream.schema(emb.schema).parquet(land)
+    EventStreaming.runToLocal(
+      graft.ext.SimilarityOps.semanticDecon(stream, evals, tau = 0.8),
+      freshName("q162"), outputMode = "complete")
+      .orderBy("vec_id")
   }
 }
