@@ -47,6 +47,28 @@ object Bench {
         if (warm.contains(-1.0)) -1.0 else warm.sorted.apply(warm.size / 2)
       (name, median, warm)
     }
+    // Self-adjudication (VERDICT r11 #2): any query whose median sits far
+    // above its own min (>2× and +0.3 s) was load-contaminated in ≥2 of 3
+    // warm runs; re-run it ONCE more, serially, after the full suite — by
+    // then the load window that inflated it has almost surely passed. The
+    // retimed sample is recorded per query in bench.json so a later reader
+    // never has to re-adjudicate a contaminated median from run detail,
+    // and it participates in the min (it is a valid warm sample).
+    val retimed: Map[String, Double] = timings.collect {
+      case (name, med, warm) if med > 0 &&
+        med > 2.0 * warm.min && med - warm.min > 0.3 => name
+    }.map { name =>
+      val t0 = System.nanoTime()
+      val t =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] retime $name: $e"); -1.0
+        } finally CacheRegistry.release()
+      name -> t
+    }.toMap
     val results = timings.map { case (n, med, _) => n -> med }.toMap
     // locale-independent fixed-point formatting (f"%.4f" goes through the
     // default locale: a comma-decimal JVM would emit invalid JSON)
@@ -63,12 +85,16 @@ object Bench {
     // from a real regression — this detail makes it self-evident).
     val detail = timings.map { case (name, med, warm) =>
       val runsJson = warm.map(t => fmt(t, 4)).mkString("[", ",", "]")
-      val minV = if (med < 0) -1.0 else warm.min
-      s"\"$name\":{\"median\":$med,\"min\":$minV,\"runs\":$runsJson}"
+      val re = retimed.get(name).filter(_ >= 0)
+      val minV =
+        if (med < 0) -1.0 else (warm ++ re).min
+      val reJson = re.map(t => s",\"retimed\":${fmt(t, 4)}").getOrElse("")
+      s"\"$name\":{\"median\":$med,\"min\":$minV,\"runs\":$runsJson$reJson}"
     }.mkString("{", ",", "}")
     // failed queries carry -1 sentinels; they must not DEDUCT from the total
     val total = results.values.filter(_ >= 0).sum
-    val minTotal = timings.collect { case (_, m, w) if m >= 0 => w.min }.sum
+    val minTotal = timings.collect { case (n, m, w) if m >= 0 =>
+      (w ++ retimed.get(n).filter(_ >= 0)).min }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_total":$minTotal,"detail":$detail,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of stdout and parses the
@@ -98,8 +124,12 @@ object Bench {
     // push the compact line past the driver's ~2000-char tail window —
     // the BENCH_r06/r07 truncation failure mode this line is sized for
     val suspectJson = suspects.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // min_total leads (right after the headline) so the min-basis total —
+    // the machine-capability number a reader should trust first — survives
+    // even a mid-line tail truncation; n_retimed says how many suspects
+    // got their serial re-run recorded in bench.json detail
     val compact =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"min_total":${fmt(minTotal, 3)},"n_suspect":${suspects.size},"suspect":$suspectJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"min_total":${fmt(minTotal, 3)},"unit":"sec","n_suspect":${suspects.size},"n_retimed":${retimed.size},"suspect":$suspectJson,"queries":$qsCompact,"sf":"$sfDir"}"""
     // raw stdout (build.sbt routes forked run output past sbt's [info]
     // logger) AND a file — both driver-parseable.
     println(compact)

@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact cosine-threshold edges WITHIN label blocks — the blocked
     * all-pairs construction (the q73 semdedup discipline: pair
     * generation is bounded per block, never global n²). Returns one
@@ -50,8 +52,23 @@ object GraphOps {
       .withColumn("nrm", norm(col("v")))
     // per-label size gate: an agg over (label) is tiny next to the pair
     // expansion it bounds; the semi-join broadcasts when label
-    // cardinality is small and stays a shuffle equi-join otherwise
-    val okLabels = n.groupBy("label").agg(count(lit(1)).as("block_n"))
+    // cardinality is small and stays a shuffle equi-join otherwise.
+    // The agg is eagerly summarized first (one ≤1-row collect over a
+    // label-cardinality frame) so a cap crossing is REPORTED, not
+    // silent — the repo's "no silent caps" discipline (ADVICE r11): a
+    // future dataset whose largest block passes maxBlock would
+    // otherwise quietly change q151–q153's graphs with no trace.
+    val sizes = graft.CacheRegistry.persist(
+      n.groupBy("label").agg(count(lit(1)).as("block_n")))
+    val droppedRow = sizes.filter(col("block_n") > maxBlock)
+      .agg(count(lit(1)).as("n_blocks"), sum(col("block_n")).as("n_members"),
+        max(col("block_n")).as("largest"))
+      .head
+    if (droppedRow.getLong(0) > 0L)
+      log.warn(s"labelBlockedEdges: dropped ${droppedRow.getLong(0)} " +
+        s"block(s) over maxBlock=$maxBlock (members=${droppedRow.get(1)}, " +
+        s"largest=${droppedRow.get(2)}) from pair generation")
+    val okLabels = sizes
       .filter(col("block_n") <= maxBlock).select("label")
     // NOT persisted (measured, round 11): pinning g serialized the a/b
     // branch parallelism and paid materialization — q151 3.5 → 5.5 s,

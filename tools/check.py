@@ -11,6 +11,7 @@ import json
 import sys
 
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -35,10 +36,14 @@ def norm(rows):
                 vals.append(None if math.isnan(v) else round(v, 9))
             elif isinstance(v, bool):
                 vals.append(v)
-            elif isinstance(v, int):
+            elif isinstance(v, (int, np.integer)):
                 # keep ints distinct from floats: (9, 9.0) must differ,
-                # like the driver's typed hash
-                vals.append(("i", v))
+                # like the driver's typed hash. np.integer matters:
+                # itertuples yields numpy int64 scalars for typed columns,
+                # and isinstance(np.int64(1), int) is False on Python 3 —
+                # a bare `int` check left the value-level guard dead and
+                # the protection resting on kinds() alone (ADVICE r11)
+                vals.append(("i", int(v)))
             else:
                 vals.append(v)
         out.append(tuple(vals))
