@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext.{DedupOps, SamplingOps, SimilarityOps, TextOps}
-import graft.queries.{CoreQueries, PipelineQueries}
+import graft.queries.{CoreQueries, IoQueries, PipelineQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -198,6 +198,14 @@ object SparkEntry {
       (graft.streaming.StreamingQueries.qStreamIncrDedup _),
     "q162_stream_sem_decon" ->
       (graft.streaming.StreamingQueries.qStreamSemDecon _),
+    "q163_targz_roundtrip" -> (IoQueries.qTargzRoundtrip _),
+    "q164_partitioned_sink" -> (IoQueries.qPartitionedSink _),
+    "q165_typed_parquet" -> (IoQueries.qTypedParquet _),
+    "q166_file_sync" -> (IoQueries.qFileSync _),
+    "q167_json_roundtrip" -> (IoQueries.qJsonRoundtrip _),
+    "q168_annotated_sink" -> (IoQueries.qAnnotatedSink _),
+    "q169_stream_admission" ->
+      (graft.streaming.StreamingQueries.qStreamAdmission _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -296,21 +304,7 @@ object SparkEntry {
         |WHERE o_orderkey NOT IN
         |  (SELECT o_orderkey FROM orders WHERE o_orderstatus IN ('F', 'O'))
         |ORDER BY path LIMIT 1""".stripMargin,
-    "q18_detections_tall" ->
-      """WITH det AS (
-        | SELECT printf('cam%d', user_id % 4) AS camera,
-        |   (event_id * 1103515245 + 12345) % 2147483648 AS seed
-        | FROM events),
-        |det2 AS (
-        | SELECT camera,
-        |   CASE seed % 5 WHEN 0 THEN 'Person' WHEN 1 THEN 'Bicycle'
-        |     WHEN 2 THEN 'Motorcycle' WHEN 3 THEN 'Car' ELSE 'Dog' END AS label,
-        |   50.0 + CAST(seed % 5000 AS DOUBLE) / 100.0 AS confidence,
-        |   seed % 4 AS n_instances
-        | FROM det)
-        |SELECT camera, label, round(max(confidence), 2) AS max_conf,
-        | CAST(sum(n_instances) AS BIGINT) AS sum_instances, count(*) AS n_frames
-        |FROM det2 GROUP BY camera, label ORDER BY camera, label""".stripMargin,
+    "q18_detections_tall" -> detectionsTallOracleSql,
     "q19_detections_pivot" ->
       """WITH det AS (
         | SELECT printf('cam%d', user_id % 4) AS camera,
@@ -2155,6 +2149,61 @@ object SparkEntry {
         |SELECT doc_id, shard, n_tokens, tok_offset,
         | tok_offset // 4096 AS seq_id
         |FROM w ORDER BY doc_id""".stripMargin,
+    // q163: the tar.gz-expanded bags decode back to exactly the events
+    // rows (ns = µs × 1000, the q34 contract), with the wire-string
+    // `value` field parsed back — Double.toString round-trips exactly
+    "q163_targz_roundtrip" ->
+      """SELECT printf('/topic%d', user_id % 4) AS topic, count(*) AS n_messages,
+        | CAST(min(epoch_us(ts)) * 1000 AS BIGINT) AS min_ts,
+        | CAST(max(epoch_us(ts)) * 1000 AS BIGINT) AS max_ts,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
+    // q164: write whitelist topics 0-2, read-back filter prunes to 0-1 —
+    // the oracle restates whitelist ∩ filter directly over events
+    "q164_partitioned_sink" ->
+      """SELECT printf('/topic%d', user_id % 4) AS topic, count(*) AS n_messages,
+        | CAST(min(epoch_us(ts)) * 1000 AS BIGINT) AS min_ts,
+        | CAST(max(epoch_us(ts)) * 1000 AS BIGINT) AS max_ts,
+        | round(sum(value), 2) AS sum_value
+        |FROM events WHERE user_id % 4 <= 1
+        |GROUP BY 1 ORDER BY topic""".stripMargin,
+    // q165: stringly CSV → typed parquet must reproduce the typed
+    // aggregates of the original table exactly
+    "q165_typed_parquet" ->
+      """SELECT event_type, count(*) AS n,
+        | min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us,
+        | max(event_id) AS max_event_id, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q166: the staged extension wheel (positions 0-4 = the reference's
+    // upload whitelist, 5-6 chaff), the `sub<id%3>/doc_<id>.<ext>`
+    // layout, the prefix = key minus `.bag` (engine.py:294-300), and
+    // byte sizes = the docs' UTF-8 text bytes
+    "q166_file_sync" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  CASE doc_id % 7 WHEN 0 THEN 'parquet' WHEN 1 THEN 'png'
+        |    WHEN 2 THEN 'mp4' WHEN 3 THEN 'info' WHEN 4 THEN 'log'
+        |    WHEN 5 THEN 'tmp' ELSE 'csv' END AS ext,
+        |  octet_length(encode(coalesce(text, ''))) AS bytes
+        | FROM documents WHERE doc_id % 25 = 0)
+        |SELECT printf('sub%d/doc_%d.%s', doc_id % 3, doc_id, ext) AS relpath,
+        | printf('2020-06-29-13-15-12_test/sub%d/doc_%d.%s',
+        |   doc_id % 3, doc_id, ext) AS dst,
+        | bytes
+        |FROM f WHERE ext IN ('parquet', 'png', 'mp4', 'info', 'log')
+        |ORDER BY relpath""".stripMargin,
+    // q167: the JSON sink/scan round-trip aggregates back to exactly
+    // q18's summary — oracle shared as one val so the entries cannot
+    // drift (the q162/q91 discipline)
+    "q167_json_roundtrip" -> detectionsTallOracleSql,
+    // q169: batch k of the mtime-ordered admission IS the
+    // `event_id % 3 = k` file, so the per-batch summaries restate as a
+    // relational GROUP BY
+    "q169_stream_admission" ->
+      """SELECT event_id % 3 AS batch_id, count(*) AS n_rows,
+        | min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY batch_id""".stripMargin,
   ) ++ goldenOracles
 
   /** Golden-file oracles for the hash-seeded / binary / sketch queries that
@@ -2171,6 +2220,27 @@ object SparkEntry {
     * one-batch complete-mode table equals the batch result by
     * construction — SimilaritySpec's parity test is the guarantee).
     */
+  /** q18's DuckDB oracle (the stub-detector LCG arithmetic, oracle-shared
+    * with the Scala source at `CoreQueries.detectionsInput`), shared
+    * verbatim by q167: the JSON sink/scan round-trip aggregates back to
+    * exactly this summary, so one val keeps the entries from drifting.
+    */
+  private val detectionsTallOracleSql: String =
+    """WITH det AS (
+      | SELECT printf('cam%d', user_id % 4) AS camera,
+      |   (event_id * 1103515245 + 12345) % 2147483648 AS seed
+      | FROM events),
+      |det2 AS (
+      | SELECT camera,
+      |   CASE seed % 5 WHEN 0 THEN 'Person' WHEN 1 THEN 'Bicycle'
+      |     WHEN 2 THEN 'Motorcycle' WHEN 3 THEN 'Car' ELSE 'Dog' END AS label,
+      |   50.0 + CAST(seed % 5000 AS DOUBLE) / 100.0 AS confidence,
+      |   seed % 4 AS n_instances
+      | FROM det)
+      |SELECT camera, label, round(max(confidence), 2) AS max_conf,
+      | CAST(sum(n_instances) AS BIGINT) AS sum_instances, count(*) AS n_frames
+      |FROM det2 GROUP BY camera, label ORDER BY camera, label""".stripMargin
+
   private val semDeconOracleSql: String =
     """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |e AS (SELECT vec_id AS eval_id,
@@ -2206,7 +2276,7 @@ object SparkEntry {
     "q122_token_ids", "q127_pagerank", "q129_fertility", "q130_bitext_mine",
     "q137_rouge_pairs", "q153_coreness", "q157_stream_neardup",
     "q158_stream_image_dedup", "q160_stream_audio_dedup",
-    "q161_stream_incr_dedup",
+    "q161_stream_incr_dedup", "q168_annotated_sink",
   ).map { name =>
     name ->
       s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"

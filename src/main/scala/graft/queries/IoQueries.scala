@@ -1,0 +1,352 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.Tables
+import graft.pipeline.{Detector, FileSync, Imaging}
+import graft.sources.{BagFormat, BagRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+/** Oracle-gated driver queries for the IO-shaped SURVEY §2 ids that were
+  * previously value-verified in specs only (VERDICT r11 next-round #1):
+  * each query EXERCISES the sink/scan as the operator under test — write
+  * through the real FileSystem path, read back through the real scan,
+  * and face a relational DuckDB oracle (or golden parquet where the
+  * payload is binary) over the round-tripped values.
+  *
+  *  - q163: S5 tar.gz expansion (`service/app/engine.py:35-51` untars
+  *    `*.bag.tar.gz` and asserts one inner `.bag`).
+  *  - q164: S11 partitioned sink + pruned read-back
+  *    (`service/app/bag_to_csv.py:99-105` Hive-style topic layout).
+  *  - q165: S12 stringly-CSV → typed-parquet conversion
+  *    (`dags/processing/processing.py:117-131` reads the flattener's
+  *    all-strings CSV and writes typed parquet).
+  *  - q166: S13 extension-filtered file sync + A5 upload counter
+  *    (`service/app/engine.py:278-300`).
+  *  - q167: S16 JSON label sink + S17 JSON label scan round-trip
+  *    (`dags/processing/processing.py:197-202` writes, the check step
+  *    reads back).
+  *  - q168: S18 annotated-image sink (`processing.py:377-390` PNG
+  *    uploads) — golden oracle over the written bytes.
+  *
+  * Staging inputs are memoized per table dir (the PipelineQueries
+  * pattern — deterministic content, shared across Verify's concurrent
+  * invocations and Bench's repeat passes); each invocation's OUTPUT goes
+  * to a fresh temp dir, because the write is the thing under test.
+  */
+object IoQueries {
+
+  private val stagedArchives =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedSyncSrc =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The S13 staging's extension wheel: positions 0-4 are the
+    * reference's upload whitelist (engine.py:285-291), 5-6 are chaff the
+    * sync must skip. One definition shared by the staging writer and the
+    * oracle's CASE restatement.
+    */
+  private val SyncExts =
+    Seq("parquet", "png", "mp4", "info", "log", "tmp", "csv")
+
+  /** The reference's bag key; the sync prefix is the key minus `.bag`
+    * (P7, engine.py:294-300).
+    */
+  private val SyncBagKey = "2020-06-29-13-15-12_test.bag"
+
+  // ---------------------------------------------------------------- q163
+
+  /** Stage the events table as `*.bag.tar.gz` archives — one archive per
+    * (topic, salt-bucket) run, each containing exactly ONE inner
+    * `<topic>.bag` (the shape engine.py:47-51 asserts). Executor-side
+    * like [[PipelineQueries.stageBags]]; an archive is buffered in
+    * memory because tar headers need entry sizes up front — bounded by
+    * the salt-bucket granularity (a FIXTURE bound: at scale the archives
+    * are the pipeline's *input*, produced by recorders, and only the
+    * read side below is the operator).
+    */
+  private def stageArchivedBags(spark: SparkSession, dir: String): String =
+    stagedArchives.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val tmp = Files.createTempDirectory("graft-q163-targz")
+      val outDir = tmp.toString
+      PipelineQueries.registerTempDirForCleanup(tmp)
+      val hconf = new graft.sources.v2.SerializableHadoopConf(
+        spark.sessionState.newHadoopConf())
+      val buckets = PipelineQueries.saltBuckets(spark)
+      PipelineQueries.eventsAsTopics(spark, dir)
+        .repartition(col("topic"),
+          pmod(xxhash64(col("event_id")), lit(buckets.toLong)))
+        .sortWithinPartitions("topic", "ts_ns", "event_id")
+        .as[(String, Long, Long, Double)]
+        .foreachPartition { (rows: Iterator[(String, Long, Long, Double)]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val fs = new org.apache.hadoop.fs.Path(outDir)
+            .getFileSystem(hconf.value)
+          def flush(topic: String, recs: Seq[BagRecord]): Unit =
+            if (recs.nonEmpty) {
+              val inner = s"${topic.stripPrefix("/")}.bag"
+              val tgz = BagFormat.buildTarGz(
+                Seq(inner -> BagFormat.encode(recs)))
+              val out = fs.create(new org.apache.hadoop.fs.Path(outDir,
+                s"rec_${topic.stripPrefix("/")}_p$pid.bag.tar.gz"), true)
+              try out.write(tgz) finally out.close()
+            }
+          var curTopic: String = null
+          val buf = scala.collection.mutable.ArrayBuffer.empty[BagRecord]
+          rows.foreach { case (tp, ts, id, v) =>
+            if (tp != curTopic) {
+              if (curTopic != null) { flush(curTopic, buf.toSeq); buf.clear() }
+              curTopic = tp
+            }
+            buf += BagRecord(tp, ts,
+              Map("event_id" -> id.toString, "value" -> v.toString))
+          }
+          if (curTopic != null) flush(curTopic, buf.toSeq)
+        }
+      outDir
+    })
+
+  /** q163 — S5 oracle-gated: `*.bag.tar.gz` archives scanned with the
+    * binaryFile glob, expanded + decoded per file inside the scan (one
+    * narrow flatMap task per archive — no driver-side untar staging),
+    * then summarized per topic with the decoded `value` field parsed
+    * back from its wire string. The oracle restates the summary over
+    * `events` directly (ns = µs × 1000, the q34 contract).
+    */
+  def qTargzRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val records = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bag.tar.gz")
+      .load(stageArchivedBags(spark, dir))
+      .select("content")
+      .as[Array[Byte]]
+      .flatMap(BagFormat.decodeArchived(_))
+    records.toDF()
+      .groupBy("topic")
+      .agg(count(lit(1)).as("n_messages"),
+        min("rosbagTimestamp").as("min_ts"),
+        max("rosbagTimestamp").as("max_ts"),
+        round(sum(col("fields")("value").cast("double")), 2).as("sum_value"))
+      .orderBy("topic")
+  }
+
+  // ---------------------------------------------------------------- q164
+
+  /** q164 — S11 oracle-gated: bag records partitioned-written
+    * `topic=<name>/` through [[BagFormat.writeTopicTables]] (whitelist =
+    * topics 0-2, so the sink's filter is exercised too), read back
+    * through the parquet scan with a partition filter that PRUNES to
+    * topics 0-1 (the layout's whole point — the non-matching partition
+    * directories are never opened), then summarized. Fresh output dir
+    * per invocation: the write is the operator under test. The oracle
+    * restates whitelist + filter + summary over `events`.
+    */
+  def qPartitionedSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-q164-sink")
+    PipelineQueries.registerTempDirForCleanup(tmp)
+    val out = s"$tmp/topics"
+    val records = PipelineQueries.eventsAsTopics(spark, dir)
+      .as[(String, Long, Long, Double)]
+      .map { case (tp, ts, id, v) =>
+        BagRecord(tp, ts, Map("event_id" -> id.toString, "value" -> v.toString))
+      }
+    BagFormat.writeTopicTables(records,
+      whitelist = Seq("/topic0", "/topic1", "/topic2"), out = out)
+    spark.read.parquet(out)
+      .filter(col("topic").isin("/topic0", "/topic1"))
+      .groupBy("topic")
+      .agg(count(lit(1)).as("n_messages"),
+        min("rosbagTimestamp").as("min_ts"),
+        max("rosbagTimestamp").as("max_ts"),
+        round(sum(col("fields")("value").cast("double")), 2).as("sum_value"))
+      .orderBy("topic")
+  }
+
+  // ---------------------------------------------------------------- q165
+
+  /** q165 — S12 oracle-gated: the flattener's all-strings CSV
+    * (`bag_to_csv.py:74-76` — every value a string) written through the
+    * CSV sink, read back under an EXPLICIT typed schema (the "inferred
+    * then pinned" story of SURVEY §1.2), written as typed parquet, read
+    * back, and summarized from the typed columns. Both sinks and both
+    * scans are in the gated path; the oracle restates the summary over
+    * `events`. Timestamps ride as µs-epoch LONG strings — a textual
+    * timestamp would drag in formatter/timezone conventions that are
+    * not what S12 tests.
+    */
+  def qTypedParquet(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-q165-typed")
+    PipelineQueries.registerTempDirForCleanup(tmp)
+    val csvDir = s"$tmp/csv"
+    val pqDir = s"$tmp/parquet"
+    // the reference flattener's output shape: ALL values strings
+    Tables(spark, dir).events
+      .select(
+        col("event_id").cast("string"),
+        unix_micros(col("ts")).cast("string").as("ts_us"),
+        col("user_id").cast("string"),
+        col("event_type"),
+        col("value").cast("string"))
+      .write.mode("overwrite").option("header", "true").csv(csvDir)
+    val typed = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts_us", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.read.schema(typed).option("header", "true").csv(csvDir)
+      .write.mode("overwrite").parquet(pqDir)
+    spark.read.parquet(pqDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min("ts_us").as("min_ts_us"),
+        max("ts_us").as("max_ts_us"),
+        max("event_id").as("max_event_id"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- q166
+
+  /** Stage the S13 source tree: one small file per 25th document under
+    * `<tmp>/2020-06-29-13-15-12_test.bag/sub<id%3>/doc_<id>.<ext>`, ext
+    * from [[SyncExts]] (5 whitelisted, 2 chaff), content = the doc's
+    * UTF-8 text bytes — so byte sizes are restatable as
+    * `octet_length(text)` in the oracle. Executor-side writes.
+    */
+  private def stageSyncSrc(spark: SparkSession, dir: String): String =
+    stagedSyncSrc.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
+      val tmp = Files.createTempDirectory("graft-q166-src")
+      PipelineQueries.registerTempDirForCleanup(tmp)
+      val srcRoot = s"$tmp/$SyncBagKey"
+      val hconf = new graft.sources.v2.SerializableHadoopConf(
+        spark.sessionState.newHadoopConf())
+      val exts = SyncExts
+      Tables(spark, dir).documents
+        .filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .foreachPartition { (rows: Iterator[(Long, String)]) =>
+          val fs = new org.apache.hadoop.fs.Path(srcRoot)
+            .getFileSystem(hconf.value)
+          rows.foreach { case (id, text) =>
+            val ext = exts(((id % 7) + 7).toInt % 7)
+            val p = new org.apache.hadoop.fs.Path(srcRoot,
+              s"sub${id % 3}/doc_$id.$ext")
+            val out = fs.create(p, true)
+            try out.write(text.getBytes("UTF-8")) finally out.close()
+          }
+        }
+      srcRoot
+    })
+
+  /** q166 — S13 + A5 oracle-gated: extension-filtered sync
+    * ([[FileSync.syncFiltered]] — the rlike whitelist, data-parallel
+    * copies, A5 accumulator) from the staged `.bag` tree into a fresh
+    * destination under the derived prefix (bag key minus `.bag`, P7),
+    * then the DESTINATION is listed back and returned as the copy
+    * manifest (relpath within the tree, prefixed dst path, byte size).
+    * The A5 counter is gated in-line: it must equal the manifest's row
+    * count or the query throws. The oracle restates the extension wheel,
+    * the whitelist, the prefix derivation, and `octet_length(text)`
+    * over `documents`.
+    */
+  def qFileSync(spark: SparkSession, dir: String): DataFrame = {
+    val src = stageSyncSrc(spark, dir)
+    val tmp = Files.createTempDirectory("graft-q166-dst")
+    PipelineQueries.registerTempDirForCleanup(tmp)
+    val prefix = SyncBagKey.stripSuffix(".bag")
+    val dstRoot = s"$tmp/$prefix"
+    val synced = FileSync.syncFiltered(spark, src, dstRoot)
+    val manifest = FileSync.listFiles(spark, tmp.toString)
+      .select(
+        regexp_replace(col("relpath"), "^" + java.util.regex.Pattern.quote(prefix) + "/", "")
+          .as("relpath"),
+        col("relpath").as("dst"),
+        col("length").as("bytes"))
+    val n = manifest.count()
+    require(n == synced,
+      s"A5 sync counter ($synced) != files present at destination ($n)")
+    manifest.orderBy("relpath")
+  }
+
+  // ---------------------------------------------------------------- q167
+
+  /** q167 — S16 + S17 oracle-gated: the detection rows (q18's
+    * oracle-shared stub arithmetic) serialized through the JSON SINK
+    * (one `json.dumps`-style object per line, the reference's label
+    * sidecar shape — processing.py:197-202), read back through the JSON
+    * SCAN under the pinned label schema, and aggregated to q18's
+    * summary — so the oracle is q18's, verbatim, and any value the
+    * round-trip mangles (a double that stops round-tripping, a dropped
+    * row, a type coercion) breaks the hash. Fresh sink dir per
+    * invocation: the sink is under test.
+    */
+  def qJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-q167-json")
+    PipelineQueries.registerTempDirForCleanup(tmp)
+    val sink = s"$tmp/labels"
+    CoreQueries.detectionsInput(Tables(spark, dir).events)
+      .write.mode("overwrite").json(sink)
+    val schema = StructType(Seq(
+      StructField("camera", StringType),
+      StructField("label", StringType),
+      StructField("confidence", DoubleType),
+      StructField("n_instances", LongType)))
+    spark.read.schema(schema).json(sink)
+      .groupBy("camera", "label")
+      .agg(
+        round(max("confidence"), 2).as("max_conf"),
+        sum("n_instances").as("sum_instances"),
+        count(lit(1)).as("n_frames"))
+      .orderBy("camera", "label")
+  }
+
+  // ---------------------------------------------------------------- q168
+
+  /** q168 — S18 golden-gated: the annotated frames (real-bag decode →
+    * stub-detect → draw-all-boxes-encode-once, the q35 chain) written
+    * PNG-per-frame through the image sink (the reference's upload loop,
+    * processing.py:377-390 — minus its draw-inside-the-loop bug), read
+    * back through the binaryFile scan, and fingerprinted (xxhash64 +
+    * length of the WRITTEN bytes — what actually landed on disk).
+    * Golden-parquet oracle (PNG bytes are not SQL); the staged bag is
+    * SF-invariant, so the golden is too. PipelineSpec pins the
+    * annotation pixels independently; this query gates the sink path.
+    */
+  def qAnnotatedSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-q168-png")
+    PipelineQueries.registerTempDirForCleanup(tmp)
+    val outDir = s"$tmp/annotated"
+    val hconf = new graft.sources.v2.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    Imaging.annotate(PipelineQueries.labeledBagFrames(spark))
+      .select(
+        format_string("%s_frame%04d.png", col("camera"), col("frame_index"))
+          .as("file"),
+        col("annotated"))
+      .as[(String, Array[Byte])]
+      .foreachPartition { (rows: Iterator[(String, Array[Byte])]) =>
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(hconf.value)
+        rows.foreach { case (name, bytes) =>
+          val out = fs.create(new org.apache.hadoop.fs.Path(outDir, name), true)
+          try out.write(bytes) finally out.close()
+        }
+      }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(outDir)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file"),
+        xxhash64(col("content")).as("png_hash"),
+        length(col("content")).cast("long").as("png_len"))
+      .orderBy("file")
+  }
+}

@@ -53,14 +53,14 @@ object PipelineQueries {
     * paths use. The ns = µs × 1000 encoding here is a CONTRACT the
     * q34/q47/q49/q50 oracles restate — it must exist in exactly one place.
     */
-  private def eventsAsTopics(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def eventsAsTopics(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
       .select(
         format_string("/topic%d", col("user_id") % 4).as("topic"),
         (unix_micros(col("ts")) * 1000L).as("ts_ns"),
         col("event_id"), col("value"))
 
-  private def saltBuckets(spark: SparkSession): Int = spark.conf
+  private[queries] def saltBuckets(spark: SparkSession): Int = spark.conf
     .getOption("spark.graft.stage.saltBuckets").map(_.toInt).getOrElse(8)
 
   /** Stage the events table as GBAG bags (distributed encode) and return

@@ -286,6 +286,52 @@ object BagFormat {
     out.toSeq
   }
 
+  /** Build a `.tar.gz` archive (minimal ustar writer — the inverse of
+    * [[expandTarGz]], used to stage S5 fixtures and by tests to
+    * round-trip the parser). Plain `'0'` file entries, names ≤ 100
+    * chars (the reference's bag keys are short); two zero blocks
+    * terminate the tar per the spec.
+    */
+  def buildTarGz(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    entries.foreach { case (name, data) =>
+      val nb = name.getBytes("UTF-8")
+      require(nb.length <= 100, s"tar entry name over 100 bytes: $name")
+      val header = new Array[Byte](512)
+      System.arraycopy(nb, 0, header, 0, nb.length)
+      def octal(value: Long, off: Int, len: Int): Unit = {
+        // len-1 octal digits + NUL terminator (the GNU/ustar convention)
+        val s = java.lang.Long.toOctalString(value)
+        val padded = ("0" * (len - 1 - s.length)) + s
+        System.arraycopy(padded.getBytes("UTF-8"), 0, header, off, len - 1)
+      }
+      octal(420, 100, 8) // mode 0644
+      octal(0, 108, 8) // uid
+      octal(0, 116, 8) // gid
+      octal(data.length.toLong, 124, 12)
+      octal(0, 136, 12) // mtime (pinned: deterministic archives)
+      header(156) = '0' // regular file
+      System.arraycopy("ustar".getBytes("UTF-8"), 0, header, 257, 5)
+      header(263) = '0'; header(264) = '0' // version "00"
+      // checksum: computed with the chksum field itself read as spaces,
+      // then written as 6 octal digits + NUL + space
+      java.util.Arrays.fill(header, 148, 156, ' '.toByte)
+      val sum = header.foldLeft(0L)((a, b) => a + (b & 0xff))
+      val cs = java.lang.Long.toOctalString(sum)
+      val csPadded = ("0" * (6 - cs.length)) + cs
+      System.arraycopy(csPadded.getBytes("UTF-8"), 0, header, 148, 6)
+      header(154) = 0; header(155) = ' '
+      gz.write(header)
+      gz.write(data)
+      val pad = (512 - data.length % 512) % 512
+      gz.write(new Array[Byte](pad))
+    }
+    gz.write(new Array[Byte](1024))
+    gz.finish()
+    bos.toByteArray
+  }
+
   /** Extract the `path` override from a pax extended-header data block
     * ("<len> key=value\n" records, len in bytes over the whole record).
     */

@@ -91,6 +91,7 @@ object StreamingQueries {
   private val stagedPack = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val stagedClips = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val stagedEmb = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedAdm = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def freshName(prefix: String): String =
     prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -250,6 +251,66 @@ object StreamingQueries {
         tmp.resolve("embeddings.parquet"))
       tmp.toString
     })
+
+  /** q169's landing dir: THREE mtime-ordered files (event_id % 3 = 0, 1,
+    * 2; narrow event_id+user_id projection), 60 s apart — the polling
+    * sensor's arrival sequence.
+    */
+  private def admissionLandingDir(spark: SparkSession, dir: String): String =
+    stagedAdm.computeIfAbsent(dir, { _ =>
+      val tmp = Files.createTempDirectory("graft-stream-adm")
+      PipelineQueries.registerTempDirForCleanup(tmp)
+      val events = graft.Tables(spark, dir).events
+        .select(col("event_id"), col("user_id"))
+      (0 to 2).foreach { k =>
+        stageParquetFile(events.filter(col("event_id") % 3 === k),
+          tmp, s"f$k.parquet", 1700000000000L + k * 60000L)
+      }
+      tmp.toString
+    })
+
+  /** q169: S4 + St2 oracle-gated — the polling-sensor admission
+    * semantics THROUGH the file source's discovery loop: three
+    * mtime-ordered files admitted one per micro-batch
+    * (`maxFilesPerTrigger = 1` — the reference's sensor pokes one new
+    * object per poll, `plugins/sensors/s3_metadata_sensor.py:63-67`),
+    * each batch summarized in foreachBatch (count, id range, distinct
+    * users — bounded one-row aggregates, never the batch itself, on the
+    * driver). The file source orders admission by modification time, so
+    * batch k IS the `event_id % 3 = k` file and the oracle restates the
+    * per-batch summaries as a relational GROUP BY over `events`.
+    */
+  def qStreamAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val land = admissionLandingDir(spark, dir)
+    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val stream = s.readStream
+      .schema(spark.read.parquet(s"$land/f0.parquet").schema)
+      .option("maxFilesPerTrigger", 1).parquet(land)
+    val ckpt = Files.createTempDirectory("graft-stream-adm-ckpt")
+    PipelineQueries.registerTempDirForCleanup(ckpt)
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long, Long)]()
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val r = df.agg(count(lit(1)), min("event_id"), max("event_id"),
+          countDistinct("user_id")).head
+        // a no-data micro-batch (possible at stream close) has nothing
+        // to record — and its null min/max would NPE the getLong
+        if (r.getLong(0) > 0L)
+          batches.add((id, r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
+        ()
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    batches.asScala.toSeq
+      .toDF("batch_id", "n_rows", "min_event_id", "max_event_id", "n_users")
+      .orderBy("batch_id")
+  }
 
   /** q140: St1 — tumbling 1-hour windowed counts THROUGH the streaming
     * operator (watermark + window + complete output), equal to batch q20.

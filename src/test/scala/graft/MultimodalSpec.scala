@@ -218,6 +218,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("buildTarGz round-trips through expandTarGz AND system tar") {
+    // the q163 staging writer: its archives must parse back through the
+    // repo's own parser (round-trip) and through a REAL tar (ustar
+    // conformance — header checksum, octal sizes, block padding)
+    val recs = (0 until 40).map(i =>
+      BagRecord("/gps", 1700000000000000000L + i, Map("i" -> i.toString)))
+    val bag = BagFormat.encode(recs)
+    // a second entry whose size is an exact 512 multiple exercises the
+    // zero-pad edge (pad = 0)
+    val exact = new Array[Byte](1024)
+    (0 until 1024).foreach(i => exact(i) = (i % 251).toByte)
+    val tgz = BagFormat.buildTarGz(Seq("gps.bag" -> bag, "blk.bin" -> exact))
+    val back = BagFormat.expandTarGz(tgz)
+    assert(back.map(_._1) == Seq("gps.bag", "blk.bin"))
+    assert(java.util.Arrays.equals(back(0)._2, bag))
+    assert(java.util.Arrays.equals(back(1)._2, exact))
+    assert(BagFormat.decodeArchived(tgz).toSeq == recs)
+    // system tar must list + extract it (checksum/format conformance)
+    val dir = java.nio.file.Files.createTempDirectory("buildtar")
+    java.nio.file.Files.write(dir.resolve("built.tar.gz"), tgz)
+    import scala.sys.process._
+    assert(Seq("tar", "tzf", s"$dir/built.tar.gz").!!.trim
+      .split("\n").toSeq == Seq("gps.bag", "blk.bin"))
+    assert(Seq("tar", "xzf", s"$dir/built.tar.gz", "-C", dir.toString).! == 0)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(dir.resolve("gps.bag")), bag))
+    // names over 100 bytes are rejected loudly (no GNU long-name writer)
+    intercept[IllegalArgumentException](
+      BagFormat.buildTarGz(Seq(("n" * 101) -> bag)))
+  }
+
   test("pax-format archives with >100-char bag paths expand correctly") {
     // bsdtar/macOS default to pax: the real path of a >100-char name lives
     // in an 'x' extended-header record, and ignoring it truncates the name
