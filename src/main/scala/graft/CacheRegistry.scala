@@ -65,6 +65,18 @@ object CacheRegistry {
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
     val r = df.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // TRUNCATE the RDD lineage once the materializing job has cached the
+    // blocks (the GraphX periodic-truncation idiom): persistence shortcuts
+    // COMPUTATION but not task SERIALIZATION — every round's tasks
+    // otherwise carry the full dependency graph of all earlier
+    // generations, and a long fixpoint (coreness at 10× the bundled SF
+    // ran past ~1200 stages) dies with StackOverflowError in task
+    // (de)serialization. Found by the round-12 scale probe; the bundled
+    // SFs' 8-14 rounds never got deep enough to hit it. Local checkpoint
+    // reuses the just-persisted blocks (no copy); on a cluster with
+    // dynamic allocation an executor loss makes a truncated generation
+    // unrecoverable — there, a reliable checkpoint dir is the knob.
+    r.localCheckpoint()
     trackRdd(r)
     val n = materialize(r)
     (df.sparkSession.createDataFrame(r, df.schema), r, n)

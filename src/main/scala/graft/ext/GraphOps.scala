@@ -265,6 +265,16 @@ object GraphOps {
     * the logical plan per round), and the freeze's materializing action
     * IS the convergence count, one job per round serving both.
     *
+    * `delta = true` switches to changed-frontier recompute (only nodes
+    * with a neighbor whose estimate changed last round re-enter a round
+    * — exact, spec-pinned against the default). Measured round 12 and
+    * NOT the default: the h-index fixpoint keeps most nodes changing
+    * through most rounds on both the bundled graphs and the 10×/105×
+    * scale fixtures, so the per-round distinct + semi-join overhead
+    * never pays back (sf0.1 9.6→11.3 s, 10× split 19.4→24.7 s, 10×
+    * densified 147→159 s — PLANS.md round-12 scale probe). It would win
+    * on graphs whose cores localize early (long chains, star forests).
+    *
     * `maxIters = 0` (the default) auto-sizes the round bound to 2m+2:
     * every non-converged round decreases at least one node's h by ≥ 1
     * and Σ(h₀ − coreness) ≤ Σ degree = 2m, so 2m rounds always suffice —
@@ -274,8 +284,8 @@ object GraphOps {
     * explicit maxIters still REQUIRES convergence within the given
     * budget — truncation is an error, not an approximation.
     */
-  def coreness(nodes: DataFrame, edges: DataFrame, maxIters: Int = 0)
-      : DataFrame = {
+  def coreness(nodes: DataFrame, edges: DataFrame, maxIters: Int = 0,
+      delta: Boolean = false): DataFrame = {
     // adj is persisted UNpartitioned: a repartition(nb) pin (to spare the
     // per-round adj-side exchange) was measured and REJECTED — the cached
     // 32 fixed partitions defeat AQE's coalescing on the tiny per-round
@@ -291,8 +301,22 @@ object GraphOps {
       graft.CacheRegistry.freeze(deg.select(col("c"), col("degree").as("h")))
     var changed = 1L
     var it = 0
+    // delta mode: a node's h-estimate is a pure function of its
+    // neighbors' estimates, so it can only change when a NEIGHBOR
+    // changed last round — recompute only the changed frontier's
+    // neighborhoods (the standard k-core optimization). EXACT, not
+    // approximate: untouched nodes keep their h through the left join.
+    // `frontier` is a lazy filter over the persisted previous
+    // generation; round 0 processes everything (no frontier yet).
+    var frontier: DataFrame = null
     while (changed > 0 && it < bound) {
-      val hNext = adj
+      val adjC =
+        if (!delta || frontier == null) adj
+        else adj.join(
+          adj.join(frontier.select(col("c").as("nb")), Seq("nb"))
+            .select("c").distinct(),
+          Seq("c"), "left_semi")
+      val hNext = adjC
         .join(est.select(col("c").as("nb"), col("h")), Seq("nb"))
         .groupBy("c")
         .agg(reverse(array_sort(collect_list(col("h")))).as("hs"))
@@ -300,15 +324,20 @@ object GraphOps {
           zip_with(col("hs"), sequence(lit(1), size(col("hs"))),
             (v, i) => v >= i.cast("long")),
           x => x)).cast("long").as("hn"))
+      // left join + coalesce: in delta mode hNext only covers candidate
+      // nodes; everyone else keeps h (hn null → chg false, never null —
+      // the materializer reads chg with getBoolean)
       val (next, nextRdd, nChanged) = graft.CacheRegistry.freeze(
-        est.join(hNext, Seq("c"))
-          .select(col("c"), least(col("h"), col("hn")).as("h"),
-            (col("hn") < col("h")).as("chg")),
+        est.select("c", "h").join(hNext, Seq("c"), "left")
+          .select(col("c"),
+            least(col("h"), coalesce(col("hn"), col("h"))).as("h"),
+            (coalesce(col("hn"), col("h")) < col("h")).as("chg")),
         _.filter(_.getBoolean(2)).count())
       changed = nChanged
       estRdd.unpersist(blocking = false)
       est = next
       estRdd = nextRdd
+      frontier = est.filter(col("chg")).select("c")
       it += 1
     }
     require(changed == 0L,

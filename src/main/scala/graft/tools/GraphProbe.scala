@@ -20,10 +20,12 @@ object GraphProbe {
       .groupBy("n").count()
       .agg(max("count").as("dmax"), avg("count").as("davg")).head()
     println(s"[gp] edges=$m dmax=${degs.get(0)} davg=${degs.get(1)}")
+    val delta = args.length > 1 && args(1) == "delta"
     val t0 = System.nanoTime()
-    val out = GraphOps.coreness(emb.select(col("vec_id").as("node_id")), edges)
+    val out = GraphOps.coreness(emb.select(col("vec_id").as("node_id")), edges,
+      delta = delta)
     val n = out.count()
-    println(f"[gp] coreness n=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    println(f"[gp] coreness n=$n delta=$delta wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
     CacheRegistry.release()
     spark.stop()
   }

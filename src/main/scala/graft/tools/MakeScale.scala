@@ -1,0 +1,131 @@
+package graft.tools
+
+import graft.GraftSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-trend fixture generator (VERDICT r11 #3): deterministically
+  * expand a source SF directory K-fold into `outDir`, so the heavy
+  * queries can be timed at sf0.3 (K=3) and sf1.0 (K=10) relative to the
+  * bundled sf0.1 — `runMain graft.tools.MakeScale <srcDir> <outDir> <K>`.
+  *
+  * The driver's own generator is not available, so copies derive from
+  * the bundled rows, id-shifted into disjoint key ranges with content
+  * perturbed per copy (everything keyed by xxhash64(id, pos, copy) — no
+  * RNG, bit-reproducible):
+  *
+  *  - documents: copy c reverses each word whose (doc_id, i, c) hash ≡ 0
+  *    (mod 3) — ~1/3 of words, which drops 5-gram shingle Jaccard vs the
+  *    original to ≈(2/3)⁵ ≈ 0.13, far below every near-dup threshold, so
+  *    dup/cluster statistics stay ~K-proportional instead of every doc
+  *    gaining K−1 artificial near-copies. Word lengths are preserved, so
+  *    n_chars stays consistent.
+  *  - embeddings: copy c scales each component by (1 + 0.8·u), u uniform
+  *    in [−1, 1] from the hash — E[cos(original, copy)] ≈ 0.91, below
+  *    the 0.84-leak / 0.8-τ gates used by the decon/graph families, so
+  *    copies stay in their label's cluster without being duplicates.
+  *  - events: ids shift by K·N, users by K·(max user + 1) — the
+  *    realistic axis: more users, same per-user history shape.
+  *  - TPC-H tables: all FK domains shift in lockstep by copy
+  *    (orderkey/custkey/partkey/suppkey), dimensions region/nation stay.
+  *
+  * Fixture-only tool: never touches /root/testdata; writes plain parquet
+  * dirs named `<table>.parquet` (Tables reads dirs fine).
+  */
+object MakeScale {
+  def main(args: Array[String]): Unit = {
+    val (src, out, kStr) = (args(0), args(1), args(2))
+    // optional 4th arg "split": each copy gets its OWN label space
+    // (label + c·(max+1)) — block sizes stay constant as N grows, the
+    // production shape where the blocking key is a finer cell at scale;
+    // without it labels keep their population share and blocks densify
+    // (edges ∝ Σ|b|², the documented stress shape)
+    val splitLabels = args.length > 3 && args(3) == "split"
+    val k = kStr.toInt
+    require(k >= 1, "K must be >= 1")
+    val spark = GraftSession.build("graft-makescale")
+
+    def rd(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
+    def wr(df: DataFrame, n: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$n.parquet")
+    def unionCopies(f: Int => DataFrame): DataFrame =
+      (0 until k).map(f).reduce(_ unionByName _)
+
+    Seq("region", "nation").foreach(n => wr(rd(n), n))
+
+    val docs = rd("documents")
+    val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
+    wr(unionCopies { c =>
+      if (c == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(c * nDocs)).as("doc_id"),
+        expr(s"array_join(transform(split(text, ' '), (w, i) -> " +
+          s"CASE WHEN pmod(xxhash64(doc_id, i, $c), 3) = 0 " +
+          s"THEN reverse(w) ELSE w END), ' ')").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }, "documents")
+
+    val emb = rd("embeddings")
+    val nVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val nLabel = emb.agg(max("label")).head.getInt(0) + 1
+    wr(unionCopies { c =>
+      val lab =
+        if (splitLabels) (col("label") + lit(c * nLabel)).cast("int").as("label")
+        else col("label")
+      if (c == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(c * nVec)).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> CAST(x * (1.0 + 0.8 * " +
+          s"(CAST(pmod(xxhash64(vec_id, i, $c), 2001) AS DOUBLE) - 1000.0) " +
+          s"/ 1000.0) AS FLOAT))").as("embedding"),
+        lab)
+    }, "embeddings")
+
+    val events = rd("events")
+    val nEv = events.agg(max("event_id")).head.getLong(0) + 1
+    val nUser = events.agg(max("user_id")).head.getLong(0) + 1
+    wr(unionCopies { c =>
+      events.select(
+        (col("event_id") + lit(c * nEv)).as("event_id"), col("ts"),
+        (col("user_id") + lit(c * nUser)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }, "events")
+
+    val orders = rd("orders")
+    val lineitem = rd("lineitem")
+    val customer = rd("customer")
+    val part = rd("part")
+    val supplier = rd("supplier")
+    val mo = orders.agg(max("o_orderkey")).head.getLong(0)
+      .max(lineitem.agg(max("l_orderkey")).head.getLong(0)) + 1
+    val mc = customer.agg(max("c_custkey")).head.getLong(0)
+      .max(orders.agg(max("o_custkey")).head.getLong(0)) + 1
+    val mp = part.agg(max("p_partkey")).head.getLong(0)
+      .max(lineitem.agg(max("l_partkey")).head.getLong(0)) + 1
+    val ms = supplier.agg(max("s_suppkey")).head.getLong(0)
+      .max(lineitem.agg(max("l_suppkey")).head.getLong(0)) + 1
+    wr(unionCopies { c =>
+      customer.withColumn("c_custkey", col("c_custkey") + lit(c * mc))
+    }, "customer")
+    wr(unionCopies { c =>
+      supplier.withColumn("s_suppkey", col("s_suppkey") + lit(c * ms))
+    }, "supplier")
+    wr(unionCopies { c =>
+      part.withColumn("p_partkey", col("p_partkey") + lit(c * mp))
+    }, "part")
+    wr(unionCopies { c =>
+      orders
+        .withColumn("o_orderkey", col("o_orderkey") + lit(c * mo))
+        .withColumn("o_custkey", col("o_custkey") + lit(c * mc))
+    }, "orders")
+    wr(unionCopies { c =>
+      lineitem
+        .withColumn("l_orderkey", col("l_orderkey") + lit(c * mo))
+        .withColumn("l_partkey", col("l_partkey") + lit(c * mp))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(c * ms))
+    }, "lineitem")
+
+    println(s"[makescale] wrote K=$k copy of $src to $out")
+    spark.stop()
+  }
+}

@@ -264,6 +264,15 @@ class GraphOpsSpec extends SparkSpec {
         assert(r.getLong(2) == core.getOrElse(r.getLong(0), 0L),
           s"n=$n m=$m node ${r.getLong(0)}")
       }
+      // the delta (changed-frontier) path is EXACT — same peel, same
+      // rows (measured slower on the bundled graph shapes and therefore
+      // not the default; see PLANS.md round-12 scale probe)
+      val gotDelta = GraphOps.coreness(
+        (0L until n.toLong).toDF("node_id"), edges.toDF("u", "w"),
+        delta = true).collect()
+      CacheRegistry.release()
+      assert(gotDelta.map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq ==
+        got.map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq)
     }
   }
 
