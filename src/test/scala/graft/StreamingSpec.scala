@@ -363,15 +363,27 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("q157 golden pin: single-batch emission equals the per-bucket simulation") {
+    neardupPin(SF)
+  }
+
+  test("q157 golden pin at sf0.01") { neardupPin("/root/testdata/sf0.01") }
+
+  test("q157 golden pin at sf0.1") {
+    // all-three-SF pins (ADVICE r11): every committed q157 golden is
+    // re-derived by the independent simulation, no SF scoping caveat
+    neardupPin("/root/testdata/sf0.1")
+  }
+
+  private def neardupPin(sfDir: String): Unit = {
     // the committed q157 golden is the engine's own output — this
     // independent re-derivation (same discipline as the cross-batch test
     // above, single-batch doc_id order) is what stops self-certification
     import graft.ext.{BucketArrival, DedupOps}
-    val got = graft.streaming.StreamingQueries.qStreamNearDup(spark, SF)
+    val got = graft.streaming.StreamingQueries.qStreamNearDup(spark, sfDir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
       .sorted.toSeq
-    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val arrivals = DedupOps.bucketArrivals(docs).collect()
     val expected = arrivals.groupBy(a => (a.band, a.bandSig)).toSeq
@@ -498,17 +510,29 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("q161 pin: streaming incremental dedup equals sequential batch applications") {
+    incrDedupPin(SF)
+  }
+
+  test("q161 pin at sf0.01") { incrDedupPin("/root/testdata/sf0.01") }
+
+  test("q161 pin at sf0.1") {
+    // all-three-SF pins (ADVICE r11): every committed q161 golden is
+    // re-derived by the batch-operator reduction, no SF scoping caveat
+    incrDedupPin("/root/testdata/sf0.1")
+  }
+
+  private def incrDedupPin(sfDir: String): Unit = {
     // the streaming form is foreachBatch around incrementalMinHashDedup —
     // this test reduces the committed q161 golden to two sequential
     // applications of the BATCH operator over the same even/odd split;
     // the batch operator itself is q52's golden with a full
     // GoldenDerivationSpec re-derivation, closing the chain
     import graft.ext.DedupOps
-    val got = graft.streaming.StreamingQueries.qStreamIncrDedup(spark, SF)
+    val got = graft.streaming.StreamingQueries.qStreamIncrDedup(spark, sfDir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sorted.toSeq
-    val docs = spark.read.parquet(s"$SF/documents.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val state = java.nio.file.Files.createTempDirectory("q161-pin-state")
     def one(pred: org.apache.spark.sql.Column) =
