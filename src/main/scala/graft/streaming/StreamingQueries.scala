@@ -122,17 +122,32 @@ object StreamingQueries {
     Files.delete(stageDir)
   }
 
+  /** Copy a source table to `target` as ONE parquet file: the bundled
+    * testdata ships single-file tables (byte-copy, fast path), but any
+    * real or scaled table is a parquet DIRECTORY — re-stage those
+    * through [[stageParquetFile]] (found by the round-12 10× probe:
+    * the bare Files.copy threw on every directory-layout table).
+    */
+  private def copyAsOneFile(spark: SparkSession, table: String,
+      landDir: java.nio.file.Path, fileName: String): Unit = {
+    val src = java.nio.file.Paths.get(table)
+    if (Files.isRegularFile(src))
+      Files.copy(src, landDir.resolve(fileName)): Unit
+    else
+      stageParquetFile(spark.read.parquet(table), landDir, fileName,
+        1700000000000L)
+  }
+
   /** Stage `dir`/events.parquet as a single-file landing directory (the
     * file source needs a directory; ONE file ⇒ one micro-batch — the
     * determinism keystone above). Memoized per table dir: Verify/Bench
     * re-invocations reuse the same staged copy.
     */
-  private def eventsLandingDir(dir: String): String =
+  private def eventsLandingDir(spark: SparkSession, dir: String): String =
     stagedPlain.computeIfAbsent(dir, { _ =>
       val tmp = Files.createTempDirectory("graft-stream-events")
       PipelineQueries.registerTempDirForCleanup(tmp)
-      Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-        tmp.resolve("events.parquet"))
+      copyAsOneFile(spark, s"$dir/events.parquet", tmp, "events.parquet")
       tmp.toString
     })
 
@@ -243,12 +258,12 @@ object StreamingQueries {
     * batch (the eventsLandingDir recipe — the file is already a single
     * parquet, no re-encode needed).
     */
-  private def embLandingDir(dir: String): String =
+  private def embLandingDir(spark: SparkSession, dir: String): String =
     stagedEmb.computeIfAbsent(dir, { _ =>
       val tmp = Files.createTempDirectory("graft-stream-emb")
       PipelineQueries.registerTempDirForCleanup(tmp)
-      Files.copy(java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
-        tmp.resolve("embeddings.parquet"))
+      copyAsOneFile(spark, s"$dir/embeddings.parquet", tmp,
+        "embeddings.parquet")
       tmp.toString
     })
 
@@ -317,7 +332,7 @@ object StreamingQueries {
     */
   def qStreamWindow(spark: SparkSession, dir: String): DataFrame = {
     val s = EventStreaming.statefulSession(spark, statePartitions = 8)
-    val stream = EventStreaming.readEventStream(s, eventsLandingDir(dir))
+    val stream = EventStreaming.readEventStream(s, eventsLandingDir(spark, dir))
     EventStreaming.runToLocal(
       EventStreaming.windowedCounts(stream), freshName("q140"), outputMode = "complete")
       .orderBy("window_start_ms", "event_type")
@@ -334,7 +349,7 @@ object StreamingQueries {
     // otherwise surface as a confusing q141 row-diff far from the cause)
     val s = EventStreaming.statefulSession(spark, statePartitions = 8)
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    val stream = EventStreaming.readEventStream(s, eventsLandingDir(dir))
+    val stream = EventStreaming.readEventStream(s, eventsLandingDir(spark, dir))
     val sessions = EventStreaming.statefulSessions(stream,
       gapMs = SessionGapMs, watermark = SessionWatermark).toDF()
     EventStreaming.runToLocal(sessions, freshName("q141"))
@@ -373,7 +388,7 @@ object StreamingQueries {
     * per-event output goes through a parquet sink (the q142 discipline).
     */
   def qStreamEnrich(spark: SparkSession, dir: String): DataFrame = {
-    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(dir))
+    val stream = EventStreaming.readEventStream(spark, eventsLandingDir(spark, dir))
       .filter(col("event_type") === "purchase")
     val dim = graft.Tables(spark, dir).customer
       .select(col("c_custkey"), col("c_mktsegment"),
@@ -400,7 +415,7 @@ object StreamingQueries {
     */
   def qStreamUserStats(spark: SparkSession, dir: String): DataFrame = {
     val s = EventStreaming.statefulSession(spark, statePartitions = 8)
-    val stream = EventStreaming.readEventStream(s, eventsLandingDir(dir))
+    val stream = EventStreaming.readEventStream(s, eventsLandingDir(spark, dir))
     val summaries = EventStreaming.statefulUserSummary(stream).toDF()
     EventStreaming.runToLocal(summaries, freshName("q143"), outputMode = "update")
       .orderBy("user_id")
@@ -413,7 +428,7 @@ object StreamingQueries {
     */
   def qStreamUpsert(spark: SparkSession, dir: String): DataFrame = {
     val s = EventStreaming.statefulSession(spark, statePartitions = 8)
-    val stream = EventStreaming.readEventStream(s, eventsLandingDir(dir))
+    val stream = EventStreaming.readEventStream(s, eventsLandingDir(spark, dir))
     // the ONE Scala source of the stub-detector arithmetic (the LCG
     // constants + label array are the contract the q18/q19/q144 oracles
     // share) — a plain projection, so it composes with a streaming frame
@@ -444,7 +459,7 @@ object StreamingQueries {
     // state stores × 2 batches of pure commit overhead measured 2.5× the
     // whole query)
     val s = EventStreaming.statefulSession(spark, statePartitions = 8)
-    val land = eventsLandingDir(dir)
+    val land = eventsLandingDir(spark, dir)
     val clicks = EventStreaming.readEventStream(s, land)
       .filter(col("event_type") === "click")
     val purchases = EventStreaming.readEventStream(s, land)
@@ -469,7 +484,7 @@ object StreamingQueries {
     // depend on it, so the query must not trust the ambient session) —
     // and the parent session's conf stays untouched
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    val land = eventsLandingDir(dir)
+    val land = eventsLandingDir(spark, dir)
     val clicks = EventStreaming.readEventStream(s, land)
       .filter(col("event_type") === "click")
     val purchases = EventStreaming.readEventStream(s, land)
@@ -662,7 +677,7 @@ object StreamingQueries {
     * eval side; SimilaritySpec's parity test covers the composition.)
     */
   def qStreamSemDecon(spark: SparkSession, dir: String): DataFrame = {
-    val land = embLandingDir(dir)
+    val land = embLandingDir(spark, dir)
     val s = EventStreaming.statefulSession(spark, statePartitions = 8)
     val emb = s.read.parquet(land)
     val evals = graft.ext.SimilarityOps.stagedEvalSet(emb)

@@ -51,9 +51,14 @@ def norm(rows):
 
 
 def main(sf_dir, out_dir):
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # the bundled testdata ships single-file tables; scaled fixtures
+        # (tools/MakeScale) write parquet DIRECTORIES — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     # golden-file oracles are committed per scale factor; the SQL text
     # references the driver's sf0.01 gate — rewrite for local runs at
