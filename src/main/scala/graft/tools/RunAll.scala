@@ -1,0 +1,33 @@
+package graft.tools
+
+import graft.{CacheRegistry, GraftSession, SparkEntry}
+
+/** Single-pass serial run of the whole driver battery against any table
+  * dir (noop sink — full materialization, nothing written): the
+  * scale-evidence companion to Bench, used against the /tmp MakeScale
+  * fixtures where per-query medians matter less than "does the entire
+  * surface run, and in what total wall". Prints per-query seconds and
+  * the total. Usage: runMain graft.tools.RunAll <dir>
+  */
+object RunAll {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.build("graft-runall")
+    var total = 0.0
+    var failed = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        total += t
+        println(f"[runall] $name $t%.2f")
+      } catch { case e: Throwable =>
+        failed += 1
+        println(s"[runall] $name FAILED: $e")
+      } finally CacheRegistry.release()
+    }
+    println(f"[runall] TOTAL ${total}%.1f s over ${SparkEntry.queries.size} queries, $failed failed ($dir)")
+    spark.stop()
+  }
+}
