@@ -681,7 +681,16 @@ object StreamingQueries {
     val s = EventStreaming.statefulSession(spark, statePartitions = 8)
     val emb = s.read.parquet(land)
     val evals = graft.ext.SimilarityOps.stagedEvalSet(emb)
+    // one-file staging ⇒ ONE scan partition, and the N×E broadcast-join
+    // dot products (this query's real work) would run on one core — the
+    // round-10 single-row-group lesson in streaming form, measured at
+    // the 10× fixture: 58 s of a 62 s micro-batch sat in the scan stage
+    // while the batch twin (10-file table) took 11 s. A narrow-row
+    // shuffle before the join restores compute parallelism (10× 62→8 s,
+    // sf0.1 unchanged); the aggregate's own 8-partition state shuffle is
+    // untouched, so emissions and the oracle are identical.
     val stream = s.readStream.schema(emb.schema).parquet(land)
+      .repartition(s.sparkContext.defaultParallelism)
     EventStreaming.runToLocal(
       graft.ext.SimilarityOps.semanticDecon(stream, evals, tau = 0.8),
       freshName("q162"), outputMode = "complete")

@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Ad-hoc perf scratchpad: micro-benchmarks for plan-shape experiments.
   * (Historical findings live in commit messages/NOTES.md: the
-  * distinct-agg × TypedImperative SortAggregate fallback and the IVF
-  * recall measurements were diagnosed here; round 11 used it to
-  * stage-profile q77's composition before deciding on the VERDICT-
-  * suggested stage fusion.)
+  * distinct-agg × TypedImperative SortAggregate fallback, the IVF
+  * recall measurements, and round 11's q77 stage profile were diagnosed
+  * here. Round 12: the q162 complete-mode-vs-batch cost split at the
+  * 10× fixture — micro-batch durationMs breakdown + state metrics per
+  * statePartitions setting.)
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -22,31 +23,41 @@ object Scratch {
       f
       println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    import graft.ext.{DedupOps, SamplingOps, TextOps}
-    noop(t.documents) // warm scan
-    // q77 stage profile — mirror Curation.curate's exact composition
-    (1 to 2).foreach { round =>
-      val docs = t.documents.select(col("doc_id"), col("text"))
-      val cleaned = docs.select(col("doc_id"),
-        TextOps.scrubPii(TextOps.extractText(col("text"))).as("text"))
-      val filtered = TextOps.gopherVerdict(cleaned, passthrough = Seq("text"))
-        .filter(col("keep") && (TextOps.classifierWsum(col("text")) > 0))
-        .select(col("doc_id"), col("text"))
-      time(s"r$round stage1-3 clean+filter") { noop(filtered) }
-      val keepIds = DedupOps.exactDedup(filtered)
-        .select(col("keep_id").as("doc_id"))
-      val exact = graft.CacheRegistry.persist(
-        filtered.join(keepIds, Seq("doc_id"), "left_semi"))
-      time(s"r$round stage4 exact+persist") { noop(exact) }
-      val reps = DedupOps.minHashDedupClusters(exact, 15, 3, 2, 0.6)
-        .filter(col("cluster_id") === col("doc_id"))
-        .select("doc_id")
-      time(s"r$round stage5 neardup reps") { noop(reps) }
-      val deduped = exact.join(reps, Seq("doc_id"), "left_semi")
-      time(s"r$round stage6 pack") {
-        noop(SamplingOps.sequencePack(deduped, 4, 4096))
+    import graft.ext.SimilarityOps
+    import graft.streaming.EventStreaming
+    // batch twin cost (q91 shape) at this dir
+    val emb = t.embeddings
+    time("batch semanticDecon") {
+      noop(SimilarityOps.semanticDecon(emb, SimilarityOps.stagedEvalSet(emb), 0.8))
+    }
+    // streaming complete-mode cost vs statePartitions
+    val tmp = java.nio.file.Files.createTempDirectory("scratch-emb")
+    val one = tmp.resolve("embeddings.parquet")
+    emb.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("st").toString)
+    val l = java.nio.file.Files.list(tmp.resolve("st"))
+    val part = try l.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+      finally l.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(part), one)
+    Seq(8, 32).foreach { parts =>
+      val s = EventStreaming.statefulSession(spark, parts)
+      val embS = s.read.parquet(one.toString)
+      val evals = SimilarityOps.stagedEvalSet(embS)
+      val stream = s.readStream.schema(embS.schema).parquet(tmp.toString)
+      val t0 = System.nanoTime()
+      val q = SimilarityOps.semanticDecon(stream, evals, 0.8)
+        .writeStream.format("memory").queryName(s"sd$parts")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      println(f"[scratch] stream parts=$parts wall=${(System.nanoTime() - t0) / 1e9}%.2f s rows=${s.table(s"sd$parts").count()}")
+      q.recentProgress.foreach { p =>
+        println(s"[scratch]   batch=${p.batchId} rows=${p.numInputRows} durationMs=${p.durationMs}")
+        p.stateOperators.foreach { so =>
+          println(s"[scratch]   state rowsTotal=${so.numRowsTotal} commitMs=${so.commitTimeMs}")
+        }
       }
-      graft.CacheRegistry.release()
+      s.catalog.dropTempView(s"sd$parts")
     }
     spark.stop()
   }
