@@ -133,6 +133,20 @@ object Bench {
     // raw stdout (build.sbt routes forked run output past sbt's [info]
     // logger) AND a file — both driver-parseable.
     println(compact)
+    // The full compact line outgrew the driver's ~2000-char tail window
+    // at 162 queries (BENCH_r10/r11 record parsed=null — the tail
+    // started mid-line), so a SECOND, always-fitting summary line goes
+    // LAST: headline totals + the 12 heaviest queries by median
+    // (~600 chars incl. a full 8-entry suspect list). A tail parser
+    // finds this complete line; the full per-query data stays in the
+    // line above and in bench.json.
+    val top12 = timings.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, v, _) =>
+        val short = k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }
+        s"\"" + short + "\":" + fmt(v, 2)
+      }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total, 3)},"min_total":${fmt(minTotal, 3)},"unit":"sec","n_queries":${timings.size},"n_suspect":${suspects.size},"n_retimed":${retimed.size},"suspect":$suspectJson,"queries":$top12,"sf":"$sfDir"}""")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
     spark.stop()
   }
