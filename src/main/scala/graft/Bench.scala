@@ -69,6 +69,12 @@ object Bench {
         } finally CacheRegistry.release()
       name -> t
     }.toMap
+    // n_retimed must count retime attempts that actually RECORDED a sample
+    // (>= 0): a failed retime (-1) gets no 'retimed' field in detail and
+    // does not participate in any min, so counting it would overstate the
+    // recorded evidence (ADVICE r12)
+    val nRetimed = retimed.values.count(_ >= 0)
+    val nRetimeFailed = retimed.size - nRetimed
     val results = timings.map { case (n, med, _) => n -> med }.toMap
     // locale-independent fixed-point formatting (f"%.4f" goes through the
     // default locale: a comma-decimal JVM would emit invalid JSON)
@@ -95,8 +101,22 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val minTotal = timings.collect { case (n, m, w) if m >= 0 =>
       (w ++ retimed.get(n).filter(_ >= 0)).min }.sum
+    // Box-load stamp (VERDICT r12 #5): the r12 archive run was taken on a
+    // contended box and overstated the engine ~15% vs its own idle closing
+    // run — with no load field in the artifact a later reader cannot tell
+    // cross-run contention from a code regression. /proc/loadavg's three
+    // averages (1/5/15 min) at run END bracket the whole ~3-min suite.
+    val loadAvg = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim
+        .split("\\s+").take(3).mkString(",")
+    } catch { case _: Throwable => "" }
+    val uptimeS = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/uptime"))).trim.split("\\s+")(0)
+    } catch { case _: Throwable => "" }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_total":$minTotal,"detail":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min_total":$minTotal,"n_retimed":$nRetimed,"n_retime_failed":$nRetimeFailed,"load_avg":"$loadAvg","uptime_s":"$uptimeS","detail":$detail,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of stdout and parses the
     // JSON line out of that tail (BENCH_r06/r07 post-mortem: the full
     // 88-query line is >2000 chars, so the tail started mid-line and the
@@ -129,7 +149,7 @@ object Bench {
     // even a mid-line tail truncation; n_retimed says how many suspects
     // got their serial re-run recorded in bench.json detail
     val compact =
-      s"""{"metric":"total","value":${fmt(total, 3)},"min_total":${fmt(minTotal, 3)},"unit":"sec","n_suspect":${suspects.size},"n_retimed":${retimed.size},"suspect":$suspectJson,"queries":$qsCompact,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"min_total":${fmt(minTotal, 3)},"unit":"sec","n_suspect":${suspects.size},"n_retimed":$nRetimed,"load_avg":"$loadAvg","suspect":$suspectJson,"queries":$qsCompact,"sf":"$sfDir"}"""
     // raw stdout (build.sbt routes forked run output past sbt's [info]
     // logger) AND a file — both driver-parseable.
     println(compact)
@@ -146,7 +166,7 @@ object Bench {
         s"\"" + short + "\":" + fmt(v, 2)
       }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${fmt(total, 3)},"min_total":${fmt(minTotal, 3)},"unit":"sec","n_queries":${timings.size},"n_suspect":${suspects.size},"n_retimed":${retimed.size},"suspect":$suspectJson,"queries":$top12,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total, 3)},"min_total":${fmt(minTotal, 3)},"unit":"sec","n_queries":${timings.size},"n_suspect":${suspects.size},"n_retimed":$nRetimed,"load_avg":"$loadAvg","suspect":$suspectJson,"queries":$top12,"sf":"$sfDir"}""")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
     spark.stop()
   }

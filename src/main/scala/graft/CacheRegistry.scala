@@ -58,10 +58,23 @@ object CacheRegistry {
     * exponential analysis cost and an eventual planner stack overflow
     * (observed). Returns (frame, rdd handle for the eager inline free of
     * superseded generations, materialize's count).
+    *
+    * CONTRACT (because `truncate = true` localCheckpoints the generation):
+    * a freeze-derived DataFrame is only computable while its blocks are
+    * cached — MATERIALIZE RESULTS BEFORE `release()` (or the superseding
+    * inline unpersist), never after. Once the blocks drop, an action
+    * throws "checkpoint block not found" instead of recomputing via
+    * lineage. Every in-repo caller (coreness/pageRank loops) already
+    * materializes each round inside the loop and the final result before
+    * the runner's release; a consumer that needs a RE-DERIVABLE result —
+    * or runs on a dynamic-allocation cluster where executor loss evicts
+    * local checkpoints — should pass `truncate = false` and accept the
+    * ~30-round serialized-lineage ceiling documented below.
     */
   def freeze(df: DataFrame,
       materialize: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] => Long =
-        _.count())
+        _.count(),
+      truncate: Boolean = true)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
     val r = df.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -75,8 +88,9 @@ object CacheRegistry {
     // SFs' 8-14 rounds never got deep enough to hit it. Local checkpoint
     // reuses the just-persisted blocks (no copy); on a cluster with
     // dynamic allocation an executor loss makes a truncated generation
-    // unrecoverable — there, a reliable checkpoint dir is the knob.
-    r.localCheckpoint()
+    // unrecoverable — there, a reliable checkpoint dir is the knob
+    // (or `truncate = false` to keep lineage-recomputability).
+    if (truncate) r.localCheckpoint()
     trackRdd(r)
     val n = materialize(r)
     (df.sparkSession.createDataFrame(r, df.schema), r, n)

@@ -16,6 +16,11 @@ object Verify {
     val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
+        // coalesce(1) is a GATE-ARTIFACT convention only: the driver's
+        // DuckDB compare reads one small file per query at verify SFs.
+        // It single-threads the final stage — never copy this into a
+        // production sink (partitioned/bucketed writes are the pattern
+        // there, see sources/BagFormat.writeTopicTables).
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

@@ -303,6 +303,12 @@ object BagFormat {
       def octal(value: Long, off: Int, len: Int): Unit = {
         // len-1 octal digits + NUL terminator (the GNU/ustar convention)
         val s = java.lang.Long.toOctalString(value)
+        // fail LOUDLY when the value cannot fit (only the size field is
+        // data-dependent: >= 8 GiB, unreachable with Array[Byte] payloads
+        // today) — the silent alternative is a truncated field and a
+        // corrupt archive, the opposite of the 100-byte name check's style
+        require(s.length <= len - 1,
+          s"tar octal field overflow: $value needs ${s.length} digits, field holds ${len - 1}")
         val padded = ("0" * (len - 1 - s.length)) + s
         System.arraycopy(padded.getBytes("UTF-8"), 0, header, off, len - 1)
       }

@@ -11,7 +11,15 @@ import json
 import sys
 
 import duckdb
-import numpy as np
+
+# numpy is only needed for the np.integer isinstance check in norm();
+# degrade gracefully when absent (duckdb environments always ship it in
+# practice, but the checker must not make it a hard import dependency)
+try:
+    import numpy as np
+    _INT_TYPES = (int, np.integer)
+except ImportError:  # pragma: no cover
+    _INT_TYPES = (int,)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -36,7 +44,7 @@ def norm(rows):
                 vals.append(None if math.isnan(v) else round(v, 9))
             elif isinstance(v, bool):
                 vals.append(v)
-            elif isinstance(v, (int, np.integer)):
+            elif isinstance(v, _INT_TYPES):
                 # keep ints distinct from floats: (9, 9.0) must differ,
                 # like the driver's typed hash. np.integer matters:
                 # itertuples yields numpy int64 scalars for typed columns,
