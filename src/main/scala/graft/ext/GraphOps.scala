@@ -21,6 +21,49 @@ object GraphOps {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Largest block/degree the round-12 scale curves actually MEASURED
+    * (PLANS.md "Round-12 scale-trend probe"): the 10×-densify fixture
+    * grows sf0.1's largest label block (218 members) ∝K to ~2180, the
+    * point where q151 reads 75 s and q153 172 s — sub-linear in edges
+    * but 20×+ in wall. The family's cost law (wedge mass Σd², bounded
+    * only through the BLOCKING key) is a caller contract documented on
+    * [[labelBlockedEdges]]; until round 13 nothing checked it on the
+    * operators that take the edge list as GIVEN. The census below warns
+    * past this regime. The bound is where measurement stops, not where
+    * the algorithms break — the O(m^{3/2}) orientation and the h-index
+    * fixpoint stay exact at any degree.
+    */
+  private[graft] val MeasuredDegreeRegime = 2180L
+
+  /** Test seam (GraphOpsSpec): message of the most recent degree census
+    * warning on this JVM, null when that census was in-regime.
+    */
+  private[graft] val lastCensusWarning =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Pre-flight degree census for the operators that take an edge list
+    * as given ([[triangleStats]], [[coreness]], [[linkPredict]]): one
+    * row read off a degree aggregate the caller already pays for. Warns
+    * LOUDLY when the max (effective) degree exceeds
+    * [[MeasuredDegreeRegime]], citing the measured curve — the caller's
+    * fix is a finer blocking key, per the [[labelBlockedEdges]]
+    * contract. Never changes behavior: unlike labelBlockedEdges'
+    * maxBlock (which drops blocks BEFORE pair generation, where the cap
+    * is a documented construction choice), silently dropping edges here
+    * would change an exact operator's results.
+    */
+  private def degreeCensus(op: String, maxDeg: Long, wedgeMass: Double): Unit =
+    if (maxDeg > MeasuredDegreeRegime) {
+      val msg = f"$op: max degree $maxDeg exceeds the measured scale " +
+        f"regime (<=$MeasuredDegreeRegime, the 10x-densify point of " +
+        f"PLANS.md round-12 curves: q151 75 s, q153 172 s at that " +
+        f"block size); wedge mass sum(d^2) ~ $wedgeMass%.3g grows " +
+        "quadratically in block size - use a finer blocking key " +
+        "(labelBlockedEdges contract)"
+      log.warn(msg)
+      lastCensusWarning.set(msg)
+    } else lastCensusWarning.set(null)
+
   /** Exact cosine-threshold edges WITHIN label blocks — the blocked
     * all-pairs construction (the q73 semdedup discipline: pair
     * generation is bounded per block, never global n²). Returns one
@@ -127,10 +170,17 @@ object GraphOps {
     // with larger ids needs a re-keyed (dense-rank) node space; the
     // struct(degree, id) compare alternative was rejected because Spark
     // plans max/joins on struct keys through SortAggregate.
-    val maxId = deg.agg(max(col("node_id").cast("long"))).head
-    require(maxId.isNullAt(0) || maxId.getLong(0) < 1000000000L,
+    // one head serves the packing-bound check AND the degree census —
+    // same single small agg over the just-persisted degree table
+    val stats = deg.agg(max(col("node_id").cast("long")),
+      max(col("degree")),
+      sum(col("degree").cast("double") * col("degree"))).head
+    require(stats.isNullAt(0) || stats.getLong(0) < 1000000000L,
       s"triangleStats degree-orientation packing requires node_id < 1e9 " +
-        s"(got max ${maxId.get(0)}); re-key node ids densely first")
+        s"(got max ${stats.get(0)}); re-key node ids densely first")
+    degreeCensus("triangleStats",
+      if (stats.isNullAt(1)) 0L else stats.getLong(1),
+      if (stats.isNullAt(2)) 0.0 else stats.getDouble(2))
     val dk = deg.select(col("node_id"),
       (col("degree") * lit(1000000000L) + col("node_id")).as("okey"))
     // PERSISTED: the oriented edge list feeds the wedge self-join twice
@@ -210,6 +260,18 @@ object GraphOps {
     // neutral at scale, measured −1 s locally unpinned.
     val deg = graft.CacheRegistry.persist(
       adj.groupBy("c").agg(count(lit(1)).as("d")))
+    // census over CENTER degrees only (d ≤ maxCenterDegree): hub centers
+    // are already excluded from wedge generation, so a capped hub costs
+    // nothing and must not warn — the cap IS the in-regime fix. The one
+    // ≤1-row head doubles as deg's materializing action (persisted above,
+    // referenced three times below: same work, earlier).
+    val cs = deg.agg(
+      max(when(col("d") <= maxCenterDegree, col("d"))),
+      sum(when(col("d") <= maxCenterDegree,
+        col("d").cast("double") * col("d")))).head
+    degreeCensus("linkPredict",
+      if (cs.isNullAt(0)) 0L else cs.getLong(0),
+      if (cs.isNullAt(1)) 0.0 else cs.getDouble(1))
     val centers = adj.join(deg.filter(col("d") <= maxCenterDegree), "c")
     val wedges = centers.select(col("c"), col("nb").as("u"))
       .join(centers.select(col("c"), col("nb").as("w")), Seq("c"))
@@ -294,9 +356,21 @@ object GraphOps {
       edges.select(col("u").as("c"), col("w").as("nb"))
         .unionAll(edges.select(col("w").as("c"), col("u").as("nb"))))
     val deg = adj.groupBy("c").agg(count(lit(1)).as("degree"))
+    // one head serves the auto round bound (Σdegree = 2m — the same 2m
+    // the previous edges.count() derived, now off the persisted adj,
+    // which materializes here instead of at round 0: same work, earlier)
+    // AND the degree census
+    val degStats = deg.agg(sum(col("degree")), max(col("degree")),
+      sum(col("degree").cast("double") * col("degree"))).head
+    degreeCensus("coreness",
+      if (degStats.isNullAt(1)) 0L else degStats.getLong(1),
+      if (degStats.isNullAt(2)) 0.0 else degStats.getDouble(2))
     val bound =
       if (maxIters > 0) maxIters
-      else (2L * edges.count() + 2L).min(Int.MaxValue.toLong).toInt
+      else {
+        val twoM = if (degStats.isNullAt(0)) 0L else degStats.getLong(0)
+        (twoM + 2L).min(Int.MaxValue.toLong).toInt
+      }
     var (est, estRdd, _) =
       graft.CacheRegistry.freeze(deg.select(col("c"), col("degree").as("h")))
     var changed = 1L

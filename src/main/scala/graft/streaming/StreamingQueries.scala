@@ -96,6 +96,27 @@ object StreamingQueries {
   private def freshName(prefix: String): String =
     prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
 
+  /** State-store partition count for every stateful query in this file.
+    * 8 was tuned at sf0.1 state volumes (each extra partition is one
+    * more store commit per micro-batch per stateful operator — pure
+    * fixed overhead until state volume needs the parallelism) and
+    * re-measured at the 10× MakeScale fixture (PLANS.md round-13
+    * streaming state sizing probe) before hardening as the default.
+    * The override exists for exactly that measurement loop —
+    * `GRAFT_STATE_PARTITIONS=N sbt "runMain graft.tools.TimeQ ..."`
+    * (env, not -D: sbt's forked run JVM inherits the environment but
+    * not the sbt command line's system properties); a production
+    * deployment sizes it per stream in the hundreds, per the
+    * [[EventStreaming.statefulSession]] contract.
+    */
+  private[graft] val StatePartitions: Int =
+    sys.props.get("graft.statePartitions")
+      .orElse(sys.env.get("GRAFT_STATE_PARTITIONS"))
+      .map(_.toInt).getOrElse(8)
+
+  private def statefulSession(spark: SparkSession): SparkSession =
+    EventStreaming.statefulSession(spark, StatePartitions)
+
   /** Write `df` into `landDir` as EXACTLY one parquet file named
     * `fileName` with a pinned mtime (the file source orders batches by
     * modification time, so multi-file stagings admit files in the
@@ -128,7 +149,7 @@ object StreamingQueries {
     * through [[stageParquetFile]] (found by the round-12 10× probe:
     * the bare Files.copy threw on every directory-layout table).
     */
-  private def copyAsOneFile(spark: SparkSession, table: String,
+  private[graft] def copyAsOneFile(spark: SparkSession, table: String,
       landDir: java.nio.file.Path, fileName: String): Unit = {
     val src = java.nio.file.Paths.get(table)
     if (Files.isRegularFile(src))
@@ -297,7 +318,7 @@ object StreamingQueries {
     */
   def qStreamAdmission(spark: SparkSession, dir: String): DataFrame = {
     val land = admissionLandingDir(spark, dir)
-    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val s = statefulSession(spark)
     val stream = s.readStream
       .schema(spark.read.parquet(s"$land/f0.parquet").schema)
       .option("maxFilesPerTrigger", 1).parquet(land)
@@ -331,7 +352,7 @@ object StreamingQueries {
     * operator (watermark + window + complete output), equal to batch q20.
     */
   def qStreamWindow(spark: SparkSession, dir: String): DataFrame = {
-    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val s = statefulSession(spark)
     val stream = EventStreaming.readEventStream(s, eventsLandingDir(spark, dir))
     EventStreaming.runToLocal(
       EventStreaming.windowedCounts(stream), freshName("q140"), outputMode = "complete")
@@ -347,7 +368,7 @@ object StreamingQueries {
     // micro-batch — pin the conf the emission rule depends on (true is
     // the Spark default, but a harness-level perf tweak flipping it would
     // otherwise surface as a confusing q141 row-diff far from the cause)
-    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val s = statefulSession(spark)
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val stream = EventStreaming.readEventStream(s, eventsLandingDir(spark, dir))
     val sessions = EventStreaming.statefulSessions(stream,
@@ -363,7 +384,7 @@ object StreamingQueries {
     * keep it off the driver heap).
     */
   def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val s = statefulSession(spark)
     val stream = EventStreaming.readEventStream(s, dupLandingDir(spark, dir))
     val out = Files.createTempDirectory("graft-stream-dedup-out")
     PipelineQueries.registerTempDirForCleanup(out)
@@ -414,7 +435,7 @@ object StreamingQueries {
     * and max inter-event gap, one update-mode row per user.
     */
   def qStreamUserStats(spark: SparkSession, dir: String): DataFrame = {
-    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val s = statefulSession(spark)
     val stream = EventStreaming.readEventStream(s, eventsLandingDir(spark, dir))
     val summaries = EventStreaming.statefulUserSummary(stream).toDF()
     EventStreaming.runToLocal(summaries, freshName("q143"), outputMode = "update")
@@ -427,7 +448,7 @@ object StreamingQueries {
     * the q18 stub-detector arithmetic (exact integer LCG, oracle-shared).
     */
   def qStreamUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val s = statefulSession(spark)
     val stream = EventStreaming.readEventStream(s, eventsLandingDir(spark, dir))
     // the ONE Scala source of the stub-detector arithmetic (the LCG
     // constants + label array are the contract the q18/q19/q144 oracles
@@ -458,7 +479,7 @@ object StreamingQueries {
     // decision, not the batch shuffle width (32 partitions × 4 join
     // state stores × 2 batches of pure commit overhead measured 2.5× the
     // whole query)
-    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val s = statefulSession(spark)
     val land = eventsLandingDir(spark, dir)
     val clicks = EventStreaming.readEventStream(s, land)
       .filter(col("event_type") === "click")
@@ -479,7 +500,7 @@ object StreamingQueries {
     * NULLS FIRST and the oracle says so explicitly.
     */
   def qStreamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
-    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val s = statefulSession(spark)
     // pinned on the CLONE (it is Spark's default, but the eviction rows
     // depend on it, so the query must not trust the ambient session) —
     // and the parent session's conf stays untouched
@@ -507,7 +528,7 @@ object StreamingQueries {
     */
   def qStreamUrlDedup(spark: SparkSession, dir: String): DataFrame = {
     val land = urlLandingDir(spark, dir)
-    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val s = statefulSession(spark)
     val stream = s.readStream
       .schema(spark.read.parquet(land).schema).parquet(land)
     EventStreaming.runToLocal(
@@ -528,7 +549,7 @@ object StreamingQueries {
     */
   def qStreamCdc(spark: SparkSession, dir: String): DataFrame = {
     val land = cdcLandingDir(spark, dir)
-    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val s = statefulSession(spark)
     val stream = s.readStream
       .schema(spark.read.parquet(s"$land/v1.parquet").schema)
       .option("maxFilesPerTrigger", 1).parquet(land)
@@ -559,7 +580,7 @@ object StreamingQueries {
     */
   def qStreamNearDup(spark: SparkSession, dir: String): DataFrame = {
     val land = docsLandingDir(spark, dir)
-    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val s = statefulSession(spark)
     val stream = s.readStream
       .schema(spark.read.parquet(land).schema).parquet(land)
     EventStreaming.runToLocal(
@@ -580,7 +601,7 @@ object StreamingQueries {
     */
   def qStreamImageDedup(spark: SparkSession, dir: String): DataFrame = {
     val land = imagesLandingDir(spark, dir)
-    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val s = statefulSession(spark)
     val stream = s.readStream
       .schema(spark.read.parquet(land).schema).parquet(land)
     EventStreaming.runToLocal(
@@ -602,7 +623,7 @@ object StreamingQueries {
     */
   def qStreamSeqPack(spark: SparkSession, dir: String): DataFrame = {
     val land = packLandingDir(spark, dir)
-    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val s = statefulSession(spark)
     val stream = s.readStream
       .schema(spark.read.parquet(s"$land/b1.parquet").schema)
       .option("maxFilesPerTrigger", 1).parquet(land)
@@ -625,7 +646,7 @@ object StreamingQueries {
     */
   def qStreamAudioDedup(spark: SparkSession, dir: String): DataFrame = {
     val land = clipsLandingDir(spark, dir)
-    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val s = statefulSession(spark)
     val stream = s.readStream
       .schema(spark.read.parquet(land).schema).parquet(land)
     EventStreaming.runToLocal(
@@ -650,7 +671,7 @@ object StreamingQueries {
     */
   def qStreamIncrDedup(spark: SparkSession, dir: String): DataFrame = {
     val land = packLandingDir(spark, dir)
-    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val s = statefulSession(spark)
     val stream = s.readStream
       .schema(spark.read.parquet(s"$land/b1.parquet").schema)
       .option("maxFilesPerTrigger", 1).parquet(land)
@@ -678,7 +699,7 @@ object StreamingQueries {
     */
   def qStreamSemDecon(spark: SparkSession, dir: String): DataFrame = {
     val land = embLandingDir(spark, dir)
-    val s = EventStreaming.statefulSession(spark, statePartitions = 8)
+    val s = statefulSession(spark)
     val emb = s.read.parquet(land)
     val evals = graft.ext.SimilarityOps.stagedEvalSet(emb)
     // one-file staging ⇒ ONE scan partition, and the N×E broadcast-join

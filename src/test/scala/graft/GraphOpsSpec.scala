@@ -155,6 +155,62 @@ class GraphOpsSpec extends SparkSpec {
     assert(d == h && d.nonEmpty)
   }
 
+  test("degree census warns past the measured regime, silent in-contract" +
+      " (blocking-key contract check, VERDICT r12 #3)") {
+    import graft.ext.GraphOps.{MeasuredDegreeRegime, lastCensusWarning}
+    // planted HOT BLOCK: a star whose hub degree exceeds the largest
+    // degree the PLANS.md round-12 curves measured (the 10x-densify
+    // point, 2180) — the "caller fed a coarse blocking key" shape the
+    // census exists to catch. Results must be UNCHANGED (the census
+    // warns, never drops).
+    val n = MeasuredDegreeRegime.toInt + 1 // hub degree 2181 > 2180
+    val hotEdges = (1 to n).map(i => (0L, i.toLong)).toDF("u", "w")
+    val hotNodes = (0 to n).map(_.toLong).toDF("node_id")
+
+    val tri = GraphOps.triangleStats(hotNodes, hotEdges).collect()
+    val w1 = lastCensusWarning.get()
+    assert(w1 != null && w1.contains("triangleStats") &&
+      w1.contains(s"max degree $n"), s"expected triangleStats warn, got $w1")
+    assert(tri.forall(_.getLong(2) == 0L), "a star has no triangles")
+    CacheRegistry.release()
+
+    val core = GraphOps.coreness(hotNodes, hotEdges).collect()
+    val w2 = lastCensusWarning.get()
+    assert(w2 != null && w2.contains("coreness"), s"expected coreness warn, got $w2")
+    assert(core.forall(r => r.getLong(2) == (if (r.getLong(1) == 0) 0L else 1L)),
+      "a star is a 1-core everywhere")
+    CacheRegistry.release()
+
+    // linkPredict UNCAPPED: the hub IS a center -> out of regime, warns
+    val lpHot = GraphOps.linkPredict(hotEdges).agg(count(lit(1))).head.getLong(0)
+    val w3 = lastCensusWarning.get()
+    assert(w3 != null && w3.contains("linkPredict"), s"expected linkPredict warn, got $w3")
+    assert(lpHot == n.toLong * (n - 1) / 2, "star: every leaf pair is a candidate")
+    CacheRegistry.release()
+
+    // linkPredict CAPPED at 24: the hub is dropped from wedge generation,
+    // so the effective center regime is in-contract — the cap IS the fix,
+    // and the census must stay silent
+    val lpCap = GraphOps.linkPredict(hotEdges, maxCenterDegree = 24L)
+      .agg(count(lit(1))).head.getLong(0)
+    assert(lastCensusWarning.get() == null,
+      "capped hub must not warn: hub centers are excluded from wedge mass")
+    assert(lpCap == 0L, "leaves have degree 1: no wedges without the hub")
+    CacheRegistry.release()
+
+    // in-contract graph (the q151 sf0.001 build): silent on all three
+    val emb = Tables(spark, SF).embeddings
+    val edges = CacheRegistry.persist(GraphOps.labelBlockedEdges(emb, 180000L))
+    val nodes = emb.select(col("vec_id").as("node_id"))
+    GraphOps.triangleStats(nodes, edges).collect()
+    assert(lastCensusWarning.get() == null)
+    GraphOps.coreness(nodes, edges).collect()
+    assert(lastCensusWarning.get() == null)
+    GraphOps.linkPredict(edges, maxCenterDegree = 24L).collect()
+    assert(lastCensusWarning.get() == null)
+    CacheRegistry.release()
+  }
+
   test("triangleStats rejects node ids >= 1e9 (orientation packing bound)") {
     val big = Seq((2000000000L, 2000000001L)).toDF("u", "w")
     val nodes = Seq(2000000000L, 2000000001L).toDF("node_id")

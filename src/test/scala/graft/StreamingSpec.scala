@@ -1019,4 +1019,60 @@ class StreamingSpec extends SparkSpec {
       EventStreaming.statefulSession(spark, statePartitions = 0)
     }
   }
+
+  test("copyAsOneFile re-stages a multi-file parquet DIRECTORY as one file" +
+      " (one-batch contract at any table layout)") {
+    // Regression pin for the round-12 10×-fixture find: the landing-dir
+    // helpers byte-copied source tables assuming single-FILE layout (true
+    // only of the bundled testdata); MakeScale fixtures and any real table
+    // are parquet DIRECTORIES, and the bare Files.copy threw on them. The
+    // contract under test: ANY layout stages to exactly ONE parquet file,
+    // so the file source still admits the whole table as ONE micro-batch.
+    val srcDir = java.nio.file.Files.createTempDirectory("stage-src")
+    spark.read.parquet(s"$SF/events.parquet")
+      .repartition(2)
+      .write.mode("overwrite").parquet(srcDir.resolve("events.parquet").toString)
+    val nParts = {
+      val l = java.nio.file.Files.list(srcDir.resolve("events.parquet"))
+      try l.toArray.map(_.toString).count(_.endsWith(".parquet")) finally l.close()
+    }
+    assert(nParts == 2, s"fixture must be a 2-file directory, got $nParts")
+
+    val land = java.nio.file.Files.createTempDirectory("stage-land")
+    graft.streaming.StreamingQueries.copyAsOneFile(
+      spark, srcDir.resolve("events.parquet").toString, land, "events.parquet")
+    // exactly one file, the intended name, no committer leftovers
+    // (_SUCCESS/.crc/stage dir) — the invariant must not depend on
+    // Spark's hidden-file filters
+    val staged = {
+      val l = java.nio.file.Files.list(land)
+      try l.toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      finally l.close()
+    }
+    assert(staged.toSeq == Seq("events.parquet"))
+    // content round-trips
+    val want = spark.read.parquet(s"$SF/events.parquet").count()
+    assert(spark.read.parquet(land.resolve("events.parquet").toString).count() == want)
+
+    // one file ⇒ ONE micro-batch under maxFilesPerTrigger=1 — the
+    // determinism keystone the streaming goldens stand on
+    val schema = spark.read.parquet(land.toString).schema
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(land.toString)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatches.incrementAndGet()
+        nRows.addAndGet(df.count())
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("stage-ckpt").toString)
+      .start()
+    q.awaitTermination()
+    assert(nBatches.get() == 1, s"expected ONE micro-batch, got ${nBatches.get()}")
+    assert(nRows.get() == want)
+  }
 }

@@ -24,6 +24,27 @@ except ImportError:  # pragma: no cover
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Golden-oracle queries whose RESULTS do not vary with table scale: their
+# inputs are staged fixtures (synthesized bags/images/audio/video) or
+# otherwise independent of the scaled tables, so at a MakeScale fixture
+# (where no sf-matched golden dir exists) they can still verify against
+# the SOURCE SF's committed golden. Membership is EMPIRICAL — established
+# at the round-13 10x-split fixture and re-verified by every
+# tools/scale_gate.sh run, since these are compared, not skipped: a
+# query regressing to SF-dependence turns the gate red. All other golden
+# oracles are SF-bound by design (their inputs scale with the tables)
+# and are SKIPPED at scaled fixtures — counted separately from failures
+# so the gate's "bad" count stays meaningful.
+INVARIANT_GOLDENS = {
+    # synthesized bag fixtures, no table input at all
+    "q35_frame_pipeline", "q53_compressed_frames", "q168_annotated_sink",
+    # id-capped staged media (doc_id < 8/64: copy 0 of any MakeScale
+    # fixture preserves those ids; content is a pure function of the id)
+    "q54_video_frames", "q78_image_dedup", "q79_audio_dedup",
+    "q80_video_dedup", "q85_image_clusters", "q86_audio_incremental",
+    "q158_stream_image_dedup", "q160_stream_audio_dedup",
+}
+
 
 def kinds(df, cols):
     """Collapse pandas dtype kinds so int-width differences are fine but
@@ -70,11 +91,27 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     # golden-file oracles are committed per scale factor; the SQL text
     # references the driver's sf0.01 gate — rewrite for local runs at
-    # other SFs (golden/sf0.001 is committed too)
+    # other SFs (golden/sf0.001 is committed too). At a SCALED fixture
+    # (tools/MakeScale output — no committed golden dir), SF-invariant
+    # goldens verify against the source SF's golden; the rest are
+    # skipped-not-failed. `golden_sf` is the fixture's source SF
+    # (optional argv[3], default sf0.1 — what MakeScale expands).
     sf_name = sf_dir.rstrip("/").split("/")[-1]
-    n_ok = n_bad = 0
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    has_golden_dir = os.path.isdir(f"{repo}/golden/{sf_name}")
+    golden_sf = sys.argv[3] if len(sys.argv) > 3 else "sf0.1"
+    n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracles.items()):
-        sql = sql.replace("/golden/sf0.01/", f"/golden/{sf_name}/")
+        if "/golden/" in sql and not has_golden_dir:
+            if name in INVARIANT_GOLDENS:
+                sql = sql.replace("/golden/sf0.01/", f"/golden/{golden_sf}/")
+            else:
+                print(f"skip {name}: golden oracle is SF-bound "
+                      f"(no committed golden for fixture {sf_name})")
+                n_skip += 1
+                continue
+        else:
+            sql = sql.replace("/golden/sf0.01/", f"/golden/{sf_name}/")
         try:
             odf = con.execute(sql).fetchdf()
             rdf = con.execute(
@@ -106,7 +143,7 @@ def main(sf_dir, out_dir):
         except Exception as e:  # noqa: BLE001
             print(f"ERR  {name}: {str(e)[:200]}")
             n_bad += 1
-    print(f"== {n_ok} ok, {n_bad} bad")
+    print(f"== {n_ok} ok, {n_bad} bad, {n_skip} skipped-sf-bound-golden")
     return 1 if n_bad else 0
 
 

@@ -1,0 +1,71 @@
+#!/usr/bin/env bash
+# Standing per-round scale-regression gate (VERDICT r12 #1).
+#
+# Bundled SFs hide scale defects: round 12's three real finds (fixpoint
+# task-graph lineage blowup, file-vs-directory landing staging, the q162
+# single-partition streaming scan) were ALL invisible at sf0.1 and
+# surfaced only by running the whole battery at a 10x MakeScale fixture.
+# This script makes that probe repeatable:
+#
+#   1. expand /root/testdata/sf0.1 K-fold into /tmp (tools/MakeScale,
+#      split mode — the production blocking shape; reused if present),
+#   2. run ALL driver queries against the fixture (graft.Verify — the
+#      same entry the driver's correctness gate uses, writing result
+#      parquet per query),
+#   3. compare every direct oracle plus the SF-invariant goldens in
+#      DuckDB (tools/check.py; SF-bound goldens are counted as skipped,
+#      not failed),
+#   4. write SCALE_r<round>.json at the repo root.
+#
+# Usage: tools/scale_gate.sh <round> [K=10] [srcSfDir=/root/testdata/sf0.1]
+# Green = n_failed 0 and oracle_bad 0. Takes ~10-15 min at K=10.
+# wall_s covers the Verify run only (includes one sbt/JVM startup).
+set -uo pipefail
+ROUND=${1:?usage: tools/scale_gate.sh <round> [K] [srcSfDir]}
+K=${2:-10}
+SRC=${3:-/root/testdata/sf0.1}
+SRC_SF=$(basename "$SRC")
+FIX=${SCALE_FIXTURE:-/tmp/graft-scale-k${K}s}
+OUT=/tmp/graft-scale-out-k${K}
+cd "$(dirname "$0")/.."
+
+if [ ! -d "$FIX/lineitem.parquet" ]; then
+  echo "[scale_gate] building K=$K split fixture at $FIX"
+  sbt -batch "runMain graft.tools.MakeScale $SRC $FIX $K split" \
+    > /tmp/scale_makescale_r${ROUND}.log 2>&1 \
+    || { tail -5 /tmp/scale_makescale_r${ROUND}.log; exit 1; }
+fi
+
+LOAD0=$(cut -d' ' -f1-3 /proc/loadavg)
+T0=$(date +%s)
+sbt -batch "runMain graft.Verify $FIX $OUT" \
+  > /tmp/scale_verify_r${ROUND}.log 2>&1
+T1=$(date +%s)
+WALL=$((T1 - T0))
+LOAD1=$(cut -d' ' -f1-3 /proc/loadavg)
+grep -E '\[verify\]' /tmp/scale_verify_r${ROUND}.log || true
+
+N_FAILED=$(grep -c '\[verify\] .* failed:' /tmp/scale_verify_r${ROUND}.log || true)
+N_OK_RUN=$(find "$OUT" -mindepth 1 -maxdepth 1 -type d | wc -l)
+N_RUN=$((N_OK_RUN + N_FAILED))
+
+python3 tools/check.py "$FIX" "$OUT" "$SRC_SF" \
+  | tee /tmp/scale_check_r${ROUND}.log
+read -r OK BAD SKIP <<< "$(tail -1 /tmp/scale_check_r${ROUND}.log \
+  | sed 's/[^0-9 ]//g' | awk '{print $1, $2, $3}')"
+
+cat > "SCALE_r${ROUND}.json" <<EOF
+{"round": ${ROUND}, "k": ${K}, "fixture": "${FIX}", "src": "${SRC}",
+ "n_run": ${N_RUN}, "n_failed": ${N_FAILED}, "wall_s": ${WALL},
+ "oracle_ok": ${OK}, "oracle_bad": ${BAD},
+ "oracle_skipped_sf_bound": ${SKIP},
+ "load_avg_start": "${LOAD0}", "load_avg_end": "${LOAD1}",
+ "git_head": "$(git rev-parse --short HEAD)"}
+EOF
+echo "[scale_gate] wrote SCALE_r${ROUND}.json:"
+cat "SCALE_r${ROUND}.json"
+if [ "${N_FAILED}" -ne 0 ] || [ "${BAD}" -ne 0 ]; then
+  echo "[scale_gate] RED: n_failed=${N_FAILED} oracle_bad=${BAD}"
+  exit 1
+fi
+echo "[scale_gate] GREEN"
