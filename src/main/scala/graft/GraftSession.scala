@@ -42,6 +42,24 @@ object GraftSession {
       // advisory size is what bounds per-task memory)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      // let AQE re-optimize (coalesce/skew-split) the plan that
+      // MATERIALIZES a cached frame: off (the Spark default), every
+      // `persist()` freezes its pre-AQE shuffle width — here 32 fixed
+      // partitions — and every downstream stage over the cache pays that
+      // task count forever, AQE powerless to coalesce cached blocks
+      // (round-13 census: the persist-heavy families ran 200-470 tasks
+      // per query on KB-sized cached frames). On, the cache materializes
+      // at the same advisory size every other shuffle targets — the
+      // scale-adaptive policy, not a local tune; the only behavioral
+      // cost is that a cached frame's output partitioning is no longer a
+      // co-partitioning guarantee, which no operator here relies on
+      // (results are partition-independent by the repo's determinism
+      // discipline; gated by the full 3-SF oracle + golden battery).
+      // Measured (paired idle runs, sf0.1 warm-min): q153 8.3→6.6,
+      // q127 5.8→4.8, q51 2.4→2.0, q130 3.1→2.7, q112 1.6→0.5,
+      // q128 1.9→0.8, q117 2.7→1.5; whole-bench total −17% (r13).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

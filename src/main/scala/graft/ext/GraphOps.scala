@@ -383,30 +383,74 @@ object GraphOps {
     // `frontier` is a lazy filter over the persisted previous
     // generation; round 0 processes everything (no frontier yet).
     var frontier: DataFrame = null
+    // the H-index of a (possibly empty) descending-sorted estimate array
+    def hIndexOf(hs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      size(filter(
+      zip_with(hs, sequence(lit(1), size(hs)),
+        (v, i) => v >= i.cast("long")),
+      x => x)).cast("long")
     while (changed > 0 && it < bound) {
-      val adjC =
-        if (!delta || frontier == null) adj
-        else adj.join(
+      // DEFAULT (non-delta) round: hNext covers EXACTLY est's key set
+      // (est = deg over adj, so every estimate node has ≥1 neighbor row
+      // and every neighbor is an estimate node), which makes the
+      // est ⋈ hNext join pure plumbing — it re-shuffles the whole
+      // estimate table once per round just to put the previous h next
+      // to the new one. Carrying the previous h THROUGH the aggregate
+      // instead (one flagged self row per node unioned under the
+      // neighbor rows; collect_list drops the NULL the flag projects
+      // away) deletes that join and its corpus-wide exchange from every
+      // round: 2 exchanges/round instead of 3, one join instead of two
+      // (r13: q153 6.5 → 5.9 s warm-min at sf0.1 — the local win is the
+      // ~14 deleted join stages; at scale each round moves the estimate
+      // table across the wire once, not twice).
+      // Arithmetic is unchanged: h0 is the previous h, hn the H-index
+      // over ALL neighbor estimates, next h = least(h0, hn) — the empty
+      // neighbor-list guard (hn := h0) mirrors the old left-join
+      // coalesce and can only fire on inputs where est keys ⊄ adj keys,
+      // which the deg construction rules out.
+      def round(prev: DataFrame): DataFrame = adj
+        .join(prev.select(col("c").as("nb"), col("h")), Seq("nb"))
+        .select(col("c"), col("h"), lit(false).as("self"))
+        .unionByName(
+          prev.select(col("c"), col("h"), lit(true).as("self")))
+        .groupBy("c")
+        .agg(max(when(col("self"), col("h"))).as("h0"),
+          reverse(array_sort(collect_list(when(!col("self"), col("h")))))
+            .as("hs"))
+        .select(col("c"), col("h0"),
+          when(size(col("hs")) > 0, hIndexOf(col("hs")))
+            .otherwise(col("h0")).as("hn"))
+        .select(col("c"),
+          least(col("h0"), col("hn")).as("h"),
+          (col("hn") < col("h0")).as("chg"))
+      // (2-rounds-per-generation with a Dataset-persisted intermediate
+      // was measured and REJECTED here: q153 5.9 → ~9-11 s at sf0.1 —
+      // the cached mid-generation pins its partition count against AQE
+      // and doubles per-job planning, the same failure mode as the
+      // rejected repartition pin above.)
+      val (next, nextRdd, nChanged) = if (!delta || frontier == null) {
+        graft.CacheRegistry.freeze(round(est.select("c", "h")),
+          _.filter(_.getBoolean(2)).count())
+      } else {
+        // delta round: hNext covers only the changed frontier's
+        // neighborhoods, so the left join + coalesce IS the correct
+        // carry for untouched nodes — keep the join formulation here
+        val adjC = adj.join(
           adj.join(frontier.select(col("c").as("nb")), Seq("nb"))
             .select("c").distinct(),
           Seq("c"), "left_semi")
-      val hNext = adjC
-        .join(est.select(col("c").as("nb"), col("h")), Seq("nb"))
-        .groupBy("c")
-        .agg(reverse(array_sort(collect_list(col("h")))).as("hs"))
-        .select(col("c"), size(filter(
-          zip_with(col("hs"), sequence(lit(1), size(col("hs"))),
-            (v, i) => v >= i.cast("long")),
-          x => x)).cast("long").as("hn"))
-      // left join + coalesce: in delta mode hNext only covers candidate
-      // nodes; everyone else keeps h (hn null → chg false, never null —
-      // the materializer reads chg with getBoolean)
-      val (next, nextRdd, nChanged) = graft.CacheRegistry.freeze(
-        est.select("c", "h").join(hNext, Seq("c"), "left")
-          .select(col("c"),
-            least(col("h"), coalesce(col("hn"), col("h"))).as("h"),
-            (coalesce(col("hn"), col("h")) < col("h")).as("chg")),
-        _.filter(_.getBoolean(2)).count())
+        val hNext = adjC
+          .join(est.select(col("c").as("nb"), col("h")), Seq("nb"))
+          .groupBy("c")
+          .agg(reverse(array_sort(collect_list(col("h")))).as("hs"))
+          .select(col("c"), hIndexOf(col("hs")).as("hn"))
+        graft.CacheRegistry.freeze(
+          est.select("c", "h").join(hNext, Seq("c"), "left")
+            .select(col("c"),
+              least(col("h"), coalesce(col("hn"), col("h"))).as("h"),
+              (coalesce(col("hn"), col("h")) < col("h")).as("chg")),
+          _.filter(_.getBoolean(2)).count())
+      }
       changed = nChanged
       estRdd.unpersist(blocking = false)
       est = next

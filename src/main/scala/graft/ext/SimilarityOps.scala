@@ -1191,14 +1191,29 @@ object SimilarityOps {
     var (p, pRdd, _) = graft.CacheRegistry.freeze(
       nodeIds.select(col("node_id"), lit(p0).as("pr")))
     for (_ <- 1 to iters) {
+      // zero-contribution rows for every node replace the per-round
+      // nodeIds LEFT JOIN (which existed only to resurrect nodes with no
+      // in-edges and to drop edge targets outside `nodes`): summing the
+      // explicit zeros is the same arithmetic (s + 0 = coalesce(s, 0)),
+      // the `self` max-flag keeps the no-foreign-dst drop semantics, and
+      // the round loses one join operator per round (r13: measured FLAT
+      // at sf0.1, 4.40 → 4.42 warm-min — locally the dropped join was a
+      // broadcast, so the zeros exchange costs what the join saved; kept
+      // because at cluster scale sums would NOT broadcast and the old
+      // shape pays exchange + sort + SMJ of the full node table per
+      // round where this shape pays one zeros exchange, no join).
       val sums = withDeg
         .join(p.select(col("node_id").as("src"), col("pr")), Seq("src"))
-        .select(col("dst").as("node_id"), expr("pr div outdeg").as("c"))
-        .groupBy("node_id").agg(sum("c").as("s"))
+        .select(col("dst").as("node_id"), expr("pr div outdeg").as("c"),
+          lit(false).as("self"))
+        .unionByName(nodeIds.select(col("node_id"), lit(0L).as("c"),
+          lit(true).as("self")))
+        .groupBy("node_id")
+        .agg(sum("c").as("s"), max(col("self")).as("known"))
       val (next, nextRdd, _) = graft.CacheRegistry.freeze(
-        nodeIds.join(sums, Seq("node_id"), "left")
+        sums.filter(col("known"))
           .select(col("node_id"), (lit(base) +
-            expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
+            expr(s"($dampNum * s) div $dampDen"))
             .as("pr")))
       pRdd.unpersist(blocking = false)
       p = next
@@ -1870,9 +1885,33 @@ object SimilarityOps {
     graft.queries.PipelineQueries.registerTempDirForCleanup(state)
     val sigDir = state.resolve("sigs").toString
     val graphDir = state.resolve("graph").toString
-    indexEmbeddingSigs(base, sigDir, bands = 4, bitsPerBand = bits)
-    knnGraph(base, k = 5, bands = 4, bitsPerBand = bits)
-      .write.mode("overwrite").parquet(graphDir)
+    // The two standing-state writes are INDEPENDENT jobs (both read only
+    // `base`); submitting them from two driver threads lets the second
+    // job back-fill the first's straggler tail instead of waiting for it
+    // (guide §2.6 overlap; Spark schedules concurrent jobs FIFO). Each
+    // thread releases ITS OWN CacheRegistry registrations after its write
+    // (registration is thread-scoped; neither write leaves state the
+    // merge needs — the merge re-reads both tables from parquet).
+    // r13: q104 5.59 → 5.44 s warm-min at sf0.1 (the sig write mostly
+    // hides under the graph build's tail); on a cluster the overlap is
+    // what §2.6 of the optimization playbook buys — the second job
+    // back-fills executors the first job's straggler tail leaves idle.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val staged = scala.concurrent.Future.sequence(Seq(
+      scala.concurrent.Future {
+        try indexEmbeddingSigs(base, sigDir, bands = 4, bitsPerBand = bits)
+        finally graft.CacheRegistry.release()
+      },
+      scala.concurrent.Future {
+        try knnGraph(base, k = 5, bands = 4, bitsPerBand = bits)
+          .write.mode("overwrite").parquet(graphDir)
+        finally graft.CacheRegistry.release()
+      }))
+    try scala.concurrent.Await.result(staged,
+      scala.concurrent.duration.Duration(600, "s"))
+    finally pool.shutdown()
     incrementalKnnGraph(batch, spark.read.parquet(sigDir),
         spark.read.parquet(graphDir), k = 5, bands = 4, bitsPerBand = bits)
       .orderBy("vec_id", "rank")

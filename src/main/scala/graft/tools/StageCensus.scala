@@ -1,0 +1,70 @@
+package graft.tools
+
+import graft.{CacheRegistry, GraftSession, SparkEntry}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Structural census over the driver battery: per query, the EXECUTED
+  * job/stage/task counts (scheduler listener) and post-AQE plan node
+  * tallies (shuffle/broadcast exchanges, joins, windows, sorts). Ranks
+  * where the per-query wall is scheduling floor (many tiny stages) vs
+  * data work — the round-13 optimization round's target finder.
+  *
+  * Usage: runMain graft.tools.StageCensus <sfDir> [queryName ...]
+  */
+object StageCensus {
+  private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+    case q: QueryStageExec => q +: walk(q.plan)
+    case r: ReusedExchangeExec => Seq(r)
+    case other => other +: other.children.flatMap(walk)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val spark = GraftSession.build("graft-stagecensus")
+    val jobs = new AtomicInteger(0)
+    val stages = new AtomicInteger(0)
+    val tasks = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        tasks.incrementAndGet()
+    })
+    println("query wall_s jobs stages tasks shufEx bcastEx reusedEx joins windows sorts")
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      // warm pass 0 (codegen/JIT), then the counted pass
+      try { fn(spark, dir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () } finally CacheRegistry.release()
+      jobs.set(0); stages.set(0); tasks.set(0)
+      val t0 = System.nanoTime()
+      try {
+        val qe = fn(spark, dir).queryExecution
+        qe.toRdd.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(150) // listener events are async; census is approximate
+        val nodes = walk(qe.executedPlan)
+        val shuf = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+        val bc = nodes.count(_.isInstanceOf[BroadcastExchangeExec])
+        val reused = nodes.count(_.isInstanceOf[ReusedExchangeExec])
+        val joins = nodes.count(_.nodeName.toLowerCase.contains("join"))
+        val wins = nodes.count(_.nodeName.toLowerCase.contains("window"))
+        val sorts = nodes.count(_.nodeName == "Sort")
+        println(f"[census] $n $wall%.2f ${jobs.get} ${stages.get} " +
+          f"${tasks.get} $shuf $bc $reused $joins $wins $sorts")
+      } catch { case e: Throwable =>
+        println(s"[census] $n FAILED: $e")
+      } finally CacheRegistry.release()
+    }
+    spark.stop()
+  }
+}
