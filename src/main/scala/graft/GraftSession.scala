@@ -42,24 +42,21 @@ object GraftSession {
       // advisory size is what bounds per-task memory)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
-      // let AQE re-optimize (coalesce/skew-split) the plan that
-      // MATERIALIZES a cached frame: off (the Spark default), every
-      // `persist()` freezes its pre-AQE shuffle width — here 32 fixed
-      // partitions — and every downstream stage over the cache pays that
-      // task count forever, AQE powerless to coalesce cached blocks
-      // (round-13 census: the persist-heavy families ran 200-470 tasks
-      // per query on KB-sized cached frames). On, the cache materializes
-      // at the same advisory size every other shuffle targets — the
-      // scale-adaptive policy, not a local tune; the only behavioral
-      // cost is that a cached frame's output partitioning is no longer a
-      // co-partitioning guarantee, which no operator here relies on
-      // (results are partition-independent by the repo's determinism
-      // discipline; gated by the full 3-SF oracle + golden battery).
-      // Measured (paired idle runs, sf0.1 warm-min): q153 8.3→6.6,
-      // q127 5.8→4.8, q51 2.4→2.0, q130 3.1→2.7, q112 1.6→0.5,
-      // q128 1.9→0.8, q117 2.7→1.5; whole-bench total −17% (r13).
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
+      // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true
+      // (AQE re-optimizing cached-plan materialization) was measured
+      // round 13 and REJECTED: a −17% whole-bench win at sf0.1 (cached
+      // frames stop pinning their pre-AQE 32-partition width, so the
+      // persist-heavy families shed ~200-470 tasks/query of scheduling)
+      // turned into a +32% WHOLE-BATTERY regression at the 10× scale
+      // fixture (RunAll 515→682 s; paired TimeQ: q29 2.8→5.4,
+      // q94 13.6→26.6) — AQE's byte-based coalescing collapsed mid-size
+      // caches to 1-2 partitions and SERIALIZED the CPU-dense verify
+      // work downstream of them (per-pair set intersection costs ~100×
+      // its input bytes; the q161 effect, amplified by data). The local
+      // win is a small-cache artifact; the mid-scale loss is exactly
+      // what this engine optimizes against. Do not re-attempt without
+      // re-running tools/scale_gate.sh. (OPTIMIZATION_r13.md has the
+      // full numbers.)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -265,20 +265,34 @@ object DedupOps {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
-      val nbrMin = sym
-        .join(labels.select(col("doc_id").as("dst"), col("cluster_id")), Seq("dst"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min("cluster_id").as("nbr_min"))
-      // carry a per-row "label improved" flag so the convergence check is a
-      // filter over the frame this iteration materializes anyway — no
-      // second join against the previous labels
+      // One flagged self row per vertex unioned under the neighbor-label
+      // rows replaces the former `labels LEFT JOIN nbrMin` carry (the
+      // r13 coreness restructure): min(neighbor labels) and the
+      // vertex's own label come out of ONE aggregate, so each iteration
+      // pays 2 exchanges and no label-table join instead of 3 exchanges
+      // + a join. Exact: isolated vertices (no sym rows) keep their
+      // label via the self row (nbr_min null → coalesce, the old
+      // left-join-null rule); a sym src with NO self row (an edge
+      // endpoint outside `vertices` — impossible for in-repo callers,
+      // which build edges over vertices) is dropped by the `own IS NOT
+      // NULL` filter exactly as the old left join dropped it. The
+      // convergence flag stays a filter over the materialized frame.
       val next = graft.CacheRegistry.persist(
-        labels.join(nbrMin, Seq("doc_id"), "left")
+        sym
+          .join(labels.select(col("doc_id").as("dst"), col("cluster_id")),
+            Seq("dst"))
+          .select(col("src").as("doc_id"), col("cluster_id"),
+            lit(false).as("self"))
+          .unionByName(labels.select(col("doc_id"), col("cluster_id"),
+            lit(true).as("self")))
+          .groupBy("doc_id")
+          .agg(min(when(!col("self"), col("cluster_id"))).as("nbr_min"),
+            max(when(col("self"), col("cluster_id"))).as("own"))
+          .filter(col("own").isNotNull)
           .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            least(col("own"), coalesce(col("nbr_min"), col("own")))
               .as("cluster_id"),
-            (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
-              .as("chg")))
+            (coalesce(col("nbr_min"), col("own")) < col("own")).as("chg")))
       changed = next.filter(col("chg")).count() // also materializes the cache
       labels.unpersist(blocking = false) // superseded generation: free it NOW,
       // not at the runner's final release — iterative retention otherwise
