@@ -1,0 +1,28 @@
+package graft
+
+/** Env-guarded LOOP-BODY plan capture (VERDICT r13 #4): the iterative
+  * ops (coreness, pageRank, connected components) freeze each generation
+  * to a persisted RDD, which erases the per-round plan from the final
+  * query's explain — so the "2 exchanges, no join per round" claims were
+  * only verifiable by reading the code. With GRAFT_ROUND_PLAN_DIR set,
+  * the FIRST round's DataFrame plan of each tagged loop is written there
+  * as `<tag>.txt` (formatted explain, pre-execution). Unset — the
+  * default, and what Bench/Verify run under — the probe is one Option
+  * check and the by-name DataFrame is never even constructed.
+  * Measurement infrastructure, not a query path.
+  */
+object PlanDump {
+  private val dir = sys.env.get("GRAFT_ROUND_PLAN_DIR")
+  private val done = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def round(tag: String, df: => org.apache.spark.sql.DataFrame): Unit =
+    dir.foreach { d =>
+      if (done.add(tag)) {
+        val p = java.nio.file.Paths.get(d, s"$tag.txt")
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p,
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
+    }
+}

@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   *  3. filter    — Gopher rule verdict ∧ hashing-trick classifier
   *                 ([[TextOps.gopherVerdict]], [[TextOps.classifierWsum]])
   *  4. exact dedup — keep the lowest doc_id per exact cleaned text
-  *                 ([[DedupOps.exactDedup]] + keep-id semijoin)
+  *                 ([[DedupOps.exactDedup]]'s min-id-per-hash rule,
+  *                 computed in the SAME corpus pass as stage 5's
+  *                 shingle sets — r14 fusion)
   *  5. near dedup  — transitive MinHash-LSH component representatives
   *                 ([[DedupOps.minHashDedupClusters]])
   *  6. pack      — hash-shard + per-shard prefix-sum token offsets into
@@ -50,8 +52,8 @@ object Curation {
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     // 1-3: ONE narrow cleaning pass — gopherVerdict's passthrough carries
     // the cleaned text through (no join-back), the classifier fold sits
-    // on top of the same pass. PERSISTED: stage 4 references this frame
-    // TWICE (the dedup aggregate and the semijoin's left side), and the
+    // on top of the same pass. PERSISTED: referenced TWICE (the fused
+    // hash+shingle pass below and the final keep-reps semijoin), and the
     // regex-heavy cleaning chain (~1.6 s single-core at sf0.1) is the
     // composition's most expensive narrow pass — unpinned it runs once
     // per reference. Locally the pin is ~neutral (the test parquet is one
@@ -59,28 +61,45 @@ object Curation {
     // idle cores — q77 7.0 → 6.6 s min); at cluster scale, where every
     // core is already busy, the duplicate branch is a full extra corpus
     // text pass and the pin removes it — the documented local-vs-cluster
-    // trade. Read only while `exact` materializes; the exact cache
-    // serves every later stage.
+    // trade.
     val filtered = graft.CacheRegistry.persist(
       TextOps.gopherVerdict(cleaned(docs), passthrough = Seq("text"))
         .filter(col("keep") && classifierKeep(col("text")))
         .select(col("doc_id"), col("text")))
-    // 4: exact dedup via the audited operator (map-side partial agg —
-    // the exchange carries (hash, min_id), never the text) + keep-id
-    // semijoin; persisted: the near-dedup and the final join both read it
-    val keepIds = DedupOps.exactDedup(filtered)
-      .select(col("keep_id").as("doc_id"))
-    val exact = graft.CacheRegistry.persist(
-      filtered.join(keepIds, Seq("doc_id"), "left_semi"))
+    // 4+5 FUSED FRONT (r14, guide §2.4): one corpus pass over the
+    // `filtered` cache computes BOTH the exact-dedup key (md5) and the
+    // near-dedup shingle sets side by side. The former shape paid a
+    // separate `exact = filtered ⋉ keepIds` text materialization (a
+    // second full corpus pass + a join) only so the shingle pass could
+    // run over kept docs; since exact duplicates have identical text —
+    // hence identical shingle sets — the keep-id semijoin rides the
+    // (narrow) shingle-set frame instead, and the exact text cache is
+    // gone. Arithmetic unchanged: keepIds is the same min-id-per-hash
+    // aggregate (the exchange still carries (hash, id), never text or
+    // shingles), the semijoined sets are exactly shingleSets(exact).
+    // The duplicate docs' shingles are now computed once and discarded —
+    // the price of deleting a full corpus pass + join (dup mass ≪ corpus).
+    val setsAll = graft.CacheRegistry.persist(
+      DedupOps.withShingles(filtered, "text", "__sh", cfg.shingleSize)
+        .select(col("doc_id"), md5(col("text")).as("text_hash"),
+          array_distinct(col("__sh")).as("sh")))
+    val keepIds = setsAll.groupBy("text_hash")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val sets = graft.CacheRegistry.persist(
+      setsAll.join(keepIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("sh")))
     // 5: near dedup — TRANSITIVE components (q51's operator), keeping
     // each component's min-id representative: every dropped doc is
     // connected to its kept rep, so chains A~B~C can't orphan C the way
     // a one-hop assignment would (B's rep dropped, C's rep B dropped)
-    val reps = DedupOps.minHashDedupClusters(exact, cfg.numHashes,
-        cfg.rowsPerBand, cfg.shingleSize, cfg.nearDupThreshold)
+    val reps = DedupOps.minHashDedupClustersFromSets(sets, cfg.numHashes,
+        cfg.rowsPerBand, cfg.nearDupThreshold)
       .filter(col("cluster_id") === col("doc_id"))
       .select("doc_id")
-    val deduped = exact.join(reps, Seq("doc_id"), "left_semi")
+    // reps ⊆ keepIds (a representative is a kept doc), so semijoining
+    // `filtered` directly ≡ the former exact ⋉ reps — no exact frame
+    val deduped = filtered.join(reps, Seq("doc_id"), "left_semi")
     // 6: shard + pack — the SAME operator q71 runs
     SamplingOps.sequencePack(deduped, cfg.nShards, cfg.seqBudget)
   }

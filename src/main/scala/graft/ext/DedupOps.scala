@@ -249,6 +249,12 @@ object DedupOps {
     * 100 TB shape: each iteration is one join + one groupBy on the edge
     * list — hash-partitioned by vertex, no driver-side state; edges are
     * the (bounded) LSH-verified pairs, not n².
+    *
+    * Contract: `vertices` is expected UNIQUE on doc_id. The r13
+    * aggregate-carry restructure collapses duplicate vertex rows into
+    * one label row (the former per-iteration left join preserved
+    * duplicate multiplicity); every in-repo caller passes unique ids,
+    * so this is documented rather than asserted (ADVICE r13).
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIters: Int = 10): DataFrame = {
@@ -277,22 +283,23 @@ object DedupOps {
       // which build edges over vertices) is dropped by the `own IS NOT
       // NULL` filter exactly as the old left join dropped it. The
       // convergence flag stays a filter over the materialized frame.
-      val next = graft.CacheRegistry.persist(
-        sym
-          .join(labels.select(col("doc_id").as("dst"), col("cluster_id")),
-            Seq("dst"))
-          .select(col("src").as("doc_id"), col("cluster_id"),
-            lit(false).as("self"))
-          .unionByName(labels.select(col("doc_id"), col("cluster_id"),
-            lit(true).as("self")))
-          .groupBy("doc_id")
-          .agg(min(when(!col("self"), col("cluster_id"))).as("nbr_min"),
-            max(when(col("self"), col("cluster_id"))).as("own"))
-          .filter(col("own").isNotNull)
-          .select(col("doc_id"),
-            least(col("own"), coalesce(col("nbr_min"), col("own")))
-              .as("cluster_id"),
-            (coalesce(col("nbr_min"), col("own")) < col("own")).as("chg")))
+      val nextPlan = sym
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id")),
+          Seq("dst"))
+        .select(col("src").as("doc_id"), col("cluster_id"),
+          lit(false).as("self"))
+        .unionByName(labels.select(col("doc_id"), col("cluster_id"),
+          lit(true).as("self")))
+        .groupBy("doc_id")
+        .agg(min(when(!col("self"), col("cluster_id"))).as("nbr_min"),
+          max(when(col("self"), col("cluster_id"))).as("own"))
+        .filter(col("own").isNotNull)
+        .select(col("doc_id"),
+          least(col("own"), coalesce(col("nbr_min"), col("own")))
+            .as("cluster_id"),
+          (coalesce(col("nbr_min"), col("own")) < col("own")).as("chg"))
+      graft.PlanDump.round("cc_iteration", nextPlan)
+      val next = graft.CacheRegistry.persist(nextPlan)
       changed = next.filter(col("chg")).count() // also materializes the cache
       labels.unpersist(blocking = false) // superseded generation: free it NOW,
       // not at the runner's final release — iterative retention otherwise
@@ -308,10 +315,23 @@ object DedupOps {
     */
   def minHashDedupClusters(docs: DataFrame, numHashes: Int = 15,
       rowsPerBand: Int = 3, shingleSize: Int = 2,
-      threshold: Double = 0.6): DataFrame = {
-    val sets = graft.CacheRegistry.persist(shingleSets(docs, shingleSize))
+      threshold: Double = 0.6): DataFrame =
+    minHashDedupClustersFromSets(
+      graft.CacheRegistry.persist(shingleSets(docs, shingleSize)),
+      numHashes, rowsPerBand, threshold)
+
+  /** [[minHashDedupClusters]] over a PRE-STAGED (persisted) shingle-set
+    * frame (doc_id, sh) — the seam [[Curation.curate]] uses to fuse its
+    * exact-dedup front into the near-dedup's one shingle pass (r14).
+    * The component vertices are the set frame's own doc_ids — row-
+    * identical to the source docs' (shingleSets is a narrow projection),
+    * and read off the already-persisted cache instead of re-scanning the
+    * source table.
+    */
+  private[ext] def minHashDedupClustersFromSets(sets: DataFrame,
+      numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val verified = verifiedPairs(sets, numHashes, rowsPerBand, Some(threshold))
-    connectedComponents(docs.select(col("doc_id")), verified)
+    connectedComponents(sets.select(col("doc_id")), verified)
   }
 
   /** q51: transitive near-dup clusters (golden-oracle check — banding is
@@ -856,7 +876,9 @@ object DedupOps {
       .filter(length(col("text")) >= winLen)
       .select(col("doc_id"), explode(
         graft.functions.WinnowAnchors.winnow_anchors(col("text"), winLen, winnowW)).as("w"))
-    val pairs = anchors
+    // persisted (r14): the pair table feeds the candidate-doc id set AND
+    // the final text-attach joins
+    val pairs = graft.CacheRegistry.persist(anchors
       .groupBy("w")
       // collect_set: a window repeated inside one doc still counts that
       // doc once; sort so orderedPairsExpr emits doc_a < doc_b
@@ -864,8 +886,21 @@ object DedupOps {
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
       .select(explode(expr(orderedPairsExpr("doc_a", "doc_b"))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared_anchors"))
+      .agg(count(lit(1)).as("n_shared_anchors")))
+    // attach texts from a CANDIDATE-restricted projection (r14, guide
+    // §3.2): the former shape shipped the WHOLE corpus text through both
+    // doc-id equi-joins and let the join drop non-candidates — at the
+    // 10× gate that is two full text shuffles serving a candidate-mass
+    // join (invisible at sf0.1 where txt broadcasts). The semi-join
+    // (one tiny persisted id column probed by both sides) keeps only
+    // docs that appear in some pair, so the text shuffles are candidate-
+    // mass-sized. Exact: the equi-joins discarded the same rows anyway.
+    val candIds = graft.CacheRegistry.persist(
+      pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .distinct())
     val txt = docs.select(col("doc_id"), col("text"))
+      .join(candIds, Seq("doc_id"), "left_semi")
     pairs
       .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
       .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
@@ -1136,15 +1171,28 @@ object DedupOps {
       .join(eRare.select(col("ng"), col("doc_id").as("id_b")), "ng")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // intersection over the FULL n-gram sets, restricted to candidate docs
-    val ea = sets.select(col("doc_id").as("id_a"), explode(col("sh")).as("ng"))
-    val eb = sets.select(col("doc_id").as("id_b"), explode(col("sh")).as("ng"))
+    // intersection over the FULL n-gram sets, restricted to candidate
+    // docs BEFORE the explode (r14, guide §3.2): the former shape
+    // exploded EVERY doc's n-gram set into the id-keyed equi-joins and
+    // let the join discard the non-candidates — the whole corpus n-gram
+    // mass crossed two exchanges to serve a candidate-mass-sized
+    // intersection (invisible at sf0.1 where the frames broadcast;
+    // dominant at the 10× gate). The candidate-doc set needs no pair
+    // expansion: df ≥ minDf ≥ 2 means EVERY holder of a rare n-gram
+    // appears in some pair, so it is exactly eRare's distinct doc_ids —
+    // one tiny persisted id column (read by three branches below), and
+    // the semi-joins drop the same rows the equi-joins always discarded.
+    val candIds = graft.CacheRegistry.persist(
+      eRare.select("doc_id").distinct())
+    val candSets = sets.join(candIds, Seq("doc_id"), "left_semi")
+    val ea = candSets.select(col("doc_id").as("id_a"), explode(col("sh")).as("ng"))
+    val eb = candSets.select(col("doc_id").as("id_b"), explode(col("sh")).as("ng"))
     val inter = pairs
       .join(ea, Seq("id_a"))
       .join(eb, Seq("id_b", "ng"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
-    val sizes = sets.select(col("doc_id"), size(col("sh")).cast("bigint").as("n_ng"))
+    val sizes = candSets.select(col("doc_id"), size(col("sh")).cast("bigint").as("n_ng"))
     inter
       .join(sizes.select(col("doc_id").as("id_a"), col("n_ng").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("n_ng").as("n_b")), Seq("id_b"))

@@ -417,6 +417,13 @@ object GraphOps {
         .agg(max(when(col("self"), col("h"))).as("h0"),
           reverse(array_sort(collect_list(when(!col("self"), col("h")))))
             .as("hs"))
+        // invariant guard (ADVICE r13): a group with NO self row (an adj
+        // endpoint absent from the estimate — impossible while est = deg
+        // over adj) would carry h0 = NULL into `chg`, and the freeze
+        // materializer's getBoolean would NPE deep in a task. Mirror the
+        // DedupOps restructure: drop such rows here so an invariant break
+        // surfaces as a non-converging/short result, not an opaque NPE.
+        .filter(col("h0").isNotNull)
         .select(col("c"), col("h0"),
           when(size(col("hs")) > 0, hIndexOf(col("hs")))
             .otherwise(col("h0")).as("hn"))
@@ -429,6 +436,7 @@ object GraphOps {
       // and doubles per-job planning, the same failure mode as the
       // rejected repartition pin above.)
       val (next, nextRdd, nChanged) = if (!delta || frontier == null) {
+        graft.PlanDump.round("coreness_round", round(est.select("c", "h")))
         graft.CacheRegistry.freeze(round(est.select("c", "h")),
           _.filter(_.getBoolean(2)).count())
       } else {

@@ -1156,6 +1156,12 @@ object SimilarityOps {
     * shuffles, the q51 connected-components discipline (persist each
     * generation, free the previous one immediately). No global sort,
     * no driver-side state beyond the node count.
+    *
+    * Contract: `nodes` is expected UNIQUE on node_id. The r13 zero-row
+    * restructure collapses duplicate node rows into one score row (the
+    * former per-round left join preserved duplicate multiplicity);
+    * in-repo callers pass unique ids, so this is documented rather than
+    * asserted (ADVICE r13).
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 8,
       dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
@@ -1210,6 +1216,11 @@ object SimilarityOps {
           lit(true).as("self")))
         .groupBy("node_id")
         .agg(sum("c").as("s"), max(col("self")).as("known"))
+      graft.PlanDump.round("pagerank_round",
+        sums.filter(col("known"))
+          .select(col("node_id"), (lit(base) +
+            expr(s"($dampNum * s) div $dampDen"))
+            .as("pr")))
       val (next, nextRdd, _) = graft.CacheRegistry.freeze(
         sums.filter(col("known"))
           .select(col("node_id"), (lit(base) +
@@ -1333,13 +1344,21 @@ object SimilarityOps {
       .select(col("vec_id"), expr("dsum div dcnt").as("denom_micro"))
     val wBest = Window.partitionBy("src_id")
       .orderBy(desc("margin_micro"), asc("tgt_id"))
+    // join order (r14, guide §2.4): the tgt-keyed denominator join runs
+    // FIRST and the src-keyed one LAST, so at scale (sort-merge joins)
+    // the final join's src_id hash partitioning flows straight into the
+    // best-margin window below — the former order (src join, then tgt
+    // join) re-partitioned by tgt_id in between and the window paid one
+    // more full exchange back to src_id. Inner equi-joins commute, so
+    // rows and values are identical; locally both denominator joins
+    // broadcast and the reorder is plan-neutral.
     sym.filter(isSrc(col("vec_id")))
       .select(col("vec_id").as("src_id"), col("nbr_id").as("tgt_id"),
         col("cos_micro"))
-      .join(denom.select(col("vec_id").as("src_id"),
-        col("denom_micro").as("src_denom")), "src_id")
       .join(denom.select(col("vec_id").as("tgt_id"),
         col("denom_micro").as("tgt_denom")), "tgt_id")
+      .join(denom.select(col("vec_id").as("src_id"),
+        col("denom_micro").as("src_denom")), "src_id")
       .withColumn("margin_micro",
         when(col("src_denom") + col("tgt_denom") > 0,
           expr("(2000000 * cos_micro) div (src_denom + tgt_denom)")))
@@ -1909,8 +1928,13 @@ object SimilarityOps {
           .write.mode("overwrite").parquet(graphDir)
         finally graft.CacheRegistry.release()
       }))
+    // Duration.Inf: a wall-clock cap on the staging writes was a
+    // local-mode assumption — at real scale a slow-but-correct
+    // standing-state build would hit the cap and THROW (abandoning the
+    // in-flight jobs, since shutdown() lets them run) instead of
+    // degrading; the runner owns the wall-clock budget (ADVICE r13)
     try scala.concurrent.Await.result(staged,
-      scala.concurrent.duration.Duration(600, "s"))
+      scala.concurrent.duration.Duration.Inf)
     finally pool.shutdown()
     incrementalKnnGraph(batch, spark.read.parquet(sigDir),
         spark.read.parquet(graphDir), k = 5, bands = 4, bitsPerBand = bits)

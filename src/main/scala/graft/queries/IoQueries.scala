@@ -230,6 +230,13 @@ object IoQueries {
       Tables(spark, dir).documents
         .filter(col("doc_id") % 25 === 0)
         .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        // the bundled tables are single parquet files, so this scan is ONE
+        // task and the per-file creates ran SERIALLY (42 s cold for the
+        // 10× fixture's file count — r13 lead #6). The staging is fixture
+        // setup, not the operator under test (the sync copy is), so spread
+        // the latency-bound creates across the executor pool; round-robin
+        // distribution does not affect any file's path or bytes.
+        .repartition(spark.sparkContext.defaultParallelism)
         .as[(Long, String)]
         .foreachPartition { (rows: Iterator[(Long, String)]) =>
           val fs = new org.apache.hadoop.fs.Path(srcRoot)
